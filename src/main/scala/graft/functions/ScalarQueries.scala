@@ -1,0 +1,87 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.functions.Money._
+import graft.sources.Tables
+
+/** SURVEY.md §2.8 scalar functions (string / date / math / JSON).
+  *
+  * The reference has no scalar-function library — every scalar op lives
+  * inside user map/reduce executables as ad-hoc string code (SURVEY.md
+  * §2.8, [SPEC]). Here each class of scalar work is a codegen'd builtin
+  * from `org.apache.spark.sql.functions`, which keeps the whole pipeline
+  * inside one WholeStageCodegen span — no fork/exec per line, no UDF
+  * serialization boundary.
+  *
+  * Date/time outputs are formatted strings, not raw timestamps: both
+  * engines agree bit-for-bit on 'yyyy-MM' strings, while raw timestamp
+  * physical encodings differ (SURVEY.md §7.4).
+  */
+object ScalarQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scalar_string" -> ((s, d) =>
+      Tables.customer(s, d)
+        .select(
+          col("c_custkey"),
+          upper(col("c_name")).as("name_u"),
+          substring(col("c_name"), 1, 8).as("name_pre"),
+          length(col("c_name")).cast(LongType).as("name_len"),
+          concat_ws("#", col("c_name"), col("c_mktsegment")).as("name_seg"))
+        .orderBy("c_custkey")),
+
+    "q_scalar_date" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy(date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM")
+          .as("month"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("month")),
+
+    "q_scalar_math" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") < 100)
+        .select(
+          col("l_orderkey"),
+          col("l_linenumber"),
+          round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100, 0)
+            .cast(LongType).as("rev_c"),
+          floor(col("l_quantity")).cast(LongType).as("qty_floor"),
+          round(abs(col("l_discount") - 0.05), 4).as("disc_abs"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // events.props is a one-key JSON object {"k": <int>} (FIXTURES.md).
+    "q_json_extract" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(sum(get_json_object(col("props"), "$.k").cast(LongType))
+          .as("sum_k"))
+        .orderBy("event_type"))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_scalar_string" ->
+      """SELECT c_custkey, UPPER(c_name) AS name_u,
+        |  SUBSTRING(c_name, 1, 8) AS name_pre,
+        |  CAST(LENGTH(c_name) AS BIGINT) AS name_len,
+        |  c_name || '#' || c_mktsegment AS name_seg
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_scalar_date" ->
+      """SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM orders GROUP BY month ORDER BY month""".stripMargin,
+    "q_scalar_math" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT) AS rev_c,
+        |  CAST(FLOOR(l_quantity) AS BIGINT) AS qty_floor,
+        |  ROUND(ABS(l_discount - 0.05), 4) AS disc_abs
+        |FROM lineitem WHERE l_orderkey < 100
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_json_extract" ->
+      """SELECT event_type,
+        |  CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+  )
+}

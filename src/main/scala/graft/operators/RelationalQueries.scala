@@ -1,0 +1,205 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.functions.Money._
+import graft.sources.Tables
+
+/** SURVEY.md §2.1 scans, §2.2 filters, §2.4 aggregation, §2.5 sort/top-k,
+  * §2.6 set ops, §2.7 partitioning.
+  *
+  * The reference realizes each of these as a Maple (map) job emitting
+  * string (k,v) pairs plus a Juice (reduce) fold over per-key files
+  * (SURVEY.md §2, [SPEC]). Here each is a declarative plan: filters and
+  * projections reach the parquet reader (predicate pushdown + column
+  * pruning), aggregations run partial→final (the [MR] combiner, free),
+  * and `orderBy.limit` plans as TakeOrderedAndProject — no global sort
+  * materialized for top-k, which is what survives a 100 TB input.
+  */
+object RelationalQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.1 — scan + projection. Only 3 of 11 lineitem columns are read
+    // (ReadSchema pruning); at scale this is a column-pruned scan, no shuffle
+    // except the final range partition for the global order.
+    "q_scan_project" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_returnflag")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // §2.2 — typed predicate, pushed to parquet row-group stats.
+    "q_filter_pred" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_quantity") > 30 && col("l_discount") < 0.05)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // §2.2 — the CS425 "SQL filter" demo: regex WHERE over events.
+    "q_filter_regex" -> ((s, d) =>
+      Tables.events(s, d)
+        .filter(col("event_type").rlike("^(sign|purch)"))
+        .select("event_id", "user_id", "event_type", "value")
+        .orderBy("event_id")),
+
+    // §2.2 — distributed-grep summary (maple emits (file,1); juice sums).
+    "q_grep_count" -> ((s, d) =>
+      Tables.documents(s, d)
+        .filter(col("text").contains("scan"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("source")),
+
+    // §2.4 — TPC-H Q1 shape; partial aggregation is the MR combiner.
+    "q_groupby_agg" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sumCents(col("l_quantity")).as("sum_qty_c"),
+          sumCents(col("l_extendedprice")).as("sum_price_c"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // §2.4 — global (no-group) aggregate: one-key maple, one juice task.
+    "q_agg_scalar" -> ((s, d) =>
+      Tables.orders(s, d)
+        .agg(
+          count(lit(1)).as("n"),
+          min(cents(col("o_totalprice"))).as("min_price_c"),
+          max(cents(col("o_totalprice"))).as("max_price_c"))),
+
+    // §2.4 — dedup via key grouping.
+    "q_distinct" -> ((s, d) =>
+      Tables.events(s, d).select("user_id").distinct().orderBy("user_id")),
+
+    // §2.4 — chained jobs in the reference; one two-phase agg here.
+    "q_count_distinct" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy("event_type")),
+
+    // §2.4 — HAVING: juice emits only if the fold passes the threshold.
+    "q_having" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"))
+        .filter(col("n_events") > 70)
+        .orderBy("user_id")),
+
+    // §2.5 — globally ordered output; Spark's RangePartitioning exchange is
+    // the direct descendant of the reference's range partitioner [SPEC].
+    "q_sort_global" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), cents(col("o_totalprice")).as("price_c"))
+        .orderBy(col("price_c").desc, col("o_orderkey"))),
+
+    // §2.5 — top-k: plans as TakeOrderedAndProject (per-partition heap +
+    // driver merge), not a full sort — the scalable form.
+    "q_topk" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), cents(col("o_totalprice")).as("price_c"))
+        .orderBy(col("price_c").desc, col("o_orderkey"))
+        .limit(10)),
+
+    // §2.5 — top-3 orders per customer: in the reference, juice sorts
+    // its per-key value list and emits the first 3; here a ranking
+    // window — one shuffle on the partition key, no global sort.
+    "q_topk_pergroup" -> ((s, d) => {
+      val priced = Tables.orders(s, d).select(
+        col("o_custkey"), col("o_orderkey"),
+        cents(col("o_totalprice")).as("price_c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey")
+        .orderBy(col("price_c").desc, col("o_orderkey"))
+      priced
+        .withColumn("rn", row_number().over(w).cast(LongType))
+        .filter(col("rn") <= 3)
+        .orderBy("o_custkey", "rn")
+    }),
+
+    // §2.6 — union + dedup of two filtered scans.
+    "q_union" -> ((s, d) => {
+      val buyers = Tables.orders(s, d)
+        .filter(col("o_totalprice") > 450000)
+        .select(col("o_custkey").as("uid"))
+      val errUsers = Tables.events(s, d)
+        .filter(col("event_type") === "error")
+        .select(col("user_id").as("uid"))
+      buyers.union(errUsers).distinct().orderBy("uid")
+    }),
+
+    // §2.7 — observable stand-in for the reference's range partitioner:
+    // contiguous value ranges → buckets, aggregated per bucket.
+    "q_partition_range" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy(floor(col("o_totalprice") / 50000).cast(LongType).as("bucket"))
+        .agg(
+          count(lit(1)).as("n"),
+          sumCents(col("o_totalprice")).as("sum_price_c"))
+        .orderBy("bucket"))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_scan_project" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_filter_pred" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem
+        |WHERE l_quantity > 30 AND l_discount < 0.05
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_filter_regex" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+        |WHERE regexp_matches(event_type, '^(sign|purch)')
+        |ORDER BY event_id""".stripMargin,
+    "q_grep_count" ->
+      """SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM documents
+        |WHERE text LIKE '%scan%' GROUP BY source ORDER BY source""".stripMargin,
+    "q_groupby_agg" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${sqlSumCents("l_quantity")} AS sum_qty_c,
+         |  ${sqlSumCents("l_extendedprice")} AS sum_price_c,
+         |  CAST(COUNT(*) AS BIGINT) AS n
+         |FROM lineitem GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_agg_scalar" ->
+      s"""SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |  MIN(${sqlCents("o_totalprice")}) AS min_price_c,
+         |  MAX(${sqlCents("o_totalprice")}) AS max_price_c
+         |FROM orders""".stripMargin,
+    "q_distinct" ->
+      "SELECT DISTINCT user_id FROM events ORDER BY user_id",
+    "q_count_distinct" ->
+      """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_having" ->
+      """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events FROM events
+        |GROUP BY user_id HAVING COUNT(*) > 70 ORDER BY user_id""".stripMargin,
+    "q_sort_global" ->
+      s"""SELECT o_orderkey, ${sqlCents("o_totalprice")} AS price_c
+         |FROM orders ORDER BY price_c DESC, o_orderkey""".stripMargin,
+    "q_topk" ->
+      s"""SELECT o_orderkey, ${sqlCents("o_totalprice")} AS price_c
+         |FROM orders ORDER BY price_c DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q_topk_pergroup" ->
+      s"""SELECT o_custkey, o_orderkey, price_c, rn FROM (
+         |  SELECT o_custkey, o_orderkey, price_c,
+         |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+         |                       ORDER BY price_c DESC, o_orderkey) AS rn
+         |  FROM (SELECT o_custkey, o_orderkey,
+         |          ${sqlCents("o_totalprice")} AS price_c FROM orders)
+         |) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "q_union" ->
+      """SELECT DISTINCT uid FROM (
+        |  SELECT o_custkey AS uid FROM orders WHERE o_totalprice > 450000
+        |  UNION ALL
+        |  SELECT user_id AS uid FROM events WHERE event_type = 'error'
+        |) ORDER BY uid""".stripMargin,
+    "q_partition_range" ->
+      s"""SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS bucket,
+         |  CAST(COUNT(*) AS BIGINT) AS n,
+         |  ${sqlSumCents("o_totalprice")} AS sum_price_c
+         |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin
+  )
+}

@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Money._
+import graft.sources.Tables
+
+/** SURVEY.md §2.9 event-time windows over the stream-shaped `events`
+  * table.
+  *
+  * The reference is strictly batch [SPEC][MR]; these are the event-time
+  * shapes its applications would express as chained MapReduce jobs,
+  * written so the identical logic lifts onto Structured Streaming
+  * (tumbling groupBy ≡ `window(ts, '1 hour')`; see
+  * graft.streaming.StreamingWindows for the readStream twin).
+  *
+  * Ordering inside windows uses the microsecond-truncated timestamp plus
+  * `event_id` as tiebreak: the raw parquet value is nanosecond and the
+  * oracle engine truncates to µs, so ties must be broken identically on
+  * both sides (SURVEY.md §7.4/§7.5).
+  */
+object WindowQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Tumbling 1-hour window × event_type: count + sum(value) cents.
+    // A pure hash aggregate — partial→final, one shuffle on (hour, type).
+    "q_window_tumbling" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH").as("hour"),
+          col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sumCents(col("value")).as("sum_value_c"))
+        .orderBy("hour", "event_type")),
+
+    // Ranking window: each user's first event.
+    "q_window_rank" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("user_id", "event_id", "event_type")
+        .orderBy("user_id")
+    }),
+
+    // Analytic frame: running event count per user (sample user_id < 20).
+    // The filter is applied below the window (it is on the partition key,
+    // so the pushdown is semantics-preserving and prunes the shuffle).
+    "q_window_analytic" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .filter(col("user_id") < 20)
+        .select(col("user_id"), col("event_id"),
+          count(lit(1)).over(w).as("running_n"))
+        .orderBy("user_id", "event_id")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_window_tumbling" ->
+      s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
+         |  event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         |  ${sqlSumCents("value")} AS sum_value_c
+         |FROM events GROUP BY hour, event_type
+         |ORDER BY hour, event_type""".stripMargin,
+    "q_window_rank" ->
+      """SELECT user_id, event_id, event_type FROM (
+        |  SELECT user_id, event_id, event_type,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events
+        |) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "q_window_analytic" ->
+      """SELECT user_id, event_id,
+        |  CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS running_n
+        |FROM events WHERE user_id < 20
+        |ORDER BY user_id, event_id""".stripMargin
+  )
+}
