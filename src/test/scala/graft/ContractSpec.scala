@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Per-operator spec for every SURVEY.md §2 contract query: golden row
+  * counts at sf0.001 captured once from the DuckDB 1.0.0 oracle
+  * (SURVEY.md §5.2), plus contract-shape invariants (oracle SQL present,
+  * deterministic output ordering checked separately in DeterminismSpec).
+  */
+class ContractSpec extends AnyFunSuite {
+  import SparkTestBase._
+
+  val goldenCounts: Map[String, Long] = Map(
+    "q_agg_scalar" -> 1L,
+    "q_count_distinct" -> 5L,
+    "q_dedup_exact" -> 500L,
+    "q_dedup_near" -> 10L,
+    "q_distinct" -> 15L,
+    "q_filter_pred" -> 1064L,
+    "q_filter_regex" -> 401L,
+    "q_grep_count" -> 20L,
+    "q_groupby_agg" -> 6L,
+    "q_having" -> 5L,
+    "q_join_anti" -> 123L,
+    "q_join_inner" -> 1500L,
+    "q_join_left" -> 150L,
+    "q_join_multi" -> 5L,
+    "q_join_semi" -> 145L,
+    "q_json_extract" -> 5L,
+    "q_partition_range" -> 10L,
+    "q_scalar_date" -> 80L,
+    "q_scalar_math" -> 417L,
+    "q_scalar_string" -> 150L,
+    "q_scan_project" -> 6000L,
+    "q_sim_cosine" -> 10L,
+    "q_sort_global" -> 1500L,
+    "q_text_stats" -> 5L,
+    "q_topk" -> 10L,
+    "q_topk_pergroup" -> 449L,
+    "q_union" -> 98L,
+    "q_window_analytic" -> 1000L,
+    "q_window_rank" -> 15L,
+    "q_window_tumbling" -> 868L,
+    "q_wordcount" -> 31L
+  )
+
+  test("every contract query has oracle SQL and vice versa") {
+    assert(SparkEntry.queries.keySet === SparkEntry.oracleSql.keySet)
+  }
+
+  test("entry (t1 smoke) returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  goldenCounts.foreach { case (name, expected) =>
+    test(s"$name row count matches DuckDB golden at sf0.001") {
+      assert(SparkEntry.queries(name)(spark, sf0001).count() === expected)
+    }
+  }
+}
