@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.functions.ScalarQueries
-import graft.operators.{JoinQueries, PipelineQueries, RelationalQueries, WindowQueries}
+import graft.operators.{DedupExtras, JoinQueries, MultimodalQueries, PipelineQueries, RelationalQueries, SimilarityExtras, TextExtras, WindowQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (the operator
   * inventory) and §7 (build plan). Every t2 row of SURVEY.md §2 appears
@@ -33,7 +33,11 @@ object SparkEntry {
       JoinQueries.queries ++
       ScalarQueries.queries ++
       WindowQueries.queries ++
-      PipelineQueries.queries
+      PipelineQueries.queries ++
+      DedupExtras.queries ++
+      SimilarityExtras.queries ++
+      TextExtras.queries ++
+      MultimodalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -43,5 +47,9 @@ object SparkEntry {
       JoinQueries.oracle ++
       ScalarQueries.oracle ++
       WindowQueries.oracle ++
-      PipelineQueries.oracle
+      PipelineQueries.oracle ++
+      DedupExtras.oracle ++
+      SimilarityExtras.oracle ++
+      TextExtras.oracle ++
+      MultimodalQueries.oracle
 }

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Multimodal column handling (SURVEY.md §2.12): media payloads as
+  * opaque `binary` columns with typed metadata, decoded batch-wise per
+  * partition.
+  *
+  * The Spark-side plumbing is real — schema, partition-local batch
+  * decode via `mapPartitions` over a typed Dataset, filter pushed below
+  * the opaque map stage (Catalyst cannot push through mapPartitions, so
+  * the scan-level filter is applied explicitly first) — while the codec
+  * itself is a clearly-marked deterministic STUB: this container ships
+  * no image/audio/video libraries, so `MediaCodec.decode` derives fake
+  * dimensions from the payload bytes. Swapping in a real codec changes
+  * only that one function; the distributed shape is unchanged.
+  *
+  * The testdata has no binary table, so the payload is synthesized from
+  * `documents.text` (UTF-8 bytes) — which also keeps the whole query
+  * oracle-checkable in DuckDB via `encode()` / `octet_length()`.
+  */
+object MultimodalQueries {
+
+  /** A media row: opaque payload plus routing metadata. */
+  final case class MediaRecord(doc_id: Long, media_type: String,
+      payload: Array[Byte])
+
+  /** Typed decode output. */
+  final case class MediaMeta(doc_id: Long, media_type: String, n_bytes: Long,
+      width: Long, height: Long, frames: Long)
+
+  /** STUB codec — stands in for an image/audio/video decode library.
+    * Deterministic function of the payload so the DuckDB oracle can
+    * reproduce it; a real implementation would parse the container
+    * format here (batch per partition, one codec instance per task).
+    */
+  object MediaCodec {
+    def decode(r: MediaRecord): MediaMeta = {
+      val n = r.payload.length.toLong
+      MediaMeta(r.doc_id, r.media_type, n, n % 640, (n * 7) % 480,
+        1 + r.doc_id % 24)
+    }
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_multimodal_meta" -> ((s, d) => {
+      import s.implicits._
+      val media: Dataset[MediaRecord] = Tables.documents(s, d)
+        // filter BEFORE the opaque decode stage: mapPartitions blocks
+        // Catalyst pushdown, so prune at the scan by hand.
+        .filter(col("doc_id") < 100)
+        .select(
+          col("doc_id"),
+          when(col("doc_id") % 3 === 0, "image")
+            .when(col("doc_id") % 3 === 1, "audio")
+            .otherwise("video").as("media_type"),
+          col("text").cast("binary").as("payload"))
+        .as[MediaRecord]
+      media
+        .mapPartitions(_.map(MediaCodec.decode))
+        .toDF()
+        .orderBy("doc_id")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_multimodal_meta" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CAST(octet_length(encode(text)) % 640 AS BIGINT) AS width,
+        |  CAST((octet_length(encode(text)) * 7) % 480 AS BIGINT) AS height,
+        |  CAST(1 + doc_id % 24 AS BIGINT) AS frames
+        |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin
+  )
+}

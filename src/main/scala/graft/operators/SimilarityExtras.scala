@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Approximate similarity search: random-hyperplane LSH bucketing over
+  * the embedding column (SURVEY.md §2.12).
+  *
+  * `q_sim_cosine` (PipelineQueries) is the brute-force single-probe
+  * baseline; this module is the scale path: an 8-bit sign signature
+  * from fixed pseudo-random hyperplanes buckets the table, and cosine
+  * is evaluated only within buckets. At 100 TB the all-pairs product is
+  * impossible; bucket-local pairs keep the join linear-ish in practice
+  * (expected bucket size n/256 under near-uniform signs).
+  *
+  * The hyperplanes are deterministic integer patterns
+  * `v_j[i] = ((i*31 + j*17) mod 7) - 3` rather than sampled gaussians:
+  * both engines must derive the identical planes with no RNG
+  * (SURVEY.md §7.4 portability discipline).
+  */
+object SimilarityExtras {
+
+  private val bucketSql =
+    """array_join(transform(sequence(0, 7), j ->
+      |  CASE WHEN aggregate(sequence(0, 63),
+      |    cast(0.0 as double),
+      |    (acc, i) -> acc + cast(element_at(e, i + 1) as double)
+      |                      * (((i * 31 + j * 17) % 7) - 3)) >= 0
+      |  THEN '1' ELSE '0' END), '')""".stripMargin
+
+  private val cosSql =
+    """aggregate(zip_with(a.e, b.e, (x, y) -> cast(x as double) * cast(y as double)),
+      |  cast(0.0 as double), (acc, x) -> acc + x) /
+      |(sqrt(aggregate(a.e, cast(0.0 as double),
+      |  (acc, x) -> acc + cast(x as double) * cast(x as double))) *
+      | sqrt(aggregate(b.e, cast(0.0 as double),
+      |  (acc, x) -> acc + cast(x as double) * cast(x as double))))""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Top-20 most-similar pairs among LSH-bucket candidates.
+    "q_sim_lsh" -> ((s, d) => {
+      val sig = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").as("e"))
+        .withColumn("bucket", expr(bucketSql))
+      sig.as("a")
+        .join(sig.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_id1"), col("b.vec_id").as("vec_id2"),
+          round(expr(cosSql), 4).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id1"), col("vec_id2"))
+        .limit(20)
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_sim_lsh" ->
+      """WITH sig AS (
+        |  SELECT vec_id, embedding AS e,
+        |    array_to_string(list_transform(range(0,8), j ->
+        |      CASE WHEN list_sum(list_transform(range(0,64),
+        |        i -> CAST(e[i+1] AS DOUBLE) * (((i*31 + j*17) % 7) - 3))) >= 0
+        |      THEN '1' ELSE '0' END), '') AS bucket
+        |  FROM embeddings),
+        |pairs AS (
+        |  SELECT a.vec_id AS vec_id1, b.vec_id AS vec_id2,
+        |    list_sum(list_transform(range(1,65), i -> CAST(a.e[i] AS DOUBLE)*CAST(b.e[i] AS DOUBLE))) /
+        |    (sqrt(list_sum(list_transform(a.e, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) *
+        |     sqrt(list_sum(list_transform(b.e, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS sim
+        |  FROM sig a JOIN sig b ON a.bucket=b.bucket AND a.vec_id < b.vec_id)
+        |SELECT vec_id1, vec_id2, ROUND(sim, 4) AS sim
+        |FROM pairs ORDER BY sim DESC, vec_id1, vec_id2 LIMIT 20""".stripMargin
+  )
+}

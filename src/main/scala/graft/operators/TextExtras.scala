@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Text-analysis operators for a training-data pipeline (SURVEY.md
+  * §2.12): language identification, quality scoring, token counting,
+  * and document fingerprinting over `documents`.
+  *
+  * All single-scan + one-shuffle shapes: per-doc features are computed
+  * with codegen-friendly builtins / native higher-order expressions
+  * (never a UDF), and only small derived columns ever shuffle.
+  */
+object TextExtras {
+
+  /** Marker lexicon for the n-gram/keyword language-ID heuristic. The
+    * synthetic corpus shares one vocabulary across languages, so the
+    * lexicon is a deterministic demonstration dictionary; swap in real
+    * per-language stopword lists for natural text.
+    */
+  private val langMarkers: Seq[(String, String, String)] = Seq(
+    ("en", "the", "scan"), ("es", "table", "sort"), ("de", "merge", "window"),
+    ("fr", "key", "order"), ("zh", "column", "part"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Language-ID: score each candidate language by marker-token
+    // occurrences, pick argmax (deterministic tiebreak on language
+    // code), report the confusion matrix against the labeled lang.
+    "q_text_langid" -> ((s, d) => {
+      import s.implicits._
+      val dict = langMarkers.toDF("cand", "w1", "w2")
+      val scored = Tables.documents(s, d)
+        .crossJoin(broadcast(dict))
+        .select(col("doc_id"), col("lang"), col("cand"),
+          expr("size(filter(split(text, ' '), t -> t = w1 OR t = w2))")
+            .as("score"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("cand"))
+      scored
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .groupBy(col("lang"), col("cand").as("pred_lang"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang", "pred_lang")
+    }),
+
+    // Quality score: length saturation + stopword ratio + char-count
+    // band, rounded to 4 dp. Pure per-row arithmetic — no shuffle at
+    // all except the output sort.
+    "q_text_quality" -> ((s, d) =>
+      Tables.documents(s, d)
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"),
+          expr("size(split(text, ' '))").cast("long").as("n_toks"),
+          expr("size(filter(split(text, ' '), t -> t in ('the','scan','table')))")
+            .as("n_stop"),
+          col("n_chars"))
+        .select(col("doc_id"), col("n_toks"),
+          round(
+            least(col("n_toks") / 400.0, lit(1.0)) * 0.5 +
+              (col("n_stop") * lit(1.0) / col("n_toks")) * 0.3 +
+              when(col("n_chars").between(200, 400), 0.2).otherwise(0.0),
+            4).as("score"))
+        .orderBy("doc_id")),
+
+    // Token counting per source: whitespace tokens and a regex ("BPE-ish
+    // pre-tokenizer") token count, plus mean tokens per doc.
+    "q_text_tokens" -> ((s, d) =>
+      Tables.documents(s, d)
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(expr("size(filter(split(text, ' '), t -> t <> ''))"))
+            .as("ws_tokens"),
+          sum(size(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0))))
+            .as("re_tokens"),
+          round(
+            sum(expr("size(filter(split(text, ' '), t -> t <> ''))")) * lit(1.0)
+              / count(lit(1)), 2).as("avg_tokens"))
+        .orderBy("source")),
+
+    // Document fingerprint: min-sampled digest over the rolling window
+    // of token 4-grams (winnowing with w = document length). Identical
+    // fingerprints ⇒ shared minimal shingle ⇒ near/exact dup group.
+    "q_text_fingerprint" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), expr(
+          """array_min(transform(
+            |  sequence(1, greatest(size(split(text, ' ')) - 3, 1)),
+            |  i -> md5(cast(concat_ws(' ', slice(split(text, ' '), i, 4)) as binary))))"""
+            .stripMargin).as("fp"))
+        .groupBy("fp")
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
+        .filter(col("n_docs") > 1)
+        .orderBy("fp"))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_text_langid" ->
+      """WITH scores AS (
+        |  SELECT d.doc_id, d.lang, m.lang AS cand,
+        |    len(list_filter(string_split(d.text,' '), t -> t = m.w1 OR t = m.w2)) AS score
+        |  FROM documents d CROSS JOIN (
+        |    VALUES ('en','the','scan'), ('es','table','sort'), ('de','merge','window'),
+        |           ('fr','key','order'), ('zh','column','part')) AS m(lang, w1, w2)),
+        |pred AS (
+        |  SELECT doc_id, lang, cand AS pred_lang,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, cand) AS rn
+        |  FROM scores)
+        |SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |FROM pred WHERE rn = 1 GROUP BY lang, pred_lang ORDER BY lang, pred_lang""".stripMargin,
+    "q_text_quality" ->
+      """WITH q AS (
+        |  SELECT doc_id, len(string_split(text,' ')) AS n_toks,
+        |    len(list_filter(string_split(text,' '), t -> t IN ('the','scan','table'))) AS n_stop,
+        |    n_chars
+        |  FROM documents)
+        |SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks,
+        |  ROUND(LEAST(n_toks/400.0, 1.0)*0.5 + (n_stop*1.0/n_toks)*0.3 +
+        |    (CASE WHEN n_chars BETWEEN 200 AND 400 THEN 0.2 ELSE 0.0 END), 4) AS score
+        |FROM q WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
+    "q_text_tokens" ->
+      """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(len(list_filter(string_split(text,' '), t -> t <> ''))) AS BIGINT) AS ws_tokens,
+        |  CAST(SUM(len(regexp_extract_all(text, '[a-z]+'))) AS BIGINT) AS re_tokens,
+        |  ROUND(SUM(len(list_filter(string_split(text,' '), t -> t <> '')))*1.0/COUNT(*), 2) AS avg_tokens
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q_text_fingerprint" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    list_min(list_transform(range(1, greatest(len(string_split(text,' '))-2, 2)),
+        |      i -> md5(array_to_string(string_split(text,' ')[i:i+3], ' ')))) AS fp
+        |  FROM documents)
+        |SELECT fp, CAST(COUNT(*) AS BIGINT) AS n_docs, MIN(doc_id) AS keep_id
+        |FROM f GROUP BY fp HAVING COUNT(*) > 1 ORDER BY fp""".stripMargin
+  )
+}

@@ -41,7 +41,16 @@ class ContractSpec extends AnyFunSuite {
     "q_window_analytic" -> 1000L,
     "q_window_rank" -> 15L,
     "q_window_tumbling" -> 868L,
-    "q_wordcount" -> 31L
+    "q_wordcount" -> 31L,
+    "q_dedup_minhash" -> 30L,
+    "q_dedup_simhash" -> 26L,
+    "q_dedup_jaccard" -> 10L,
+    "q_sim_lsh" -> 20L,
+    "q_text_langid" -> 25L,
+    "q_text_quality" -> 100L,
+    "q_text_tokens" -> 20L,
+    "q_text_fingerprint" -> 24L,
+    "q_multimodal_meta" -> 100L
   )
 
   test("every contract query has oracle SQL and vice versa") {
