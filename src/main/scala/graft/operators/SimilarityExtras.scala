@@ -39,6 +39,22 @@ object SimilarityExtras {
       |  (acc, x) -> acc + cast(x as double) * cast(x as double))))""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Same semantics as q_sim_cosine (PipelineQueries) but through the
+    // native codegen'd CosineSimilarity expression — the hot-path form.
+    // Identical accumulation order ⇒ bit-identical results ⇒ shares the
+    // brute-force oracle.
+    "q_sim_cosine_native" -> ((s, d) => {
+      graft.plans.CosineSimilarity.register(s)
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      val probe = emb.filter(col("vec_id") === 0).select(col("e").as("p"))
+      emb.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(probe))
+        .select(col("vec_id"), round(expr("cosine_sim(e, p)"), 4).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(10)
+    }),
+
     // Top-20 most-similar pairs among LSH-bucket candidates.
     "q_sim_lsh" -> ((s, d) => {
       val sig = Tables.embeddings(s, d)
@@ -55,6 +71,21 @@ object SimilarityExtras {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_sim_cosine_native" ->
+      """WITH probe AS (
+        |  SELECT embedding FROM embeddings WHERE vec_id = 0),
+        |pairs AS (
+        |  SELECT b.vec_id,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> CAST(b.embedding[i] AS DOUBLE) * CAST(p.embedding[i] AS DOUBLE))) AS dot,
+        |    sqrt(list_sum(list_transform(b.embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nb,
+        |    sqrt(list_sum(list_transform(p.embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS np
+        |  FROM embeddings b, probe p WHERE b.vec_id <> 0)
+        |SELECT vec_id, ROUND(dot / (nb * np), 4) AS sim
+        |FROM pairs ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+
     "q_sim_lsh" ->
       """WITH sig AS (
         |  SELECT vec_id, embedding AS e,

@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.GroupState
+
+import graft.functions.Money._
+
+/** Structured Streaming twin of the batch event-time windows
+  * (SURVEY.md §2.9 / §7.6).
+  *
+  * The reference is strictly batch [SPEC][MR]; the north star requires
+  * the same operator logic to lift onto streams unchanged. These
+  * transforms are therefore written against a plain DataFrame and work
+  * identically under `spark.read` and `spark.readStream` — the batch
+  * contract query `q_window_tumbling` is the `date_trunc` spelling of
+  * [[tumblingCounts]]'s `window()` aggregation.
+  *
+  * At scale this is the streaming ingestion path of the pipeline:
+  * watermarked tumbling aggregates are partial-aggregated per
+  * micro-batch (the MR combiner again), and per-key state lives in the
+  * state store keyed exactly like the batch shuffle would be.
+  */
+object StreamingWindows {
+
+  /** Raw event row as stored (ts = epoch nanos; see Tables.events). */
+  final case class RawEvent(event_id: Long, ts: Long, user_id: Long,
+      event_type: String, value: Double, props: String)
+
+  /** Running per-user state for [[userRunningCounts]]. */
+  final case class UserState(n: Long)
+
+  /** Per-user output row. */
+  final case class UserCount(user_id: Long, n_events: Long)
+
+  /** The streaming-shaped events source: a directory of event parquet
+    * files read as a file stream (each arriving file = one micro-batch
+    * with `maxFilesPerTrigger=1`). `schemaFrom` points at any batch
+    * parquet with the same layout — file-stream sources require an
+    * explicit schema.
+    */
+  def eventsStream(spark: SparkSession, streamDir: String,
+      schemaFrom: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(schemaFrom).schema
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(streamDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** 1-hour tumbling window × event_type: count + sum(value) cents,
+    * with a 1-hour watermark bounding state. Works for batch and
+    * streaming input alike.
+    */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sumCents(col("value")).as("sum_value_c"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n"), col("sum_value_c"))
+
+  /** Stateful per-key operator: running event count per user via
+    * `mapGroupsWithState` — the Spark-native form of the reference's
+    * per-key juice fold, with state persisted across micro-batches.
+    */
+  def userRunningCounts(events: Dataset[RawEvent]): Dataset[UserCount] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserState, UserCount](
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[RawEvent], state: GroupState[UserState]) =>
+          val prev = state.getOption.map(_.n).getOrElse(0L)
+          val next = prev + rows.size
+          state.update(UserState(next))
+          UserCount(userId, next)
+      }
+  }
+}

@@ -50,7 +50,8 @@ class ContractSpec extends AnyFunSuite {
     "q_text_quality" -> 100L,
     "q_text_tokens" -> 20L,
     "q_text_fingerprint" -> 24L,
-    "q_multimodal_meta" -> 100L
+    "q_multimodal_meta" -> 100L,
+    "q_sim_cosine_native" -> 10L
   )
 
   test("every contract query has oracle SQL and vice versa") {

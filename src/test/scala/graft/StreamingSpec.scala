@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Tables
+import graft.streaming.StreamingWindows
+
+/** Drives the Structured Streaming twin end-to-end: the same transform
+  * applied to readStream input must equal its batch result, and the
+  * stateful per-user counter must fold across micro-batches.
+  */
+class StreamingSpec extends AnyFunSuite {
+  import SparkTestBase._
+
+  /** Stage a directory containing the events file (file-stream sources
+    * list directories, not single files).
+    */
+  private def stagedDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream")
+    java.nio.file.Files.createSymbolicLink(
+      dir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$sf0001/events.parquet"))
+    dir.toString
+  }
+
+  test("tumblingCounts: streaming result equals batch result") {
+    val q = StreamingWindows
+      .tumblingCounts(StreamingWindows.eventsStream(
+        spark, stagedDir, s"$sf0001/events.parquet"))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("stream_tumbling")
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+
+    val streamed = spark.table("stream_tumbling")
+      .orderBy("hour_start", "event_type").collect().toSeq.map(_.toString)
+    val batch = StreamingWindows.tumblingCounts(Tables.events(spark, sf0001))
+      .orderBy("hour_start", "event_type").collect().toSeq.map(_.toString)
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+  }
+
+  test("userRunningCounts: stateful fold equals batch groupBy count") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sf0001/events.parquet")
+      .as[StreamingWindows.RawEvent]
+    val schema = raw.schema
+    val stream = spark.readStream.schema(schema)
+      .parquet(stagedDir)
+      .as[StreamingWindows.RawEvent]
+
+    val q = StreamingWindows.userRunningCounts(stream)
+      .writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName("stream_user_counts")
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+
+    // Single input file → one micro-batch → final state equals batch agg.
+    val streamed = spark.table("stream_user_counts")
+      .groupBy("user_id").agg(max("n_events").as("n_events"))
+      .orderBy("user_id").collect().toSeq.map(_.toString)
+    val batch = raw.groupBy("user_id").agg(count(lit(1)).as("n_events"))
+      .orderBy("user_id").collect().toSeq.map(_.toString)
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+  }
+}
