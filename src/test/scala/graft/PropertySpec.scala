@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.CosineSimilarity
+
+/** Property-based algebraic laws (SURVEY.md §5.3) on generated
+  * micro-DataFrames. Uses plain ScalaCheck driven from FunSuite (no
+  * scalatestplus bridge in the offline dep set).
+  */
+class PropertySpec extends AnyFunSuite {
+  import SparkTestBase._
+
+  private val params = SCTest.Parameters.default
+    .withMinSuccessfulTests(10)
+    .withMaxSize(40)
+
+  private def check(name: String)(p: Prop): Unit = {
+    val res = SCTest.check(params, p)
+    assert(res.passed, s"$name: $res")
+  }
+
+  private val tokenGen = Gen.oneOf("scan", "merge", "sort", "key", "the",
+    "window", "table", "column", "join", "filter")
+  private val docGen = Gen.listOf(tokenGen).map(_.mkString(" "))
+
+  test("wordcount combiner law: count(a ++ b) = merge(count(a), count(b))") {
+    import spark.implicits._
+    def wc(docs: List[String]): Map[String, Long] =
+      if (docs.isEmpty) Map.empty
+      else docs.toDF("text")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy("w").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    check("combiner") {
+      Prop.forAll(Gen.listOf(docGen), Gen.listOf(docGen)) { (a, b) =>
+        val merged = (wc(a).toSeq ++ wc(b).toSeq)
+          .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+        wc(a ++ b) == merged
+      }
+    }
+  }
+
+  test("exact dedup is idempotent and keeps min id per key") {
+    import spark.implicits._
+    check("dedup") {
+      Prop.forAll(Gen.nonEmptyListOf(docGen)) { docs =>
+        val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text")
+        def dedup(in: org.apache.spark.sql.DataFrame) =
+          in.groupBy(col("text")).agg(min("doc_id").as("doc_id"))
+            .select("doc_id", "text")
+        val once = dedup(df).collect().map(_.toString).sorted.toSeq
+        val twice = dedup(dedup(df)).collect().map(_.toString).sorted.toSeq
+        val expected = docs.zipWithIndex
+          .groupBy(_._1).view.mapValues(_.map(_._2.toLong).min)
+          .map { case (t, i) => s"[$i,$t]" }.toSeq.sorted
+        once == twice && once == expected
+      }
+    }
+  }
+
+  test("topk(k) equals the k-prefix of the global sort") {
+    import spark.implicits._
+    check("topk") {
+      Prop.forAll(Gen.nonEmptyListOf(Gen.chooseNum(-1000L, 1000L)),
+        Gen.chooseNum(1, 10)) { (xs, k) =>
+        val df = xs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+          .toDF("id", "v")
+        val top = df.orderBy(col("v").desc, col("id")).limit(k)
+          .collect().map(_.toString).toSeq
+        val prefix = df.orderBy(col("v").desc, col("id"))
+          .collect().map(_.toString).take(k).toSeq
+        top == prefix
+      }
+    }
+  }
+
+  test("filter commutes with equi-join (pushdown equivalence)") {
+    import spark.implicits._
+    check("filter-join") {
+      Prop.forAll(
+        Gen.listOf(Gen.zip(Gen.chooseNum(0L, 20L), Gen.chooseNum(0L, 100L))),
+        Gen.listOf(Gen.chooseNum(0L, 20L))) { (orders, custs) =>
+        val o = orders.zipWithIndex
+          .map { case ((c, v), i) => (i.toLong, c, v) }
+          .toDF("o_id", "cust", "v")
+        val c = custs.distinct.toDF("cust")
+        val after = o.join(c, "cust").filter(col("v") > 50)
+          .collect().map(_.toString).sorted.toSeq
+        val before = o.filter(col("v") > 50).join(c, "cust")
+          .collect().map(_.toString).sorted.toSeq
+        after == before
+      }
+    }
+  }
+
+  test("cosine_sim: self-similarity 1, symmetric, in [-1, 1]") {
+    import spark.implicits._
+    CosineSimilarity.register(spark)
+    val vecGen = Gen.nonEmptyListOf(Gen.chooseNum(-10.0, 10.0))
+      .suchThat(_.exists(_ != 0.0))
+    check("cosine") {
+      Prop.forAll(vecGen) { v =>
+        val df = Seq((v.toArray, v.toArray)).toDF("a", "b")
+        val self = df.select(expr("cosine_sim(a, b)")).head().getDouble(0)
+        math.abs(self - 1.0) < 1e-9
+      } && Prop.forAll(vecGen, vecGen) { (x, y) =>
+        val n = math.min(x.size, y.size)
+        val a = x.take(n).toArray
+        val b = y.take(n).toArray
+        val df = Seq((a, b)).toDF("a", "b")
+        val ab = df.select(expr("cosine_sim(a, b)")).head().getDouble(0)
+        val ba = df.select(expr("cosine_sim(b, a)")).head().getDouble(0)
+        ab == ba && ab >= -1.0 - 1e-9 && ab <= 1.0 + 1e-9
+      }
+    }
+  }
+}
