@@ -46,6 +46,27 @@ object MultimodalQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Frame sampling: every 6th frame of each "video" payload, exploded
+    // to one row per sampled frame with its byte offset — the UDTF-ish
+    // shape of a real video pipeline (decode → sample → per-frame rows),
+    // over the same stubbed codec metadata.
+    "q_multimodal_frames" -> ((s, d) => {
+      import s.implicits._
+      val media: Dataset[MediaRecord] = Tables.documents(s, d)
+        .filter(col("doc_id") % 3 === 2 && col("doc_id") < 200)
+        .select(col("doc_id"), lit("video").as("media_type"),
+          col("text").cast("binary").as("payload"))
+        .as[MediaRecord]
+      media
+        .mapPartitions(_.map(MediaCodec.decode))
+        .toDF()
+        .select(col("doc_id"), col("n_bytes"), col("frames"),
+          explode(sequence(lit(0L), col("frames") - 1, lit(6L))).as("frame_idx"))
+        .select(col("doc_id"), col("frame_idx"),
+          expr("(n_bytes * frame_idx) div frames").as("byte_offset"))
+        .orderBy("doc_id", "frame_idx")
+    }),
+
     "q_multimodal_meta" -> ((s, d) => {
       import s.implicits._
       val media: Dataset[MediaRecord] = Tables.documents(s, d)
@@ -67,6 +88,15 @@ object MultimodalQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_multimodal_frames" ->
+      """WITH meta AS (
+        |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |    CAST(1 + doc_id % 24 AS BIGINT) AS frames
+        |  FROM documents WHERE doc_id % 3 = 2 AND doc_id < 200)
+        |SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+        |  CAST((n_bytes * f) // frames AS BIGINT) AS byte_offset
+        |FROM meta, unnest(range(0, frames, 6)) AS t(f)
+        |ORDER BY doc_id, frame_idx""".stripMargin,
     "q_multimodal_meta" ->
       """SELECT doc_id,
         |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,

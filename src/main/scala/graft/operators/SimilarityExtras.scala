@@ -55,6 +55,24 @@ object SimilarityExtras {
         .limit(10)
     }),
 
+    // Embedding-cosine near-dup: bucket candidates whose cosine clears
+    // the dedup threshold. Same LSH shape as q_sim_lsh; the threshold
+    // compares UNROUNDED sim (identical doubles in both engines), the
+    // output rounds to 4 dp.
+    "q_dedup_embed" -> ((s, d) => {
+      val sig = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").as("e"))
+        .withColumn("bucket", expr(bucketSql))
+      sig.as("a")
+        .join(sig.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_id1"), col("b.vec_id").as("vec_id2"),
+          expr(cosSql).as("sim_raw"))
+        .filter(col("sim_raw") >= 0.4)
+        .select(col("vec_id1"), col("vec_id2"), round(col("sim_raw"), 4).as("sim"))
+        .orderBy("vec_id1", "vec_id2")
+    }),
+
     // Top-20 most-similar pairs among LSH-bucket candidates.
     "q_sim_lsh" -> ((s, d) => {
       val sig = Tables.embeddings(s, d)
@@ -71,6 +89,22 @@ object SimilarityExtras {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_dedup_embed" ->
+      """WITH sig AS (
+        |  SELECT vec_id, embedding AS e,
+        |    array_to_string(list_transform(range(0,8), j ->
+        |      CASE WHEN list_sum(list_transform(range(0,64),
+        |        i -> CAST(e[i+1] AS DOUBLE) * (((i*31 + j*17) % 7) - 3))) >= 0
+        |      THEN '1' ELSE '0' END), '') AS bucket
+        |  FROM embeddings),
+        |pairs AS (
+        |  SELECT a.vec_id AS vec_id1, b.vec_id AS vec_id2,
+        |    list_sum(list_transform(range(1,65), i -> CAST(a.e[i] AS DOUBLE)*CAST(b.e[i] AS DOUBLE))) /
+        |    (sqrt(list_sum(list_transform(a.e, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) *
+        |     sqrt(list_sum(list_transform(b.e, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS sim
+        |  FROM sig a JOIN sig b ON a.bucket=b.bucket AND a.vec_id < b.vec_id)
+        |SELECT vec_id1, vec_id2, ROUND(sim, 4) AS sim
+        |FROM pairs WHERE sim >= 0.4 ORDER BY vec_id1, vec_id2""".stripMargin,
     "q_sim_cosine_native" ->
       """WITH probe AS (
         |  SELECT embedding FROM embeddings WHERE vec_id = 0),

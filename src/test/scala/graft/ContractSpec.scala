@@ -51,7 +51,9 @@ class ContractSpec extends AnyFunSuite {
     "q_text_tokens" -> 20L,
     "q_text_fingerprint" -> 24L,
     "q_multimodal_meta" -> 100L,
-    "q_sim_cosine_native" -> 10L
+    "q_sim_cosine_native" -> 10L,
+    "q_dedup_embed" -> 5L,
+    "q_multimodal_frames" -> 162L
   )
 
   test("every contract query has oracle SQL and vice versa") {
