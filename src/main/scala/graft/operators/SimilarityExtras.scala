@@ -39,6 +39,28 @@ object SimilarityExtras {
       |  (acc, x) -> acc + cast(x as double) * cast(x as double))))""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Per-label embedding centroid through the typed Aggregator (the
+    // reference's juice fold, §2.11), exploded to (label, pos, mean)
+    // rows for the oracle. Double sums merge associatively; 4 dp
+    // rounding absorbs partition-order last-ulp drift (float32 inputs).
+    "q_agg_centroid" -> ((s, d) => {
+      import s.implicits._
+      val agg = new graft.functions.VectorMean(64).toColumn
+      Tables.embeddings(s, d)
+        .select(col("label"), col("embedding"))
+        .as[(Int, Array[Float])]
+        .groupByKey(_._1)
+        .mapValues(_._2)
+        .agg(agg.name("centroid"))
+        .map { case (label, c) => (label.toLong, c) }
+        .toDF("label", "centroid")
+        .select(col("label"),
+          posexplode(col("centroid")).as(Seq("pos0", "v")))
+        .select(col("label"), (col("pos0") + 1).cast("long").as("pos"),
+          round(col("v"), 4).as("mean_v"))
+        .orderBy("label", "pos")
+    }),
+
     // Same semantics as q_sim_cosine (PipelineQueries) but through the
     // native codegen'd CosineSimilarity expression — the hot-path form.
     // Identical accumulation order ⇒ bit-identical results ⇒ shares the
@@ -89,6 +111,12 @@ object SimilarityExtras {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_agg_centroid" ->
+      """SELECT CAST(label AS BIGINT) AS label, CAST(i AS BIGINT) AS pos,
+        |  ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 4) AS mean_v
+        |FROM embeddings, unnest(range(1,65)) AS t(i)
+        |GROUP BY label, i ORDER BY label, pos""".stripMargin,
+
     "q_dedup_embed" ->
       """WITH sig AS (
         |  SELECT vec_id, embedding AS e,

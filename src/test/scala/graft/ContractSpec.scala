@@ -53,7 +53,8 @@ class ContractSpec extends AnyFunSuite {
     "q_multimodal_meta" -> 100L,
     "q_sim_cosine_native" -> 10L,
     "q_dedup_embed" -> 5L,
-    "q_multimodal_frames" -> 162L
+    "q_multimodal_frames" -> 162L,
+    "q_agg_centroid" -> 640L
   )
 
   test("every contract query has oracle SQL and vice versa") {
