@@ -43,6 +43,44 @@ object DedupExtras {
       |  j -> array_min(transform(sh,
       |    s -> md5(cast(concat(cast(j as string), ':', s) as binary)))))""".stripMargin
 
+  /** (doc_id, sg, band_id, bk) band rows. The signature table is
+    * materialized once via localCheckpoint — the local-mode analog of
+    * persisting the signature table before the band join, which at
+    * scale you would write out rather than recompute on both sides of
+    * the self-join.
+    */
+  private def minhashBands(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"))
+      // Spread BEFORE the expensive signature: the source parquet is a
+      // handful of input splits, and without this exchange the whole
+      // md5 workload would run at input-split parallelism. The explicit
+      // partition count matters — AQE's size-based coalesce would fold
+      // this tiny-bytes/heavy-CPU stage back to one partition.
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), expr(shinglesSql).as("sh"))
+      .select(col("doc_id"), expr(sigFromShinglesSql).as("sg"))
+      .localCheckpoint()
+      .select(col("doc_id"), col("sg"),
+        explode(sequence(lit(0), lit(3))).as("band_id"))
+      .select(col("doc_id"), col("sg"), col("band_id"),
+        md5(concat(
+          element_at(col("sg"), col("band_id") * 2 + 1), lit("|"),
+          element_at(col("sg"), col("band_id") * 2 + 2)).cast("binary"))
+          .as("bk"))
+
+  /** Distinct candidate pairs with signature-agreement similarity. */
+  private def minhashPairs(bands: DataFrame): DataFrame =
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band_id") === col("b.band_id") && col("a.bk") === col("b.bk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_id1"), col("b.doc_id").as("doc_id2"),
+        round(expr(
+          "size(filter(sequence(1, 8), i -> element_at(a.sg, i) = element_at(b.sg, i))) / 8.0"),
+          4).as("minhash_sim"))
+      .distinct()
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // MinHash + LSH banding (4 bands × 2 rows): candidate pairs are docs
     // agreeing on both signature components of at least one band.
@@ -56,28 +94,23 @@ object DedupExtras {
     // the band join are identical subplans that ReuseExchange
     // deduplicates. 26s → ~2s at sf0.1.
     "q_dedup_minhash" -> ((s, d) => {
-      val sig = Tables.documents(s, d)
-        .select(col("doc_id"), expr(shinglesSql).as("sh"))
-        .repartition(col("doc_id"))
-        .select(col("doc_id"), expr(sigFromShinglesSql).as("sg"))
-      val bands = sig
-        .select(col("doc_id"), col("sg"),
-          explode(sequence(lit(0), lit(3))).as("band_id"))
-        .select(col("doc_id"), col("sg"), col("band_id"),
-          md5(concat(
-            element_at(col("sg"), col("band_id") * 2 + 1), lit("|"),
-            element_at(col("sg"), col("band_id") * 2 + 2)).cast("binary"))
-            .as("bk"))
-      bands.as("a")
-        .join(bands.as("b"),
-          col("a.band_id") === col("b.band_id") && col("a.bk") === col("b.bk") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_id1"), col("b.doc_id").as("doc_id2"),
-          round(expr(
-            "size(filter(sequence(1, 8), i -> element_at(a.sg, i) = element_at(b.sg, i))) / 8.0"),
-            4).as("minhash_sim"))
-        .distinct()
-        .orderBy("doc_id1", "doc_id2")
+      val bands = minhashBands(s, d)
+      minhashPairs(bands).orderBy("doc_id1", "doc_id2")
+    }),
+
+    // Dedup SURVIVORS: drop every doc that full-signature-agrees
+    // (minhash_sim = 1.0) with a lower doc_id — the removal step that
+    // turns candidate pairs into a deduplicated corpus. Exact-dup
+    // clusters have identical signatures, so every member pairs with
+    // the cluster minimum and only the minimum survives.
+    "q_dedup_minhash_keep" -> ((s, d) => {
+      val pairs = minhashPairs(minhashBands(s, d))
+      val dups = pairs.filter(col("minhash_sim") === 1.0)
+        .select(col("doc_id2").as("doc_id")).distinct()
+      Tables.documents(s, d)
+        .select("doc_id", "lang")
+        .join(dups, Seq("doc_id"), "left_anti")
+        .orderBy("doc_id")
     }),
 
     // SimHash over 32 nibble-dimensions of per-token md5: fingerprint
@@ -91,7 +124,7 @@ object DedupExtras {
         .select(col("doc_id"),
           expr("transform(split(text, ' '), t -> md5(cast(t as binary)))")
             .as("hs"))
-        .repartition(col("doc_id"))
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .select(col("doc_id"), expr(
           """array_join(transform(sequence(1, 32), j ->
             |  CASE WHEN aggregate(hs,
@@ -147,6 +180,29 @@ object DedupExtras {
         |  ROUND(len(list_filter(range(1,9), i -> s1.sg[i] = s2.sg[i])) / 8.0, 4) AS minhash_sim
         |FROM cand c JOIN sig s1 ON c.doc_id1=s1.doc_id JOIN sig s2 ON c.doc_id2=s2.doc_id
         |ORDER BY doc_id1, doc_id2""".stripMargin,
+    "q_dedup_minhash_keep" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, greatest(len(string_split(text,' '))-1, 2)),
+        |      i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) AS shingles
+        |  FROM documents),
+        |sig AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0,8), j -> list_min(list_transform(shingles, s -> md5(j || ':' || s)))) AS sg
+        |  FROM sh),
+        |bands AS (
+        |  SELECT doc_id, b AS band_id, md5(sg[2*b+1] || '|' || sg[2*b+2]) AS bk
+        |  FROM sig, unnest(range(0,4)) AS t(b)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_id1, b.doc_id AS doc_id2
+        |  FROM bands a JOIN bands b ON a.band_id=b.band_id AND a.bk=b.bk AND a.doc_id<b.doc_id),
+        |dups AS (
+        |  SELECT DISTINCT c.doc_id2 AS doc_id
+        |  FROM cand c JOIN sig s1 ON c.doc_id1=s1.doc_id JOIN sig s2 ON c.doc_id2=s2.doc_id
+        |  WHERE len(list_filter(range(1,9), i -> s1.sg[i] = s2.sg[i])) / 8.0 = 1.0)
+        |SELECT d.doc_id, d.lang FROM documents d
+        |WHERE NOT EXISTS (SELECT 1 FROM dups u WHERE u.doc_id = d.doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     "q_dedup_simhash" ->
       """WITH fp AS (
         |  SELECT doc_id,

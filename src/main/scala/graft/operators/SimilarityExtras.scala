@@ -84,6 +84,7 @@ object SimilarityExtras {
     "q_dedup_embed" -> ((s, d) => {
       val sig = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding").as("e"))
+        .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
         .withColumn("bucket", expr(bucketSql))
       sig.as("a")
         .join(sig.as("b"),
@@ -99,6 +100,7 @@ object SimilarityExtras {
     "q_sim_lsh" -> ((s, d) => {
       val sig = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding").as("e"))
+        .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
         .withColumn("bucket", expr(bucketSql))
       sig.as("a")
         .join(sig.as("b"),

@@ -87,6 +87,10 @@ object TextExtras {
     // fingerprints ⇒ shared minimal shingle ⇒ near/exact dup group.
     "q_text_fingerprint" -> ((s, d) =>
       Tables.documents(s, d)
+        .select(col("doc_id"), col("text"))
+        // CPU-heavy digest over few input splits: spread first (explicit
+        // count so AQE's size-based coalesce cannot re-serialize it).
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .select(col("doc_id"), expr(
           """array_min(transform(
             |  sequence(1, greatest(size(split(text, ' ')) - 3, 1)),

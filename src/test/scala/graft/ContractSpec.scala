@@ -54,7 +54,8 @@ class ContractSpec extends AnyFunSuite {
     "q_sim_cosine_native" -> 10L,
     "q_dedup_embed" -> 5L,
     "q_multimodal_frames" -> 162L,
-    "q_agg_centroid" -> 640L
+    "q_agg_centroid" -> 640L,
+    "q_dedup_minhash_keep" -> 481L
   )
 
   test("every contract query has oracle SQL and vice versa") {
