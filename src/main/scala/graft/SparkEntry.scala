@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.functions.ScalarQueries
-import graft.operators.{DedupExtras, JoinQueries, MultimodalQueries, PipelineQueries, RelationalQueries, SimilarityExtras, TextExtras, WindowQueries}
+import graft.operators.{DedupExtras, JoinQueries, MultimodalQueries, PipelineQueries, RelationalQueries, SimilarityExtras, TextExtras, WindowExtras, WindowQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (the operator
   * inventory) and §7 (build plan). Every t2 row of SURVEY.md §2 appears
@@ -37,7 +37,8 @@ object SparkEntry {
       DedupExtras.queries ++
       SimilarityExtras.queries ++
       TextExtras.queries ++
-      MultimodalQueries.queries
+      MultimodalQueries.queries ++
+      WindowExtras.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -51,5 +52,6 @@ object SparkEntry {
       DedupExtras.oracle ++
       SimilarityExtras.oracle ++
       TextExtras.oracle ++
-      MultimodalQueries.oracle
+      MultimodalQueries.oracle ++
+      WindowExtras.oracle
 }

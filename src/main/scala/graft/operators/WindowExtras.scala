@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Money._
+import graft.sources.Tables
+
+/** SURVEY.md §2.9/§2.4 extension windows and set ops: session windows
+  * (gaps-and-islands), sliding windows, rollup, intersect/except.
+  *
+  * Session windows use the lag+cumulative-sum formulation rather than
+  * Spark's `session_window` so the oracle can reproduce them exactly;
+  * the sliding window assigns each event to its ⌈size/step⌉ = 2 windows
+  * by exploding window-start offsets — both shapes stay one shuffle at
+  * scale (partition by user / by window key).
+  */
+object WindowExtras {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // 30-minute-gap sessionization per user: number sessions by the
+    // running sum of gap indicators, then aggregate per session.
+    "q_window_session" -> ((s, d) => {
+      val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_s",
+          when(col("prev_ts").isNull ||
+            unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800000000L, 1)
+            .otherwise(0))
+        .withColumn("session_id", sum(col("new_s")).over(run))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"), min(col("event_id")).as("first_event"))
+        .orderBy("user_id", "session_id")
+    }),
+
+    // 2-hour window sliding by 1 hour × event_type: explode each event
+    // into its two covering windows, then a plain hash aggregate.
+    "q_window_sliding" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          explode(sequence(lit(0), lit(1))).as("o"),
+          date_trunc("hour", col("ts")).as("h"))
+        .select(col("event_type"),
+          date_format(expr("h - make_interval(0, 0, 0, 0, o)"),
+            "yyyy-MM-dd HH").as("win_start"))
+        .groupBy("win_start", "event_type")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("win_start", "event_type")),
+
+    // Hierarchical totals: rollup (returnflag → linestatus → grand
+    // total); NULL grouping labels coalesced so both engines sort and
+    // hash the same values.
+    "q_rollup" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), sumCents(col("l_quantity")).as("sum_qty_c"))
+        .select(
+          coalesce(col("l_returnflag"), lit("(all)")).as("rf"),
+          coalesce(col("l_linestatus"), lit("(all)")).as("ls"),
+          col("n"), col("sum_qty_c"))
+        .orderBy("rf", "ls")),
+
+    // Set intersection: high-value buyers who are also error users.
+    "q_intersect" -> ((s, d) => {
+      val buyers = Tables.orders(s, d)
+        .filter(col("o_totalprice") > 400000)
+        .select(col("o_custkey").as("uid"))
+      val errUsers = Tables.events(s, d)
+        .filter(col("event_type") === "error")
+        .select(col("user_id").as("uid"))
+      buyers.intersect(errUsers).orderBy("uid")
+    }),
+
+    // Set difference: high-value buyers who are NOT error users.
+    "q_except" -> ((s, d) => {
+      val buyers = Tables.orders(s, d)
+        .filter(col("o_totalprice") > 400000)
+        .select(col("o_custkey").as("uid"))
+      val errUsers = Tables.events(s, d)
+        .filter(col("event_type") === "error")
+        .select(col("user_id").as("uid"))
+      buyers.except(errUsers).orderBy("uid")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_window_session" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |              > INTERVAL 30 MINUTE OR
+        |              LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, event_id,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM e)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events, MIN(event_id) AS first_event
+        |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    "q_window_sliding" ->
+      """WITH w AS (
+        |  SELECT event_type,
+        |    strftime(date_trunc('hour', ts) - (o * INTERVAL 1 HOUR), '%Y-%m-%d %H') AS win_start
+        |  FROM events, unnest([0, 1]) AS t(o))
+        |SELECT win_start, event_type, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM w GROUP BY win_start, event_type ORDER BY win_start, event_type""".stripMargin,
+    "q_rollup" ->
+      s"""SELECT COALESCE(l_returnflag, '(all)') AS rf,
+         |  COALESCE(l_linestatus, '(all)') AS ls,
+         |  CAST(COUNT(*) AS BIGINT) AS n,
+         |  ${sqlSumCents("l_quantity")} AS sum_qty_c
+         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         |ORDER BY rf, ls""".stripMargin,
+    "q_intersect" ->
+      """SELECT o_custkey AS uid FROM orders WHERE o_totalprice > 400000
+        |INTERSECT
+        |SELECT user_id FROM events WHERE event_type = 'error'
+        |ORDER BY uid""".stripMargin,
+    "q_except" ->
+      """SELECT o_custkey AS uid FROM orders WHERE o_totalprice > 400000
+        |EXCEPT
+        |SELECT user_id FROM events WHERE event_type = 'error'
+        |ORDER BY uid""".stripMargin
+  )
+}

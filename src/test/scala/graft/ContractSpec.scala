@@ -55,7 +55,12 @@ class ContractSpec extends AnyFunSuite {
     "q_dedup_embed" -> 5L,
     "q_multimodal_frames" -> 162L,
     "q_agg_centroid" -> 640L,
-    "q_dedup_minhash_keep" -> 481L
+    "q_dedup_minhash_keep" -> 481L,
+    "q_window_session" -> 946L,
+    "q_window_sliding" -> 1504L,
+    "q_rollup" -> 10L,
+    "q_intersect" -> 14L,
+    "q_except" -> 116L
   )
 
   test("every contract query has oracle SQL and vice versa") {
