@@ -18,6 +18,16 @@ import graft.sources.Tables
   */
 object WindowExtras {
 
+  private def buyers(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .filter(col("o_totalprice") > 400000)
+      .select(col("o_custkey").as("uid"))
+
+  private def errUsers(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .filter(col("event_type") === "error")
+      .select(col("user_id").as("uid"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // 30-minute-gap sessionization per user: number sessions by the
     // running sum of gap indicators, then aggregate per session.
@@ -64,26 +74,12 @@ object WindowExtras {
         .orderBy("rf", "ls")),
 
     // Set intersection: high-value buyers who are also error users.
-    "q_intersect" -> ((s, d) => {
-      val buyers = Tables.orders(s, d)
-        .filter(col("o_totalprice") > 400000)
-        .select(col("o_custkey").as("uid"))
-      val errUsers = Tables.events(s, d)
-        .filter(col("event_type") === "error")
-        .select(col("user_id").as("uid"))
-      buyers.intersect(errUsers).orderBy("uid")
-    }),
+    "q_intersect" -> ((s, d) =>
+      buyers(s, d).intersect(errUsers(s, d)).orderBy("uid")),
 
     // Set difference: high-value buyers who are NOT error users.
-    "q_except" -> ((s, d) => {
-      val buyers = Tables.orders(s, d)
-        .filter(col("o_totalprice") > 400000)
-        .select(col("o_custkey").as("uid"))
-      val errUsers = Tables.events(s, d)
-        .filter(col("event_type") === "error")
-        .select(col("user_id").as("uid"))
-      buyers.except(errUsers).orderBy("uid")
-    })
+    "q_except" -> ((s, d) =>
+      buyers(s, d).except(errUsers(s, d)).orderBy("uid"))
   )
 
   val oracle: Map[String, String] = Map(
