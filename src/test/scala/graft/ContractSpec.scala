@@ -60,7 +60,10 @@ class ContractSpec extends AnyFunSuite {
     "q_window_sliding" -> 1504L,
     "q_rollup" -> 10L,
     "q_intersect" -> 14L,
-    "q_except" -> 116L
+    "q_except" -> 116L,
+    "q_pivot" -> 15L,
+    "q_percentile" -> 3L,
+    "q_stringagg" -> 5L
   )
 
   test("every contract query has oracle SQL and vice versa") {
