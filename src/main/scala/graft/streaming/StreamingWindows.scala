@@ -62,6 +62,48 @@ object StreamingWindows {
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n"), col("sum_value_c"))
 
+  /** One closed session: user, session ordinal, event count. */
+  final case class SessionOut(user_id: Long, session_id: Long, n_events: Long)
+
+  /** Sessionizer state: last event time (µs), open-session ordinal and
+    * size, plus already-closed sessions not yet emitted.
+    */
+  final case class SessState(lastUs: Long, sessionId: Long, n: Long,
+      closed: List[SessionOut])
+
+  /** Streaming twin of the batch q_window_session: 30-minute-gap
+    * sessionization per user via `flatMapGroupsWithState`. Events are
+    * folded in (ts, event_id) order within each micro-batch; a gap
+    * > 30 min closes the open session. Closed sessions are emitted as
+    * they close (append mode); the final open session stays in state —
+    * exactly the watermark-less portion a batch run would still see.
+    */
+  def sessionize(events: Dataset[RawEvent]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapUs = 30L * 60 * 1000 * 1000
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, SessionOut](
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[RawEvent], state: GroupState[SessState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts, e.event_id))
+          var st = state.getOption.getOrElse(SessState(Long.MinValue, 0L, 0L, Nil))
+          sorted.foreach { e =>
+            val us = e.ts / 1000
+            st =
+              if (st.n == 0L) SessState(us, 1L, 1L, st.closed)
+              else if (us - st.lastUs > gapUs)
+                SessState(us, st.sessionId + 1, 1L,
+                  SessionOut(userId, st.sessionId, st.n) :: st.closed)
+              else st.copy(lastUs = us, n = st.n + 1)
+          }
+          val out = st.closed.reverse
+          state.update(st.copy(closed = Nil))
+          out.iterator
+      }
+  }
+
   /** Stateful per-key operator: running event count per user via
     * `mapGroupsWithState` — the Spark-native form of the reference's
     * per-key juice fold, with state persisted across micro-batches.

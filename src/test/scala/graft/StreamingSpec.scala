@@ -44,6 +44,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("sessionize: closed streaming sessions match batch sessionization") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sf0001/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .parquet(stagedDir)
+      .as[StreamingWindows.RawEvent]
+
+    val q = StreamingWindows.sessionize(stream)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("stream_sessions")
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+
+    val streamed = spark.table("stream_sessions")
+      .orderBy("user_id", "session_id")
+      .collect().toSeq.map(_.toString)
+    // Batch truth from the contract query; streaming only emits CLOSED
+    // sessions, so drop each user's final (still-open) session.
+    val batch = SparkEntry.queries("q_window_session")(spark, sf0001)
+      .select("user_id", "session_id", "n_events")
+    val lastPerUser = batch.groupBy("user_id")
+      .agg(max("session_id").as("session_id"))
+    val closedBatch = batch.join(lastPerUser,
+        Seq("user_id", "session_id"), "left_anti")
+      .orderBy("user_id", "session_id")
+      .collect().toSeq.map(_.toString)
+    assert(streamed.nonEmpty)
+    assert(streamed === closedBatch)
+  }
+
   test("userRunningCounts: stateful fold equals batch groupBy count") {
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
