@@ -52,11 +52,10 @@ def main(out_dir: str, sf_dir: str) -> int:
         for c in exp.columns:
             e, g = exp[c], got[c]
             if e.dtype != g.dtype:
-                try:
-                    g = g.astype(e.dtype)
-                except Exception:
-                    bad = f"col {c}: dtype {got[c].dtype} vs {e.dtype}"
-                    break
+                # strict: physical type parity matters to the driver's
+                # schema compare (e.g. Spark DECIMAL vs DuckDB DOUBLE)
+                bad = f"col {c}: dtype {got[c].dtype} vs {e.dtype}"
+                break
             eq = (e.values == g.values) | (e.isna().values & g.isna().values)
             if not eq.all():
                 i = int((~eq).argmax())

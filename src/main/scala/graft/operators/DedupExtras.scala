@@ -77,7 +77,7 @@ object DedupExtras {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_id1"), col("b.doc_id").as("doc_id2"),
         round(expr(
-          "size(filter(sequence(1, 8), i -> element_at(a.sg, i) = element_at(b.sg, i))) / 8.0"),
+          "size(filter(sequence(1, 8), i -> element_at(a.sg, i) = element_at(b.sg, i))) / cast(8 as double)"),
           4).as("minhash_sim"))
       .distinct()
 
