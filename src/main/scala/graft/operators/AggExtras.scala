@@ -55,6 +55,22 @@ object AggExtras {
         .orderBy("o_orderstatus")
     }),
 
+    // Correlated-subquery class: orders priced far above their status
+    // group's mean — decorrelated as aggregate-then-join (the form the
+    // optimizer rewrites correlated scalar subqueries into; at scale
+    // the 3-row aggregate broadcasts).
+    "q_subquery_corr" -> ((s, d) => {
+      val avgByStatus = Tables.orders(s, d)
+        .groupBy(col("o_orderstatus").as("st"))
+        .agg(avg(col("o_totalprice")).as("avg_p"))
+      Tables.orders(s, d)
+        .join(broadcast(avgByStatus), col("o_orderstatus") === col("st"))
+        .filter(col("o_totalprice") > lit(1.8) * col("avg_p"))
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          cents(col("o_totalprice")).as("price_c"))
+        .orderBy("o_orderkey")
+    }),
+
     // Nations per region as a deterministic (sorted) comma list.
     "q_stringagg" -> ((s, d) =>
       Tables.nation(s, d)
@@ -86,6 +102,15 @@ object AggExtras {
          |  MAX(CASE WHEN rn = CEIL(n * 0.5) THEN ${sqlCents("o_totalprice")} END) AS median_c,
          |  MAX(CASE WHEN rn = CEIL(n * 0.9) THEN ${sqlCents("o_totalprice")} END) AS p90_c
          |FROM r GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_subquery_corr" ->
+      s"""WITH avg_by_status AS (
+         |  SELECT o_orderstatus AS st, AVG(o_totalprice) AS avg_p
+         |  FROM orders GROUP BY 1)
+         |SELECT o.o_orderkey, o.o_orderstatus,
+         |  ${sqlCents("o.o_totalprice")} AS price_c
+         |FROM orders o JOIN avg_by_status a ON o.o_orderstatus = a.st
+         |WHERE o.o_totalprice > 1.8 * a.avg_p
+         |ORDER BY o.o_orderkey""".stripMargin,
     "q_stringagg" ->
       """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
         |FROM nation JOIN region ON n_regionkey = r_regionkey

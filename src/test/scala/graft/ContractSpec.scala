@@ -63,7 +63,8 @@ class ContractSpec extends AnyFunSuite {
     "q_except" -> 116L,
     "q_pivot" -> 15L,
     "q_percentile" -> 3L,
-    "q_stringagg" -> 5L
+    "q_stringagg" -> 5L,
+    "q_subquery_corr" -> 144L
   )
 
   test("every contract query has oracle SQL and vice versa") {
