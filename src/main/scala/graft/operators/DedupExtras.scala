@@ -49,7 +49,12 @@ object DedupExtras {
     * scale you would write out rather than recompute on both sides of
     * the self-join.
     */
-  private def minhashBands(s: SparkSession, d: String): DataFrame =
+  private def minhashBands(s: SparkSession, d: String): DataFrame = {
+    // Native signature expression (graft.plans.MinHashSignature): one
+    // JVM digest loop instead of 8×|shingles| interpreted HOF lambdas.
+    // Bit-identical to the [[sigFromShinglesSql]] formulation the
+    // oracle mirrors (NativeEquivalenceSpec proves it).
+    graft.plans.MinHashSignature.register(s)
     Tables.documents(s, d)
       .select(col("doc_id"), col("text"))
       // Spread BEFORE the expensive signature: the source parquet is a
@@ -59,8 +64,9 @@ object DedupExtras {
       // this tiny-bytes/heavy-CPU stage back to one partition.
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), expr(shinglesSql).as("sh"))
-      .select(col("doc_id"), expr(sigFromShinglesSql).as("sg"))
+      .select(col("doc_id"), expr("minhash_sig(sh)").as("sg"))
       .localCheckpoint()
+  }
       .select(col("doc_id"), col("sg"),
         explode(sequence(lit(0), lit(3))).as("band_id"))
       .select(col("doc_id"), col("sg"), col("band_id"),
