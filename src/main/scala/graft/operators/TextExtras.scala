@@ -82,6 +82,36 @@ object TextExtras {
               / count(lit(1)), 2).as("avg_tokens"))
         .orderBy("source")),
 
+    // Top-20 token bigrams — n-gram frequency analysis (explode once,
+    // hash agg, TakeOrderedAndProject).
+    "q_text_ngrams" -> ((s, d) =>
+      Tables.documents(s, d)
+        .filter(expr("size(split(text, ' ')) >= 2"))
+        .select(explode(expr(
+          """transform(sequence(1, size(split(text, ' ')) - 1),
+            |  i -> concat_ws(' ', slice(split(text, ' '), i, 2)))""".stripMargin))
+          .as("bigram"))
+        .groupBy("bigram")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("bigram"))
+        .limit(20)),
+
+    // Chained pipeline (the reference's multi-job chain as ONE plan):
+    // quality-filter → exact dedup per (digest, lang) → per-lang stats.
+    // Catalyst fuses the stages; only the dedup groupBy and final agg
+    // shuffle, and only tiny derived columns move.
+    "q_pipeline_chain" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          md5(col("text").cast("binary")).as("h"),
+          expr("size(filter(split(text, ' '), t -> t <> ''))").as("n_toks"))
+        .filter(col("n_toks") >= 30)
+        .groupBy("h", "lang")
+        .agg(min(col("doc_id")).as("keep_id"), min(col("n_toks")).as("n_toks"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+        .orderBy("lang")),
+
     // Document fingerprint: min-sampled digest over the rolling window
     // of token 4-grams (winnowing with w = document length). Identical
     // fingerprints ⇒ shared minimal shingle ⇒ near/exact dup group.
@@ -132,6 +162,25 @@ object TextExtras {
         |  CAST(SUM(len(regexp_extract_all(text, '[a-z]+'))) AS BIGINT) AS re_tokens,
         |  ROUND(SUM(len(list_filter(string_split(text,' '), t -> t <> '')))*1.0/COUNT(*), 2) AS avg_tokens
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q_text_ngrams" ->
+      """WITH grams AS (
+        |  SELECT unnest(list_transform(range(1, len(string_split(text,' '))),
+        |    i -> array_to_string(string_split(text,' ')[i:i+1], ' '))) AS bigram
+        |  FROM documents WHERE len(string_split(text,' ')) >= 2)
+        |SELECT bigram, CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM grams GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 20""".stripMargin,
+    "q_pipeline_chain" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, md5(text) AS h,
+        |    len(list_filter(string_split(text,' '), t -> t <> '')) AS n_toks
+        |  FROM documents),
+        |quality AS (SELECT * FROM toks WHERE n_toks >= 30),
+        |dedup AS (
+        |  SELECT h, lang, MIN(doc_id) AS keep_id, MIN(n_toks) AS n_toks
+        |  FROM quality GROUP BY h, lang)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+        |FROM dedup GROUP BY lang ORDER BY lang""".stripMargin,
     "q_text_fingerprint" ->
       """WITH f AS (
         |  SELECT doc_id,

@@ -60,6 +60,17 @@ object WindowExtras {
         .agg(count(lit(1)).as("n"))
         .orderBy("win_start", "event_type")),
 
+    // Full cross-dimensional totals: cube over (returnflag, linestatus).
+    "q_cube" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("(all)")).as("rf"),
+          coalesce(col("l_linestatus"), lit("(all)")).as("ls"),
+          col("n"))
+        .orderBy("rf", "ls")),
+
     // Hierarchical totals: rollup (returnflag → linestatus → grand
     // total); NULL grouping labels coalesced so both engines sort and
     // hash the same values.
@@ -106,6 +117,12 @@ object WindowExtras {
         |  FROM events, unnest([0, 1]) AS t(o))
         |SELECT win_start, event_type, CAST(COUNT(*) AS BIGINT) AS n
         |FROM w GROUP BY win_start, event_type ORDER BY win_start, event_type""".stripMargin,
+    "q_cube" ->
+      """SELECT COALESCE(l_returnflag, '(all)') AS rf,
+        |  COALESCE(l_linestatus, '(all)') AS ls,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
     "q_rollup" ->
       s"""SELECT COALESCE(l_returnflag, '(all)') AS rf,
          |  COALESCE(l_linestatus, '(all)') AS ls,

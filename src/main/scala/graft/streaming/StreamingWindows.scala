@@ -50,17 +50,31 @@ object StreamingWindows {
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
-  /** 1-hour tumbling window × event_type: count + sum(value) cents,
-    * with a 1-hour watermark bounding state. Works for batch and
-    * streaming input alike.
+  /** Windowed counts × event_type with a 1-hour watermark bounding
+    * state; `slide` defaults to `size` (tumbling) and a smaller slide
+    * gives overlapping (sliding) windows. Works for batch and streaming
+    * input alike.
     */
-  def tumblingCounts(events: DataFrame): DataFrame =
+  def windowedCounts(events: DataFrame, size: String = "1 hour",
+      slide: Option[String] = None): DataFrame =
     events
       .withWatermark("ts", "1 hour")
-      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .groupBy(window(col("ts"), size, slide.getOrElse(size)), col("event_type"))
       .agg(count(lit(1)).as("n"), sumCents(col("value")).as("sum_value_c"))
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n"), col("sum_value_c"))
+
+  /** 1-hour tumbling window × event_type (the q_window_tumbling twin). */
+  def tumblingCounts(events: DataFrame): DataFrame = windowedCounts(events)
+
+  /** Exactly-once stream dedup on event_id: watermark-bounded
+    * `dropDuplicates` — the streaming form of exact dedup, state
+    * evicted once the watermark passes.
+    */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
 
   /** One closed session: user, session ordinal, event count. */
   final case class SessionOut(user_id: Long, session_id: Long, n_events: Long)

@@ -64,7 +64,10 @@ class ContractSpec extends AnyFunSuite {
     "q_pivot" -> 15L,
     "q_percentile" -> 3L,
     "q_stringagg" -> 5L,
-    "q_subquery_corr" -> 144L
+    "q_subquery_corr" -> 144L,
+    "q_text_ngrams" -> 20L,
+    "q_pipeline_chain" -> 5L,
+    "q_cube" -> 12L
   )
 
   test("every contract query has oracle SQL and vice versa") {

@@ -44,6 +44,56 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("sliding windowedCounts: streaming equals batch") {
+    val q = StreamingWindows
+      .windowedCounts(StreamingWindows.eventsStream(
+        spark, stagedDir, s"$sf0001/events.parquet"),
+        size = "2 hours", slide = Some("1 hour"))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("stream_sliding")
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val streamed = spark.table("stream_sliding")
+      .orderBy("hour_start", "event_type").collect().toSeq.map(_.toString)
+    val batch = StreamingWindows
+      .windowedCounts(Tables.events(spark, sf0001),
+        size = "2 hours", slide = Some("1 hour"))
+      .orderBy("hour_start", "event_type").collect().toSeq.map(_.toString)
+    assert(streamed.nonEmpty && streamed === batch)
+  }
+
+  test("dedupStream: duplicated input stream deduplicates to distinct events") {
+    // Stage the same file TWICE (two micro-batches of identical data) —
+    // the stream must emit each event_id exactly once.
+    val dir = java.nio.file.Files.createTempDirectory("graft-dup")
+    java.nio.file.Files.createSymbolicLink(
+      dir.resolve("a.parquet"),
+      java.nio.file.Paths.get(s"$sf0001/events.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf0001/events.parquet"),
+      dir.resolve("b.parquet"))
+    val q = StreamingWindows
+      .dedupStream(StreamingWindows.eventsStream(
+        spark, dir.toString, s"$sf0001/events.parquet"))
+      .select("event_id")
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("stream_dedup")
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val n = spark.table("stream_dedup").count()
+    val distinctIds = spark.table("stream_dedup").select("event_id")
+      .distinct().count()
+    val expected = Tables.events(spark, sf0001).count()
+    assert(n === expected)
+    assert(distinctIds === expected)
+  }
+
   test("sessionize: closed streaming sessions match batch sessionization") {
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
