@@ -125,23 +125,22 @@ object DedupExtras {
     // Token hashes are hoisted out of the 32-dimension loop (md5 once
     // per token, not 32×) behind a repartition barrier so Catalyst
     // cannot collapse the projection back into the per-dim lambda.
-    "q_dedup_simhash" -> ((s, d) =>
+    "q_dedup_simhash" -> ((s, d) => {
+      // Native one-pass fingerprint (graft.plans.SimHashFingerprint) —
+      // bit-identical to the per-dimension HOF formulation the oracle
+      // mirrors (NativeEquivalenceSpec proves it).
+      graft.plans.SimHashFingerprint.register(s)
       Tables.documents(s, d)
         .select(col("doc_id"),
           expr("transform(split(text, ' '), t -> md5(cast(t as binary)))")
             .as("hs"))
         .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-        .select(col("doc_id"), expr(
-          """array_join(transform(sequence(1, 32), j ->
-            |  CASE WHEN aggregate(hs,
-            |    0, (acc, h) -> acc + (CASE WHEN
-            |      instr('0123456789abcdef', substring(h, j, 1)) >= 9
-            |      THEN 1 ELSE -1 END)) >= 0
-            |  THEN '1' ELSE '0' END), '')""".stripMargin).as("fp"))
+        .select(col("doc_id"), expr("simhash_fp(hs)").as("fp"))
         .groupBy("fp")
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
         .filter(col("n_docs") > 1)
-        .orderBy("fp")),
+        .orderBy("fp")
+    }),
 
     // Exact 3-shingle Jaccard, but only over blocking-key candidate
     // pairs (same (lang, first-3-token digest) as q_dedup_near) — the

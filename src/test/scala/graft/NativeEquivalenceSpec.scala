@@ -13,6 +13,24 @@ import graft.sources.Tables
 class NativeEquivalenceSpec extends AnyFunSuite {
   import SparkTestBase._
 
+  test("simhash_fp equals the per-dimension HOF formulation on every doc") {
+    graft.plans.SimHashFingerprint.register(spark)
+    val hof =
+      """array_join(transform(sequence(1, 32), j ->
+        |  CASE WHEN aggregate(hs,
+        |    0, (acc, h) -> acc + (CASE WHEN
+        |      instr('0123456789abcdef', substring(h, j, 1)) >= 9
+        |      THEN 1 ELSE -1 END)) >= 0
+        |  THEN '1' ELSE '0' END), '')""".stripMargin
+    val diff = Tables.documents(spark, sf0001)
+      .select(col("doc_id"),
+        expr("transform(split(text, ' '), t -> md5(cast(t as binary)))").as("hs"))
+      .select(expr("simhash_fp(hs)").as("native"), expr(hof).as("hof"))
+      .filter(col("native") =!= col("hof"))
+      .count()
+    assert(diff === 0)
+  }
+
   test("minhash_sig equals the HOF md5-min formulation on every doc") {
     MinHashSignature.register(spark)
     val shingles =
