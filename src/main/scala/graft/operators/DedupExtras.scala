@@ -32,17 +32,6 @@ object DedupExtras {
       |  sequence(1, greatest(size(split(text, ' ')) - 2, 1)),
       |  i -> concat_ws(' ', slice(split(text, ' '), i, 3))))""".stripMargin
 
-  /** 8-component MinHash signature over a precomputed shingle array
-    * column `sh`: sig[j] = min over shingles of md5(j || ':' || s).
-    * Lexicographic min over hex strings is a valid min-hash and is
-    * identical across engines. Kept separate from [[shinglesSql]] so
-    * the shingle array is built once per doc, not once per hash fn.
-    */
-  private val sigFromShinglesSql =
-    """transform(sequence(0, 7),
-      |  j -> array_min(transform(sh,
-      |    s -> md5(cast(concat(cast(j as string), ':', s) as binary)))))""".stripMargin
-
   /** (doc_id, sg, band_id, bk) band rows. The signature table is
     * materialized once via localCheckpoint — the local-mode analog of
     * persisting the signature table before the band join, which at
@@ -52,8 +41,8 @@ object DedupExtras {
   private def minhashBands(s: SparkSession, d: String): DataFrame = {
     // Native signature expression (graft.plans.MinHashSignature): one
     // JVM digest loop instead of 8×|shingles| interpreted HOF lambdas.
-    // Bit-identical to the [[sigFromShinglesSql]] formulation the
-    // oracle mirrors (NativeEquivalenceSpec proves it).
+    // Bit-identical to the md5-min HOF formulation the oracle mirrors
+    // (NativeEquivalenceSpec proves it).
     graft.plans.MinHashSignature.register(s)
     Tables.documents(s, d)
       .select(col("doc_id"), col("text"))
