@@ -2,10 +2,10 @@
 """Driver-mimic correctness check: compare Verify.scala's parquet dumps
 against the DuckDB oracle (oracle_sql.json) on the same testdata dir.
 
-Mimics the driver's t2 gate: per query, sort columns by name, compare
-row count, then values (exact for ints/strings, tolerant 1e-9 for
-floats only as a diagnostic — the real driver hashes, so we also report
-exact equality).
+Mimics the driver's t2 gate: per query, sort columns by name, require
+exact dtype parity, then compare row count and values exactly (every
+dtype, floats included — the driver hashes, so near-misses fail there
+too).
 
 Usage: python3 scripts/check.py <outDir> <sfDir>
 """

@@ -32,6 +32,14 @@ object DedupExtras {
       |  sequence(1, greatest(size(split(text, ' ')) - 2, 1)),
       |  i -> concat_ws(' ', slice(split(text, ' '), i, 3))))""".stripMargin
 
+  /** The (lang, first-3-tokens digest) blocking key shared by
+    * q_dedup_near (PipelineQueries) and q_dedup_jaccard — candidate
+    * generation and its verify step must block identically, so the
+    * definition lives once.
+    */
+  private[operators] def blockingKey: Column =
+    md5(concat_ws(" ", slice(split(col("text"), " "), 1, 3)).cast("binary"))
+
   /** (doc_id, sg, band_id, bk) band rows. The signature table is
     * materialized once via localCheckpoint — the local-mode analog of
     * persisting the signature table before the band join, which at
@@ -55,7 +63,6 @@ object DedupExtras {
       .select(col("doc_id"), expr(shinglesSql).as("sh"))
       .select(col("doc_id"), expr("minhash_sig(sh)").as("sg"))
       .localCheckpoint()
-  }
       .select(col("doc_id"), col("sg"),
         explode(sequence(lit(0), lit(3))).as("band_id"))
       .select(col("doc_id"), col("sg"), col("band_id"),
@@ -63,6 +70,7 @@ object DedupExtras {
           element_at(col("sg"), col("band_id") * 2 + 1), lit("|"),
           element_at(col("sg"), col("band_id") * 2 + 2)).cast("binary"))
           .as("bk"))
+  }
 
   /** Distinct candidate pairs with signature-agreement similarity. */
   private def minhashPairs(bands: DataFrame): DataFrame =
@@ -136,9 +144,7 @@ object DedupExtras {
     // verify step of a blocked near-dup pipeline.
     "q_dedup_jaccard" -> ((s, d) => {
       val keyed = Tables.documents(s, d).select(
-        col("doc_id"), col("lang"),
-        md5(concat_ws(" ", slice(split(col("text"), " "), 1, 3))
-          .cast("binary")).as("bk"),
+        col("doc_id"), col("lang"), blockingKey.as("bk"),
         expr(shinglesSql).as("sh"))
       keyed.as("a")
         .join(keyed.as("b"),

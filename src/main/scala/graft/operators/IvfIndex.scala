@@ -24,11 +24,21 @@ import graft.sources.Tables
   */
 object IvfIndex {
 
+  /** The built index: member→cell assignments plus the final centroid
+    * per cell — both needed at search time (centroids rank the cells
+    * to probe; assignments bound the scan).
+    */
+  final case class IvfModel(assigned: DataFrame, centroids: DataFrame)
+
   /** Embeddings with their assigned cell id after `iters` Lloyd steps
     * over `k` centroids seeded from the `k` lowest vec_ids.
     */
   def assignCells(spark: SparkSession, dir: String, k: Int,
-      iters: Int): DataFrame = {
+      iters: Int): DataFrame = build(spark, dir, k, iters).assigned
+
+  /** Build the IVF index (deterministic; see class doc). */
+  def build(spark: SparkSession, dir: String, k: Int,
+      iters: Int): IvfModel = {
     CosineSimilarity.register(spark)
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
@@ -62,30 +72,30 @@ object IvfIndex {
         .localCheckpoint()
       i += 1
     }
-    assigned
+    IvfModel(assigned, centroids)
   }
 
-  /** Top-k neighbors of `probeVecId` scanning only the `nprobe` cells
-    * nearest to the probe vector.
+  /** Top-k neighbors of `probeVecId`: rank the k CENTROIDS against the
+    * probe (k rows — the cheap step IVF exists for), then evaluate
+    * member cosine only inside the `nprobe` best cells. The corpus
+    * outside the probed cells is never scored.
     */
   def search(spark: SparkSession, dir: String, probeVecId: Long, topK: Int,
       k: Int = 16, iters: Int = 2, nprobe: Int = 4): DataFrame = {
-    val cells = assignCells(spark, dir, k, iters).localCheckpoint()
+    val model = build(spark, dir, k, iters)
+    val cells = model.assigned.localCheckpoint()
     val probe = cells.filter(col("vec_id") === probeVecId)
-      .select(col("e").as("p"), col("cell").as("probe_cell"))
-    // Nearest cells to the probe = cells of its closest members is the
-    // cheap proxy; proper IVF ranks centroids — rank cells by their
-    // best member similarity to the probe, then keep nprobe.
-    val ranked = cells.crossJoin(broadcast(probe.select(col("p"))))
-      .withColumn("sim", expr("cosine_sim(e, p)"))
-    val probedCells = ranked.groupBy("cell")
-      .agg(max(col("sim")).as("cell_sim"))
+      .select(col("e").as("p"))
+    val probedCells = model.centroids
+      .crossJoin(broadcast(probe))
+      .withColumn("cell_sim", expr("cosine_sim(c, p)"))
       .orderBy(col("cell_sim").desc, col("cell"))
       .limit(nprobe)
       .select("cell")
-    ranked.join(broadcast(probedCells), "cell")
+    cells.join(broadcast(probedCells), "cell")
       .filter(col("vec_id") =!= probeVecId)
-      .select(col("vec_id"), round(col("sim"), 4).as("sim"))
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"), round(expr("cosine_sim(e, p)"), 4).as("sim"))
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(topK)
   }

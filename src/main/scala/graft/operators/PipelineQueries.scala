@@ -55,9 +55,7 @@ object PipelineQueries {
     // blocking key; pairs emitted only within a block.
     "q_dedup_near" -> ((s, d) => {
       val keyed = Tables.documents(s, d).select(
-        col("doc_id"), col("lang"),
-        md5(concat_ws(" ", slice(split(col("text"), " "), 1, 3))
-          .cast("binary")).as("bk"))
+        col("doc_id"), col("lang"), DedupExtras.blockingKey.as("bk"))
       keyed.as("a")
         .join(keyed.as("b"),
           col("a.lang") === col("b.lang") && col("a.bk") === col("b.bk") &&

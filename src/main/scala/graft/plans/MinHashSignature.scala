@@ -28,7 +28,9 @@ case class MinHashSignature(child: Expression)
 
   private val k = 8
 
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  // containsNull: an empty shingle array yields null components — the
+  // same behavior as array_min(transform(empty)) in the HOF form.
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "minhash_sig"
 
