@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Value-level golden checks for the extension queries at sf0.001
+  * (constants captured once from the DuckDB oracle) — the extension
+  * counterpart of GoldenValueSpec.
+  */
+class ExtensionGoldenSpec extends AnyFunSuite {
+  import SparkTestBase._
+
+  private def head2(name: String): Seq[Seq[Any]] =
+    SparkEntry.queries(name)(spark, sf0001)
+      .limit(2).collect().toSeq.map(_.toSeq)
+
+  test("q_dedup_minhash top pairs") {
+    assert(head2("q_dedup_minhash") ===
+      Seq(Seq(0L, 50L, 1.0), Seq(0L, 82L, 0.875)))
+  }
+
+  test("q_sim_lsh top pairs") {
+    assert(head2("q_sim_lsh") ===
+      Seq(Seq(390L, 483L, 0.4543), Seq(154L, 342L, 0.4457)))
+  }
+
+  test("q_rollup head rows") {
+    assert(head2("q_rollup") ===
+      Seq(Seq("(all)", "(all)", 6000L, 15225700L),
+        Seq("A", "(all)", 1962L, 4934100L)))
+  }
+
+  test("q_percentile values") {
+    assert(head2("q_percentile") ===
+      Seq(Seq("F", 24270775L, 45369149L), Seq("O", 25606074L, 45117268L)))
+  }
+
+  test("q_pivot head rows") {
+    assert(head2("q_pivot") ===
+      Seq(Seq(0L, 14L, 15L, 9L, 13L, 9L), Seq(1L, 14L, 9L, 7L, 15L, 6L)))
+  }
+
+  test("q_stringagg regions") {
+    assert(head2("q_stringagg") === Seq(
+      Seq("AFRICA", "NATION_0,NATION_10,NATION_15,NATION_20,NATION_5"),
+      Seq("AMERICA", "NATION_1,NATION_11,NATION_16,NATION_21,NATION_6")))
+  }
+
+  test("q_window_session head sessions") {
+    assert(head2("q_window_session") ===
+      Seq(Seq(0L, 1L, 1L, 4L), Seq(0L, 2L, 1L, 9L)))
+  }
+
+  test("q_pipeline_chain head rows") {
+    assert(head2("q_pipeline_chain") ===
+      Seq(Seq("de", 58L, 3783L), Seq("en", 149L, 9509L)))
+  }
+}
