@@ -9,6 +9,12 @@ import org.apache.spark.sql.SparkSession
   * A small untimed warmup (scan + shuffle + sort on the tiniest SF)
   * first JITs the scan/agg/exchange code paths so the first timed query
   * measures the engine, not classloading.
+  *
+  * Each query runs SPARK_GRAFT_BENCH_REPS times (default 3) and the
+  * recorded value is the MINIMUM — a single noisy measurement (GC
+  * pause, page-cache miss, CI neighbor) must not masquerade as the
+  * engine's throughput. Materialized intermediates are released after
+  * every rep so no query's cached blocks leak pressure into the next.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -33,17 +39,23 @@ object Bench {
         .count()
     } catch { case _: Throwable => () }
 
-    // A failing query must not masquerade as a fast one: failures are
-    // reported as -1 and excluded from the total, and listed by name.
+    // A failing query must not masquerade as a fast one: any failing
+    // rep marks the query -1 (excluded from the total, listed by name).
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).count(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          false
-        }
-      (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val times = (1 to reps).map { r =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name rep $r FAILED: ${e.getMessage}")
+            false
+          }
+        val dt = (System.nanoTime() - t0) / 1e9
+        Materialize.releaseAll()
+        if (ok) dt else -1.0
+      }
+      (name, if (times.forall(_ >= 0)) times.min else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

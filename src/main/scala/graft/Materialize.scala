@@ -1,0 +1,46 @@
+package graft
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+
+/** Explicit lifecycle for intra-query materialization.
+  *
+  * Queries that reuse an expensive intermediate (the MinHash signature
+  * table consumed by both sides of the band self-join, IVF centroids
+  * across Lloyd iterations) materialize it here instead of calling
+  * `localCheckpoint()` directly. The difference is the release story:
+  * localCheckpoint blocks live until the RDD is GC'd, so a 57-query
+  * single-session bench accumulates them and the resulting memory/GC
+  * pressure shows up as multi-second per-query spikes. `checkpoint`
+  * registers every persisted frame so the session driver (Bench, Verify,
+  * a test suite) can `releaseAll()` once the consuming action finishes.
+  *
+  * persist is also safer than localCheckpoint under release: an
+  * unpersisted frame silently recomputes from lineage (correct, just
+  * slower), whereas dropping localCheckpoint blocks kills the frame.
+  */
+object Materialize {
+
+  private val active = ArrayBuffer.empty[DataFrame]
+
+  /** Persist `df` (memory+disk) and materialize it EAGERLY — the two
+    * sides of a self-join are otherwise independent map stages that the
+    * scheduler may run concurrently, computing the cache twice.
+    */
+  def checkpoint(df: DataFrame): DataFrame = {
+    val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+    p.count()
+    synchronized { active += p }
+    p
+  }
+
+  /** Unpersist every frame registered since the last release. Called by
+    * Bench after each timed rep and by Verify after each query dump.
+    */
+  def releaseAll(): Unit = synchronized {
+    active.foreach(_.unpersist(blocking = false))
+    active.clear()
+  }
+}

@@ -11,10 +11,11 @@ import graft.sources.Tables
   *
   * Pivot compiles to one hash aggregate over conditional counts (the
   * value list is declared, so no extra distinct-values job runs);
-  * `percentile` is Spark's exact linear-interpolation percentile
-  * matching DuckDB's `quantile_cont`; string aggregation sorts
-  * collected values before joining so the result is partition-order
-  * independent.
+  * `percentile` is a rank-selected DISCRETE percentile (row_number
+  * against ceil(n·p)) — deliberately not interpolated, because the two
+  * engines' interpolation differs in the last ulp; string aggregation
+  * sorts collected values before joining so the result is
+  * partition-order independent.
   */
 object AggExtras {
 

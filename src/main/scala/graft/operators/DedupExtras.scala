@@ -41,10 +41,12 @@ object DedupExtras {
     md5(concat_ws(" ", slice(split(col("text"), " "), 1, 3)).cast("binary"))
 
   /** (doc_id, sg, band_id, bk) band rows. The signature table is
-    * materialized once via localCheckpoint — the local-mode analog of
+    * materialized once via [[graft.Materialize.checkpoint]] (persist
+    * with an explicit release point) — the local-mode analog of
     * persisting the signature table before the band join, which at
     * scale you would write out rather than recompute on both sides of
-    * the self-join.
+    * the self-join. The session driver unpersists it after the
+    * consuming action, so signature blocks never outlive their query.
     */
   private def minhashBands(s: SparkSession, d: String): DataFrame = {
     // Native signature expression (graft.plans.MinHashSignature): one
@@ -62,7 +64,7 @@ object DedupExtras {
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), expr(shinglesSql).as("sh"))
       .select(col("doc_id"), expr("minhash_sig(sh)").as("sg"))
-      .localCheckpoint()
+      .transform(graft.Materialize.checkpoint)
       .select(col("doc_id"), col("sg"),
         explode(sequence(lit(0), lit(3))).as("band_id"))
       .select(col("doc_id"), col("sg"), col("band_id"),
@@ -103,16 +105,26 @@ object DedupExtras {
 
     // Dedup SURVIVORS: drop every doc that full-signature-agrees
     // (minhash_sim = 1.0) with a lower doc_id — the removal step that
-    // turns candidate pairs into a deduplicated corpus. Exact-dup
-    // clusters have identical signatures, so every member pairs with
-    // the cluster minimum and only the minimum survives.
+    // turns candidate pairs into a deduplicated corpus.
+    //
+    // sim = 1.0 ⟺ all 8 signature components agree ⟺ identical `sg`,
+    // and identical signatures always share every band, so the dup set
+    // is exactly the non-minimum members of each signature group. That
+    // makes the banded pair self-join unnecessary: one hash aggregate
+    // on `sg` (min(struct(doc_id, lang)) picks the lowest doc's row)
+    // computes the survivors directly. The only shuffle carries the
+    // 8-component signature per doc — no pair product, no join, no
+    // materialization; the shape that survives 100 TB.
     "q_dedup_minhash_keep" -> ((s, d) => {
-      val pairs = minhashPairs(minhashBands(s, d))
-      val dups = pairs.filter(col("minhash_sim") === 1.0)
-        .select(col("doc_id2").as("doc_id")).distinct()
+      graft.plans.MinHashSignature.register(s)
       Tables.documents(s, d)
-        .select("doc_id", "lang")
-        .join(dups, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("text"))
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"), col("lang"), expr(shinglesSql).as("sh"))
+        .select(col("doc_id"), col("lang"), expr("minhash_sig(sh)").as("sg"))
+        .groupBy(col("sg"))
+        .agg(min(struct(col("doc_id"), col("lang"))).as("keep"))
+        .select(col("keep.doc_id").as("doc_id"), col("keep.lang").as("lang"))
         .orderBy("doc_id")
     }),
 

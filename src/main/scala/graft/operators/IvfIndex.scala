@@ -45,6 +45,11 @@ object IvfIndex {
       .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
 
     // Deterministic seed: the k lowest vec_ids become centroids 0..k-1.
+    // GUARD: the no-partition Window below collapses its input to a
+    // single partition — acceptable ONLY because it runs after
+    // limit(k), so at most k rows (k ≪ corpus) ever pass through it.
+    // Never lift this window above the limit.
+    require(k <= 4096, s"IVF k=$k: the single-partition seed window is only safe for small k")
     var centroids = emb.orderBy("vec_id").limit(k)
       .orderBy("vec_id")
       .select(col("e").as("c"))
@@ -69,7 +74,7 @@ object IvfIndex {
         .groupBy("cell")
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("cell"), expr("transform(pm, x -> x.m)").as("c"))
-        .localCheckpoint()
+        .transform(graft.Materialize.checkpoint)
       i += 1
     }
     IvfModel(assigned, centroids)
@@ -83,7 +88,7 @@ object IvfIndex {
   def search(spark: SparkSession, dir: String, probeVecId: Long, topK: Int,
       k: Int = 16, iters: Int = 2, nprobe: Int = 4): DataFrame = {
     val model = build(spark, dir, k, iters)
-    val cells = model.assigned.localCheckpoint()
+    val cells = graft.Materialize.checkpoint(model.assigned)
     val probe = cells.filter(col("vec_id") === probeVecId)
       .select(col("e").as("p"))
     val probedCells = model.centroids
