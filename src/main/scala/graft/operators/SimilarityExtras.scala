@@ -9,26 +9,75 @@ import graft.sources.Tables
   * the embedding column (SURVEY.md §2.12).
   *
   * `q_sim_cosine` (PipelineQueries) is the brute-force single-probe
-  * baseline; this module is the scale path: an 8-bit sign signature
-  * from fixed pseudo-random hyperplanes buckets the table, and cosine
-  * is evaluated only within buckets. At 100 TB the all-pairs product is
-  * impossible; bucket-local pairs keep the join linear-ish in practice
-  * (expected bucket size n/256 under near-uniform signs).
+  * baseline; this module is the scale path: a sign signature from fixed
+  * pseudo-random hyperplanes buckets the table, and cosine is evaluated
+  * only within buckets. At 100 TB the all-pairs product is impossible;
+  * bucket-local pairs keep the join linear-ish.
   *
-  * The hyperplanes are deterministic integer patterns
-  * `v_j[i] = ((i*31 + j*17) mod 7) - 3` rather than sampled gaussians:
-  * both engines must derive the identical planes with no RNG
-  * (SURVEY.md §7.4 portability discipline).
+  * The signature WIDTH scales with corpus size ([[signatureBits]]): a
+  * fixed width would let the expected bucket size — and so the
+  * within-bucket pair product — grow linearly with n. The ladder doubles
+  * the bucket count every 4× growth in n, holding expected bucket size
+  * ≤ ~16 up to 2^28 rows; both engines derive the same width from the
+  * same COUNT, so the plans stay oracle-comparable at every SF.
+  *
+  * The hyperplanes are deterministic integer patterns rather than
+  * sampled gaussians: both engines must derive the identical planes
+  * with no RNG (SURVEY.md §7.4 portability discipline). Planes j<8 keep
+  * the original `((i*31 + j*17) mod 7) - 3` pattern (they fix the
+  * small-SF contract output); that family factors through `j mod 7`
+  * (only 7 distinct planes — plane 7 duplicates plane 0), so planes
+  * j≥8 switch to a stride/offset family `((i*h_j + k_j) mod 7) - 3`
+  * whose (h_j, k_j) pairs are all distinct, avoid the old family's
+  * stride 3, and never use stride ≡ 0 (a constant plane). Every bit up
+  * to j=23 is a genuinely new hyperplane, so widening the signature
+  * really does split buckets.
   */
 object SimilarityExtras {
 
-  private val bucketSql =
-    """array_join(transform(sequence(0, 7), j ->
-      |  CASE WHEN aggregate(sequence(0, 63),
-      |    cast(0.0 as double),
-      |    (acc, i) -> acc + cast(element_at(e, i + 1) as double)
-      |                      * (((i * 31 + j * 17) % 7) - 3)) >= 0
-      |  THEN '1' ELSE '0' END), '')""".stripMargin
+  /** Signature width for a corpus of `n` vectors: 2 more bits (4× the
+    * buckets) per 4× rows, clamped to [8, 24]. Pure integer comparisons
+    * so the DuckDB oracle reproduces the choice exactly (a float
+    * log2-based rule could disagree in the last ulp at the boundaries).
+    */
+  private[graft] def signatureBits(n: Long): Int =
+    if (n <= 4096L) 8
+    else if (n <= 16384L) 10
+    else if (n <= 65536L) 12
+    else if (n <= 262144L) 14
+    else if (n <= 1048576L) 16
+    else if (n <= 4194304L) 18
+    else if (n <= 16777216L) 20
+    else if (n <= 67108864L) 22
+    else 24
+
+  /** The oracle's integer-ladder twin of [[signatureBits]] (DuckDB). */
+  private val signatureBitsSql =
+    """CASE WHEN COUNT(*) <= 4096 THEN 8
+      |     WHEN COUNT(*) <= 16384 THEN 10
+      |     WHEN COUNT(*) <= 65536 THEN 12
+      |     WHEN COUNT(*) <= 262144 THEN 14
+      |     WHEN COUNT(*) <= 1048576 THEN 16
+      |     WHEN COUNT(*) <= 4194304 THEN 18
+      |     WHEN COUNT(*) <= 16777216 THEN 20
+      |     WHEN COUNT(*) <= 67108864 THEN 22
+      |     ELSE 24 END""".stripMargin
+
+  /** DuckDB twin of the piecewise hyperplane term in [[bucketSql]]. */
+  private val planeSqlDuck =
+    """(CASE WHEN j < 8 THEN ((i*31 + j*17) % 7) - 3
+      |      ELSE ((i * ((j-8) % 5 + 1 + (CASE WHEN (j-8) % 5 >= 2 THEN 1 ELSE 0 END))
+      |             + ((j-8) // 5 + 1)) % 7) - 3 END)""".stripMargin
+
+  private[graft] def bucketSql(nbits: Int) =
+    s"""array_join(transform(sequence(0, ${nbits - 1}), j ->
+       |  CASE WHEN aggregate(sequence(0, 63),
+       |    cast(0.0 as double),
+       |    (acc, i) -> acc + cast(element_at(e, i + 1) as double)
+       |      * (CASE WHEN j < 8 THEN ((i * 31 + j * 17) % 7) - 3
+       |         ELSE ((i * ((j - 8) % 5 + 1 + (CASE WHEN (j - 8) % 5 >= 2 THEN 1 ELSE 0 END))
+       |                + ((j - 8) div 5 + 1)) % 7) - 3 END)) >= 0
+       |  THEN '1' ELSE '0' END), '')""".stripMargin
 
   private val cosSql =
     """aggregate(zip_with(a.e, b.e, (x, y) -> cast(x as double) * cast(y as double)),
@@ -80,12 +129,14 @@ object SimilarityExtras {
     // Embedding-cosine near-dup: bucket candidates whose cosine clears
     // the dedup threshold. Same LSH shape as q_sim_lsh; the threshold
     // compares UNROUNDED sim (identical doubles in both engines), the
-    // output rounds to 4 dp.
+    // output rounds to 4 dp. Signature width scales with COUNT (one
+    // cheap columnar count job — a stats read, same class as AQE).
     "q_dedup_embed" -> ((s, d) => {
+      val nbits = signatureBits(Tables.embeddings(s, d).count())
       val sig = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding").as("e"))
         .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
-        .withColumn("bucket", expr(bucketSql))
+        .withColumn("bucket", expr(bucketSql(nbits)))
       sig.as("a")
         .join(sig.as("b"),
           col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
@@ -98,10 +149,11 @@ object SimilarityExtras {
 
     // Top-20 most-similar pairs among LSH-bucket candidates.
     "q_sim_lsh" -> ((s, d) => {
+      val nbits = signatureBits(Tables.embeddings(s, d).count())
       val sig = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding").as("e"))
         .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
-        .withColumn("bucket", expr(bucketSql))
+        .withColumn("bucket", expr(bucketSql(nbits)))
       sig.as("a")
         .join(sig.as("b"),
           col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
@@ -120,11 +172,13 @@ object SimilarityExtras {
         |GROUP BY label, i ORDER BY label, pos""".stripMargin,
 
     "q_dedup_embed" ->
-      """WITH sig AS (
+      s"""WITH nb AS (
+        |  SELECT $signatureBitsSql AS b FROM embeddings),
+        |sig AS (
         |  SELECT vec_id, embedding AS e,
-        |    array_to_string(list_transform(range(0,8), j ->
+        |    array_to_string(list_transform(range(0, (SELECT b FROM nb)), j ->
         |      CASE WHEN list_sum(list_transform(range(0,64),
-        |        i -> CAST(e[i+1] AS DOUBLE) * (((i*31 + j*17) % 7) - 3))) >= 0
+        |        i -> CAST(e[i+1] AS DOUBLE) * $planeSqlDuck)) >= 0
         |      THEN '1' ELSE '0' END), '') AS bucket
         |  FROM embeddings),
         |pairs AS (
@@ -151,11 +205,13 @@ object SimilarityExtras {
         |FROM pairs ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
 
     "q_sim_lsh" ->
-      """WITH sig AS (
+      s"""WITH nb AS (
+        |  SELECT $signatureBitsSql AS b FROM embeddings),
+        |sig AS (
         |  SELECT vec_id, embedding AS e,
-        |    array_to_string(list_transform(range(0,8), j ->
+        |    array_to_string(list_transform(range(0, (SELECT b FROM nb)), j ->
         |      CASE WHEN list_sum(list_transform(range(0,64),
-        |        i -> CAST(e[i+1] AS DOUBLE) * (((i*31 + j*17) % 7) - 3))) >= 0
+        |        i -> CAST(e[i+1] AS DOUBLE) * $planeSqlDuck)) >= 0
         |      THEN '1' ELSE '0' END), '') AS bucket
         |  FROM embeddings),
         |pairs AS (

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.SimilarityExtras
+
+/** The LSH signature must WIDEN as the corpus grows, and the extra bits
+  * must be genuinely new hyperplanes that split buckets — a fixed-width
+  * (or duplicate-plane) signature lets the within-bucket pair product
+  * grow quadratically with n, the 100 TB scale-killer VERDICT r1/r2
+  * flagged.
+  *
+  * The stress corpus is sf0.1 embeddings replicated 10× (20k vectors)
+  * with a deterministic per-replica sign-flip perturbation, so replicas
+  * are distinct directions rather than exact copies (exact copies share
+  * every bucket at ANY width — that is correct near-dup behavior, not
+  * skew).
+  */
+class LshScalingSpec extends AnyFunSuite {
+  import SparkTestBase._
+
+  private val sf01dir = "/root/testdata/sf0.1"
+
+  private lazy val replicated10x = {
+    val base = spark.read.parquet(s"$sf01dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e0"))
+    base.crossJoin(spark.range(10).toDF("r"))
+      .select(
+        (col("vec_id") + col("r") * lit(1000000L)).as("vec_id"),
+        expr("""transform(sequence(0, 63), i ->
+                 CASE WHEN r > 0 AND ((i*13 + r*29) % 11) < 5
+                 THEN -element_at(e0, i + 1) ELSE element_at(e0, i + 1) END)""")
+          .as("e"))
+      // spread BEFORE the heavy signature HOF: the crossJoin output
+      // inherits the handful of parquet input splits, which would run
+      // the per-row signature nearly serially (same trap as the
+      // MinHash path — CLAUDE.md parity rules)
+      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+      .persist()
+  }
+
+  private def maxBucket(nbits: Int): Long =
+    replicated10x
+      .withColumn("bucket", expr(SimilarityExtras.bucketSql(nbits)))
+      .groupBy("bucket").count()
+      .agg(max("count")).head().getLong(0)
+
+  test("signature width grows with corpus size (integer ladder)") {
+    assert(SimilarityExtras.signatureBits(500L) === 8)     // sf0.01
+    assert(SimilarityExtras.signatureBits(2000L) === 8)    // sf0.1
+    assert(SimilarityExtras.signatureBits(20000L) === 12)  // 10× sf0.1
+    assert(SimilarityExtras.signatureBits(1L << 20) === 16)
+    assert(SimilarityExtras.signatureBits(1L << 40) === 24)
+    // monotone over the whole ladder
+    val pts = Seq(1L, 4096L, 4097L, 16384L, 65537L, 262145L, 1048577L,
+      4194305L, 16777217L, 67108865L, Long.MaxValue)
+    assert(pts.map(SimilarityExtras.signatureBits) ===
+      pts.map(SimilarityExtras.signatureBits).sorted)
+  }
+
+  test("widened signature splits buckets on 10x replicated sf0.1") {
+    val n = replicated10x.count()
+    assert(n === 20000L)
+    val nbits = SimilarityExtras.signatureBits(n)
+    assert(nbits > SimilarityExtras.signatureBits(2000L))
+    val fixed = maxBucket(8)      // the pre-scaling fixed width
+    val scaled = maxBucket(nbits)
+    // the extra planes must actually split (duplicate planes would
+    // leave maxBucket unchanged — the bug the piecewise family fixes)
+    assert(scaled < fixed,
+      s"widening 8→$nbits bits did not split buckets ($fixed → $scaled)")
+    // and the hot bucket stays bounded (measured 350 on this corpus;
+    // 512 leaves slack for data regeneration without masking a
+    // quadratic blowup — the unscaled width gives 727+)
+    assert(scaled <= 512L, s"max bucket $scaled exceeds bound")
+  }
+
+  test("contract queries still choose 8 bits at contract SFs") {
+    // guards the oracle-parity invariant: at sf0.01/sf0.1 the dynamic
+    // width must reproduce the historical 8-bit signature exactly
+    for (sf <- Seq("/root/testdata/sf0.01", sf01dir)) {
+      val n = spark.read.parquet(s"$sf/embeddings.parquet").count()
+      assert(SimilarityExtras.signatureBits(n) === 8, s"at $sf")
+    }
+  }
+}
