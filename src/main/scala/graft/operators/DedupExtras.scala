@@ -154,18 +154,29 @@ object DedupExtras {
     // Exact 3-shingle Jaccard, but only over blocking-key candidate
     // pairs (same (lang, first-3-token digest) as q_dedup_near) — the
     // verify step of a blocked near-dup pipeline.
+    //
+    // Skew + payload discipline: pair ENUMERATION runs over the slim
+    // (doc_id, lang, bk) projection through the salted self-pairing
+    // (hot blocks spread over 8 tasks; only ids are replicated), and
+    // the shingle arrays — the heavy payload — are fetched afterwards
+    // by two hash joins against a once-materialized signature table.
+    // Replicating shingles nSalts× through the salted join would move
+    // payload bytes 8×; this shape moves them once per side.
     "q_dedup_jaccard" -> ((s, d) => {
-      val keyed = Tables.documents(s, d).select(
-        col("doc_id"), col("lang"), blockingKey.as("bk"),
-        expr(shinglesSql).as("sh"))
-      keyed.as("a")
-        .join(keyed.as("b"),
-          col("a.lang") === col("b.lang") && col("a.bk") === col("b.bk") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_id1"), col("b.doc_id").as("doc_id2"),
+      val docs = Tables.documents(s, d)
+      val slim = docs.select(col("doc_id"), col("lang"), blockingKey.as("bk"))
+      val pairs = Salting.saltedSelfPairs(slim, Seq("lang", "bk"), "doc_id", 8)
+        .select(col("a.doc_id").as("doc_id1"), col("b.doc_id").as("doc_id2"))
+      val sh = graft.Materialize.checkpoint(
+        docs.repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+          .select(col("doc_id"), expr(shinglesSql).as("sh")))
+      pairs
+        .join(sh.as("s1"), col("doc_id1") === col("s1.doc_id"))
+        .join(sh.as("s2"), col("doc_id2") === col("s2.doc_id"))
+        .select(col("doc_id1"), col("doc_id2"),
           round(
-            expr("size(filter(a.sh, x -> array_contains(b.sh, x)))") * lit(1.0) /
-              expr("size(array_distinct(concat(a.sh, b.sh)))"),
+            expr("size(filter(s1.sh, x -> array_contains(s2.sh, x)))") * lit(1.0) /
+              expr("size(array_distinct(concat(s1.sh, s2.sh)))"),
             4).as("jaccard"))
         .orderBy("doc_id1", "doc_id2")
     })

@@ -52,14 +52,16 @@ object PipelineQueries {
         .orderBy("h")),
 
     // Near-dup candidates: docs sharing a (lang, md5-of-first-3-tokens)
-    // blocking key; pairs emitted only within a block.
+    // blocking key; pairs emitted only within a block, via the salted
+    // self-pairing so a hot blocking key (boilerplate headers, empty
+    // docs) spreads over 8 tasks instead of stalling one — the
+    // quadratic-block guard AQE cannot provide. Output is identical to
+    // the plain within-block join (SaltingSpec proves it under a
+    // planted hot block).
     "q_dedup_near" -> ((s, d) => {
       val keyed = Tables.documents(s, d).select(
         col("doc_id"), col("lang"), DedupExtras.blockingKey.as("bk"))
-      keyed.as("a")
-        .join(keyed.as("b"),
-          col("a.lang") === col("b.lang") && col("a.bk") === col("b.bk") &&
-            col("a.doc_id") < col("b.doc_id"))
+      Salting.saltedSelfPairs(keyed, Seq("lang", "bk"), "doc_id", 8)
         .select(col("a.doc_id").as("doc_id1"), col("b.doc_id").as("doc_id2"))
         .orderBy("doc_id1", "doc_id2")
     }),

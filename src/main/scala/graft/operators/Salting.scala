@@ -41,4 +41,30 @@ object Salting {
       explode(sequence(lit(0), lit(nSalts - 1))))
     saltedBig.join(replicatedSmall, Seq(key, "_salt")).drop("_salt")
   }
+
+  /** Skew-safe within-block self-pairing: every (a, b) with equal
+    * `blockCols` and `a.idCol < b.idCol`, the candidate-enumeration
+    * shape of blocked dedup. A plain self-join keys the shuffle on the
+    * block alone, so a hot block's |B|² pair product lands on ONE task
+    * — the quadratic blowup AQE cannot re-plan away (it splits by
+    * bytes, not by the pair product). Here side A takes one
+    * deterministic salt per row and side B is replicated to all
+    * `nSalts`, so each ordered pair is produced exactly once (in the
+    * task owning A's salt) and a hot block spreads over `nSalts` tasks
+    * of |B|²/nSalts pairs each. Replication cost is nSalts× the keyed
+    * projection — keep `keyed` slim (ids + block keys, no payloads).
+    *
+    * Callers select through the `a`/`b` aliases, e.g.
+    * `col("a.doc_id")`.
+    */
+  def saltedSelfPairs(keyed: DataFrame, blockCols: Seq[String],
+      idCol: String, nSalts: Int): DataFrame = {
+    val a = keyed.withColumn("_salt", pmod(hash(col(idCol)), lit(nSalts)))
+    val b = keyed.withColumn("_salt",
+      explode(sequence(lit(0), lit(nSalts - 1))))
+    val cond = (blockCols :+ "_salt")
+      .map(c => col(s"a.$c") === col(s"b.$c"))
+      .reduce(_ && _) && col(s"a.$idCol") < col(s"b.$idCol")
+    a.as("a").join(b.as("b"), cond)
+  }
 }

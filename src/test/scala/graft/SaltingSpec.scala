@@ -42,4 +42,50 @@ class SaltingSpec extends AnyFunSuite {
       .orderBy("event_id").collect().toSeq.map(_.toString)
     assert(salted === plain)
   }
+
+  // Blocked-dedup scenario: 25% of all docs share ONE blocking key (the
+  // boilerplate-header hot block), the rest spread over many keys —
+  // the shape that makes a plain within-block self-join put the whole
+  // |B|² pair product on a single task.
+  private lazy val hotBlocked = {
+    import spark.implicits._
+    (1L to 1000L).map { i =>
+      if (i % 4 == 0) (i, "en", "HOTKEY")
+      else (i, if (i % 2 == 0) "en" else "de", s"blk_${i % 40}")
+    }.toDF("doc_id", "lang", "bk")
+  }
+
+  test("saltedSelfPairs equals plain within-block self-join under a hot block") {
+    val plain = hotBlocked.as("a")
+      .join(hotBlocked.as("b"),
+        col("a.lang") === col("b.lang") && col("a.bk") === col("b.bk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"))
+      .orderBy("a.doc_id", "b.doc_id").collect().toSeq.map(_.toString)
+    val salted = Salting
+      .saltedSelfPairs(hotBlocked, Seq("lang", "bk"), "doc_id", 8)
+      .select(col("a.doc_id"), col("b.doc_id"))
+      .orderBy("a.doc_id", "b.doc_id").collect().toSeq.map(_.toString)
+    assert(salted.size === plain.size)
+    assert(salted === plain)
+  }
+
+  test("salting spreads the hot block across tasks") {
+    val nSalts = 8
+    val hotN = 250L // doc_id % 4 == 0
+    // the pair-owning key after salting is (block, salt of side A):
+    // per-group share of the hot block must drop from hotN to ~hotN/8
+    val groups = hotBlocked
+      .withColumn("_salt", pmod(hash(col("doc_id")), lit(nSalts)))
+      .filter(col("bk") === "HOTKEY")
+      .groupBy("lang", "bk", "_salt").count()
+      .collect()
+    assert(groups.length === nSalts,
+      "hot block must occupy every salt bucket")
+    val maxGroup = groups.map(_.getLong(3)).max
+    // uniform would be ~31; 2× headroom for hash unevenness. The
+    // unsalted plan is one group of 250.
+    assert(maxGroup <= 2 * (hotN / nSalts + 1),
+      s"hot block not spread: max per-salt group $maxGroup")
+  }
 }
