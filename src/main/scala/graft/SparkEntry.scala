@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.functions.ScalarQueries
-import graft.operators.{AggExtras, DedupExtras, JoinQueries, MultimodalQueries, PipelineQueries, RelationalQueries, SimilarityExtras, TextExtras, WindowExtras, WindowQueries}
+import graft.operators.{AggExtras, DedupExtras, JoinQueries, MultimodalQueries, PipelineQueries, RelationalQueries, SimilarityExtras, SourceQueries, TextExtras, WindowExtras, WindowQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (the operator
   * inventory) and §7 (build plan). Every t2 row of SURVEY.md §2 appears
@@ -39,7 +39,8 @@ object SparkEntry {
       TextExtras.queries ++
       MultimodalQueries.queries ++
       WindowExtras.queries ++
-      AggExtras.queries
+      AggExtras.queries ++
+      SourceQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -55,5 +56,6 @@ object SparkEntry {
       TextExtras.oracle ++
       MultimodalQueries.oracle ++
       WindowExtras.oracle ++
-      AggExtras.oracle
+      AggExtras.oracle ++
+      SourceQueries.oracle
 }

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import graft.sources.{LineSources, Tables}
+
+/** Contract-grade line-file source queries (SURVEY.md §2.1 — the
+  * reference's native data model is flat files of text lines).
+  *
+  * Each query closes the loop end-to-end: export a table to the line
+  * format, read it back through [[graft.sources.LineSources]], and run
+  * a t2-style query whose DuckDB oracle runs on the ORIGINAL parquet —
+  * so the round trip itself sits under the hash gate (an export or
+  * parse bug breaks the value compare, not just a unit test).
+  *
+  * Exports land under /tmp keyed by the SF dir, so Verify/Bench runs at
+  * different SFs never collide; overwrite mode keeps bench reps
+  * idempotent. The write is parallel (one part file per partition) and
+  * the read is a distributed line scan — the same shape either end
+  * would have on a real cluster's shared FS.
+  */
+object SourceQueries {
+
+  private def exportDir(d: String): String =
+    "/tmp/graft_sources/" + d.replaceAll("[^A-Za-z0-9._-]", "_")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // maple's input shape: a directory of raw text lines (line == doc;
+    // documents.text is newline-free by construction, FIXTURES.md).
+    // Wordcount over the re-read lines must hash-match wordcount over
+    // the parquet column.
+    "q_source_text_wordcount" -> ((s, d) => {
+      val path = exportDir(d) + "/text"
+      Tables.documents(s, d).select(col("text"))
+        .write.mode("overwrite").text(path)
+      LineSources.readTextLines(s, path)
+        .select(explode(split(col("value"), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy("word")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("word"))
+    }),
+
+    // Header-less CSV with an explicit schema (inference forbidden —
+    // it reads the data twice and can drift per-file).
+    "q_source_csv_stats" -> ((s, d) => {
+      val path = exportDir(d) + "/csv"
+      Tables.documents(s, d).select("doc_id", "lang", "n_chars")
+        .write.mode("overwrite").option("header", "false").csv(path)
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("lang", StringType),
+        StructField("n_chars", LongType)))
+      LineSources.readCsv(s, path, schema)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy("lang")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    // Oracles run on the parquet originals: a matching hash proves the
+    // text/CSV round trip was lossless, not only that the aggregate ran.
+    "q_source_text_wordcount" ->
+      """SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+        |) WHERE word <> '' GROUP BY word ORDER BY cnt DESC, word""".stripMargin,
+    "q_source_csv_stats" ->
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+  )
+}

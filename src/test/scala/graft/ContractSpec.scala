@@ -67,7 +67,9 @@ class ContractSpec extends AnyFunSuite {
     "q_subquery_corr" -> 144L,
     "q_text_ngrams" -> 20L,
     "q_pipeline_chain" -> 5L,
-    "q_cube" -> 12L
+    "q_cube" -> 12L,
+    "q_source_text_wordcount" -> 31L,
+    "q_source_csv_stats" -> 5L
   )
 
   test("every contract query has oracle SQL and vice versa") {
