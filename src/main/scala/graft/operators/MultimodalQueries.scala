@@ -32,17 +32,51 @@ object MultimodalQueries {
   final case class MediaMeta(doc_id: Long, media_type: String, n_bytes: Long,
       width: Long, height: Long, frames: Long)
 
-  /** STUB codec — stands in for an image/audio/video decode library.
-    * Deterministic function of the payload so the DuckDB oracle can
-    * reproduce it; a real implementation would parse the container
-    * format here (batch per partition, one codec instance per task).
+  /** The codec seam: everything the distributed pipeline needs from a
+    * media library. Implementations must be Serializable (they ship to
+    * executors) and deterministic per payload (task retries must
+    * reproduce results). A real image/audio/video codec plugs in here
+    * without touching any plan shape — [[MultimodalSeamSpec]] proves
+    * the pipeline is codec-agnostic by swapping implementations.
     */
-  object MediaCodec {
+  trait MediaCodec extends Serializable {
+    def decode(r: MediaRecord): MediaMeta
+  }
+
+  /** STUB codec — stands in for an image/audio/video decode library
+    * (none ships in this offline container). Deterministic function of
+    * the payload so the DuckDB oracle can reproduce it; a real
+    * implementation would parse the container format here (batch per
+    * partition, one codec instance per task).
+    */
+  object StubCodec extends MediaCodec {
     def decode(r: MediaRecord): MediaMeta = {
       val n = r.payload.length.toLong
       MediaMeta(r.doc_id, r.media_type, n, n % 640, (n * 7) % 480,
         1 + r.doc_id % 24)
     }
+  }
+
+  /** Second deterministic stub with a different fake geometry — exists
+    * only to prove the seam: any pipeline result that depends on which
+    * stub ran must flow exclusively from [[MediaCodec.decode]].
+    */
+  object AltStubCodec extends MediaCodec {
+    def decode(r: MediaRecord): MediaMeta = {
+      val n = r.payload.length.toLong
+      MediaMeta(r.doc_id, r.media_type, n, (n * 3) % 1920, (n * 5) % 1080,
+        1 + r.doc_id % 30)
+    }
+  }
+
+  /** The decode stage behind the seam: partition-local batch map over
+    * the opaque payloads (Catalyst cannot see through it — filter
+    * before calling).
+    */
+  def decodeMeta(s: SparkSession, media: Dataset[MediaRecord],
+      codec: MediaCodec): Dataset[MediaMeta] = {
+    import s.implicits._
+    media.mapPartitions(_.map(codec.decode))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -57,8 +91,7 @@ object MultimodalQueries {
         .select(col("doc_id"), lit("video").as("media_type"),
           col("text").cast("binary").as("payload"))
         .as[MediaRecord]
-      media
-        .mapPartitions(_.map(MediaCodec.decode))
+      decodeMeta(s, media, StubCodec)
         .toDF()
         .select(col("doc_id"), col("n_bytes"), col("frames"),
           explode(sequence(lit(0L), col("frames") - 1, lit(6L))).as("frame_idx"))
@@ -80,8 +113,7 @@ object MultimodalQueries {
             .otherwise("video").as("media_type"),
           col("text").cast("binary").as("payload"))
         .as[MediaRecord]
-      media
-        .mapPartitions(_.map(MediaCodec.decode))
+      decodeMeta(s, media, StubCodec)
         .toDF()
         .orderBy("doc_id")
     })
