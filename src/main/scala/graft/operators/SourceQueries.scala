@@ -57,6 +57,22 @@ object SourceQueries {
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
         .orderBy("lang")
+    }),
+
+    // JSON-lines round trip with an explicit schema — completes the
+    // LineSources trio (text, CSV, JSONL) under the hash gate.
+    "q_source_jsonl_stats" -> ((s, d) => {
+      val path = exportDir(d) + "/jsonl"
+      Tables.documents(s, d).select("doc_id", "source", "n_chars")
+        .write.mode("overwrite").json(path)
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      LineSources.readJsonLines(s, path, schema)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), max(col("n_chars")).as("max_chars"))
+        .orderBy("source")
     })
   )
 
@@ -70,6 +86,10 @@ object SourceQueries {
     "q_source_csv_stats" ->
       """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
-        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_source_jsonl_stats" ->
+      """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(MAX(n_chars) AS BIGINT) AS max_chars
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin
   )
 }

@@ -69,7 +69,8 @@ class ContractSpec extends AnyFunSuite {
     "q_pipeline_chain" -> 5L,
     "q_cube" -> 12L,
     "q_source_text_wordcount" -> 31L,
-    "q_source_csv_stats" -> 5L
+    "q_source_csv_stats" -> 5L,
+    "q_source_jsonl_stats" -> 20L
   )
 
   test("every contract query has oracle SQL and vice versa") {
