@@ -22,15 +22,22 @@ import graft.sources.Tables
   */
 object DedupExtras {
 
-  /** Distinct token 3-shingles of `text`, as a column expression.
+  /** Distinct token 3-shingles over a pre-tokenized `toks` column.
     * Matches DuckDB `list_distinct(list_transform(range(1, greatest(len-1,2)),
     * i -> toks[i:i+2]))` — both produce shingles at positions
     * 1..max(len-2,1).
+    *
+    * Deliberately over an ATTRIBUTE, not over `split(text, ' ')`
+    * inline: an expression referenced inside the per-position lambda
+    * is re-evaluated per element, so inlining the split costs O(T²)
+    * char work per doc. Callers project `toks` and put an exchange
+    * between the tokenize and this expression (CollapseProject would
+    * otherwise substitute the split back in).
     */
   private val shinglesSql =
     """array_distinct(transform(
-      |  sequence(1, greatest(size(split(text, ' ')) - 2, 1)),
-      |  i -> concat_ws(' ', slice(split(text, ' '), i, 3))))""".stripMargin
+      |  sequence(1, greatest(size(toks) - 2, 1)),
+      |  i -> concat_ws(' ', slice(toks, i, 3))))""".stripMargin
 
   /** The (lang, first-3-tokens digest) blocking key shared by
     * q_dedup_near (PipelineQueries) and q_dedup_jaccard — candidate
@@ -55,12 +62,13 @@ object DedupExtras {
     // (NativeEquivalenceSpec proves it).
     graft.plans.MinHashSignature.register(s)
     Tables.documents(s, d)
-      .select(col("doc_id"), col("text"))
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
       // Spread BEFORE the expensive signature: the source parquet is a
       // handful of input splits, and without this exchange the whole
       // md5 workload would run at input-split parallelism. The explicit
       // partition count matters — AQE's size-based coalesce would fold
-      // this tiny-bytes/heavy-CPU stage back to one partition.
+      // this tiny-bytes/heavy-CPU stage back to one partition. The
+      // exchange also materializes `toks` (see shinglesSql).
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), expr(shinglesSql).as("sh"))
       .select(col("doc_id"), expr("minhash_sig(sh)").as("sg"))
@@ -118,7 +126,7 @@ object DedupExtras {
     "q_dedup_minhash_keep" -> ((s, d) => {
       graft.plans.MinHashSignature.register(s)
       Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"), col("text"))
+        .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
         .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .select(col("doc_id"), col("lang"), expr(shinglesSql).as("sh"))
         .select(col("doc_id"), col("lang"), expr("minhash_sig(sh)").as("sg"))
@@ -168,7 +176,8 @@ object DedupExtras {
       val pairs = Salting.saltedSelfPairs(slim, Seq("lang", "bk"), "doc_id", 8)
         .select(col("a.doc_id").as("doc_id1"), col("b.doc_id").as("doc_id2"))
       val sh = graft.Materialize.checkpoint(
-        docs.repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
           .select(col("doc_id"), expr(shinglesSql).as("sh")))
       pairs
         .join(sh.as("s1"), col("doc_id1") === col("s1.doc_id"))

@@ -83,13 +83,21 @@ object TextExtras {
         .orderBy("source")),
 
     // Top-20 token bigrams — n-gram frequency analysis (explode once,
-    // hash agg, TakeOrderedAndProject).
+    // hash agg, TakeOrderedAndProject). The token array is computed
+    // BEFORE the exchange so the pairing below consumes an attribute:
+    // with the split inlined, the per-position lambda would re-split
+    // the text once per token — O(T²) char work per doc (this query
+    // was the slowest in the round-2 bench for exactly that reason).
+    // zip_with(toks, tail(toks)) then pairs all bigrams in one pass.
     "q_text_ngrams" -> ((s, d) =>
       Tables.documents(s, d)
-        .filter(expr("size(split(text, ' ')) >= 2"))
+        .select(split(col("text"), " ").as("toks"), col("doc_id"))
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .filter(size(col("toks")) >= 2)
         .select(explode(expr(
-          """transform(sequence(1, size(split(text, ' ')) - 1),
-            |  i -> concat_ws(' ', slice(split(text, ' '), i, 2)))""".stripMargin))
+          """zip_with(slice(toks, 1, size(toks) - 1),
+            |  slice(toks, 2, size(toks) - 1),
+            |  (x, y) -> concat(x, ' ', y))""".stripMargin))
           .as("bigram"))
         .groupBy("bigram")
         .agg(count(lit(1)).as("cnt"))
@@ -117,14 +125,17 @@ object TextExtras {
     // fingerprints ⇒ shared minimal shingle ⇒ near/exact dup group.
     "q_text_fingerprint" -> ((s, d) =>
       Tables.documents(s, d)
-        .select(col("doc_id"), col("text"))
-        // CPU-heavy digest over few input splits: spread first (explicit
-        // count so AQE's size-based coalesce cannot re-serialize it).
+        // tokenize BEFORE the exchange: downstream the lambda slices a
+        // materialized attribute instead of re-splitting the text per
+        // 4-gram position (O(T²) otherwise). The repartition doubles as
+        // the CPU spread for the digest (explicit count so AQE's
+        // size-based coalesce cannot re-serialize it).
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
         .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .select(col("doc_id"), expr(
           """array_min(transform(
-            |  sequence(1, greatest(size(split(text, ' ')) - 3, 1)),
-            |  i -> md5(cast(concat_ws(' ', slice(split(text, ' '), i, 4)) as binary))))"""
+            |  sequence(1, greatest(size(toks) - 3, 1)),
+            |  i -> md5(cast(concat_ws(' ', slice(toks, i, 4)) as binary))))"""
             .stripMargin).as("fp"))
         .groupBy("fp")
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
