@@ -100,6 +100,53 @@ object MultimodalQueries {
         .orderBy("doc_id", "frame_idx")
     }),
 
+    // Resize planning: target geometry fitting maxW=320 with aspect
+    // ratio preserved, derived from decoded dims in pure integer math
+    // (both engines must agree exactly; real pixel work would happen in
+    // the codec behind the same seam). width can be 0 in the stub's
+    // fake geometry, so the divisor clamps at 1.
+    "q_multimodal_resize" -> ((s, d) => {
+      import s.implicits._
+      val media: Dataset[MediaRecord] = Tables.documents(s, d)
+        .filter(col("doc_id") % 3 === 0 && col("doc_id") < 300)
+        .select(col("doc_id"), lit("image").as("media_type"),
+          col("text").cast("binary").as("payload"))
+        .as[MediaRecord]
+      decodeMeta(s, media, StubCodec)
+        .toDF()
+        .select(col("doc_id"), col("width"), col("height"),
+          greatest(col("width"), lit(1L)).as("w"))
+        .withColumn("new_width", least(col("w"), lit(320L)))
+        .select(col("doc_id"), col("width"), col("height"), col("new_width"),
+          expr("greatest(height * new_width div w, 1)").as("new_height"))
+        .orderBy("doc_id")
+    }),
+
+    // Feature extraction: per-media-type aggregate features over the
+    // decoded metadata (the shape of a corpus-level feature table for
+    // curriculum/filtering decisions).
+    "q_multimodal_features" -> ((s, d) => {
+      import s.implicits._
+      val media: Dataset[MediaRecord] = Tables.documents(s, d)
+        .filter(col("doc_id") < 200)
+        .select(
+          col("doc_id"),
+          when(col("doc_id") % 3 === 0, "image")
+            .when(col("doc_id") % 3 === 1, "audio")
+            .otherwise("video").as("media_type"),
+          col("text").cast("binary").as("payload"))
+        .as[MediaRecord]
+      decodeMeta(s, media, StubCodec)
+        .toDF()
+        .groupBy("media_type")
+        .agg(
+          count(lit(1)).as("n_media"),
+          sum(col("n_bytes")).as("sum_bytes"),
+          max(col("frames")).as("max_frames"),
+          round(avg(col("width")), 2).as("avg_width"))
+        .orderBy("media_type")
+    }),
+
     "q_multimodal_meta" -> ((s, d) => {
       import s.implicits._
       val media: Dataset[MediaRecord] = Tables.documents(s, d)
@@ -120,6 +167,33 @@ object MultimodalQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_multimodal_resize" ->
+      """WITH meta AS (
+        |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n
+        |  FROM documents WHERE doc_id % 3 = 0 AND doc_id < 300),
+        |dims AS (
+        |  SELECT doc_id, CAST(n % 640 AS BIGINT) AS width,
+        |    CAST((n*7) % 480 AS BIGINT) AS height,
+        |    CAST(GREATEST(n % 640, 1) AS BIGINT) AS w
+        |  FROM meta),
+        |r AS (
+        |  SELECT doc_id, width, height, w,
+        |    CAST(LEAST(w, 320) AS BIGINT) AS new_width
+        |  FROM dims)
+        |SELECT doc_id, width, height, new_width,
+        |  CAST(GREATEST(height * new_width // w, 1) AS BIGINT) AS new_height
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "q_multimodal_features" ->
+      """WITH meta AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n
+        |  FROM documents WHERE doc_id < 200)
+        |SELECT media_type, CAST(COUNT(*) AS BIGINT) AS n_media,
+        |  CAST(SUM(n) AS BIGINT) AS sum_bytes,
+        |  CAST(MAX(1 + doc_id % 24) AS BIGINT) AS max_frames,
+        |  ROUND(AVG(n % 640), 2) AS avg_width
+        |FROM meta GROUP BY media_type ORDER BY media_type""".stripMargin,
     "q_multimodal_frames" ->
       """WITH meta AS (
         |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -70,7 +70,9 @@ class ContractSpec extends AnyFunSuite {
     "q_cube" -> 12L,
     "q_source_text_wordcount" -> 31L,
     "q_source_csv_stats" -> 5L,
-    "q_source_jsonl_stats" -> 20L
+    "q_source_jsonl_stats" -> 20L,
+    "q_multimodal_resize" -> 100L,
+    "q_multimodal_features" -> 3L
   )
 
   test("every contract query has oracle SQL and vice versa") {
