@@ -132,11 +132,15 @@ object SimilarityExtras {
     // output rounds to 4 dp. Signature width scales with COUNT (one
     // cheap columnar count job — a stats read, same class as AQE).
     "q_dedup_embed" -> ((s, d) => {
+      // native one-loop signature (graft.plans.HyperplaneSignature) —
+      // bit-identical to the HOF bucketSql the oracle mirrors
+      // (NativeEquivalenceSpec proves it)
+      graft.plans.HyperplaneSignature.register(s)
       val nbits = signatureBits(Tables.embeddings(s, d).count())
       val sig = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding").as("e"))
         .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
-        .withColumn("bucket", expr(bucketSql(nbits)))
+        .withColumn("bucket", expr(s"hyperplane_sig(e, $nbits)"))
       sig.as("a")
         .join(sig.as("b"),
           col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
@@ -149,11 +153,12 @@ object SimilarityExtras {
 
     // Top-20 most-similar pairs among LSH-bucket candidates.
     "q_sim_lsh" -> ((s, d) => {
+      graft.plans.HyperplaneSignature.register(s)
       val nbits = signatureBits(Tables.embeddings(s, d).count())
       val sig = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding").as("e"))
         .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
-        .withColumn("bucket", expr(bucketSql(nbits)))
+        .withColumn("bucket", expr(s"hyperplane_sig(e, $nbits)"))
       sig.as("a")
         .join(sig.as("b"),
           col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))

@@ -49,4 +49,21 @@ class NativeEquivalenceSpec extends AnyFunSuite {
       .count()
     assert(diff === 0)
   }
+
+  test("hyperplane_sig equals the HOF bucket formulation at 8 and 12 bits") {
+    graft.plans.HyperplaneSignature.register(spark)
+    // bit-identity matters: the contract queries compare UNROUNDED
+    // accumulated doubles against >= 0, so the native loop must run
+    // the exact IEEE op sequence of the HOF the oracle mirrors
+    for (nbits <- Seq(8, 12)) {
+      val diff = Tables.embeddings(spark, sf0001)
+        .select(col("vec_id"), col("embedding").as("e"))
+        .select(
+          expr(s"hyperplane_sig(e, $nbits)").as("native"),
+          expr(graft.operators.SimilarityExtras.bucketSql(nbits)).as("hof"))
+        .filter(col("native") =!= col("hof"))
+        .count()
+      assert(diff === 0, s"at $nbits bits")
+    }
+  }
 }
