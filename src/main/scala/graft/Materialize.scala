@@ -11,7 +11,7 @@ import org.apache.spark.storage.StorageLevel
   * table consumed by both sides of the band self-join, IVF centroids
   * across Lloyd iterations) materialize it here instead of calling
   * `localCheckpoint()` directly. The difference is the release story:
-  * localCheckpoint blocks live until the RDD is GC'd, so a 57-query
+  * localCheckpoint blocks live until the RDD is GC'd, so a full-contract
   * single-session bench accumulates them and the resulting memory/GC
   * pressure shows up as multi-second per-query spikes. `checkpoint`
   * registers every persisted frame so the session driver (Bench, Verify,
@@ -28,11 +28,14 @@ object Materialize {
   /** Persist `df` (memory+disk) and materialize it EAGERLY — the two
     * sides of a self-join are otherwise independent map stages that the
     * scheduler may run concurrently, computing the cache twice.
+    * Registration happens BEFORE the materializing count: if the count
+    * fails partway, the partially-cached frame is already registered
+    * and the caller's releaseAll() still drops its blocks.
     */
   def checkpoint(df: DataFrame): DataFrame = {
     val p = df.persist(StorageLevel.MEMORY_AND_DISK)
-    p.count()
     synchronized { active += p }
+    p.count()
     p
   }
 

@@ -59,19 +59,27 @@ object Shell {
 
   def run(s: SparkSession, dir: String, cmd: String): DataFrame =
     tokenize(cmd) match {
+      // ordering: ALL columns, not just the first — first columns are
+      // not unique on every table (lineitem), and a partial sort would
+      // print nondeterministic rows across runs (the repo's
+      // determinism discipline: every output ends in a unique-key sort)
       case List("filter", table, regex) =>
         val df = load(s, dir, table)
-        anyColMatch(df, regex).orderBy(df.columns.head)
+        anyColMatch(df, regex).orderBy(df.columns.map(col).toSeq: _*)
       case List("filter", table, column, regex) =>
         val df = load(s, dir, table)
-        df.filter(col(column).rlike(regex)).orderBy(df.columns.head)
+        df.filter(col(column).rlike(regex))
+          .orderBy(df.columns.map(col).toSeq: _*)
       case List("grep", table, regex) =>
         anyColMatch(load(s, dir, table), regex)
           .agg(count(lit(1)).as("n_matches"))
       case List("join", t1, t2, k1, k2) =>
-        val a = load(s, dir, t1).as("a")
-        val b = load(s, dir, t2).as("b")
-        a.join(b, col(s"a.$k1") === col(s"b.$k2")).orderBy(col(s"a.$k1"))
+        val ta = load(s, dir, t1)
+        val tb = load(s, dir, t2)
+        val order = ta.columns.map(c => col(s"a.$c")) ++
+          tb.columns.map(c => col(s"b.$c"))
+        ta.as("a").join(tb.as("b"), col(s"a.$k1") === col(s"b.$k2"))
+          .orderBy(order.toSeq: _*)
       case List("wordcount", table, column) =>
         load(s, dir, table)
           .select(explode(split(col(column), " ")).as("word"))

@@ -130,7 +130,14 @@ object DedupExtras {
         .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .select(col("doc_id"), col("lang"), expr(shinglesSql).as("sh"))
         .select(col("doc_id"), col("lang"), expr("minhash_sig(sh)").as("sg"))
-        .groupBy(col("sg"))
+        // NULL-signature guard: the pair formulation (and its oracle)
+        // never matched NULL signatures, so every null-sg doc survives.
+        // A plain groupBy would collapse them into ONE null group and
+        // drop all but the min — the extra per-doc key keeps each
+        // null-sg doc in its own group. (No fixture row is null today;
+        // this pins the semantics against regeneration.)
+        .groupBy(col("sg"),
+          when(col("sg").isNull, col("doc_id")).as("_nullkey"))
         .agg(min(struct(col("doc_id"), col("lang"))).as("keep"))
         .select(col("keep.doc_id").as("doc_id"), col("keep.lang").as("lang"))
         .orderBy("doc_id")

@@ -23,8 +23,13 @@ import graft.sources.{LineSources, Tables}
   */
 object SourceQueries {
 
+  // Keyed by SF dir AND process id: two concurrent sessions on the
+  // same SF (e.g. parallel verify-matrix jobs) must not overwrite the
+  // directory the other is mid-read. Within one JVM, bench reps
+  // overwrite idempotently.
   private def exportDir(d: String): String =
-    "/tmp/graft_sources/" + d.replaceAll("[^A-Za-z0-9._-]", "_")
+    "/tmp/graft_sources/p" + ProcessHandle.current().pid() + "_" +
+      d.replaceAll("[^A-Za-z0-9._-]", "_")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // maple's input shape: a directory of raw text lines (line == doc;

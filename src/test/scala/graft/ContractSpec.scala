@@ -85,7 +85,8 @@ class ContractSpec extends AnyFunSuite {
 
   goldenCounts.foreach { case (name, expected) =>
     test(s"$name row count matches DuckDB golden at sf0.001") {
-      assert(SparkEntry.queries(name)(spark, sf0001).count() === expected)
+      try assert(SparkEntry.queries(name)(spark, sf0001).count() === expected)
+      finally Materialize.releaseAll() // shared session — no block leaks
     }
   }
 }

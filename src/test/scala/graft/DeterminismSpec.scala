@@ -15,7 +15,13 @@ class DeterminismSpec extends AnyFunSuite {
       def runWith(parts: String): Seq[String] = {
         spark.conf.set("spark.sql.shuffle.partitions", parts)
         try fn(spark, sf0001).collect().toSeq.map(_.toString)
-        finally spark.conf.set("spark.sql.shuffle.partitions", "8")
+        finally {
+          spark.conf.set("spark.sql.shuffle.partitions", "8")
+          // drop Materialize-checkpointed intermediates: the sweep
+          // invokes every query twice in one shared session and must
+          // not accumulate cached blocks across 124 invocations
+          Materialize.releaseAll()
+        }
       }
       assert(runWith("4") === runWith("7"))
     }

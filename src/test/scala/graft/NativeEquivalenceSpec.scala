@@ -50,12 +50,14 @@ class NativeEquivalenceSpec extends AnyFunSuite {
     assert(diff === 0)
   }
 
-  test("hyperplane_sig equals the HOF bucket formulation at 8 and 12 bits") {
+  test("hyperplane_sig equals the HOF bucket formulation at 8/12/16/24 bits") {
     graft.plans.HyperplaneSignature.register(spark)
     // bit-identity matters: the contract queries compare UNROUNDED
     // accumulated doubles against >= 0, so the native loop must run
-    // the exact IEEE op sequence of the HOF the oracle mirrors
-    for (nbits <- Seq(8, 12)) {
+    // the exact IEEE op sequence of the HOF the oracle mirrors.
+    // 16 and 24 exercise every stride (incl. h=6) and every offset
+    // k=1..4 of the j>=8 plane family — branches no contract SF reaches
+    for (nbits <- Seq(8, 12, 16, 24)) {
       val diff = Tables.embeddings(spark, sf0001)
         .select(col("vec_id"), col("embedding").as("e"))
         .select(
