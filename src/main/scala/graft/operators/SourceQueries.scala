@@ -64,6 +64,27 @@ object SourceQueries {
         .orderBy("lang")
     }),
 
+    // The juice SINK shape under the hash gate: run wordcount, write
+    // it as `key<TAB>value` lines (the reference's dest-file format),
+    // read the lines back, parse, and the re-sorted parse must
+    // hash-match the wordcount oracle — proving the sink/parse pair
+    // is lossless, not just that the writer ran. (documents tokens
+    // contain no tabs, so the split is unambiguous.)
+    "q_source_kv_roundtrip" -> ((s, d) => {
+      val path = exportDir(d) + "/kv"
+      val wc = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy("word")
+        .agg(count(lit(1)).as("cnt"))
+      LineSources.writeKeyValueLines(wc, "word", "cnt", path)
+      LineSources.readTextLines(s, path)
+        .select(split(col("value"), "\t").as("kv"))
+        .select(col("kv").getItem(0).as("word"),
+          col("kv").getItem(1).cast("long").as("cnt"))
+        .orderBy(col("cnt").desc, col("word"))
+    }),
+
     // JSON-lines round trip with an explicit schema — completes the
     // LineSources trio (text, CSV, JSONL) under the hash gate.
     "q_source_jsonl_stats" -> ((s, d) => {
@@ -95,6 +116,10 @@ object SourceQueries {
     "q_source_jsonl_stats" ->
       """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  CAST(MAX(n_chars) AS BIGINT) AS max_chars
-        |FROM documents GROUP BY source ORDER BY source""".stripMargin
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q_source_kv_roundtrip" ->
+      """SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+        |) WHERE word <> '' GROUP BY word ORDER BY cnt DESC, word""".stripMargin
   )
 }

@@ -72,7 +72,8 @@ class ContractSpec extends AnyFunSuite {
     "q_source_csv_stats" -> 5L,
     "q_source_jsonl_stats" -> 20L,
     "q_multimodal_resize" -> 100L,
-    "q_multimodal_features" -> 3L
+    "q_multimodal_features" -> 3L,
+    "q_source_kv_roundtrip" -> 31L
   )
 
   test("every contract query has oracle SQL and vice versa") {
