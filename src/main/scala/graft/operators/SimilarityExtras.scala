@@ -25,13 +25,20 @@ import graft.sources.Tables
   * sampled gaussians: both engines must derive the identical planes
   * with no RNG (SURVEY.md §7.4 portability discipline). Planes j<8 keep
   * the original `((i*31 + j*17) mod 7) - 3` pattern (they fix the
-  * small-SF contract output); that family factors through `j mod 7`
-  * (only 7 distinct planes — plane 7 duplicates plane 0), so planes
-  * j≥8 switch to a stride/offset family `((i*h_j + k_j) mod 7) - 3`
-  * whose (h_j, k_j) pairs are all distinct, avoid the old family's
-  * stride 3, and never use stride ≡ 0 (a constant plane). Every bit up
-  * to j=23 is a genuinely new hyperplane, so widening the signature
-  * really does split buckets.
+  * small-SF contract output). That family reduces mod 7 to stride 3
+  * with all 7 offsets (plane 7 duplicates plane 0), which poisons the
+  * whole mod-7 space for extensions: any stride-4 plane is the exact
+  * NEGATION of a stride-3 plane (v and -v define the same hyperplane —
+  * the complementary sign bit adds no bucket discrimination), and the
+  * 42-vector family only holds 21 sign-distinct planes in total. So
+  * planes j≥8 switch fields entirely: `((i*h_j + k_j) mod 11) - 5`
+  * with `h_j = (j-8) mod 5 + 1`, `k_j = (j-8) div 5 + 1`. Strides
+  * 1..5 contain no mod-11 negation pair (negations are 10..6), same
+  * stride + different offset is never a negation, and a mod-11 plane
+  * takes values ±4/±5 that no mod-7 plane reaches — so every bit up to
+  * j=23 is a genuinely new hyperplane up to sign (LshScalingSpec
+  * asserts this numerically), and widening the signature really does
+  * split buckets.
   */
 object SimilarityExtras {
 
@@ -63,11 +70,20 @@ object SimilarityExtras {
       |     WHEN COUNT(*) <= 67108864 THEN 22
       |     ELSE 24 END""".stripMargin
 
+  /** The plane family as plain JVM integers — the single source of
+    * truth [[bucketSql]], [[planeSqlDuck]] and the native
+    * graft.plans.HyperplaneSignature expression must all agree with
+    * (LshScalingSpec asserts the planes are pairwise distinct up to
+    * sign; NativeEquivalenceSpec asserts native ≡ HOF).
+    */
+  private[graft] def planeCoef(i: Int, j: Int): Int =
+    if (j < 8) ((i * 31 + j * 17) % 7) - 3
+    else ((i * ((j - 8) % 5 + 1) + ((j - 8) / 5 + 1)) % 11) - 5
+
   /** DuckDB twin of the piecewise hyperplane term in [[bucketSql]]. */
   private val planeSqlDuck =
     """(CASE WHEN j < 8 THEN ((i*31 + j*17) % 7) - 3
-      |      ELSE ((i * ((j-8) % 5 + 1 + (CASE WHEN (j-8) % 5 >= 2 THEN 1 ELSE 0 END))
-      |             + ((j-8) // 5 + 1)) % 7) - 3 END)""".stripMargin
+      |      ELSE ((i * ((j-8) % 5 + 1) + ((j-8) // 5 + 1)) % 11) - 5 END)""".stripMargin
 
   private[graft] def bucketSql(nbits: Int) =
     s"""array_join(transform(sequence(0, ${nbits - 1}), j ->
@@ -75,8 +91,7 @@ object SimilarityExtras {
        |    cast(0.0 as double),
        |    (acc, i) -> acc + cast(element_at(e, i + 1) as double)
        |      * (CASE WHEN j < 8 THEN ((i * 31 + j * 17) % 7) - 3
-       |         ELSE ((i * ((j - 8) % 5 + 1 + (CASE WHEN (j - 8) % 5 >= 2 THEN 1 ELSE 0 END))
-       |                + ((j - 8) div 5 + 1)) % 7) - 3 END)) >= 0
+       |         ELSE ((i * ((j - 8) % 5 + 1) + ((j - 8) div 5 + 1)) % 11) - 5 END)) >= 0
        |  THEN '1' ELSE '0' END), '')""".stripMargin
 
   private val cosSql =

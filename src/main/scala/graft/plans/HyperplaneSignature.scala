@@ -11,8 +11,8 @@ import org.apache.spark.unsafe.types.UTF8String
 /** Native hyperplane-sign LSH signature: `hyperplane_sig(e, nbits)` →
   * '0'/'1' string of `nbits` sign bits over the deterministic integer
   * hyperplane family of graft.operators.SimilarityExtras (plane j<8:
-  * `((i*31 + j*17) mod 7) - 3`; j≥8: the distinct stride/offset family
-  * — see SimilarityExtras' scaladoc for why the two families).
+  * `((i*31 + j*17) mod 7) - 3`; j≥8: the mod-11 stride/offset family
+  * — see SimilarityExtras.planeCoef, the shared source of truth).
   *
   * Bit-identical to the HOF `bucketSql` formulation the DuckDB oracle
   * mirrors: same left-to-right accumulation over dimensions 0..63 in
@@ -21,12 +21,22 @@ import org.apache.spark.unsafe.types.UTF8String
   * lambda frames per row — the per-row hot path of a full-corpus LSH
   * sweep. CodegenFallback is fine: the cost is the fused loop, which
   * is compiled JVM code either way.
+  *
+  * Null semantics also mirror the HOF — on a NULL array or any NULL
+  * element in dims 0..63 the HOF's accumulator goes NULL for every bit
+  * and `CASE WHEN NULL >= 0` takes the ELSE branch, yielding the
+  * all-'0' signature; this expression reproduces that (never NULL
+  * out), so a regenerated fixture with a malformed row cannot silently
+  * split native from oracle. On an array SHORTER than 64 the HOF
+  * errors under ANSI (`element_at` past the end); the native instead
+  * degrades to the same all-'0' — strictly softer, and consistent with
+  * the null-propagation shape the pre-ANSI HOF had.
   */
 case class HyperplaneSignature(child: Expression, bits: Int)
     extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = StringType
-  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = false
   override def prettyName: String = "hyperplane_sig"
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -40,32 +50,36 @@ case class HyperplaneSignature(child: Expression, bits: Int)
   @transient private lazy val isFloat =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
-  /** Plane coefficient — MUST stay in lockstep with
-    * SimilarityExtras.bucketSql and its DuckDB twin.
-    */
-  private def coef(i: Int, j: Int): Int =
-    if (j < 8) ((i * 31 + j * 17) % 7) - 3
-    else {
-      val m = j - 8
-      val h = m % 5 + 1 + (if (m % 5 >= 2) 1 else 0)
-      val k = m / 5 + 1
-      ((i * h + k) % 7) - 3
-    }
+  @transient private lazy val allZero: UTF8String =
+    UTF8String.fromString("0" * bits)
 
-  override def nullSafeEval(v: Any): Any = {
+  // plane matrix hoisted out of the per-row loop; planeCoef is the
+  // shared source of truth with the HOF/oracle formulations
+  @transient private lazy val planes: Array[Array[Int]] =
+    Array.tabulate(bits, 64)((j, i) =>
+      graft.operators.SimilarityExtras.planeCoef(i, j))
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    // HOF parity on malformed rows: NULL array, short array, or a NULL
+    // element nulls the HOF accumulator for EVERY bit → all-'0'
+    if (v == null) return allZero
     val arr = v.asInstanceOf[ArrayData]
-    // the HOF iterates dimensions 0..63 regardless of array length
-    // (element_at past the end nulls the sum); data is 64-dim, so the
-    // clamp only guards malformed rows
-    val dims = math.min(arr.numElements(), 64)
+    if (arr.numElements() < 64) return allZero
+    var i = 0
+    while (i < 64) {
+      if (arr.isNullAt(i)) return allZero
+      i += 1
+    }
     val out = new Array[Char](bits)
     var j = 0
     while (j < bits) {
+      val p = planes(j)
       var acc = 0.0
-      var i = 0
-      while (i < dims) {
+      i = 0
+      while (i < 64) {
         val x = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
-        acc += x * coef(i, j)
+        acc += x * p(i)
         i += 1
       }
       out(j) = if (acc >= 0) '1' else '0'

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.SimilarityExtras
@@ -17,8 +18,15 @@ import graft.operators.SimilarityExtras
   * every bucket at ANY width — that is correct near-dup behavior, not
   * skew).
   */
-class LshScalingSpec extends AnyFunSuite {
+class LshScalingSpec extends AnyFunSuite with BeforeAndAfterAll {
   import SparkTestBase._
+
+  // shared-SparkSession suite: the 20k×64-double stress corpus must not
+  // outlive this suite (same release discipline as Materialize)
+  override def afterAll(): Unit = {
+    replicated10x.unpersist(blocking = true)
+    super.afterAll()
+  }
 
   private val sf01dir = "/root/testdata/sf0.1"
 
@@ -74,6 +82,24 @@ class LshScalingSpec extends AnyFunSuite {
     // 512 leaves slack for data regeneration without masking a
     // quadratic blowup — the unscaled width gives 727+)
     assert(scaled <= 512L, s"max bucket $scaled exceeds bound")
+  }
+
+  test("no hyperplane equals ± any other across the full 24-plane family") {
+    // v and -v define the SAME hyperplane (the sign bit just flips), so
+    // a negated duplicate adds zero bucket discrimination — the r3
+    // advisor found 6 such pairs in the old mod-7 extension family.
+    // Assert pairwise sign-distinctness over the whole ladder width;
+    // the one legacy exception is j=7 ≡ j=0 (the j<8 family is frozen
+    // by the 8-bit contract output and documented as such).
+    val planes = (0 until 24).map(j =>
+      (0 until 64).map(i => SimilarityExtras.planeCoef(i, j)).toVector)
+    for (a <- 0 until 24; b <- (a + 1) until 24) {
+      val equal = planes(a) == planes(b)
+      val negated = planes(a) == planes(b).map(-_)
+      if ((a, b) == (0, 7)) assert(equal, "legacy j0≡j7 duplicate vanished")
+      else assert(!equal && !negated,
+        s"plane $b duplicates ${if (negated) "-" else ""}plane $a")
+    }
   }
 
   test("contract queries still choose 8 bits at contract SFs") {
