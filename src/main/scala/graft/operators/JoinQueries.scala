@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Money._
@@ -68,7 +69,75 @@ object JoinQueries {
           Tables.orders(s, d).filter(col("o_orderstatus") === "F"),
           col("o_custkey") === col("c_custkey"), "left_semi")
         .select("c_custkey", "c_name")
-        .orderBy("c_custkey"))
+        .orderBy("c_custkey")),
+
+    // As-of join: each purchase event paired with the user's most
+    // recent error event at or before it. Implemented as the
+    // union-and-carry-forward formulation — both streams merge into one
+    // (user, time)-sorted sequence and a running `last(..., ignoreNulls)`
+    // carries the error attributes forward — so the whole join is ONE
+    // shuffle by user + a sort within partitions, never a per-row probe
+    // or range join; this is the formulation that survives 100 TB. The
+    // oracle runs the IDENTICAL window algebra (not DuckDB's ASOF JOIN,
+    // whose tie semantics need not match). Ties at equal timestamp:
+    // errors sort before purchases (k=0<1), so a same-microsecond error
+    // matches; among same-ts errors the larger event_id wins (the sort
+    // ends in the unique event id, making carry-forward deterministic).
+    "q_join_asof" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), unix_micros(col("ts")).as("t"),
+          lit(0).as("k"), col("event_id").as("err_id"),
+          lit(null).cast("long").as("pid"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("t"),
+          lit(1).as("k"), lit(null).cast("long").as("err_id"),
+          col("event_id").as("pid"))
+      val carry = Window.partitionBy("user_id")
+        .orderBy(col("t"), col("k"), coalesce(col("err_id"), col("pid")))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      errors.unionAll(purchases)
+        .withColumn("err_event_id",
+          last(col("err_id"), ignoreNulls = true).over(carry))
+        .withColumn("err_t",
+          last(when(col("k") === 0, col("t")), ignoreNulls = true).over(carry))
+        .filter(col("k") === 1 && col("err_event_id").isNotNull)
+        .select(col("pid").as("event_id"), col("user_id"),
+          col("err_event_id"), (col("t") - col("err_t")).as("gap_us"))
+        .orderBy("event_id")
+    }),
+
+    // Range (band) self-join: same-user event pairs at most one hour
+    // apart. The inequality is turned into an EQUI join by time
+    // bucketing: each left row is emitted into its own hour bucket and
+    // the next (a ≤1h-later partner can live in no other), the right
+    // side keeps its single bucket, and the join key is (user, bucket)
+    // — so the pair product is bounded per (user, hour) and the plan is
+    // an ordinary shuffled equi-join, not a quadratic theta join. Each
+    // qualifying pair matches in exactly one bucket (the partner's), so
+    // no post-join dedup is needed.
+    "q_join_range" -> ((s, d) => {
+      val W = 3600000000L // 1 hour in µs
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("t"))
+      val left = ev
+        .select(col("event_id").as("event_id1"), col("user_id").as("uid1"),
+          col("t").as("t1"))
+        .withColumn("bucket",
+          explode(array(expr(s"t1 div $W"), expr(s"t1 div $W + 1"))))
+      val right = ev
+        .select(col("event_id").as("event_id2"), col("user_id").as("uid2"),
+          col("t").as("t2"), expr(s"t div $W").as("bucket"))
+      left.join(right,
+          left("uid1") === right("uid2") && left("bucket") === right("bucket"))
+        .filter(
+          (col("t1") < col("t2") ||
+            (col("t1") === col("t2") && col("event_id1") < col("event_id2"))) &&
+            col("t2") - col("t1") <= W)
+        .select(col("event_id1"), col("event_id2"),
+          col("uid1").as("user_id"), (col("t2") - col("t1")).as("gap_us"))
+        .orderBy("event_id1", "event_id2")
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -95,6 +164,38 @@ object JoinQueries {
       """SELECT c_custkey, c_name FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders
         |              WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
-        |ORDER BY c_custkey""".stripMargin
+        |ORDER BY c_custkey""".stripMargin,
+    // same union-and-carry-forward algebra as the Spark side — NOT
+    // DuckDB's ASOF JOIN, whose tie handling is not contractually
+    // pinned to ours
+    "q_join_asof" ->
+      """WITH u AS (
+        |  SELECT user_id, epoch_us(ts) AS t, 0 AS k,
+        |         event_id AS err_id, CAST(NULL AS BIGINT) AS pid
+        |  FROM events WHERE event_type = 'error'
+        |  UNION ALL
+        |  SELECT user_id, epoch_us(ts), 1, NULL, event_id
+        |  FROM events WHERE event_type = 'purchase'),
+        |w AS (
+        |  SELECT user_id, t, k, pid,
+        |    LAST_VALUE(err_id IGNORE NULLS) OVER
+        |      (PARTITION BY user_id ORDER BY t, k, COALESCE(err_id, pid)
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS err_event_id,
+        |    LAST_VALUE(CASE WHEN k = 0 THEN t END IGNORE NULLS) OVER
+        |      (PARTITION BY user_id ORDER BY t, k, COALESCE(err_id, pid)
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS err_t
+        |  FROM u)
+        |SELECT pid AS event_id, user_id, err_event_id, t - err_t AS gap_us
+        |FROM w WHERE k = 1 AND err_event_id IS NOT NULL
+        |ORDER BY event_id""".stripMargin,
+    "q_join_range" ->
+      """SELECT a.event_id AS event_id1, b.event_id AS event_id2, a.user_id,
+        |       epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND (epoch_us(a.ts) < epoch_us(b.ts)
+        |      OR (epoch_us(a.ts) = epoch_us(b.ts) AND a.event_id < b.event_id))
+        | AND epoch_us(b.ts) - epoch_us(a.ts) <= 3600000000
+        |ORDER BY event_id1, event_id2""".stripMargin
   )
 }

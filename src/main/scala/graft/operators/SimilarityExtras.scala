@@ -94,13 +94,21 @@ object SimilarityExtras {
        |         ELSE ((i * ((j - 8) % 5 + 1) + ((j - 8) div 5 + 1)) % 11) - 5 END)) >= 0
        |  THEN '1' ELSE '0' END), '')""".stripMargin
 
-  private val cosSql =
-    """aggregate(zip_with(a.e, b.e, (x, y) -> cast(x as double) * cast(y as double)),
-      |  cast(0.0 as double), (acc, x) -> acc + x) /
-      |(sqrt(aggregate(a.e, cast(0.0 as double),
-      |  (acc, x) -> acc + cast(x as double) * cast(x as double))) *
-      | sqrt(aggregate(b.e, cast(0.0 as double),
-      |  (acc, x) -> acc + cast(x as double) * cast(x as double))))""".stripMargin
+  /** Cosine between two float-array columns, parameterized by column
+    * name — the accumulation order (left-to-right IEEE doubles, cast
+    * per element) is the one the DuckDB oracle's `list_sum` twin
+    * reproduces exactly, so compares against UNROUNDED sim stay
+    * engine-identical.
+    */
+  private def cosPair(u: String, v: String) =
+    s"""aggregate(zip_with($u, $v, (x, y) -> cast(x as double) * cast(y as double)),
+       |  cast(0.0 as double), (acc, x) -> acc + x) /
+       |(sqrt(aggregate($u, cast(0.0 as double),
+       |  (acc, x) -> acc + cast(x as double) * cast(x as double))) *
+       | sqrt(aggregate($v, cast(0.0 as double),
+       |  (acc, x) -> acc + cast(x as double) * cast(x as double))))""".stripMargin
+
+  private val cosSql = cosPair("a.e", "b.e")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Per-label embedding centroid through the typed Aggregator (the
@@ -166,6 +174,71 @@ object SimilarityExtras {
         .orderBy("vec_id1", "vec_id2")
     }),
 
+    // Batch ANN: exact top-5 neighbors for EVERY probe in a small probe
+    // set, in one pass over the corpus. The probe set broadcasts (the
+    // big side never shuffles for the scoring), and top-k is TWO-phase:
+    // a partial top-5 within (probe, salt-of-candidate) bounds per-task
+    // state, then the exact top-5 per probe ranks only ≤ 5×16 survivors
+    // — partitioning the final window by probe alone would funnel the
+    // whole corpus through |probes| partitions at 100 TB.
+    "q_sim_ann_batch" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding").as("e"))
+      val probes = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("probe_id"), col("e").as("p"))
+      val partial = Window
+        .partitionBy(col("probe_id"), pmod(col("vec_id"), lit(16)))
+        .orderBy(col("sim_raw").desc, col("vec_id"))
+      val exact = Window.partitionBy(col("probe_id"))
+        .orderBy(col("sim_raw").desc, col("vec_id"))
+      emb.filter(col("vec_id") >= 8)
+        .crossJoin(broadcast(probes))
+        .select(col("probe_id"), col("vec_id"),
+          expr(cosPair("e", "p")).as("sim_raw"))
+        .withColumn("rn1", row_number().over(partial)).filter(col("rn1") <= 5)
+        .withColumn("rn", row_number().over(exact)).filter(col("rn") <= 5)
+        .select(col("probe_id"), col("vec_id"),
+          round(col("sim_raw"), 4).as("sim"))
+        .orderBy(col("probe_id"), col("sim").desc, col("vec_id"))
+    }),
+
+    // Banded (b×r = 4×6) hyperplane LSH near-dup: OR-of-ANDs recall —
+    // a pair is a candidate if it agrees on ALL 6 bits of ANY band,
+    // where the single-signature q_dedup_embed needs all nbits. Same
+    // shape as the MinHash banding path: the 24-bit signature is
+    // computed once behind an exchange (native expression, one JVM
+    // loop), bands are substrings of it, pair enumeration stays within
+    // (band, bucket), and the verify cosine re-joins vectors by id so
+    // the band shuffle moves only (id, 6-char bucket) pairs.
+    "q_dedup_embed_banded" -> ((s, d) => {
+      graft.plans.HyperplaneSignature.register(s)
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").as("e"))
+        .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+        .withColumn("s24", expr("hyperplane_sig(e, 24)"))
+        .transform(graft.Materialize.checkpoint)
+      val bands = emb
+        .select(col("vec_id"),
+          explode(sequence(lit(0), lit(3))).as("band_id"), col("s24"))
+        .select(col("vec_id"), col("band_id"),
+          expr("substring(s24, band_id * 6 + 1, 6)").as("bk"))
+      val cand = bands.as("a")
+        .join(bands.as("b"),
+          col("a.band_id") === col("b.band_id") && col("a.bk") === col("b.bk") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_id1"), col("b.vec_id").as("vec_id2"))
+        .distinct()
+      cand
+        .join(emb.select(col("vec_id").as("vec_id1"), col("e").as("ea")), "vec_id1")
+        .join(emb.select(col("vec_id").as("vec_id2"), col("e").as("eb")), "vec_id2")
+        .select(col("vec_id1"), col("vec_id2"),
+          expr(cosPair("ea", "eb")).as("sim_raw"))
+        .filter(col("sim_raw") >= 0.4)
+        .select(col("vec_id1"), col("vec_id2"),
+          round(col("sim_raw"), 4).as("sim"))
+        .orderBy("vec_id1", "vec_id2")
+    }),
+
     // Top-20 most-similar pairs among LSH-bucket candidates.
     "q_sim_lsh" -> ((s, d) => {
       graft.plans.HyperplaneSignature.register(s)
@@ -184,7 +257,53 @@ object SimilarityExtras {
     })
   )
 
+  /** DuckDB twin of [[cosPair]] (list_sum sums left-to-right, matching
+    * the HOF accumulate order — the parity q_sim_cosine established).
+    */
+  private def cosPairDuck(u: String, v: String) =
+    s"""list_sum(list_transform(range(1,65), i -> CAST($u[i] AS DOUBLE)*CAST($v[i] AS DOUBLE))) /
+       |(sqrt(list_sum(list_transform($u, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) *
+       | sqrt(list_sum(list_transform($v, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))))""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q_sim_ann_batch" ->
+      s"""WITH probes AS (
+         |  SELECT vec_id AS probe_id, embedding AS p FROM embeddings WHERE vec_id < 8),
+         |scored AS (
+         |  SELECT probe_id, b.vec_id,
+         |    ${cosPairDuck("b.embedding", "p")} AS sim_raw
+         |  FROM embeddings b, probes WHERE b.vec_id >= 8),
+         |top AS (
+         |  SELECT probe_id, vec_id, sim_raw,
+         |    ROW_NUMBER() OVER (PARTITION BY probe_id
+         |                       ORDER BY sim_raw DESC, vec_id) AS rn
+         |  FROM scored)
+         |SELECT probe_id, vec_id, ROUND(sim_raw, 4) AS sim
+         |FROM top WHERE rn <= 5 ORDER BY probe_id, sim DESC, vec_id""".stripMargin,
+
+    "q_dedup_embed_banded" ->
+      s"""WITH sig AS (
+         |  SELECT vec_id, embedding AS e,
+         |    array_to_string(list_transform(range(0, 24), j ->
+         |      CASE WHEN list_sum(list_transform(range(0,64),
+         |        i -> CAST(e[i+1] AS DOUBLE) * $planeSqlDuck)) >= 0
+         |      THEN '1' ELSE '0' END), '') AS s24
+         |  FROM embeddings),
+         |bands AS (
+         |  SELECT vec_id, k AS band_id, substr(s24, CAST(k*6+1 AS INT), 6) AS bk
+         |  FROM sig, unnest(range(0, 4)) AS t(k)),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS vec_id1, b.vec_id AS vec_id2
+         |  FROM bands a JOIN bands b
+         |    ON a.band_id = b.band_id AND a.bk = b.bk AND a.vec_id < b.vec_id),
+         |pairs AS (
+         |  SELECT vec_id1, vec_id2,
+         |    ${cosPairDuck("x.embedding", "y.embedding")} AS sim
+         |  FROM cand JOIN embeddings x ON x.vec_id = vec_id1
+         |            JOIN embeddings y ON y.vec_id = vec_id2)
+         |SELECT vec_id1, vec_id2, ROUND(sim, 4) AS sim
+         |FROM pairs WHERE sim >= 0.4 ORDER BY vec_id1, vec_id2""".stripMargin,
+
     "q_agg_centroid" ->
       """SELECT CAST(label AS BIGINT) AS label, CAST(i AS BIGINT) AS pos,
         |  ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 4) AS mean_v

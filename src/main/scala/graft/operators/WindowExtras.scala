@@ -84,6 +84,43 @@ object WindowExtras {
           col("n"), col("sum_qty_c"))
         .orderBy("rf", "ls")),
 
+    // Irregular grouping sets — combinations neither cube nor rollup
+    // can express ((flag,status), (status), ()). One expanded hash
+    // aggregate, same single-shuffle shape as cube/rollup; gid
+    // disambiguates which set a row belongs to (a '(all)' label alone
+    // cannot, once real data could contain the sentinel).
+    "q_grouping_sets" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_linestatus")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(sumCents(col("l_quantity")).as("sum_qty_c"),
+          count(lit(1)).as("n"),
+          (grouping(col("l_returnflag")) * 2 + grouping(col("l_linestatus")))
+            .cast("long").as("gid"))
+        .select(
+          coalesce(col("l_returnflag"), lit("(all)")).as("flag"),
+          coalesce(col("l_linestatus"), lit("(all)")).as("status"),
+          col("gid"), col("sum_qty_c"), col("n"))
+        .orderBy("gid", "flag", "status")),
+
+    // RANGE window frame: per-customer rolling 7-day order total. The
+    // frame bound is on the VALUE of the order column (epoch µs), not a
+    // row count — each customer's orders sort once and the frame slides
+    // by time; cents keep the running sum exact in both engines.
+    "q_window_range_frame" -> ((s, d) =>
+      Tables.orders(s, d)
+        // o_orderdate arrives TIMESTAMP_NTZ; session TZ is pinned UTC,
+        // so the cast-to-TIMESTAMP epoch equals DuckDB's epoch_us
+        .withColumn("t", unix_micros(col("o_orderdate").cast("timestamp")))
+        .withColumn("roll_c",
+          sum(cents(col("o_totalprice"))).over(
+            Window.partitionBy("o_custkey").orderBy("t")
+              .rangeBetween(-604800000000L, Window.currentRow)))
+        .select(col("o_orderkey"), col("o_custkey"), col("roll_c"))
+        .orderBy("o_orderkey")),
+
     // Set intersection: high-value buyers who are also error users.
     "q_intersect" -> ((s, d) =>
       buyers(s, d).intersect(errUsers(s, d)).orderBy("uid")),
@@ -130,6 +167,21 @@ object WindowExtras {
          |  ${sqlSumCents("l_quantity")} AS sum_qty_c
          |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
          |ORDER BY rf, ls""".stripMargin,
+    "q_grouping_sets" ->
+      s"""SELECT COALESCE(l_returnflag, '(all)') AS flag,
+         |  COALESCE(l_linestatus, '(all)') AS status,
+         |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+         |  ${sqlSumCents("l_quantity")} AS sum_qty_c,
+         |  CAST(COUNT(*) AS BIGINT) AS n
+         |FROM lineitem
+         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+         |ORDER BY gid, flag, status""".stripMargin,
+    "q_window_range_frame" ->
+      s"""SELECT o_orderkey, o_custkey,
+         |  CAST(SUM(${sqlCents("o_totalprice")}) OVER
+         |    (PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate)
+         |     RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW) AS BIGINT) AS roll_c
+         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q_intersect" ->
       """SELECT o_custkey AS uid FROM orders WHERE o_totalprice > 400000
         |INTERSECT

@@ -73,7 +73,13 @@ class ContractSpec extends AnyFunSuite {
     "q_source_jsonl_stats" -> 20L,
     "q_multimodal_resize" -> 100L,
     "q_multimodal_features" -> 3L,
-    "q_source_kv_roundtrip" -> 31L
+    "q_source_kv_roundtrip" -> 31L,
+    "q_join_asof" -> 188L,
+    "q_join_range" -> 98L,
+    "q_grouping_sets" -> 9L,
+    "q_window_range_frame" -> 1500L,
+    "q_sim_ann_batch" -> 40L,
+    "q_dedup_embed_banded" -> 24L
   )
 
   test("every contract query has oracle SQL and vice versa") {
