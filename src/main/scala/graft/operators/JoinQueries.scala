@@ -97,10 +97,14 @@ object JoinQueries {
         .orderBy(col("t"), col("k"), coalesce(col("err_id"), col("pid")))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       errors.unionAll(purchases)
-        .withColumn("err_event_id",
-          last(col("err_id"), ignoreNulls = true).over(carry))
-        .withColumn("err_t",
-          last(when(col("k") === 0, col("t")), ignoreNulls = true).over(carry))
+        // both carries in ONE projection so they land in a single
+        // Window node over one sort — split withColumns planned as two
+        // Window operators with a redundant re-sort between them
+        .select(col("user_id"), col("t"), col("k"), col("pid"),
+          last(col("err_id"), ignoreNulls = true).over(carry)
+            .as("err_event_id"),
+          last(when(col("k") === 0, col("t")), ignoreNulls = true).over(carry)
+            .as("err_t"))
         .filter(col("k") === 1 && col("err_event_id").isNotNull)
         .select(col("pid").as("event_id"), col("user_id"),
           col("err_event_id"), (col("t") - col("err_t")).as("gap_us"))

@@ -54,4 +54,19 @@ class ExtensionGoldenSpec extends AnyFunSuite {
     assert(head2("q_pipeline_chain") ===
       Seq(Seq("de", 58L, 3783L), Seq("en", 149L, 9509L)))
   }
+
+  test("q_grouping_sets head rows") {
+    assert(head2("q_grouping_sets") ===
+      Seq(Seq("A", "F", 0L, 2485100L, 977L), Seq("A", "O", 0L, 2449000L, 985L)))
+  }
+
+  test("q_window_range_frame head rows") {
+    assert(head2("q_window_range_frame") ===
+      Seq(Seq(0L, 85L, 14444904L), Seq(1L, 134L, 47969194L)))
+  }
+
+  test("q_dedup_embed_banded top pairs") {
+    assert(head2("q_dedup_embed_banded") ===
+      Seq(Seq(16L, 337L, 0.4316), Seq(23L, 392L, 0.4355)))
+  }
 }
