@@ -76,6 +76,30 @@ object StreamingWindows {
       .withWatermark("ts", "1 hour")
       .dropDuplicates("event_id")
 
+  /** Watermarked stream-stream interval join — the streaming twin of
+    * the batch temporal-join class (q_join_range / q_join_asof):
+    * purchases matched to same-user errors at most one hour earlier.
+    * The watermark plus the two-sided time bound lets Spark evict both
+    * sides' join state once the watermark passes `err_ts + 1 h`, so an
+    * unbounded stream holds bounded state — the property the batch
+    * bucketing trick provides at rest, provided here in motion. Works
+    * identically on batch DataFrames (plain ranged join).
+    */
+  def errorPurchaseJoin(errors: DataFrame, purchases: DataFrame): DataFrame = {
+    val e = errors.select(col("event_id").as("err_id"),
+        col("user_id").as("err_user"), col("ts").as("err_ts"))
+      .withWatermark("err_ts", "1 hour")
+    val p = purchases.select(col("event_id").as("p_id"),
+        col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    e.join(p,
+        col("err_user") === col("p_user") &&
+          col("p_ts") >= col("err_ts") &&
+          col("p_ts") <= col("err_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("err_id"), col("p_id"), col("err_user").as("user_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("err_ts"))).as("gap_us"))
+  }
+
   /** One closed session: user, session ordinal, event count. */
   final case class SessionOut(user_id: Long, session_id: Long, n_events: Long)
 

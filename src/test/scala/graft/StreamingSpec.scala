@@ -156,4 +156,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
     assert(streamed === batch)
   }
+
+  test("errorPurchaseJoin: stream-stream interval join equals batch join") {
+    // one staged dir, two filtered views of the same file stream — a
+    // watermarked stream-stream self-join (inner joins emit matches as
+    // they arrive; the watermark only bounds state)
+    val src = StreamingWindows.eventsStream(
+      spark, stagedDir, s"$sf0001/events.parquet")
+    val q = StreamingWindows.errorPurchaseJoin(
+        src.filter(col("event_type") === "error"),
+        src.filter(col("event_type") === "purchase"))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("stream_interval_join")
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+
+    val streamed = spark.table("stream_interval_join")
+      .orderBy("err_id", "p_id").collect().toSeq.map(_.toString)
+    val ev = Tables.events(spark, sf0001)
+    val batch = StreamingWindows.errorPurchaseJoin(
+        ev.filter(col("event_type") === "error"),
+        ev.filter(col("event_type") === "purchase"))
+      .orderBy("err_id", "p_id").collect().toSeq.map(_.toString)
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+  }
 }
