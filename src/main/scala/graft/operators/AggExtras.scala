@@ -80,7 +80,60 @@ object AggExtras {
         .groupBy("r_name")
         .agg(array_join(array_sort(collect_list(col("n_name"))), ",")
           .as("nations"))
-        .orderBy("r_name"))
+        .orderBy("r_name")),
+
+    // Pearson correlation per group through EXACT integer sufficient
+    // statistics: builtin corr() accumulates doubles in partition order
+    // (not reproducible across engines or partitionings), so instead
+    // one hash aggregate collects n/Σx/Σy/Σx²/Σy²/Σxy over integer
+    // cents — squares in DECIMAL(38,0) (Σ(price_c²) ≈ 2·10¹⁹ at sf0.1
+    // overflows int64; DuckDB sums the same values in HUGEINT) — and
+    // the closed-form finish runs on doubles converted from identical
+    // integers, so the result is bit-stable everywhere.
+    "q_stats_corr" -> ((s, d) => {
+      val qd = cents(col("l_quantity")).cast("decimal(19,0)")
+      val pd = cents(col("l_extendedprice")).cast("decimal(19,0)")
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag").as("flag"))
+        .agg(count(lit(1)).as("n"),
+          sumCents(col("l_quantity")).as("sx"),
+          sumCents(col("l_extendedprice")).as("sy"),
+          sum(qd * qd).as("sxx"), sum(pd * pd).as("syy"),
+          sum(qd * pd).as("sxy"))
+        .select(col("flag"), col("n"),
+          round(
+            (col("n").cast("double") * col("sxy").cast("double") -
+              col("sx").cast("double") * col("sy").cast("double")) /
+              (sqrt(col("n").cast("double") * col("sxx").cast("double") -
+                col("sx").cast("double") * col("sx").cast("double")) *
+                sqrt(col("n").cast("double") * col("syy").cast("double") -
+                  col("sy").cast("double") * col("sy").cast("double"))), 6)
+            .as("corr"))
+        .orderBy("flag")
+    }),
+
+    // Gap-filled time series: per-priority DAILY order counts over a
+    // dense date spine (min..max order day), absent days as explicit
+    // zeros. The spine derives from a 1-row broadcast bounds aggregate
+    // crossed with the distinct priorities — O(groups × days) rows, a
+    // rounding error next to the fact table — and the counts are one
+    // ordinary hash aggregate; the left join fills the gaps.
+    "q_timeseries_fill" -> ((s, d) => {
+      val ord = Tables.orders(s, d)
+        .select(col("o_orderpriority").as("prio"),
+          to_date(date_trunc("DAY", col("o_orderdate"))).as("day"))
+      val bounds = ord.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      val spine = ord.select("prio").distinct()
+        .crossJoin(broadcast(bounds))
+        .select(col("prio"),
+          explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      val actual = ord.groupBy("prio", "day").agg(count(lit(1)).as("n"))
+      spine.join(actual, Seq("prio", "day"), "left")
+        .select(col("prio"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"),
+          coalesce(col("n"), lit(0L)).as("n"))
+        .orderBy("prio", "day")
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -115,6 +168,51 @@ object AggExtras {
     "q_stringagg" ->
       """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
         |FROM nation JOIN region ON n_regionkey = r_regionkey
-        |GROUP BY r_name ORDER BY r_name""".stripMargin
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    // exact integer sufficient stats (squares summed in HUGEINT — the
+    // twin of Spark's DECIMAL(38,0)), double finish from identical ints
+    "q_stats_corr" ->
+      s"""WITH st AS (
+         |  SELECT l_returnflag AS flag,
+         |    CAST(COUNT(*) AS BIGINT) AS n,
+         |    ${sqlSumCents("l_quantity")} AS sx,
+         |    ${sqlSumCents("l_extendedprice")} AS sy,
+         |    SUM(CAST(${sqlCents("l_quantity")} AS HUGEINT)
+         |      * CAST(${sqlCents("l_quantity")} AS HUGEINT)) AS sxx,
+         |    SUM(CAST(${sqlCents("l_extendedprice")} AS HUGEINT)
+         |      * CAST(${sqlCents("l_extendedprice")} AS HUGEINT)) AS syy,
+         |    SUM(CAST(${sqlCents("l_quantity")} AS HUGEINT)
+         |      * CAST(${sqlCents("l_extendedprice")} AS HUGEINT)) AS sxy
+         |  FROM lineitem GROUP BY l_returnflag)
+         |SELECT flag, n,
+         |  ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+         |          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+         |        (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+         |         sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+         |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS corr
+         |FROM st ORDER BY flag""".stripMargin,
+    "q_timeseries_fill" ->
+      """WITH bounds AS (
+        |  SELECT CAST(MIN(date_trunc('day', o_orderdate)) AS DATE) AS d0,
+        |         CAST(MAX(date_trunc('day', o_orderdate)) AS DATE) AS d1
+        |  FROM orders),
+        |spine AS (
+        |  -- range() takes only constants; 5000 days comfortably covers
+        |  -- the fixed 1995-2001 order-date span, the filter trims it
+        |  SELECT p.prio AS s_prio, b.d0 + CAST(t.i AS INT) AS s_day
+        |  FROM (SELECT DISTINCT o_orderpriority AS prio FROM orders) p,
+        |       bounds b, range(0, 5000) t(i)
+        |  WHERE t.i <= datediff('day', b.d0, b.d1)),
+        |actual AS (
+        |  SELECT o_orderpriority AS prio,
+        |         CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+        |         CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT s_prio AS prio, strftime(s_day, '%Y-%m-%d') AS day,
+        |       COALESCE(actual.n, 0) AS n
+        |FROM spine LEFT JOIN actual
+        |  ON s_prio = actual.prio AND s_day = actual.day
+        |ORDER BY prio, day""".stripMargin
   )
 }

@@ -79,7 +79,9 @@ class ContractSpec extends AnyFunSuite {
     "q_grouping_sets" -> 9L,
     "q_window_range_frame" -> 1500L,
     "q_sim_ann_batch" -> 40L,
-    "q_dedup_embed_banded" -> 24L
+    "q_dedup_embed_banded" -> 24L,
+    "q_stats_corr" -> 3L,
+    "q_timeseries_fill" -> 12025L
   )
 
   test("every contract query has oracle SQL and vice versa") {

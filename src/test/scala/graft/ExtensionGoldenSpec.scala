@@ -69,4 +69,9 @@ class ExtensionGoldenSpec extends AnyFunSuite {
     assert(head2("q_dedup_embed_banded") ===
       Seq(Seq(16L, 337L, 0.4316), Seq(23L, 392L, 0.4355)))
   }
+
+  test("q_stats_corr values (exact sufficient-statistics finish)") {
+    assert(head2("q_stats_corr") ===
+      Seq(Seq("A", 1962L, -0.020151), Seq("N", 2070L, -0.010389)))
+  }
 }
