@@ -58,6 +58,31 @@ object SimilarityExtras {
     else if (n <= 67108864L) 22
     else 24
 
+  /** Band width (bits per band) for the banded (4×r) LSH path —
+    * [[signatureBits]]'s ladder shifted down 2 (4 bands ⇒ the same
+    * total bucket count at the same n) and capped at 14 so the full
+    * 4×r signature stays within the 62 sign-distinct planes the
+    * mod-7/mod-11 families supply (and hyperplane_sig's 64-bit limit).
+    * A FIXED band width would let expected band-bucket size grow
+    * linearly with n — the same scale-killer the single-signature
+    * ladder fixed in round 3. Beyond the cap (n > 256k) recall/cost is
+    * tuned by band count or multi-probe, not wider bands.
+    */
+  private[graft] def bandBits(n: Long): Int =
+    if (n <= 4096L) 6
+    else if (n <= 16384L) 8
+    else if (n <= 65536L) 10
+    else if (n <= 262144L) 12
+    else 14
+
+  /** DuckDB twin of [[bandBits]]. */
+  private val bandBitsSql =
+    """CASE WHEN COUNT(*) <= 4096 THEN 6
+      |     WHEN COUNT(*) <= 16384 THEN 8
+      |     WHEN COUNT(*) <= 65536 THEN 10
+      |     WHEN COUNT(*) <= 262144 THEN 12
+      |     ELSE 14 END""".stripMargin
+
   /** The oracle's integer-ladder twin of [[signatureBits]] (DuckDB). */
   private val signatureBitsSql =
     """CASE WHEN COUNT(*) <= 4096 THEN 8
@@ -202,26 +227,29 @@ object SimilarityExtras {
         .orderBy(col("probe_id"), col("sim").desc, col("vec_id"))
     }),
 
-    // Banded (b×r = 4×6) hyperplane LSH near-dup: OR-of-ANDs recall —
-    // a pair is a candidate if it agrees on ALL 6 bits of ANY band,
-    // where the single-signature q_dedup_embed needs all nbits. Same
-    // shape as the MinHash banding path: the 24-bit signature is
-    // computed once behind an exchange (native expression, one JVM
-    // loop), bands are substrings of it, pair enumeration stays within
-    // (band, bucket), and the verify cosine re-joins vectors by id so
-    // the band shuffle moves only (id, 6-char bucket) pairs.
+    // Banded (b×r = 4 bands × bandBits) hyperplane LSH near-dup:
+    // OR-of-ANDs recall — a pair is a candidate if it agrees on ALL r
+    // bits of ANY band, where the single-signature q_dedup_embed needs
+    // all nbits; the band width scales with corpus size (bandBits) so
+    // expected band-bucket size stays bounded as n grows. Same shape
+    // as the MinHash banding path: the 4×r-bit signature is computed
+    // once behind an exchange (native expression, one JVM loop), bands
+    // are substrings of it, pair enumeration stays within (band,
+    // bucket), and the verify cosine re-joins vectors by id so the
+    // band shuffle moves only (id, r-char bucket) pairs.
     "q_dedup_embed_banded" -> ((s, d) => {
       graft.plans.HyperplaneSignature.register(s)
+      val bb = bandBits(Tables.embeddings(s, d).count())
       val emb = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding").as("e"))
         .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
-        .withColumn("s24", expr("hyperplane_sig(e, 24)"))
+        .withColumn("sig", expr(s"hyperplane_sig(e, ${4 * bb})"))
         .transform(graft.Materialize.checkpoint)
       val bands = emb
         .select(col("vec_id"),
-          explode(sequence(lit(0), lit(3))).as("band_id"), col("s24"))
+          explode(sequence(lit(0), lit(3))).as("band_id"), col("sig"))
         .select(col("vec_id"), col("band_id"),
-          expr("substring(s24, band_id * 6 + 1, 6)").as("bk"))
+          expr(s"substring(sig, band_id * $bb + 1, $bb)").as("bk"))
       val cand = bands.as("a")
         .join(bands.as("b"),
           col("a.band_id") === col("b.band_id") && col("a.bk") === col("b.bk") &&
@@ -282,15 +310,19 @@ object SimilarityExtras {
          |FROM top WHERE rn <= 5 ORDER BY probe_id, sim DESC, vec_id""".stripMargin,
 
     "q_dedup_embed_banded" ->
-      s"""WITH sig AS (
+      s"""WITH nb AS (
+         |  SELECT $bandBitsSql AS bb FROM embeddings),
+         |sig AS (
          |  SELECT vec_id, embedding AS e,
-         |    array_to_string(list_transform(range(0, 24), j ->
+         |    array_to_string(list_transform(range(0, 4 * (SELECT bb FROM nb)), j ->
          |      CASE WHEN list_sum(list_transform(range(0,64),
          |        i -> CAST(e[i+1] AS DOUBLE) * $planeSqlDuck)) >= 0
          |      THEN '1' ELSE '0' END), '') AS s24
          |  FROM embeddings),
          |bands AS (
-         |  SELECT vec_id, k AS band_id, substr(s24, CAST(k*6+1 AS INT), 6) AS bk
+         |  SELECT vec_id, k AS band_id,
+         |    substr(s24, CAST(k * (SELECT bb FROM nb) + 1 AS INT),
+         |           (SELECT bb FROM nb)) AS bk
          |  FROM sig, unnest(range(0, 4)) AS t(k)),
          |cand AS (
          |  SELECT DISTINCT a.vec_id AS vec_id1, b.vec_id AS vec_id2

@@ -84,6 +84,30 @@ class LshScalingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(scaled <= 512L, s"max bucket $scaled exceeds bound")
   }
 
+  private def maxBandBucket(bb: Int): Long =
+    replicated10x
+      .withColumn("sig", expr(SimilarityExtras.bucketSql(4 * bb)))
+      .select(explode(sequence(lit(0), lit(3))).as("band_id"), col("sig"))
+      .select(col("band_id"),
+        expr(s"substring(sig, band_id * $bb + 1, $bb)").as("bk"))
+      .groupBy("band_id", "bk").count()
+      .agg(max("count")).head().getLong(0)
+
+  test("band width scales with corpus and splits band buckets") {
+    // contract SFs stay at 6 bits (frozen output)...
+    assert(SimilarityExtras.bandBits(500L) === 6)
+    assert(SimilarityExtras.bandBits(2000L) === 6)
+    // ...and the stress corpus widens — a FIXED band width would let
+    // band-bucket size (and the within-bucket pair product) grow
+    // linearly with n
+    val bb = SimilarityExtras.bandBits(replicated10x.count())
+    assert(bb === 10) // 20k rows: two ladder steps above the contract SFs
+    val fixed = maxBandBucket(6)
+    val scaled = maxBandBucket(bb)
+    assert(scaled < fixed,
+      s"widening bands 6→$bb bits did not split band buckets ($fixed → $scaled)")
+  }
+
   test("no hyperplane equals ± any other across the full 24-plane family") {
     // v and -v define the SAME hyperplane (the sign bit just flips), so
     // a negated duplicate adds zero bucket discrimination — the r3
