@@ -91,7 +91,25 @@ object PipelineQueries {
           sum(col("n_chars")).as("sum_chars"),
           round(sum(col("n_chars")).cast(DoubleType) / count(lit(1)), 2)
             .as("avg_chars"))
-        .orderBy("lang"))
+        .orderBy("lang")),
+
+    // Deterministic train/val/test assignment by md5 bucket — the
+    // held-out-split primitive of a training-data pipeline. The split
+    // is a pure function of the stable doc_id (no RNG, no sampling
+    // nondeterminism), so it is reproducible across runs, engines, and
+    // partitionings, and any doc keeps its split as the corpus grows.
+    // Lexicographic thresholds on the hex digest give ~80/10/10
+    // ('cc'/256 ≈ .797, 'e6' ≈ .898). Single scan + one hash agg.
+    "q_sample_split" -> ((s, d) => {
+      val h = md5(col("doc_id").cast("string").cast("binary"))
+      Tables.documents(s, d)
+        .select(col("lang"), col("n_chars"),
+          when(h < "cc", "train").when(h < "e6", "val").otherwise("test")
+            .as("split"))
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy("lang", "split")
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -130,6 +148,16 @@ object PipelineQueries {
       """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
         |  ROUND(SUM(n_chars) * 1.0 / COUNT(*), 2) AS avg_chars
-        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_sample_split" ->
+      """WITH tagged AS (
+        |  SELECT lang, n_chars,
+        |    CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'cc' THEN 'train'
+        |         WHEN md5(CAST(doc_id AS VARCHAR)) < 'e6' THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT lang, split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM tagged GROUP BY lang, split ORDER BY lang, split""".stripMargin
   )
 }

@@ -81,7 +81,8 @@ class ContractSpec extends AnyFunSuite {
     "q_sim_ann_batch" -> 40L,
     "q_dedup_embed_banded" -> 24L,
     "q_stats_corr" -> 3L,
-    "q_timeseries_fill" -> 12025L
+    "q_timeseries_fill" -> 12025L,
+    "q_sample_split" -> 15L
   )
 
   test("every contract query has oracle SQL and vice versa") {
