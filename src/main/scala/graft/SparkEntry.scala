@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.functions.ScalarQueries
-import graft.operators.{AggExtras, DedupExtras, JoinQueries, MultimodalQueries, PipelineQueries, RelationalQueries, SimilarityExtras, SourceQueries, TextExtras, WindowExtras, WindowQueries}
+import graft.operators.{AggExtras, CorpusExtras, DedupExtras, JoinQueries, MultimodalQueries, PipelineQueries, RelationalQueries, SimilarityExtras, SourceQueries, TextExtras, WindowExtras, WindowQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (the operator
   * inventory) and §7 (build plan). Every t2 row of SURVEY.md §2 appears
@@ -40,7 +40,8 @@ object SparkEntry {
       MultimodalQueries.queries ++
       WindowExtras.queries ++
       AggExtras.queries ++
-      SourceQueries.queries
+      SourceQueries.queries ++
+      CorpusExtras.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -57,5 +58,6 @@ object SparkEntry {
       MultimodalQueries.oracle ++
       WindowExtras.oracle ++
       AggExtras.oracle ++
-      SourceQueries.oracle
+      SourceQueries.oracle ++
+      CorpusExtras.oracle
 }

@@ -1,0 +1,192 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+import graft.sources.Tables
+
+/** Corpus-level training-data-pipeline operators (SURVEY.md §2.12):
+  * vocabulary building, repetition-based quality scoring, deterministic
+  * stratified sampling, and benchmark-contamination checking over
+  * `documents`.
+  *
+  * These are the corpus-curation steps that sit between raw crawl and
+  * tokenizer in an LLM data pipeline; each is expressed as a declarative
+  * plan whose shuffles carry only small derived columns (tokens,
+  * digests, counts) — never document text — so every shape survives a
+  * 100 TB corpus.
+  */
+object CorpusExtras {
+
+  /** Deterministic md5 split tag shared with q_sample_split
+    * (PipelineQueries): a pure function of the stable doc_id, so the
+    * benchmark membership below is reproducible across engines/runs.
+    */
+  private def splitTag: Column = {
+    val h = md5(col("doc_id").cast("string").cast("binary"))
+    when(h < "cc", "train").when(h < "e6", "val").otherwise("test")
+  }
+
+  /** Min-sampled 4-gram digest — the same winnowing fingerprint as
+    * q_text_fingerprint (TextExtras); contamination below keys on it so
+    * near-identical docs collide even when not byte-identical.
+    */
+  private val fingerprintSql =
+    """array_min(transform(
+      |  sequence(1, greatest(size(toks) - 3, 1)),
+      |  i -> md5(cast(concat_ws(' ', slice(toks, i, 4)) as binary))))"""
+      .stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Vocabulary building: document frequency + total term frequency
+    // per token, min-df pruned, top-30. The df computation is the
+    // scalable two-level shape: first aggregate (token, doc_id) so the
+    // exploded token stream partial-aggregates map-side and df is then
+    // a count of already-distinct pairs — never a distinct over the
+    // raw token stream, never a collected posting list.
+    "q_text_vocab" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(expr("filter(split(text, ' '), t -> t <> '')")).as("token"))
+        .groupBy("token", "doc_id")
+        .agg(count(lit(1)).as("n"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("df"), sum(col("n")).as("tf"))
+        .filter(col("df") >= 5)
+        .orderBy(col("df").desc, col("tf").desc, col("token"))
+        .limit(30)),
+
+    // Repetition-based quality: fraction of duplicate token 3-grams —
+    // the "excessive repetition" filter of web-corpus curation. Gram
+    // totals and distinct counts are exact integers, so per-lang sums
+    // are engine-exact and the corpus ratio is one deterministic
+    // division; the per-doc flag compares integers (u < t), never
+    // floats. Single scan + one hash agg; only 3 ints shuffle per doc.
+    "q_text_repetition" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
+        // materialize `toks` behind the exchange: the per-position
+        // lambda below would otherwise re-split the text per 3-gram
+        // position — O(T²) char work per doc (same discipline as
+        // q_text_fingerprint); explicit count so AQE cannot coalesce
+        // the CPU-heavy stage.
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("lang"), expr(
+          """transform(sequence(1, greatest(size(toks) - 2, 1)),
+            |  i -> concat_ws(' ', slice(toks, i, 3)))""".stripMargin)
+          .as("grams"))
+        .select(col("lang"), size(col("grams")).as("t"),
+          size(array_distinct(col("grams"))).as("u"))
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("t")).as("sum_grams"),
+          sum(col("u")).as("sum_uniq"),
+          round(lit(1.0) - sum(col("u")).cast(DoubleType) / sum(col("t")), 4)
+            .as("corpus_rep"),
+          sum(when(col("u") < col("t"), 1L).otherwise(0L)).as("n_flagged"))
+        .orderBy("lang")),
+
+    // Deterministic stratified sample: exactly ceil(10%) of each lang
+    // stratum, chosen by md5-hash order — a reproducible per-stratum
+    // quota with no RNG. Exact quotas need a per-stratum rank, so this
+    // is the small-strata shape (languages, sources: bounded count,
+    // windows sort-spill if a stratum is huge); when strata are massive
+    // and ±ε is fine, the hash-threshold split (q_sample_split) does it
+    // with no window at all.
+    "q_sample_stratified" -> ((s, d) => {
+      val h = md5(col("doc_id").cast("string").cast("binary"))
+      val w = Window.partitionBy("lang").orderBy(h, col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("lang"), col("n_chars"), col("doc_id"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("cnt", count(lit(1)).over(Window.partitionBy("lang")))
+        .filter(expr("rn <= (cnt + 9) div 10"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_sampled"), sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_doc"))
+        .orderBy("lang")
+    }),
+
+    // Benchmark-contamination check: training docs whose winnowing
+    // fingerprint collides with any held-out (test-split) doc — the
+    // n-gram-overlap decontamination step run before training. The
+    // benchmark side reduces to DISTINCT fingerprints (small: the
+    // held-out set), broadcasts, and the training side left-joins it —
+    // at 100 TB the corpus never shuffles, only streams past the
+    // broadcast digest set. Fingerprints are computed once
+    // (Materialize.checkpoint) and feed both the benchmark and the
+    // probe side.
+    "q_dedup_contain" -> ((s, d) => {
+      val f = graft.Materialize.checkpoint(
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+          .select(col("lang"), expr(fingerprintSql).as("fp"), splitTag.as("split")))
+      val bench = f.filter(col("split") === "test")
+        .select(col("fp")).distinct().withColumn("hit", lit(1))
+      f.filter(col("split") === "train")
+        .join(broadcast(bench), Seq("fp"), "left_outer")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_train"),
+          count(col("hit")).as("n_contaminated"),
+          sum(when(col("hit").isNull, 1L).otherwise(0L)).as("n_clean"))
+        .orderBy("lang")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_text_vocab" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text,' '), t -> t <> '')) AS token
+        |  FROM documents),
+        |per_doc AS (
+        |  SELECT token, doc_id, COUNT(*) AS n FROM toks GROUP BY token, doc_id)
+        |SELECT token, CAST(COUNT(*) AS BIGINT) AS df, CAST(SUM(n) AS BIGINT) AS tf
+        |FROM per_doc GROUP BY token HAVING COUNT(*) >= 5
+        |ORDER BY df DESC, tf DESC, token LIMIT 30""".stripMargin,
+    "q_text_repetition" ->
+      """WITH g AS (
+        |  SELECT lang,
+        |    list_transform(range(1, greatest(len(string_split(text,' '))-1, 2)),
+        |      i -> array_to_string(string_split(text,' ')[i:i+2], ' ')) AS grams
+        |  FROM documents),
+        |d AS (
+        |  SELECT lang, len(grams) AS t, len(list_distinct(grams)) AS u FROM g)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(t) AS BIGINT) AS sum_grams,
+        |  CAST(SUM(u) AS BIGINT) AS sum_uniq,
+        |  ROUND(1.0 - CAST(SUM(u) AS DOUBLE) / SUM(t), 4) AS corpus_rep,
+        |  CAST(COUNT(*) FILTER (u < t) AS BIGINT) AS n_flagged
+        |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_sample_stratified" ->
+      """WITH ranked AS (
+        |  SELECT lang, n_chars, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY lang) AS cnt
+        |  FROM documents)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars, MIN(doc_id) AS min_doc
+        |FROM ranked WHERE rn <= (cnt + 9) // 10
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_dedup_contain" ->
+      """WITH f AS (
+        |  SELECT lang,
+        |    list_min(list_transform(range(1, greatest(len(string_split(text,' '))-2, 2)),
+        |      i -> md5(array_to_string(string_split(text,' ')[i:i+3], ' ')))) AS fp,
+        |    CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'cc' THEN 'train'
+        |         WHEN md5(CAST(doc_id AS VARCHAR)) < 'e6' THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents),
+        |bench AS (SELECT DISTINCT fp FROM f WHERE split = 'test')
+        |SELECT t.lang, CAST(COUNT(*) AS BIGINT) AS n_train,
+        |  CAST(COUNT(*) FILTER (b.fp IS NOT NULL) AS BIGINT) AS n_contaminated,
+        |  CAST(COUNT(*) FILTER (b.fp IS NULL) AS BIGINT) AS n_clean
+        |FROM f t LEFT JOIN bench b ON t.fp = b.fp
+        |WHERE t.split = 'train'
+        |GROUP BY t.lang ORDER BY t.lang""".stripMargin
+  )
+}

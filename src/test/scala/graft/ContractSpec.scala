@@ -82,7 +82,11 @@ class ContractSpec extends AnyFunSuite {
     "q_dedup_embed_banded" -> 24L,
     "q_stats_corr" -> 3L,
     "q_timeseries_fill" -> 12025L,
-    "q_sample_split" -> 15L
+    "q_sample_split" -> 15L,
+    "q_text_vocab" -> 30L,
+    "q_text_repetition" -> 5L,
+    "q_sample_stratified" -> 5L,
+    "q_dedup_contain" -> 5L
   )
 
   test("every contract query has oracle SQL and vice versa") {
