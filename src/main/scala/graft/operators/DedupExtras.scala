@@ -166,6 +166,53 @@ object DedupExtras {
         .orderBy("fp")
     }),
 
+    // Dup-GRAPH clustering: connected components over band-bucket
+    // co-membership (docs sharing ANY LSH band bucket are one near-dup
+    // cluster, transitively) — the step that turns pairwise candidates
+    // into dedup groups in a production pipeline. Computed as iterative
+    // hash-to-min label propagation on the BIPARTITE (doc, bucket)
+    // membership relation: each round a bucket takes the min label of
+    // its members and each doc takes the min label of its buckets, so
+    // a label never travels through an enumerated pair product — the
+    // shuffle carries only (id, bucket, label) triples, memberships
+    // are materialized once, and rounds are bounded by component
+    // diameter (monotone min ⇒ unique fixpoint, so the result is
+    // independent of partitioning and iteration interleaving). The
+    // only driver-side values are the per-round scalar convergence
+    // counts, never data. The oracle computes the same components by
+    // recursive-CTE transitive closure — tractable at oracle SF, while
+    // the propagation form is the one that survives 100 TB.
+    "q_dedup_cluster" -> ((s, d) => {
+      val m = graft.Materialize.checkpoint(
+        minhashBands(s, d)
+          .select(col("doc_id"),
+            concat_ws(":", col("band_id"), col("bk")).as("bucket")))
+      var labels = graft.Materialize.checkpoint(
+        m.select(col("doc_id")).distinct()
+          .select(col("doc_id"), col("doc_id").as("lab")))
+      var changed = 1L
+      var rounds = 0
+      while (changed > 0 && rounds < 20) {
+        val bmin = m.join(labels, "doc_id")
+          .groupBy("bucket").agg(min(col("lab")).as("bl"))
+        val nxt = graft.Materialize.checkpoint(
+          m.join(bmin, "bucket")
+            .groupBy("doc_id").agg(min(col("bl")).as("lab")))
+        // a doc is in every one of its buckets, so nxt.lab ≤ labels.lab
+        // pointwise: convergence is "no label strictly decreased"
+        changed = nxt.as("n")
+          .join(labels.select(col("doc_id"), col("lab").as("old")), "doc_id")
+          .filter(col("lab") < col("old")).count()
+        labels = nxt
+        rounds += 1
+      }
+      labels.groupBy("lab")
+        .agg(count(lit(1)).as("n_docs"))
+        .filter(col("n_docs") > 1)
+        .select(col("lab").as("cluster_id"), col("n_docs"))
+        .orderBy("cluster_id")
+    }),
+
     // Exact 3-shingle Jaccard, but only over blocking-key candidate
     // pairs (same (lang, first-3-token digest) as q_dedup_near) — the
     // verify step of a blocked near-dup pipeline.
@@ -242,6 +289,29 @@ object DedupExtras {
         |SELECT d.doc_id, d.lang FROM documents d
         |WHERE NOT EXISTS (SELECT 1 FROM dups u WHERE u.doc_id = d.doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+    "q_dedup_cluster" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, greatest(len(string_split(text,' '))-1, 2)),
+        |      i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) AS shingles
+        |  FROM documents),
+        |sig AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0,8), j -> list_min(list_transform(shingles, s -> md5(j || ':' || s)))) AS sg
+        |  FROM sh),
+        |bands AS (
+        |  SELECT doc_id, b AS band_id, md5(sg[2*b+1] || '|' || sg[2*b+2]) AS bk
+        |  FROM sig, unnest(range(0,4)) AS t(b)),
+        |edges AS (
+        |  SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+        |  FROM bands a JOIN bands b ON a.band_id=b.band_id AND a.bk=b.bk AND a.doc_id <> b.doc_id),
+        |reach AS (
+        |  SELECT doc_id AS doc, doc_id AS lab FROM documents
+        |  UNION
+        |  SELECT e.v AS doc, r.lab FROM reach r JOIN edges e ON e.u = r.doc),
+        |comp AS (SELECT doc, MIN(lab) AS cluster_id FROM reach GROUP BY doc)
+        |SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |FROM comp GROUP BY cluster_id HAVING COUNT(*) > 1 ORDER BY cluster_id""".stripMargin,
     "q_dedup_simhash" ->
       """WITH fp AS (
         |  SELECT doc_id,

@@ -86,7 +86,8 @@ class ContractSpec extends AnyFunSuite {
     "q_text_vocab" -> 30L,
     "q_text_repetition" -> 5L,
     "q_sample_stratified" -> 5L,
-    "q_dedup_contain" -> 5L
+    "q_dedup_contain" -> 5L,
+    "q_dedup_cluster" -> 23L
   )
 
   test("every contract query has oracle SQL and vice versa") {
