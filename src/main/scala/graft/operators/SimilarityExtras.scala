@@ -267,6 +267,63 @@ object SimilarityExtras {
         .orderBy("vec_id1", "vec_id2")
     }),
 
+    // IVF (inverted-file) ANN as a CONTRACT query: the corpus is
+    // clustered into cells around deterministic seed centroids
+    // (vec_ids 0–7 — no RNG, both engines derive identical cells),
+    // probes (vec_ids 8–15) search only their nprobe=2 closest cells.
+    // This is the scale path brute-force q_sim_ann_batch trades recall
+    // for: scoring touches |probed cells| ≈ nprobe/ncells of the
+    // corpus instead of all of it. Plan shape: centroids BROADCAST to
+    // the corpus scan (8-row build side), cell assignment partial-
+    // aggregates map-side (max-of-struct argmax — 8 scored rows fold
+    // to 1 before the exchange), the probe→cell map (16 rows, probe
+    // vector attached) broadcasts to the cell-clustered index so the
+    // corpus side never re-shuffles for the search, and top-5 is the
+    // same two-phase salted window as q_sim_ann_batch. Ties in both
+    // argmaxes break on cell asc; sim compares/rounds exactly as every
+    // other cosine query (UNROUNDED doubles, 4 dp at output).
+    "q_sim_ann_ivf" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").as("e"))
+      val cents = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cell"), col("e").as("ce"))
+      // index build: one map-side-combining shuffle clusters the
+      // corpus by cell (the IVF posting lists)
+      val assign = emb.filter(col("vec_id") >= 16)
+        .crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("cell"), col("e"),
+          expr(cosPair("e", "ce")).as("a_sim"))
+        .groupBy("vec_id")
+        .agg(max(struct(col("a_sim"), (-col("cell")).as("negcell"),
+          col("e").as("e"))).as("m"))
+        .select(col("vec_id"), (-col("m.negcell")).as("cell"), col("m.e").as("e"))
+      val pw = Window.partitionBy("probe_id")
+        .orderBy(col("p_sim").desc, col("cell"))
+      val pcells = emb.filter(col("vec_id").between(8, 15))
+        .select(col("vec_id").as("probe_id"), col("e").as("p"))
+        .crossJoin(broadcast(cents))
+        .select(col("probe_id"), col("cell"), col("p"),
+          expr(cosPair("p", "ce")).as("p_sim"))
+        .withColumn("rn", row_number().over(pw))
+        .filter(col("rn") <= 2)
+        .select(col("probe_id"), col("cell"), col("p"))
+      val partial = Window
+        .partitionBy(col("probe_id"), pmod(col("vec_id"), lit(16)))
+        .orderBy(col("sim_raw").desc, col("vec_id"))
+      val exact = Window.partitionBy(col("probe_id"))
+        .orderBy(col("sim_raw").desc, col("vec_id"))
+      assign
+        .join(broadcast(pcells), Seq("cell"))
+        .select(col("probe_id"), col("vec_id"),
+          expr(cosPair("e", "p")).as("sim_raw"))
+        .withColumn("rn1", row_number().over(partial)).filter(col("rn1") <= 5)
+        .withColumn("rn", row_number().over(exact)).filter(col("rn") <= 5)
+        .select(col("probe_id"), col("vec_id"),
+          round(col("sim_raw"), 4).as("sim"))
+        .orderBy(col("probe_id"), col("sim").desc, col("vec_id"))
+    }),
+
     // Top-20 most-similar pairs among LSH-bucket candidates.
     "q_sim_lsh" -> ((s, d) => {
       graft.plans.HyperplaneSignature.register(s)
@@ -301,6 +358,37 @@ object SimilarityExtras {
          |  SELECT probe_id, b.vec_id,
          |    ${cosPairDuck("b.embedding", "p")} AS sim_raw
          |  FROM embeddings b, probes WHERE b.vec_id >= 8),
+         |top AS (
+         |  SELECT probe_id, vec_id, sim_raw,
+         |    ROW_NUMBER() OVER (PARTITION BY probe_id
+         |                       ORDER BY sim_raw DESC, vec_id) AS rn
+         |  FROM scored)
+         |SELECT probe_id, vec_id, ROUND(sim_raw, 4) AS sim
+         |FROM top WHERE rn <= 5 ORDER BY probe_id, sim DESC, vec_id""".stripMargin,
+
+    "q_sim_ann_ivf" ->
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cell, embedding AS ce FROM embeddings WHERE vec_id < 8),
+         |corpus AS (
+         |  SELECT vec_id, embedding AS e FROM embeddings WHERE vec_id >= 16),
+         |probes AS (
+         |  SELECT vec_id AS probe_id, embedding AS p FROM embeddings
+         |  WHERE vec_id BETWEEN 8 AND 15),
+         |assign AS (
+         |  SELECT vec_id, cell, e FROM (
+         |    SELECT c.vec_id, t.cell, c.e,
+         |      ROW_NUMBER() OVER (PARTITION BY c.vec_id
+         |        ORDER BY ${cosPairDuck("c.e", "t.ce")} DESC, t.cell) AS rn
+         |    FROM corpus c CROSS JOIN cents t) WHERE rn = 1),
+         |pcells AS (
+         |  SELECT probe_id, cell, p FROM (
+         |    SELECT pr.probe_id, t.cell, pr.p,
+         |      ROW_NUMBER() OVER (PARTITION BY pr.probe_id
+         |        ORDER BY ${cosPairDuck("pr.p", "t.ce")} DESC, t.cell) AS rn
+         |    FROM probes pr CROSS JOIN cents t) WHERE rn <= 2),
+         |scored AS (
+         |  SELECT probe_id, a.vec_id, ${cosPairDuck("a.e", "pc.p")} AS sim_raw
+         |  FROM pcells pc JOIN assign a ON a.cell = pc.cell),
          |top AS (
          |  SELECT probe_id, vec_id, sim_raw,
          |    ROW_NUMBER() OVER (PARTITION BY probe_id

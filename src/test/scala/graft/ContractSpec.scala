@@ -87,7 +87,8 @@ class ContractSpec extends AnyFunSuite {
     "q_text_repetition" -> 5L,
     "q_sample_stratified" -> 5L,
     "q_dedup_contain" -> 5L,
-    "q_dedup_cluster" -> 23L
+    "q_dedup_cluster" -> 23L,
+    "q_sim_ann_ivf" -> 40L
   )
 
   test("every contract query has oracle SQL and vice versa") {
