@@ -71,6 +71,34 @@ object JoinQueries {
         .select("c_custkey", "c_name")
         .orderBy("c_custkey")),
 
+    // Full outer: per-(user, day) purchase counts ⟗ error counts —
+    // either side may be absent (0-filled). Both sides are AGGREGATED
+    // BEFORE the join, so the full-outer shuffle carries one count row
+    // per (user, day), never raw events; at 100 TB that is the
+    // difference between joining two compacted summaries and
+    // full-outer-joining the event log against itself.
+    "q_join_full" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      def daily(t: String, alias: String) =
+        ev.filter(col("event_type") === t)
+          .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as(alias))
+      val p = daily("purchase", "n_purch")
+      val e = daily("error", "n_err")
+        .select(col("user_id").as("e_user"), col("day").as("e_day"),
+          col("n_err"))
+      p.join(e,
+          col("user_id") === col("e_user") && col("day") === col("e_day"),
+          "full_outer")
+        .select(
+          coalesce(col("user_id"), col("e_user")).as("user_id"),
+          date_format(coalesce(col("day"), col("e_day")), "yyyy-MM-dd")
+            .as("day"),
+          coalesce(col("n_purch"), lit(0L)).as("n_purch"),
+          coalesce(col("n_err"), lit(0L)).as("n_err"))
+        .orderBy("user_id", "day")
+    }),
+
     // As-of join: each purchase event paired with the user's most
     // recent error event at or before it. Implemented as the
     // union-and-carry-forward formulation — both streams merge into one
@@ -145,6 +173,21 @@ object JoinQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_join_full" ->
+      """WITH p AS (
+        |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    COUNT(*) AS n_purch
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |e AS (
+        |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    COUNT(*) AS n_err
+        |  FROM events WHERE event_type = 'error' GROUP BY 1, 2)
+        |SELECT COALESCE(p.user_id, e.user_id) AS user_id,
+        |  strftime(COALESCE(p.day, e.day), '%Y-%m-%d') AS day,
+        |  CAST(COALESCE(n_purch, 0) AS BIGINT) AS n_purch,
+        |  CAST(COALESCE(n_err, 0) AS BIGINT) AS n_err
+        |FROM p FULL OUTER JOIN e ON p.user_id = e.user_id AND p.day = e.day
+        |ORDER BY user_id, day""".stripMargin,
     "q_join_inner" ->
       s"""SELECT o_orderkey, c_name, ${sqlCents("o_totalprice")} AS price_c
          |FROM orders JOIN customer ON o_custkey = c_custkey
