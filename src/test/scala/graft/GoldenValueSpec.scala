@@ -36,4 +36,59 @@ class GoldenValueSpec extends AnyFunSuite {
       .limit(2).collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(rows.toSeq === Seq((988L, 49970505L), (605L, 49969563L)))
   }
+
+  test("q_text_vocab top tokens by document frequency") {
+    val rows = SparkEntry.queries("q_text_vocab")(spark, sf0001)
+      .limit(3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq === Seq(
+      ("query", 415L, 934L), ("window", 407L, 976L), ("scan", 405L, 984L)))
+  }
+
+  test("q_text_repetition exact gram sums and flags") {
+    val rows = SparkEntry.queries("q_text_repetition")(spark, sf0001)
+      .limit(2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5)))
+    assert(rows.toSeq === Seq(
+      ("de", 71L, 3928L, 3920L, 0.002, 7L),
+      ("en", 193L, 9957L, 9946L, 0.0011, 11L)))
+  }
+
+  test("q_sample_stratified per-lang quotas") {
+    val rows = SparkEntry.queries("q_sample_stratified")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq === Seq(
+      ("de", 8L, 2315L, 36L), ("en", 20L, 6315L, 27L),
+      ("es", 8L, 2401L, 126L), ("fr", 9L, 3055L, 35L),
+      ("zh", 8L, 2487L, 63L)))
+  }
+
+  test("q_dedup_contain finds the planted en contamination") {
+    val rows = SparkEntry.queries("q_dedup_contain")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.find(_._1 == "en").get === (("en", 157L, 3L, 154L)))
+    assert(rows.map(_._3).sum === 3L)
+  }
+
+  test("q_dedup_cluster head components") {
+    val rows = try SparkEntry.queries("q_dedup_cluster")(spark, sf0001)
+      .limit(3).collect().map(r => (r.getLong(0), r.getLong(1)))
+    finally Materialize.releaseAll()
+    assert(rows.toSeq === Seq((0L, 3L), (5L, 2L), (8L, 4L)))
+  }
+
+  test("q_sim_ann_ivf head neighbors") {
+    val rows = SparkEntry.queries("q_sim_ann_ivf")(spark, sf0001)
+      .limit(2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.toSeq === Seq((8L, 20L, 0.3301), (8L, 385L, 0.3266)))
+  }
+
+  test("q_join_full zero-fills both outer sides") {
+    val rows = SparkEntry.queries("q_join_full")(spark, sf0001)
+      .limit(2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq === Seq((0L, "2024-01-01", 0L, 2L), (0L, "2024-01-03", 1L, 2L)))
+  }
 }
