@@ -110,6 +110,34 @@ object CorpusExtras {
         .orderBy("lang")
     }),
 
+    // Data-mixture materialization: per-source sampling rates turned
+    // into actual training rows — integer epochs (upsampling) emit
+    // floor(rate) copies, the fractional remainder is a deterministic
+    // per-doc hash inclusion (a'la the md5 split: no RNG, exact rate
+    // in expectation, stable across runs/engines). Rates 0.25/0.75/
+    // 1.5/2.25 cycle by source index. The explode emits (doc, epoch)
+    // PAIRS — document text is never replicated; at 100 TB the mix
+    // manifest is ids + epochs, and the text joins in exactly once at
+    // the consumer.
+    "q_sample_mixture" -> ((s, d) => {
+      val m = expr("cast(substring(source, 4) as int)") % 4
+      val h = md5(concat(col("doc_id").cast("string"), lit(":mix"))
+        .cast("binary"))
+      val base = when(m === 2, 1).when(m === 3, 2).otherwise(0)
+      val thr = when(m === 0, "40").when(m === 1, "c0")
+        .when(m === 2, "80").otherwise("40")
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          (base + when(h < thr, 1).otherwise(0)).as("n_copies"))
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          posexplode(expr("array_repeat(1, n_copies)")).as(Seq("epoch", "one")))
+        .groupBy("source")
+        .agg(countDistinct(col("doc_id")).as("n_docs_used"),
+          count(lit(1)).as("n_emitted"),
+          sum(col("n_chars")).as("sum_chars_emitted"))
+        .orderBy("source")
+    }),
+
     // Benchmark-contamination check: training docs whose winnowing
     // fingerprint collides with any held-out (test-split) doc — the
     // n-gram-overlap decontamination step run before training. The
@@ -172,6 +200,26 @@ object CorpusExtras {
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars, MIN(doc_id) AS min_doc
         |FROM ranked WHERE rn <= (cnt + 9) // 10
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_sample_mixture" ->
+      """WITH rated AS (
+        |  SELECT doc_id, source, n_chars,
+        |    CAST(substr(source, 4) AS INT) % 4 AS m,
+        |    md5(CAST(doc_id AS VARCHAR) || ':mix') AS h
+        |  FROM documents),
+        |copies AS (
+        |  SELECT doc_id, source, n_chars,
+        |    (CASE m WHEN 0 THEN 0 WHEN 1 THEN 0 WHEN 2 THEN 1 ELSE 2 END) +
+        |    (CASE WHEN h < (CASE m WHEN 0 THEN '40' WHEN 1 THEN 'c0'
+        |                           WHEN 2 THEN '80' ELSE '40' END)
+        |          THEN 1 ELSE 0 END) AS n_copies
+        |  FROM rated),
+        |emitted AS (
+        |  SELECT doc_id, source, n_chars, e AS epoch
+        |  FROM copies, unnest(range(0, n_copies)) AS t(e))
+        |SELECT source, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs_used,
+        |  CAST(COUNT(*) AS BIGINT) AS n_emitted,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars_emitted
+        |FROM emitted GROUP BY source ORDER BY source""".stripMargin,
     "q_dedup_contain" ->
       """WITH f AS (
         |  SELECT lang,

@@ -85,6 +85,15 @@ class GoldenValueSpec extends AnyFunSuite {
     assert(rows.toSeq === Seq((8L, 20L, 0.3301), (8L, 385L, 0.3266)))
   }
 
+  test("q_sample_mixture per-source rates materialize") {
+    val rows = SparkEntry.queries("q_sample_mixture")(spark, sf0001)
+      .limit(4).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq === Seq(
+      ("src0", 5L, 5L, 2011L), ("src1", 16L, 16L, 4868L),
+      ("src10", 25L, 34L, 10420L), ("src11", 25L, 58L, 17707L)))
+  }
+
   test("q_join_full zero-fills both outer sides") {
     val rows = SparkEntry.queries("q_join_full")(spark, sf0001)
       .limit(2).collect()
