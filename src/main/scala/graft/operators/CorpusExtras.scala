@@ -138,6 +138,32 @@ object CorpusExtras {
         .orderBy("source")
     }),
 
+    // Sequence packing: docs greedily packed into fixed-token-budget
+    // (512) bins per source shard — the batch-prep step that turns a
+    // ragged corpus into near-uniform training sequences. Deterministic
+    // shard-local order (md5 of doc_id — no RNG, reproducible across
+    // engines/partitionings), running token cumsum assigns each doc the
+    // bin its predecessor total falls in (integer div — exact in both
+    // engines). Packing is per-shard by construction, so the window
+    // parallelizes across sources and never needs a global sort; a
+    // shard larger than memory sort-spills.
+    "q_sample_pack" -> ((s, d) => {
+      val w = Window.partitionBy("source").orderBy(col("h"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          expr("size(filter(split(text, ' '), t -> t <> ''))").cast("long")
+            .as("n_toks"),
+          md5(concat(col("doc_id").cast("string"), lit(":pack"))
+            .cast("binary")).as("h"))
+        .withColumn("cum", sum(col("n_toks")).over(w))
+        .select(col("source"), expr("(cum - n_toks) div 512").as("bin"),
+          col("n_toks"))
+        .groupBy("source", "bin")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("sum_toks"))
+        .orderBy("source", "bin")
+    }),
+
     // Benchmark-contamination check: training docs whose winnowing
     // fingerprint collides with any held-out (test-split) doc — the
     // n-gram-overlap decontamination step run before training. The
@@ -220,6 +246,22 @@ object CorpusExtras {
         |  CAST(COUNT(*) AS BIGINT) AS n_emitted,
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars_emitted
         |FROM emitted GROUP BY source ORDER BY source""".stripMargin,
+    "q_sample_pack" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |    len(list_filter(string_split(text,' '), t -> t <> '')) AS n_toks,
+        |    md5(CAST(doc_id AS VARCHAR) || ':pack') AS h
+        |  FROM documents),
+        |packed AS (
+        |  SELECT doc_id, source, n_toks,
+        |    (SUM(n_toks) OVER (PARTITION BY source ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_toks) // 512
+        |      AS bin
+        |  FROM toks)
+        |SELECT source, CAST(bin AS BIGINT) AS bin,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_toks) AS BIGINT) AS sum_toks
+        |FROM packed GROUP BY source, bin ORDER BY source, bin""".stripMargin,
     "q_dedup_contain" ->
       """WITH f AS (
         |  SELECT lang,

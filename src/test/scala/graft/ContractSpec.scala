@@ -90,7 +90,8 @@ class ContractSpec extends AnyFunSuite {
     "q_dedup_cluster" -> 23L,
     "q_sim_ann_ivf" -> 40L,
     "q_join_full" -> 264L,
-    "q_sample_mixture" -> 20L
+    "q_sample_mixture" -> 20L,
+    "q_sample_pack" -> 61L
   )
 
   test("every contract query has oracle SQL and vice versa") {
