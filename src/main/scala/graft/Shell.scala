@@ -20,6 +20,12 @@ import graft.sources.Tables
   *   grep <table> '<regex>'               count of matching rows
   *   join <t1> <t2> <k1> <k2>             inner equi-join t1.k1 = t2.k2
   *   wordcount <table> <column>           token counts, descending
+  *   dedup <table> <column>               keep lowest-first-column row
+  *                                        per distinct md5(<column>)
+  *   split <table> <idcol>                deterministic md5 train/val/
+  *                                        test tag counts (~80/10/10)
+  *   contract <query_name>                run any SparkEntry contract
+  *                                        query by name
   *
   * Usage: runMain graft.Shell "filter events '^(sign|purch)'"
   * (data dir from SPARK_GRAFT_SF_DIR, default /root/testdata/sf0.001)
@@ -87,6 +93,29 @@ object Shell {
           .groupBy("word")
           .agg(count(lit(1)).as("cnt"))
           .orderBy(col("cnt").desc, col("word"))
+      // exact dedup on a column digest: one hash aggregate (the
+      // q_dedup_exact shape) — the survivor is the row whose leading
+      // column is minimal, deterministically
+      case List("dedup", table, column) =>
+        val df = load(s, dir, table)
+        df.select(md5(col(column).cast("string").cast("binary")).as("h"),
+            struct(df.columns.map(col).toSeq: _*).as("row"))
+          .groupBy("h")
+          .agg(min(col("row")).as("keep"), count(lit(1)).as("n_dups"))
+          .select((col("keep.*") +: Seq(col("n_dups"))): _*)
+          .orderBy(df.columns.map(col).toSeq: _*)
+      case List("split", table, idcol) =>
+        val h = md5(col(idcol).cast("string").cast("binary"))
+        load(s, dir, table)
+          .select(when(h < "cc", "train").when(h < "e6", "val")
+            .otherwise("test").as("split"))
+          .groupBy("split")
+          .agg(count(lit(1)).as("n_rows"))
+          .orderBy("split")
+      case List("contract", name) =>
+        SparkEntry.queries.getOrElse(name,
+          throw new IllegalArgumentException(
+            s"unknown contract query: $name"))(s, dir)
       case other =>
         throw new IllegalArgumentException(
           s"unrecognized command: ${other.mkString(" ")} (see Shell scaladoc)")

@@ -61,6 +61,34 @@ class ShellSpec extends AnyFunSuite {
     assert(n === expected)
   }
 
+  test("dedup command keeps one row per content digest") {
+    val out = Shell.run(spark, sf0001, "dedup documents text")
+    // sf0.001 documents are all content-distinct (q_dedup_exact golden)
+    assert(out.count() === 500L)
+    assert(out.filter(col("n_dups") =!= 1).count() === 0L)
+    assert(out.columns.toSeq ===
+      Seq("doc_id", "text", "lang", "source", "n_chars", "n_dups"))
+  }
+
+  test("split command tags rows like q_sample_split") {
+    val byTag = Shell.run(spark, sf0001, "split documents doc_id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val contract = SparkEntry.queries("q_sample_split")(spark, sf0001)
+      .groupBy("split").agg(sum("n_docs").as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(byTag === contract)
+  }
+
+  test("contract command dispatches to SparkEntry queries") {
+    val viaShell = Shell.run(spark, sf0001, "contract q_wordcount")
+      .collect().toSeq.map(_.toString)
+    val direct = SparkEntry.queries("q_wordcount")(spark, sf0001)
+      .collect().toSeq.map(_.toString)
+    assert(viaShell === direct)
+    intercept[IllegalArgumentException](
+      Shell.run(spark, sf0001, "contract q_nonexistent"))
+  }
+
   test("unknown command is rejected") {
     intercept[IllegalArgumentException](
       Shell.run(spark, sf0001, "frobnicate events"))
