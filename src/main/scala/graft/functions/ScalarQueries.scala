@@ -58,10 +58,48 @@ object ScalarQueries {
         .groupBy("event_type")
         .agg(sum(get_json_object(col("props"), "$.k").cast(LongType))
           .as("sum_k"))
-        .orderBy("event_type"))
+        .orderBy("event_type")),
+
+    // Array + map scalar functions over the embedding column: size,
+    // min/max, HOF-folded mean and L2 norm (the left-to-right
+    // cast-per-element accumulation the cosine queries pinned), and a
+    // map-literal lookup (Spark `map_from_arrays` + `element_at`; the
+    // oracle spells the same 4-entry lookup as CASE — DuckDB's MAP
+    // extraction returns lists, not scalars). Pure per-row projection,
+    // no shuffle but the output sort.
+    "q_scalar_array" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .filter(col("vec_id") < 100)
+        .select(col("vec_id"), col("embedding").as("e"), col("label"))
+        .select(col("vec_id"),
+          size(col("e")).cast(LongType).as("dim"),
+          round(array_min(col("e")).cast("double"), 4).as("v_min"),
+          round(array_max(col("e")).cast("double"), 4).as("v_max"),
+          round(expr(
+            "aggregate(e, cast(0.0 as double), (a, x) -> a + cast(x as double))")
+            / 64, 4).as("v_mean"),
+          round(sqrt(expr(
+            "aggregate(e, cast(0.0 as double), (a, x) -> a + cast(x as double) * cast(x as double))")),
+            4).as("l2"),
+          element_at(
+            map_from_arrays(
+              array(lit(0), lit(1), lit(2), lit(3)),
+              array(lit("q0"), lit("q1"), lit("q2"), lit("q3"))),
+            pmod(col("label"), lit(4))).as("quad"))
+        .orderBy("vec_id"))
   )
 
   val oracle: Map[String, String] = Map(
+    "q_scalar_array" ->
+      """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+        |  ROUND(CAST(list_min(embedding) AS DOUBLE), 4) AS v_min,
+        |  ROUND(CAST(list_max(embedding) AS DOUBLE), 4) AS v_max,
+        |  ROUND(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))) / 64, 4) AS v_mean,
+        |  ROUND(sqrt(list_sum(list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))), 4) AS l2,
+        |  CASE label % 4 WHEN 0 THEN 'q0' WHEN 1 THEN 'q1'
+        |       WHEN 2 THEN 'q2' ELSE 'q3' END AS quad
+        |FROM embeddings WHERE vec_id < 100 ORDER BY vec_id""".stripMargin,
     "q_scalar_string" ->
       """SELECT c_custkey, UPPER(c_name) AS name_u,
         |  SUBSTRING(c_name, 1, 8) AS name_pre,

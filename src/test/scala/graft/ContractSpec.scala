@@ -91,7 +91,8 @@ class ContractSpec extends AnyFunSuite {
     "q_sim_ann_ivf" -> 40L,
     "q_join_full" -> 264L,
     "q_sample_mixture" -> 20L,
-    "q_sample_pack" -> 61L
+    "q_sample_pack" -> 61L,
+    "q_scalar_array" -> 100L
   )
 
   test("every contract query has oracle SQL and vice versa") {
