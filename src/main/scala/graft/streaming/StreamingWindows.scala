@@ -76,6 +76,33 @@ object StreamingWindows {
       .withWatermark("ts", "1 hour")
       .dropDuplicates("event_id")
 
+  /** Generic parquet file stream (one arriving file per micro-batch)
+    * for tables without the events ns-timestamp quirk — the ingestion
+    * side of the streaming document pipeline.
+    */
+  def tableStream(spark: SparkSession, streamDir: String,
+      schemaFrom: String): DataFrame =
+    spark.readStream
+      .schema(spark.read.parquet(schemaFrom).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(streamDir)
+
+  /** Streaming CONTENT dedup — exact dedup-on-ingest for the document
+    * pipeline (the q_dedup_exact semantics lifted onto a stream):
+    * keyed by content digest, first arrival wins, re-delivered or
+    * re-crawled duplicates are dropped across micro-batches. Documents
+    * carry no event time, so unlike [[dedupStream]] the digest state
+    * is NOT watermark-evicted — at production scale you bound it with
+    * a state-store TTL or key the digest by crawl epoch; the digest
+    * (16 bytes) rather than the text is what the state holds either
+    * way.
+    */
+  def contentDedupStream(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("lang"),
+        md5(col("text").cast("binary")).as("h"))
+      .dropDuplicates("h")
+
   /** Watermarked stream-stream interval join — the streaming twin of
     * the batch temporal-join class (q_join_range / q_join_asof):
     * purchases matched to same-user errors at most one hour earlier.

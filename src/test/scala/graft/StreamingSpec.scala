@@ -184,4 +184,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
     assert(streamed === batch)
   }
+
+  test("contentDedupStream: replayed file dedups across micro-batches") {
+    // two links to the same parquet = two micro-batches of identical
+    // documents; cross-batch digest state must drop the replay
+    val dir = java.nio.file.Files.createTempDirectory("graft-docstream")
+    java.nio.file.Files.createSymbolicLink(
+      dir.resolve("d1.parquet"),
+      java.nio.file.Paths.get(s"$sf0001/documents.parquet"))
+    java.nio.file.Files.createSymbolicLink(
+      dir.resolve("d2.parquet"),
+      java.nio.file.Paths.get(s"$sf0001/documents.parquet"))
+    val q = StreamingWindows
+      .contentDedupStream(StreamingWindows.tableStream(
+        spark, dir.toString, s"$sf0001/documents.parquet"))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("stream_content_dedup")
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val streamed = spark.table("stream_content_dedup")
+    // every distinct digest exactly once despite double delivery
+    assert(streamed.count() === 500L)
+    assert(streamed.select("h").distinct().count() === 500L)
+    val batch = graft.sources.Tables.documents(spark, sf0001)
+      .select(org.apache.spark.sql.functions.md5(
+        org.apache.spark.sql.functions.col("text").cast("binary")))
+      .distinct().count()
+    assert(batch === 500L)
+  }
 }
