@@ -187,11 +187,16 @@ object DedupExtras {
         minhashBands(s, d)
           .select(col("doc_id"),
             concat_ws(":", col("band_id"), col("bk")).as("bucket")))
+      // round 1 folded into initialization: under identity labels the
+      // bucket minimum IS the minimum member doc_id, so the first
+      // propagation needs no label join and its convergence check is
+      // a filter against doc_id, not a join
       var labels = graft.Materialize.checkpoint(
-        m.select(col("doc_id")).distinct()
-          .select(col("doc_id"), col("doc_id").as("lab")))
-      var changed = 1L
-      var rounds = 0
+        m.join(m.groupBy("bucket").agg(min(col("doc_id")).as("bl")),
+            "bucket")
+          .groupBy("doc_id").agg(min(col("bl")).as("lab")))
+      var changed = labels.filter(col("lab") < col("doc_id")).count()
+      var rounds = 1
       while (changed > 0 && rounds < 20) {
         val bmin = m.join(labels, "doc_id")
           .groupBy("bucket").agg(min(col("lab")).as("bl"))
