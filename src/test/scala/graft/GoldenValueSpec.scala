@@ -65,8 +65,9 @@ class GoldenValueSpec extends AnyFunSuite {
   }
 
   test("q_dedup_contain finds the planted en contamination") {
-    val rows = SparkEntry.queries("q_dedup_contain")(spark, sf0001)
+    val rows = try SparkEntry.queries("q_dedup_contain")(spark, sf0001)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    finally Materialize.releaseAll() // shared session — no block leaks
     assert(rows.find(_._1 == "en").get === (("en", 157L, 3L, 154L)))
     assert(rows.map(_._3).sum === 3L)
   }
