@@ -138,6 +138,36 @@ object CorpusExtras {
         .orderBy("source")
     }),
 
+    // Per-language top terms by TF-IDF: language-local term frequency ×
+    // inverse global document frequency — the keyword-extraction step
+    // of corpus analysis. IDF is the exact integer ratio N/df (one
+    // IEEE double division, identical in both engines) instead of the
+    // usual log-IDF: ln() can differ in the last ulp across engines,
+    // and for a FIXED tf the ranking under N/df and ln(N/df) is the
+    // same monotone order. Both aggregates are the scalable two-level
+    // shapes (map-side partial combine); the df side joins the tf side
+    // token-to-token — no posting lists, no collect (N is a one-row
+    // stats count, same class as the LSH width probe).
+    "q_text_tfidf" -> ((s, d) => {
+      val n = Tables.documents(s, d).count()
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          explode(expr("filter(split(text, ' '), t -> t <> '')")).as("token"))
+      val tfl = tok.groupBy("lang", "token").agg(count(lit(1)).as("tf"))
+      val df = tok.select("token", "doc_id").distinct()
+        .groupBy("token").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy("lang")
+        .orderBy(col("score_raw").desc, col("token"))
+      tfl.join(df, "token")
+        .select(col("lang"), col("token"),
+          ((col("tf") * n).cast("double") / col("df")).as("score_raw"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("lang"), col("token"),
+          round(col("score_raw"), 4).as("tfidf"))
+        .orderBy(col("lang"), col("tfidf").desc, col("token"))
+    }),
+
     // Sequence packing: docs greedily packed into fixed-token-budget
     // (512) bins per source shard — the batch-prep step that turns a
     // ragged corpus into near-uniform training sequences. Deterministic
@@ -246,6 +276,26 @@ object CorpusExtras {
         |  CAST(COUNT(*) AS BIGINT) AS n_emitted,
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars_emitted
         |FROM emitted GROUP BY source ORDER BY source""".stripMargin,
+    "q_text_tfidf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang,
+        |    unnest(list_filter(string_split(text,' '), t -> t <> '')) AS token
+        |  FROM documents),
+        |tfl AS (
+        |  SELECT lang, token, COUNT(*) AS tf FROM tok GROUP BY lang, token),
+        |df AS (
+        |  SELECT token, COUNT(*) AS df FROM (
+        |    SELECT DISTINCT token, doc_id FROM tok) GROUP BY token),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT lang, tfl.token,
+        |    CAST(tf * (SELECT n_docs FROM n) AS DOUBLE) / df.df AS score_raw,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY CAST(tf * (SELECT n_docs FROM n) AS DOUBLE) / df.df DESC,
+        |               tfl.token) AS rn
+        |  FROM tfl JOIN df ON tfl.token = df.token)
+        |SELECT lang, token, ROUND(score_raw, 4) AS tfidf
+        |FROM scored WHERE rn <= 5 ORDER BY lang, tfidf DESC, token""".stripMargin,
     "q_sample_pack" ->
       """WITH toks AS (
         |  SELECT doc_id, source,
