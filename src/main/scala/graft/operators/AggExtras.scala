@@ -56,6 +56,38 @@ object AggExtras {
         .orderBy("o_orderstatus")
     }),
 
+    // Winsorization: per-group outlier clipping at rank-selected
+    // p05/p95 — the value-cleaning step before statistics a skewed
+    // money column would otherwise poison. Two passes: bounds from the
+    // same rank-selection as q_percentile (deterministic — no
+    // interpolation, no float percentile), then the 3-row bounds
+    // relation BROADCASTS back over the fact scan for the clip, so the
+    // second pass never shuffles the facts. All output is integer
+    // cents — sums are exact in both engines.
+    "q_agg_winsorize" -> ((s, d) => {
+      val ord = Tables.orders(s, d)
+        .select(col("o_orderstatus").as("st"),
+          cents(col("o_totalprice")).as("c"), col("o_orderkey"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("st").orderBy(col("c"), col("o_orderkey"))
+      val bounds = ord
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("st")))
+        .groupBy("st")
+        .agg(
+          max(when(col("rn") === ceil(col("n") * 0.05), col("c"))).as("lo_c"),
+          max(when(col("rn") === ceil(col("n") * 0.95), col("c"))).as("hi_c"))
+      ord.join(broadcast(bounds), "st")
+        .groupBy("st")
+        .agg(count(lit(1)).as("n"),
+          min(col("lo_c")).as("lo_c"), min(col("hi_c")).as("hi_c"),
+          sum(col("c")).as("sum_c"),
+          sum(least(greatest(col("c"), col("lo_c")), col("hi_c")))
+            .as("sum_wins_c"))
+        .orderBy("st")
+    }),
+
     // Correlated-subquery class: orders priced far above their status
     // group's mean — decorrelated as aggregate-then-join (the form the
     // optimizer rewrites correlated scalar subqueries into; at scale
@@ -156,6 +188,27 @@ object AggExtras {
          |  MAX(CASE WHEN rn = CEIL(n * 0.5) THEN ${sqlCents("o_totalprice")} END) AS median_c,
          |  MAX(CASE WHEN rn = CEIL(n * 0.9) THEN ${sqlCents("o_totalprice")} END) AS p90_c
          |FROM r GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_agg_winsorize" ->
+      s"""WITH o AS (
+         |  SELECT o_orderstatus AS st, ${sqlCents("o_totalprice")} AS c,
+         |    o_orderkey
+         |  FROM orders),
+         |r AS (
+         |  SELECT st, c,
+         |    ROW_NUMBER() OVER (PARTITION BY st ORDER BY c, o_orderkey) AS rn,
+         |    COUNT(*) OVER (PARTITION BY st) AS n
+         |  FROM o),
+         |bounds AS (
+         |  SELECT st,
+         |    MAX(CASE WHEN rn = CEIL(n * 0.05) THEN c END) AS lo_c,
+         |    MAX(CASE WHEN rn = CEIL(n * 0.95) THEN c END) AS hi_c
+         |  FROM r GROUP BY st)
+         |SELECT o.st, CAST(COUNT(*) AS BIGINT) AS n,
+         |  MIN(b.lo_c) AS lo_c, MIN(b.hi_c) AS hi_c,
+         |  CAST(SUM(o.c) AS BIGINT) AS sum_c,
+         |  CAST(SUM(LEAST(GREATEST(o.c, b.lo_c), b.hi_c)) AS BIGINT) AS sum_wins_c
+         |FROM o JOIN bounds b ON o.st = b.st
+         |GROUP BY o.st ORDER BY o.st""".stripMargin,
     "q_subquery_corr" ->
       s"""WITH avg_by_status AS (
          |  SELECT o_orderstatus AS st, AVG(o_totalprice) AS avg_p

@@ -93,7 +93,8 @@ class ContractSpec extends AnyFunSuite {
     "q_sample_mixture" -> 20L,
     "q_sample_pack" -> 61L,
     "q_scalar_array" -> 100L,
-    "q_text_tfidf" -> 25L
+    "q_text_tfidf" -> 25L,
+    "q_agg_winsorize" -> 3L
   )
 
   test("every contract query has oracle SQL and vice versa") {
