@@ -57,10 +57,38 @@ object WindowQueries {
         .select(col("user_id"), col("event_id"),
           count(lit(1)).over(w).as("running_n"))
         .orderBy("user_id", "event_id")
+    }),
+
+    // Decile bucketing: ntile(10) per status over the full (price,
+    // key) order — the quantile-bucket assignment used for value
+    // banding and equal-frequency histograms. The unique-key ORDER BY
+    // suffix makes the standard first-(n mod 10)-buckets-get-one-extra
+    // division identical in both engines; output summarizes each
+    // decile to (count, min, max) cents.
+    "q_window_ntile" -> ((s, d) => {
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_orderstatus").as("st"),
+          cents(col("o_totalprice")).as("c"),
+          ntile(10).over(w).cast("long").as("decile"))
+        .groupBy("st", "decile")
+        .agg(count(lit(1)).as("n"), min(col("c")).as("min_c"),
+          max(col("c")).as("max_c"))
+        .orderBy("st", "decile")
     })
   )
 
   val oracle: Map[String, String] = Map(
+    "q_window_ntile" ->
+      s"""WITH t AS (
+         |  SELECT o_orderstatus AS st, ${sqlCents("o_totalprice")} AS c,
+         |    NTILE(10) OVER (PARTITION BY o_orderstatus
+         |      ORDER BY o_totalprice, o_orderkey) AS decile
+         |  FROM orders)
+         |SELECT st, CAST(decile AS BIGINT) AS decile,
+         |  CAST(COUNT(*) AS BIGINT) AS n, MIN(c) AS min_c, MAX(c) AS max_c
+         |FROM t GROUP BY st, decile ORDER BY st, decile""".stripMargin,
     "q_window_tumbling" ->
       s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
          |  event_type, CAST(COUNT(*) AS BIGINT) AS n,

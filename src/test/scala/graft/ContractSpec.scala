@@ -94,7 +94,8 @@ class ContractSpec extends AnyFunSuite {
     "q_sample_pack" -> 61L,
     "q_scalar_array" -> 100L,
     "q_text_tfidf" -> 25L,
-    "q_agg_winsorize" -> 3L
+    "q_agg_winsorize" -> 3L,
+    "q_window_ntile" -> 30L
   )
 
   test("every contract query has oracle SQL and vice versa") {
