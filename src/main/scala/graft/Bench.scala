@@ -63,6 +63,14 @@ object Bench {
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    // The driver captures only the TAIL of stdout; the per-query map
+    // above is ~85 entries and can push the headline total off the
+    // front of the capture window. Emit a short, self-contained JSON
+    // line LAST so the total always survives tail truncation.
+    val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
+      .map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"slowest5":$slowest,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
