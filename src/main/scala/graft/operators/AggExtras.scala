@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Money._
-import graft.sources.Tables
+import graft.sources.{Stats, Tables}
 
 /** SURVEY.md §2.4 extension aggregates: pivot, exact percentiles, and
   * ordered string aggregation.
@@ -38,46 +38,43 @@ object AggExtras {
     // in cents. Deliberately NOT linear-interpolated percentile: the
     // two engines' interpolation differs in the last ulp (observed: one
     // cent at sf0.1 p90), while rank selection is integer-exact.
+    // Two-phase distributed selection (RankSelect): the status key has
+    // 3 values, so a per-status full-table window would funnel all of
+    // orders through 3 tasks; here only the buckets holding the target
+    // ranks are ever ranked.
     "q_percentile" -> ((s, d) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("o_orderstatus")
-        .orderBy(col("o_totalprice"), col("o_orderkey"))
-      Tables.orders(s, d)
+      val ord = Tables.orders(s, d)
         .select(col("o_orderstatus"), col("o_totalprice"), col("o_orderkey"))
-        .withColumn("rn", row_number().over(w))
-        .withColumn("n", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy("o_orderstatus")))
+      RankSelect.selectRanks(ord, "o_orderstatus", "o_totalprice",
+          "o_orderkey", Seq("p50" -> 0.5, "p90" -> 0.9),
+          RankSelect.bucketsFor(Stats.rowCount(s, d, "orders")))
         .groupBy("o_orderstatus")
         .agg(
-          max(when(col("rn") === ceil(col("n") * 0.5), cents(col("o_totalprice"))))
-            .as("median_c"),
-          max(when(col("rn") === ceil(col("n") * 0.9), cents(col("o_totalprice"))))
-            .as("p90_c"))
+          max(when(col("__tag") === "p50", cents(col("__v")))).as("median_c"),
+          max(when(col("__tag") === "p90", cents(col("__v")))).as("p90_c"))
         .orderBy("o_orderstatus")
     }),
 
     // Winsorization: per-group outlier clipping at rank-selected
     // p05/p95 — the value-cleaning step before statistics a skewed
     // money column would otherwise poison. Two passes: bounds from the
-    // same rank-selection as q_percentile (deterministic — no
-    // interpolation, no float percentile), then the 3-row bounds
-    // relation BROADCASTS back over the fact scan for the clip, so the
-    // second pass never shuffles the facts. All output is integer
-    // cents — sums are exact in both engines.
+    // same two-phase rank-selection as q_percentile (RankSelect —
+    // deterministic, no interpolation, and no per-status full-table
+    // window), then the 3-row bounds relation BROADCASTS back over the
+    // fact scan for the clip, so the second pass never shuffles the
+    // facts. All output is integer cents — sums are exact in both
+    // engines.
     "q_agg_winsorize" -> ((s, d) => {
       val ord = Tables.orders(s, d)
         .select(col("o_orderstatus").as("st"),
           cents(col("o_totalprice")).as("c"), col("o_orderkey"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("st").orderBy(col("c"), col("o_orderkey"))
-      val bounds = ord
-        .withColumn("rn", row_number().over(w))
-        .withColumn("n", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy("st")))
+      val bounds = RankSelect.selectRanks(ord, "st", "c", "o_orderkey",
+          Seq("lo" -> 0.05, "hi" -> 0.95),
+          RankSelect.bucketsFor(Stats.rowCount(s, d, "orders")))
         .groupBy("st")
         .agg(
-          max(when(col("rn") === ceil(col("n") * 0.05), col("c"))).as("lo_c"),
-          max(when(col("rn") === ceil(col("n") * 0.95), col("c"))).as("hi_c"))
+          max(when(col("__tag") === "lo", col("__v"))).as("lo_c"),
+          max(when(col("__tag") === "hi", col("__v"))).as("hi_c"))
       ord.join(broadcast(bounds), "st")
         .groupBy("st")
         .agg(count(lit(1)).as("n"),

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
-import graft.sources.Tables
+import graft.sources.{Stats, Tables}
 
 /** Corpus-level training-data-pipeline operators (SURVEY.md §2.12):
   * vocabulary building, repetition-based quality scoring, deterministic
@@ -146,10 +146,10 @@ object CorpusExtras {
     // and for a FIXED tf the ranking under N/df and ln(N/df) is the
     // same monotone order. Both aggregates are the scalable two-level
     // shapes (map-side partial combine); the df side joins the tf side
-    // token-to-token — no posting lists, no collect (N is a one-row
-    // stats count, same class as the LSH width probe).
+    // token-to-token — no posting lists, no collect (N is the memoized
+    // per-(dir, table) stats count, same class as the LSH width probe).
     "q_text_tfidf" -> ((s, d) => {
-      val n = Tables.documents(s, d).count()
+      val n = Stats.rowCount(s, d, "documents")
       val tok = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"),
           explode(expr("filter(split(text, ' '), t -> t <> '')")).as("token"))

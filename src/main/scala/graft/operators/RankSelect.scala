@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Two-phase distributed rank selection (SURVEY.md §2.12 percentile /
+  * ntile family).
+  *
+  * `row_number()/ntile() over (partition by g order by v)` funnels every
+  * row of the table through |distinct g| window tasks — with a 3-value
+  * group key (order status) that is 3 tasks no matter how many executors
+  * exist, the classic straggler/OOM at 100×. This helper replaces the
+  * full-table window with the textbook two-phase shape:
+  *
+  *  1. HISTOGRAM: range-bucket each row by its value (bucket bounds from
+  *     a broadcast per-group min/max aggregate) and count rows per
+  *     (group, bucket) — one map-side-combining hash aggregate whose
+  *     shuffle parallelism is groups × buckets, not groups.
+  *  2. PREFIX SUM over the bucket histogram — a relation of at most
+  *     groups × buckets rows (bounded, independent of table size), so
+  *     the per-group running sum is a window over a few thousand rows.
+  *  3. IN-BUCKET RANK: global rank = bucket's cumulative-before count +
+  *     row_number within (group, bucket). For selection only the buckets
+  *     containing a target rank are ranked (≈ targets × n/buckets rows);
+  *     for full ranking every bucket ranks independently in parallel.
+  *
+  * Bucketing by value keeps ranks exact: the bucket id is a monotone
+  * function of the value (IEEE subtraction/division preserve order, ties
+  * share a bucket), so in-bucket (value, tiebreak) order concatenated
+  * across buckets IS the global order. Results are bucket-count
+  * invariant — buckets only set the parallelism/task-size trade, sized
+  * by [[bucketsFor]] from the (memoized) table row count so in-bucket
+  * slices stay bounded as the corpus grows.
+  */
+object RankSelect {
+
+  /** Bucket-count ladder: double the buckets with the corpus so expected
+    * in-bucket size stays ≤ 64k rows, clamped to [1024, 2^20]. Results
+    * do not depend on the choice — only task sizing does.
+    */
+  private[graft] def bucketsFor(n: Long): Int = {
+    var b = 1024
+    while (b.toLong * 65536L < n && b < (1 << 20)) b *= 2
+    b
+  }
+
+  private case class Hist(bucketed: DataFrame, cum: DataFrame,
+      stats: DataFrame)
+
+  /** Phase 1 + 2: bucket assignment and per-(group, bucket) cumulative
+    * counts. `bucketed` carries (grp, __v, __k, __b); `cum` is the tiny
+    * histogram with `__cumBefore`; `stats` has per-group `__n`.
+    */
+  private def build(df: DataFrame, grp: String, v: String, tie: String,
+      buckets: Int): Hist = {
+    val base = df.select(col(grp), col(v).as("__v"), col(tie).as("__k"))
+    // one row per group — materialized (Materialize registry) because
+    // it feeds several branches (bucket bounds ×2 consumers + target
+    // ranks); without it each branch would re-scan the fact table
+    val stats = graft.Materialize.checkpoint(
+      base.groupBy(grp).agg(
+        min(col("__v").cast("double")).as("__lo"),
+        max(col("__v").cast("double")).as("__hi"),
+        count(lit(1)).as("__n")))
+    // floor((v-lo)/width) is monotone in v (IEEE - and / preserve order
+    // for fixed lo/width > 0), so bucket boundaries respect the sort
+    // order and equal values always share a bucket; the `least` cap
+    // absorbs v == hi rounding up to exactly `buckets`.
+    val bucketed = base.join(broadcast(stats), Seq(grp))
+      .withColumn("__b",
+        when(col("__hi") === col("__lo"), lit(0L))
+          .otherwise(least(
+            floor((col("__v").cast("double") - col("__lo")) /
+              ((col("__hi") - col("__lo")) / buckets)),
+            lit(buckets - 1L)))
+          .cast("int"))
+      .select(col(grp), col("__v"), col("__k"), col("__b"))
+    val hist = bucketed.groupBy(col(grp), col("__b"))
+      .agg(count(lit(1)).as("__cnt"))
+    // prefix sum over ≤ groups × buckets rows — per-group partitioning
+    // is fine HERE because the input is the bounded histogram, never
+    // the fact table
+    val cum = hist.withColumn("__cumBefore",
+      coalesce(sum(col("__cnt")).over(
+        Window.partitionBy(grp).orderBy("__b")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    Hist(bucketed, cum, stats)
+  }
+
+  /** The exact value at rank ceil(n·p) per group under (v, tie) order,
+    * for each (tag, p) target. Returns (grp, __tag, __v) — one row per
+    * group × target. Only the buckets containing a target rank are
+    * ranked: the in-bucket window touches ≈ targets × n/buckets rows.
+    */
+  def selectRanks(df: DataFrame, grp: String, v: String, tie: String,
+      targets: Seq[(String, Double)], buckets: Int = 1024): DataFrame = {
+    val h = build(df, grp, v, tie, buckets)
+    val pairs = targets.flatMap { case (t, p) => Seq(lit(t), lit(p)) }
+    // ceil(n·p) in IEEE doubles — bit-identical to the oracle's
+    // CEIL(n * p), so the selected rank agrees across engines
+    val tgt = h.stats
+      .select(col(grp), col("__n"),
+        explode(map(pairs: _*)).as(Seq("__tag", "__p")))
+      .select(col(grp), col("__tag"),
+        ceil(col("__n") * col("__p")).cast("long").as("__r"))
+    // one row per group × target — materialized so its two consumers
+    // (bucket pruning + final rank match) share ONE histogram pass
+    // instead of re-scanning the facts each
+    val pick = graft.Materialize.checkpoint(
+      h.cum.join(tgt, Seq(grp))
+        .filter(col("__r") > col("__cumBefore") &&
+          col("__r") <= col("__cumBefore") + col("__cnt"))
+        .select(col(grp), col("__b"), col("__tag"),
+          (col("__r") - col("__cumBefore")).as("__rIn")))
+    val selBuckets = pick.select(col(grp), col("__b")).distinct()
+    val w = Window.partitionBy(col(grp), col("__b"))
+      .orderBy(col("__v"), col("__k"))
+    h.bucketed.join(broadcast(selBuckets), Seq(grp, "__b"))
+      .withColumn("__rn", row_number().over(w))
+      .join(broadcast(pick), Seq(grp, "__b"))
+      .filter(col("__rn") === col("__rIn"))
+      .select(col(grp), col("__tag"), col("__v"))
+  }
+
+  /** Every row with its exact global rank within its group under
+    * (v, tie) order, plus the group size. Returns
+    * (grp, __v, __k, __rank, __n). The ranking window partitions by
+    * (group, bucket) — groups × buckets parallel tasks of bounded size,
+    * never |groups| full-table tasks.
+    */
+  def withGlobalRank(df: DataFrame, grp: String, v: String, tie: String,
+      buckets: Int = 1024): DataFrame = {
+    val h = build(df, grp, v, tie, buckets)
+    val w = Window.partitionBy(col(grp), col("__b"))
+      .orderBy(col("__v"), col("__k"))
+    // ≤ groups × buckets rows, materialized: the histogram pass runs
+    // once, and the main pass broadcasts its result
+    val cum = graft.Materialize.checkpoint(
+      h.cum.select(col(grp), col("__b"), col("__cumBefore")))
+    h.bucketed
+      .join(broadcast(cum), Seq(grp, "__b"))
+      .join(broadcast(h.stats.select(col(grp), col("__n"))), Seq(grp))
+      .withColumn("__rank", col("__cumBefore") + row_number().over(w))
+      .select(col(grp), col("__v"), col("__k"), col("__rank"), col("__n"))
+  }
+}

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.sources.Tables
+import graft.sources.{Stats, Tables}
 
 /** Approximate similarity search: random-hyperplane LSH bucketing over
   * the embedding column (SURVEY.md §2.12).
@@ -184,7 +184,7 @@ object SimilarityExtras {
       // bit-identical to the HOF bucketSql the oracle mirrors
       // (NativeEquivalenceSpec proves it)
       graft.plans.HyperplaneSignature.register(s)
-      val nbits = signatureBits(Tables.embeddings(s, d).count())
+      val nbits = signatureBits(Stats.rowCount(s, d, "embeddings"))
       val sig = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding").as("e"))
         .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
@@ -239,7 +239,7 @@ object SimilarityExtras {
     // band shuffle moves only (id, r-char bucket) pairs.
     "q_dedup_embed_banded" -> ((s, d) => {
       graft.plans.HyperplaneSignature.register(s)
-      val bb = bandBits(Tables.embeddings(s, d).count())
+      val bb = bandBits(Stats.rowCount(s, d, "embeddings"))
       val emb = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding").as("e"))
         .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
@@ -327,7 +327,7 @@ object SimilarityExtras {
     // Top-20 most-similar pairs among LSH-bucket candidates.
     "q_sim_lsh" -> ((s, d) => {
       graft.plans.HyperplaneSignature.register(s)
-      val nbits = signatureBits(Tables.embeddings(s, d).count())
+      val nbits = signatureBits(Stats.rowCount(s, d, "embeddings"))
       val sig = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding").as("e"))
         .repartition(s.sparkContext.defaultParallelism, col("vec_id"))

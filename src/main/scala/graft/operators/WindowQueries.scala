@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Money._
-import graft.sources.Tables
+import graft.sources.{Stats, Tables}
 
 /** SURVEY.md §2.9 event-time windows over the stream-shaped `events`
   * table.
@@ -59,22 +59,36 @@ object WindowQueries {
         .orderBy("user_id", "event_id")
     }),
 
-    // Decile bucketing: ntile(10) per status over the full (price,
-    // key) order — the quantile-bucket assignment used for value
-    // banding and equal-frequency histograms. The unique-key ORDER BY
-    // suffix makes the standard first-(n mod 10)-buckets-get-one-extra
-    // division identical in both engines; output summarizes each
-    // decile to (count, min, max) cents.
+    // Decile bucketing: ntile(10) semantics per status over the full
+    // (price, key) order — the quantile-bucket assignment used for
+    // value banding and equal-frequency histograms. The unique-key
+    // ORDER BY suffix makes the standard first-(n mod 10)-buckets-get-
+    // one-extra division identical in both engines; output summarizes
+    // each decile to (count, min, max) cents.
+    //
+    // NOT expressed as ntile() over (partition by status): the status
+    // key has 3 values, so that window funnels the whole table through
+    // 3 tasks. Instead RankSelect.withGlobalRank computes each row's
+    // exact global rank via bucket histogram + prefix sum + in-bucket
+    // rank (groups × buckets parallel tasks), and the decile is the
+    // closed-form ntile of that rank: with q = n div 10 and r = n mod
+    // 10, tiles 1..r hold q+1 rows and tiles r+1..10 hold q rows.
     "q_window_ntile" -> ((s, d) => {
-      val w = Window.partitionBy("o_orderstatus")
-        .orderBy(col("o_totalprice"), col("o_orderkey"))
-      Tables.orders(s, d)
-        .select(col("o_orderstatus").as("st"),
-          cents(col("o_totalprice")).as("c"),
-          ntile(10).over(w).cast("long").as("decile"))
+      val ord = Tables.orders(s, d)
+        .select(col("o_orderstatus").as("st"), col("o_totalprice"),
+          col("o_orderkey"))
+      RankSelect.withGlobalRank(ord, "st", "o_totalprice", "o_orderkey",
+          RankSelect.bucketsFor(Stats.rowCount(s, d, "orders")))
+        .withColumn("decile", expr(
+          """CASE WHEN __rank <= (__n % 10) * (__n div 10 + 1)
+            |     THEN (__rank + (__n div 10)) div (__n div 10 + 1)
+            |     ELSE (__n % 10) +
+            |       (__rank - (__n % 10) * (__n div 10 + 1)
+            |         + greatest(__n div 10, 1) - 1) div greatest(__n div 10, 1)
+            |END""".stripMargin).cast("long"))
         .groupBy("st", "decile")
-        .agg(count(lit(1)).as("n"), min(col("c")).as("min_c"),
-          max(col("c")).as("max_c"))
+        .agg(count(lit(1)).as("n"), min(cents(col("__v"))).as("min_c"),
+          max(cents(col("__v"))).as("max_c"))
         .orderBy("st", "decile")
     })
   )
