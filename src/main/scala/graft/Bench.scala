@@ -3,8 +3,13 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: times every SparkEntry query on
-  * SPARK_GRAFT_SF_DIR and prints one JSON line
-  * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`.
+  * SPARK_GRAFT_SF_DIR and prints TWO JSON lines: the full per-query map
+  * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`,
+  * then a short `{"metric":"total_tail",...}` summary line (headline
+  * total + slowest5) that survives the driver's tail-of-stdout capture
+  * even when the ~85-entry map pushes the first line out of the window.
+  * The metric names differ so a consumer grepping every metric line
+  * never double-counts the total.
   *
   * A small untimed warmup (scan + shuffle + sort on the tiniest SF)
   * first JITs the scan/agg/exchange code paths so the first timed query
@@ -70,7 +75,7 @@ object Bench {
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
       .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"slowest5":$slowest,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_tail","value":$total,"unit":"sec","failed":$failed,"slowest5":$slowest,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
