@@ -24,6 +24,13 @@ import graft.sources.Tables
   *                                        per distinct md5(<column>)
   *   split <table> <idcol>                deterministic md5 train/val/
   *                                        test tag counts (~80/10/10)
+  *   pipe <table> '<shell cmd>'           whole rows as TAB-joined lines
+  *                                        through an external executable
+  *                                        (the reference's maple/juice
+  *                                        surface) — one output row per
+  *                                        stdout line
+  *   pipe <table> <column> '<shell cmd>'  one column's values through
+  *                                        the executable
   *   contract <query_name>                run any SparkEntry contract
   *                                        query by name
   *
@@ -112,6 +119,16 @@ object Shell {
           .groupBy("split")
           .agg(count(lit(1)).as("n_rows"))
           .orderBy("split")
+      // external-executable stage (graft.operators.Pipe): output order
+      // is partition-dependent by nature, so the display sorts lines —
+      // programmatic users call Pipe directly to keep streaming order
+      case List("pipe", table, cmd) =>
+        graft.operators.Pipe.pipeShell(load(s, dir, table), cmd)
+          .orderBy("line")
+      case List("pipe", table, column, cmd) =>
+        graft.operators.Pipe
+          .pipeShell(load(s, dir, table).select(col(column)), cmd)
+          .orderBy("line")
       case List("contract", name) =>
         SparkEntry.queries.getOrElse(name,
           throw new IllegalArgumentException(
