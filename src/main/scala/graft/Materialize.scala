@@ -39,6 +39,23 @@ object Materialize {
     p
   }
 
+  /** Unpersist ONE frame before the query finishes — for iterative
+    * fixpoints where each round's frame supersedes the previous one.
+    * Without early release a 20-round loop holds 20 corpus-scale
+    * frames persisted simultaneously when only the latest is live.
+    */
+  def release(df: DataFrame): Unit = {
+    synchronized {
+      val i = active.indexWhere(_ eq df)
+      if (i >= 0) active.remove(i)
+    }
+    df.unpersist(blocking = false)
+  }
+
+  /** Number of currently registered frames — spec visibility for the
+    * fixpoint-release discipline. */
+  private[graft] def activeCount: Int = synchronized { active.size }
+
   /** Unpersist every frame registered since the last release. Called by
     * Bench after each timed rep and by Verify after each query dump.
     */

@@ -55,13 +55,22 @@ object DedupExtras {
     * the self-join. The session driver unpersists it after the
     * consuming action, so signature blocks never outlive their query.
     */
-  private def minhashBands(s: SparkSession, d: String): DataFrame = {
+  private def minhashBands(s: SparkSession, d: String): DataFrame =
+    minhashBandsWithSig(s, d)._1
+
+  /** [[minhashBands]] plus the handle of the checkpointed signature
+    * frame, for callers (q_dedup_cluster) that re-materialize a
+    * projection of the bands and can release the signature blocks
+    * early instead of holding them to query end.
+    */
+  private def minhashBandsWithSig(s: SparkSession,
+      d: String): (DataFrame, DataFrame) = {
     // Native signature expression (graft.plans.MinHashSignature): one
     // JVM digest loop instead of 8×|shingles| interpreted HOF lambdas.
     // Bit-identical to the md5-min HOF formulation the oracle mirrors
     // (NativeEquivalenceSpec proves it).
     graft.plans.MinHashSignature.register(s)
-    Tables.documents(s, d)
+    val sig = Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       // Spread BEFORE the expensive signature: the source parquet is a
       // handful of input splits, and without this exchange the whole
@@ -73,6 +82,7 @@ object DedupExtras {
       .select(col("doc_id"), expr(shinglesSql).as("sh"))
       .select(col("doc_id"), expr("minhash_sig(sh)").as("sg"))
       .transform(graft.Materialize.checkpoint)
+    val bands = sig
       .select(col("doc_id"), col("sg"),
         explode(sequence(lit(0), lit(3))).as("band_id"))
       .select(col("doc_id"), col("sg"), col("band_id"),
@@ -80,6 +90,7 @@ object DedupExtras {
           element_at(col("sg"), col("band_id") * 2 + 1), lit("|"),
           element_at(col("sg"), col("band_id") * 2 + 2)).cast("binary"))
           .as("bk"))
+    (bands, sig)
   }
 
   /** Distinct candidate pairs with signature-agreement similarity. */
@@ -183,10 +194,13 @@ object DedupExtras {
     // recursive-CTE transitive closure — tractable at oracle SF, while
     // the propagation form is the one that survives 100 TB.
     "q_dedup_cluster" -> ((s, d) => {
+      val (bands, sig) = minhashBandsWithSig(s, d)
       val m = graft.Materialize.checkpoint(
-        minhashBands(s, d)
-          .select(col("doc_id"),
-            concat_ws(":", col("band_id"), col("bk")).as("bucket")))
+        bands.select(col("doc_id"),
+          concat_ws(":", col("band_id"), col("bk")).as("bucket")))
+      // the signature frame's only consumer here was m's build — drop
+      // its blocks now rather than carrying them through the fixpoint
+      graft.Materialize.release(sig)
       // round 1 folded into initialization: under identity labels the
       // bucket minimum IS the minimum member doc_id, so the first
       // propagation needs no label join and its convergence check is
@@ -208,6 +222,10 @@ object DedupExtras {
         changed = nxt.as("n")
           .join(labels.select(col("doc_id"), col("lab").as("old")), "doc_id")
           .filter(col("lab") < col("old")).count()
+        // the old frame's last consumer is the `changed` count above —
+        // release it NOW, not at query end, or a 20-round fixpoint
+        // holds 20 dead corpus-scale frames persisted simultaneously
+        graft.Materialize.release(labels)
         labels = nxt
         rounds += 1
       }

@@ -55,8 +55,12 @@ object Pipe {
     */
   def pipeTsv(df: DataFrame, cmd: Seq[String], outCols: Seq[String]): DataFrame = {
     val parts = split(col("line"), "\t", outCols.length)
+    // get() (0-based) returns NULL past the end even under ANSI mode —
+    // element_at would throw INVALID_ARRAY_INDEX on a stdout line with
+    // fewer than outCols TAB fields (e.g. a juice mapper emitting a
+    // bare key), breaking the missing-fields-become-empty contract.
     val cols = outCols.zipWithIndex.map { case (name, i) =>
-      coalesce(element_at(parts, i + 1), lit("")).as(name)
+      coalesce(get(parts, lit(i)), lit("")).as(name)
     }
     pipe(df, cmd).select(cols: _*)
   }

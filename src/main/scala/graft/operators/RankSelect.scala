@@ -54,7 +54,13 @@ object RankSelect {
     */
   private def build(df: DataFrame, grp: String, v: String, tie: String,
       buckets: Int): Hist = {
+    // NULL group / NULL value rows are EXCLUDED — from __n as well as
+    // from ranking, so ceil(n·p) always lands on a ranked row. (A NULL
+    // value would bucket to NULL and silently vanish in the (grp, __b)
+    // equi-joins while still counting in __n; callers needing SQL
+    // nulls-first window order must coalesce to a sentinel first.)
     val base = df.select(col(grp), col(v).as("__v"), col(tie).as("__k"))
+      .filter(col(grp).isNotNull && col("__v").isNotNull)
     // one row per group — materialized (Materialize registry) because
     // it feeds several branches (bucket bounds ×2 consumers + target
     // ranks); without it each branch would re-scan the fact table
@@ -104,21 +110,25 @@ object RankSelect {
         explode(map(pairs: _*)).as(Seq("__tag", "__p")))
       .select(col(grp), col("__tag"),
         ceil(col("__n") * col("__p")).cast("long").as("__r"))
-    // one row per group × target — materialized so its two consumers
-    // (bucket pruning + final rank match) share ONE histogram pass
-    // instead of re-scanning the facts each
-    val pick = graft.Materialize.checkpoint(
-      h.cum.join(tgt, Seq(grp))
-        .filter(col("__r") > col("__cumBefore") &&
-          col("__r") <= col("__cumBefore") + col("__cnt"))
-        .select(col(grp), col("__b"), col("__tag"),
-          (col("__r") - col("__cumBefore")).as("__rIn")))
-    val selBuckets = pick.select(col(grp), col("__b")).distinct()
-    val w = Window.partitionBy(col(grp), col("__b"))
+    // one row per group × target. NOT checkpointed: it has exactly one
+    // consumer (the broadcast below), so the broadcast build IS its
+    // single histogram pass — a driver-blocking count job here would
+    // only add a round-trip (this was 2 of the 4 blocking jobs behind
+    // the r08 q_percentile bench regression).
+    val pick = h.cum.join(tgt, Seq(grp))
+      .filter(col("__r") > col("__cumBefore") &&
+        col("__r") <= col("__cumBefore") + col("__cnt"))
+      .select(col(grp), col("__b"), col("__tag"),
+        (col("__r") - col("__cumBefore")).as("__rIn"))
+    // The pick join does double duty as the bucket pruner (inner join
+    // drops every bucket holding no target). Partitioning the rank
+    // window by __tag as well keeps row_number correct when one bucket
+    // holds several targets: each target's copy of the bucket ranks
+    // independently over ALL the bucket's rows.
+    val w = Window.partitionBy(col(grp), col("__b"), col("__tag"))
       .orderBy(col("__v"), col("__k"))
-    h.bucketed.join(broadcast(selBuckets), Seq(grp, "__b"))
+    h.bucketed.join(broadcast(pick), Seq(grp, "__b"))
       .withColumn("__rn", row_number().over(w))
-      .join(broadcast(pick), Seq(grp, "__b"))
       .filter(col("__rn") === col("__rIn"))
       .select(col(grp), col("__tag"), col("__v"))
   }
@@ -134,10 +144,10 @@ object RankSelect {
     val h = build(df, grp, v, tie, buckets)
     val w = Window.partitionBy(col(grp), col("__b"))
       .orderBy(col("__v"), col("__k"))
-    // ≤ groups × buckets rows, materialized: the histogram pass runs
-    // once, and the main pass broadcasts its result
-    val cum = graft.Materialize.checkpoint(
-      h.cum.select(col(grp), col("__b"), col("__cumBefore")))
+    // ≤ groups × buckets rows with a single consumer — the broadcast
+    // build below runs the histogram pass exactly once, so a blocking
+    // checkpoint would only add a driver round-trip
+    val cum = h.cum.select(col(grp), col("__b"), col("__cumBefore"))
     h.bucketed
       .join(broadcast(cum), Seq(grp, "__b"))
       .join(broadcast(h.stats.select(col(grp), col("__n"))), Seq(grp))

@@ -64,6 +64,18 @@ class DedupSemanticsSpec extends AnyFunSuite {
     assert(jac.get((0L, 2L)).forall(j => j > 0.5 && j < 1.0))
   }
 
+  test("q_dedup_cluster releases superseded label frames eagerly") {
+    // the fixpoint loop must hold ≤ 2 registered frames at any time
+    // (bucket membership + the live labels) — a leaked round would
+    // leave rounds+2 registered here
+    Materialize.releaseAll()
+    val out = SparkEntry.queries("q_dedup_cluster")(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    assert(Materialize.activeCount <= 2,
+      s"expected ≤ 2 registered frames, got ${Materialize.activeCount}")
+    Materialize.releaseAll()
+  }
+
   test("q_text_fingerprint groups the duplicate (and possibly near-dup) docs") {
     // Min-sampling fingerprints collide whenever the minimal 4-gram
     // lies in a shared region — so the near-dup may legitimately join

@@ -63,6 +63,17 @@ class PipeSpec extends AnyFunSuite {
     assert(got === Seq("", "a", "c"))
   }
 
+  test("short stdout lines pad missing trailing fields as empty strings") {
+    // a juice-style mapper may emit a bare key with no value — under
+    // ANSI mode element_at would throw INVALID_ARRAY_INDEX here, so
+    // pipeTsv must use 0-based get() (NULL out-of-bounds) instead
+    import spark.implicits._
+    val df = Seq("a\tb", "lonely").toDF("s")
+    val got = Pipe.pipeTsv(df, Seq("/bin/cat"), Seq("k", "v"))
+      .orderBy("k").collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(got === Seq(("a", "b"), ("lonely", "")))
+  }
+
   test("shell command via Shell CLI form") {
     val df = Shell.run(spark, sf0001,
       "pipe region r_name 'tr [:upper:] [:lower:]'")

@@ -76,6 +76,41 @@ class RankSelectSpec extends AnyFunSuite {
     Materialize.releaseAll()
   }
 
+  test("several targets landing in ONE bucket still rank independently") {
+    // buckets = 1 forces every target into bucket 0 — the __tag-
+    // partitioned rank window must give each target a full private
+    // copy of the bucket's order, not a shared mis-numbered one
+    val n = skewed.groupBy("g").agg(count(lit(1)).as("n"))
+    val expected = naiveRank.join(n, "g")
+      .filter(col("rank") === ceil(col("n") * 0.25) ||
+        col("rank") === ceil(col("n") * 0.75))
+      .select(col("g"), col("v"))
+      .orderBy("g", "v").collect().toSeq.map(_.toString)
+    val got = RankSelect
+      .selectRanks(skewed, "g", "v", "k",
+        Seq("q1" -> 0.25, "q3" -> 0.75), buckets = 1)
+      .select(col("g"), col("__v").as("v"))
+      .orderBy("g", "v").collect().toSeq.map(_.toString)
+    assert(got === expected)
+    Materialize.releaseAll()
+  }
+
+  test("NULL group / NULL value rows are excluded from count and ranks") {
+    import spark.implicits._
+    val dirty = skewed.union(
+      Seq[(String, java.lang.Long, java.lang.Long)](
+        (null, 1L, 9001L), ("HOT", null, 9002L), (null, null, 9003L))
+        .toDF("g", "v", "k"))
+    def run(df: org.apache.spark.sql.DataFrame) = RankSelect
+      .selectRanks(df, "g", "v", "k", Seq("p50" -> 0.5), buckets = 64)
+      .orderBy("g").collect().toSeq.map(_.toString)
+    assert(run(dirty) === run(skewed))
+    val ranked = RankSelect.withGlobalRank(dirty, "g", "v", "k", buckets = 64)
+    assert(ranked.filter(col("__k") >= 9001L).count() === 0L)
+    assert(ranked.count() === skewed.count())
+    Materialize.releaseAll()
+  }
+
   test("bucketsFor ladder holds expected in-bucket size bounded") {
     assert(RankSelect.bucketsFor(0L) === 1024)
     assert(RankSelect.bucketsFor(1024L * 65536L) === 1024)
