@@ -31,8 +31,26 @@ import graft.sources.Tables
   *                                        stdout line
   *   pipe <table> <column> '<shell cmd>'  one column's values through
   *                                        the executable
+  *   pipetsv <table> '<cmd>' <c1,c2,...>  pipe, then parse stdout TABs
+  *                                        back into named typed columns
+  *                                        (the juice key<TAB>value
+  *                                        re-entry)
+  *   export <table> <key> <val> <path>    write key<TAB>value lines (the
+  *                                        SDFS put / juice dest-file
+  *                                        analog); returns the line count
+  *   import <path>                        read key<TAB>value lines back
+  *                                        as (key, value) columns (the
+  *                                        SDFS get analog)
   *   contract <query_name>                run any SparkEntry contract
   *                                        query by name
+  *
+  * `join`, `wordcount`, and `export` accept a trailing
+  * `partition=hash|range[:n]` — the reference's one physical-design
+  * knob (num_juices + hash|range key partitioner, SURVEY §2.7/§3.1):
+  * the result is repartitioned on its key by hash or contiguous range
+  * into n tasks (default parallelism if `:n` is absent) and sorted
+  * WITHIN partitions instead of globally, exactly the layout the
+  * reference's partitioned dest files had.
   *
   * Usage: runMain graft.Shell "filter events '^(sign|purch)'"
   * (data dir from SPARK_GRAFT_SF_DIR, default /root/testdata/sf0.001)
@@ -55,6 +73,35 @@ object Shell {
     out.toList
   }
 
+  /** Parsed `partition=hash|range[:n]` token. */
+  private[graft] case class PartitionSpec(mode: String, n: Option[Int])
+
+  private[graft] def parsePartition(tok: String): PartitionSpec = {
+    val (mode, n) = tok.stripPrefix("partition=").split(':') match {
+      case Array(m) => (m, None)
+      case Array(m, k) => (m, Some(k.toInt))
+      case _ => throw new IllegalArgumentException(s"malformed $tok")
+    }
+    require(mode == "hash" || mode == "range",
+      s"partition mode must be hash|range, got: $mode")
+    PartitionSpec(mode, n)
+  }
+
+  /** The reference's output-partition knob: distribute on `keys` by
+    * hash or contiguous range into n tasks, rows sorted within each
+    * partition — the partitioned-dest-file layout, in place of the
+    * default commands' global sort.
+    */
+  private def applyPartition(df: DataFrame, keys: Seq[org.apache.spark.sql.Column],
+      sortCols: Seq[org.apache.spark.sql.Column], spec: PartitionSpec): DataFrame = {
+    val n = spec.n.getOrElse(df.sparkSession.sparkContext.defaultParallelism)
+    val parted = spec.mode match {
+      case "hash" => df.repartition(n, keys: _*)
+      case "range" => df.repartitionByRange(n, keys: _*)
+    }
+    parted.sortWithinPartitions(sortCols: _*)
+  }
+
   private def load(s: SparkSession, dir: String, table: String): DataFrame =
     table match {
       case "events" => Tables.events(s, dir) // ns-timestamp handling
@@ -70,20 +117,39 @@ object Shell {
       .map(c => coalesce(col(c).cast("string"), lit("")).rlike(regex))
       .reduce(_ || _))
 
-  def run(s: SparkSession, dir: String, cmd: String): DataFrame =
-    tokenize(cmd) match {
+  def run(s: SparkSession, dir: String, cmd: String): DataFrame = {
+    val toks = tokenize(cmd)
+    val pspec = toks.lastOption.filter(_.startsWith("partition="))
+      .map(parsePartition)
+    val body = if (pspec.isDefined) toks.init else toks
+    // default layout is the global unique-key sort; the knob swaps it
+    // for hash|range key distribution + within-partition order
+    def laidOut(df: DataFrame, keys: Seq[org.apache.spark.sql.Column],
+        sortCols: Seq[org.apache.spark.sql.Column]): DataFrame =
+      pspec match {
+        // within-partition order leads with the keys (the reference's
+        // dest files are key-runs), global order stays the tiebreak
+        case Some(p) => applyPartition(df, keys, keys ++ sortCols, p)
+        case None => df.orderBy(sortCols: _*)
+      }
+    def noKnob(): Unit = require(pspec.isEmpty,
+      s"partition= applies only to join/wordcount/export: $cmd")
+    val out = body match {
       // ordering: ALL columns, not just the first — first columns are
       // not unique on every table (lineitem), and a partial sort would
       // print nondeterministic rows across runs (the repo's
       // determinism discipline: every output ends in a unique-key sort)
       case List("filter", table, regex) =>
+        noKnob()
         val df = load(s, dir, table)
         anyColMatch(df, regex).orderBy(df.columns.map(col).toSeq: _*)
       case List("filter", table, column, regex) =>
+        noKnob()
         val df = load(s, dir, table)
         df.filter(col(column).rlike(regex))
           .orderBy(df.columns.map(col).toSeq: _*)
       case List("grep", table, regex) =>
+        noKnob()
         anyColMatch(load(s, dir, table), regex)
           .agg(count(lit(1)).as("n_matches"))
       case List("join", t1, t2, k1, k2) =>
@@ -91,19 +157,22 @@ object Shell {
         val tb = load(s, dir, t2)
         val order = ta.columns.map(c => col(s"a.$c")) ++
           tb.columns.map(c => col(s"b.$c"))
-        ta.as("a").join(tb.as("b"), col(s"a.$k1") === col(s"b.$k2"))
-          .orderBy(order.toSeq: _*)
+        laidOut(
+          ta.as("a").join(tb.as("b"), col(s"a.$k1") === col(s"b.$k2")),
+          Seq(col(s"a.$k1")), order.toSeq)
       case List("wordcount", table, column) =>
-        load(s, dir, table)
-          .select(explode(split(col(column), " ")).as("word"))
-          .filter(col("word") =!= "")
-          .groupBy("word")
-          .agg(count(lit(1)).as("cnt"))
-          .orderBy(col("cnt").desc, col("word"))
+        laidOut(
+          load(s, dir, table)
+            .select(explode(split(col(column), " ")).as("word"))
+            .filter(col("word") =!= "")
+            .groupBy("word")
+            .agg(count(lit(1)).as("cnt")),
+          Seq(col("word")), Seq(col("cnt").desc, col("word")))
       // exact dedup on a column digest: one hash aggregate (the
       // q_dedup_exact shape) — the survivor is the row whose leading
       // column is minimal, deterministically
       case List("dedup", table, column) =>
+        noKnob()
         val df = load(s, dir, table)
         df.select(md5(col(column).cast("string").cast("binary")).as("h"),
             struct(df.columns.map(col).toSeq: _*).as("row"))
@@ -112,6 +181,7 @@ object Shell {
           .select((col("keep.*") +: Seq(col("n_dups"))): _*)
           .orderBy(df.columns.map(col).toSeq: _*)
       case List("split", table, idcol) =>
+        noKnob()
         val h = md5(col(idcol).cast("string").cast("binary"))
         load(s, dir, table)
           .select(when(h < "cc", "train").when(h < "e6", "val")
@@ -122,14 +192,45 @@ object Shell {
       // external-executable stage (graft.operators.Pipe): output order
       // is partition-dependent by nature, so the display sorts lines —
       // programmatic users call Pipe directly to keep streaming order
-      case List("pipe", table, cmd) =>
-        graft.operators.Pipe.pipeShell(load(s, dir, table), cmd)
+      case List("pipe", table, sh) =>
+        noKnob()
+        graft.operators.Pipe.pipeShell(load(s, dir, table), sh)
           .orderBy("line")
-      case List("pipe", table, column, cmd) =>
+      case List("pipe", table, column, sh) =>
+        noKnob()
         graft.operators.Pipe
-          .pipeShell(load(s, dir, table).select(col(column)), cmd)
+          .pipeShell(load(s, dir, table).select(col(column)), sh)
           .orderBy("line")
+      // pipe + typed re-entry: stdout TAB fields become the named
+      // string columns (the juice key<TAB>value shape back in
+      // declarative land — Pipe.pipeTsv)
+      case List("pipetsv", table, sh, colSpec) =>
+        noKnob()
+        val names = colSpec.split(',').toSeq
+        graft.operators.Pipe
+          .pipeTsv(load(s, dir, table), Seq("/bin/sh", "-c", sh), names)
+          .orderBy(names.map(col): _*)
+      // the SDFS put / juice dest-file analog: key<TAB>value lines via
+      // LineSources, layout controlled by the partition knob; returns
+      // the written line count read BACK through the kv reader, so the
+      // command also proves the sink parses
+      case List("export", table, key, value, path) =>
+        val shaped = pspec match {
+          case Some(p) =>
+            applyPartition(load(s, dir, table), Seq(col(key)),
+              Seq(col(key), col(value)), p)
+          case None => load(s, dir, table)
+        }
+        graft.sources.LineSources.writeKeyValueLines(shaped, key, value, path)
+        graft.sources.LineSources.readKeyValueLines(s, path)
+          .agg(count(lit(1)).as("n_lines"))
+      // the SDFS get analog: typed (key, value) re-entry of an export
+      case List("import", path) =>
+        noKnob()
+        graft.sources.LineSources.readKeyValueLines(s, path)
+          .orderBy("key", "value")
       case List("contract", name) =>
+        noKnob()
         SparkEntry.queries.getOrElse(name,
           throw new IllegalArgumentException(
             s"unknown contract query: $name"))(s, dir)
@@ -137,6 +238,8 @@ object Shell {
         throw new IllegalArgumentException(
           s"unrecognized command: ${other.mkString(" ")} (see Shell scaladoc)")
     }
+    out
+  }
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: runMain graft.Shell \"<command>\"")

@@ -125,7 +125,7 @@ object SimilarityExtras {
     * reproduces exactly, so compares against UNROUNDED sim stay
     * engine-identical.
     */
-  private def cosPair(u: String, v: String) =
+  private[graft] def cosPair(u: String, v: String) =
     s"""aggregate(zip_with($u, $v, (x, y) -> cast(x as double) * cast(y as double)),
        |  cast(0.0 as double), (acc, x) -> acc + x) /
        |(sqrt(aggregate($u, cast(0.0 as double),

@@ -32,10 +32,25 @@ object LineSources {
     spark.read.schema(schema).json(path)
 
   /** The juice output shape: `key<TAB>value` lines appended to a
-    * destination directory of text files.
+    * destination directory of text files. The input's partitioning is
+    * preserved (the projection is narrow), so a caller-side
+    * `repartition`/`repartitionByRange` controls the sink layout —
+    * the reference's hash|range output-partition knob.
     */
   def writeKeyValueLines(df: DataFrame, keyCol: String, valueCol: String,
       path: String): Unit =
     df.select(concat_ws("\t", col(keyCol), col(valueCol)).as("value"))
       .write.mode("overwrite").text(path)
+
+  /** Typed re-entry of [[writeKeyValueLines]]: `key<TAB>value` lines
+    * back to (key, value) string columns. The value may itself contain
+    * TABs (only the first one splits); a key-only line gets an empty
+    * value — get() (0-based) returns NULL past the end even under ANSI
+    * mode, where element_at would throw.
+    */
+  def readKeyValueLines(spark: SparkSession, path: String): DataFrame =
+    readTextLines(spark, path)
+      .select(split(col("value"), "\t", 2).as("kv"))
+      .select(coalesce(get(col("kv"), lit(0)), lit("")).as("key"),
+        coalesce(get(col("kv"), lit(1)), lit("")).as("value"))
 }

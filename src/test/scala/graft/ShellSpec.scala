@@ -93,4 +93,74 @@ class ShellSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Shell.run(spark, sf0001, "frobnicate events"))
   }
+
+  test("partition=range on wordcount: same rows, contiguous key ranges") {
+    val plain = Shell.run(spark, sf0001, "wordcount documents text")
+      .collect().map(_.toString).toSet
+    val parted = Shell
+      .run(spark, sf0001, "wordcount documents text partition=range:4")
+    val withPid = parted.withColumn("pid", spark_partition_id())
+    assert(parted.rdd.getNumPartitions === 4)
+    assert(parted.collect().map(_.toString).toSet === plain)
+    // range mode = contiguous, non-overlapping key spans per partition
+    val spans = withPid.groupBy("pid")
+      .agg(min("word").as("lo"), max("word").as("hi"))
+      .orderBy("pid").collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    spans.sliding(2).foreach {
+      case Array((_, hi), (lo, _)) => assert(hi <= lo,
+        s"partition spans overlap: $hi > $lo")
+      case _ =>
+    }
+  }
+
+  test("partition=hash on join: same rows, one partition per key") {
+    val parted = Shell.run(spark, sf0001,
+      "join orders customer o_custkey c_custkey partition=hash:4")
+    assert(parted.rdd.getNumPartitions === 4)
+    assert(parted.count() === 1500L)
+    val keyPids = parted
+      .select(col("o_custkey"), spark_partition_id().as("pid"))
+      .groupBy("o_custkey").agg(countDistinct("pid").as("n"))
+    assert(keyPids.filter(col("n") =!= 1).count() === 0L,
+      "hash mode must route every key to exactly one partition")
+  }
+
+  test("partition= is rejected where it has no sink meaning") {
+    intercept[IllegalArgumentException](
+      Shell.run(spark, sf0001, "grep events 'signup' partition=hash"))
+    intercept[IllegalArgumentException](
+      Shell.run(spark, sf0001, "wordcount documents text partition=zigzag"))
+  }
+
+  test("export -> import -> query round trip via LineSources") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-shell-export").toString + "/kv"
+    val n = Shell.run(spark, sf0001,
+      s"export nation n_nationkey n_name $path partition=range:2")
+      .head().getLong(0)
+    assert(n === 25L)
+    val imported = Shell.run(spark, sf0001, s"import $path")
+    assert(imported.columns.toSeq === Seq("key", "value"))
+    val roundTrip = imported
+      .select(col("key").cast("long").as("k"), col("value").as("v"))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val original = graft.sources.Tables.table(spark, sf0001, "nation")
+      .select(col("n_nationkey").cast("long"), col("n_name"))
+      .orderBy("n_nationkey").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(roundTrip === original)
+  }
+
+  test("pipetsv re-enters typed land with named columns") {
+    val df = Shell.run(spark, sf0001,
+      "pipetsv region 'cut -f1,2' rk,name")
+    assert(df.columns.toSeq === Seq("rk", "name"))
+    val got = df.collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val expected = graft.sources.Tables.table(spark, sf0001, "region")
+      .select(col("r_regionkey").cast("string"), col("r_name"))
+      .orderBy("r_regionkey").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(got.sortBy(_._1) === expected.sortBy(_._1))
+  }
 }
