@@ -162,7 +162,36 @@ object AggExtras {
           date_format(col("day"), "yyyy-MM-dd").as("day"),
           coalesce(col("n"), lit(0L)).as("n"))
         .orderBy("prio", "day")
-    })
+    }),
+
+    // Column profiler (the data-quality pass a training pipeline runs
+    // before ingest): per-column row/null/distinct counts + exact
+    // integer-cents min/max and a 4-dp mean. All four columns profile
+    // in ONE scan — unpivot to (col_name, cents) via an inline stack,
+    // then a single hash aggregate; the n_distinct makes it a
+    // partial_merge two-phase distinct-aggregate, still one read of
+    // the fact table instead of four. The mean divides two exact
+    // integers as doubles (sum_cents < 2^53 at any plausible SF), so
+    // both engines perform the identical IEEE division — no
+    // accumulation-order nondeterminism as with SUM(double).
+    "q_stats_profile" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select(expr(
+          """stack(4,
+            |  'l_quantity',      cast(cast(l_quantity      as decimal(18,2)) * 100 as long),
+            |  'l_extendedprice', cast(cast(l_extendedprice as decimal(18,2)) * 100 as long),
+            |  'l_discount',      cast(cast(l_discount      as decimal(18,2)) * 100 as long),
+            |  'l_tax',           cast(cast(l_tax           as decimal(18,2)) * 100 as long)
+            |) as (col_name, v)""".stripMargin))
+        .groupBy("col_name")
+        .agg(count(lit(1)).as("n_rows"),
+          (count(lit(1)) - count(col("v"))).as("n_null"),
+          countDistinct(col("v")).as("n_distinct"),
+          min(col("v")).as("min_cents"),
+          max(col("v")).as("max_cents"),
+          round(sum(col("v")).cast("double") / count(col("v")), 4)
+            .as("avg_cents"))
+        .orderBy("col_name"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -263,6 +292,20 @@ object AggExtras {
         |       COALESCE(actual.n, 0) AS n
         |FROM spine LEFT JOIN actual
         |  ON s_prio = actual.prio AND s_day = actual.day
-        |ORDER BY prio, day""".stripMargin
+        |ORDER BY prio, day""".stripMargin,
+    // DuckDB lacks stack(); a 4-way UNION ALL of per-column profiles is
+    // the same relation (the oracle need not share the single-scan
+    // plan, only the result)
+    "q_stats_profile" -> {
+      def prof(c: String) =
+        s"""SELECT '$c' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |  CAST(COUNT(*) - COUNT(v) AS BIGINT) AS n_null,
+           |  CAST(COUNT(DISTINCT v) AS BIGINT) AS n_distinct,
+           |  MIN(v) AS min_cents, MAX(v) AS max_cents,
+           |  ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(v), 4) AS avg_cents
+           |FROM (SELECT ${sqlCents(c)} AS v FROM lineitem)""".stripMargin
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        .map(prof).mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    }
   )
 }

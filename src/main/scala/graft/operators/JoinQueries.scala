@@ -169,6 +169,28 @@ object JoinQueries {
         .select(col("event_id1"), col("event_id2"),
           col("uid1").as("user_id"), (col("t2") - col("t1")).as("gap_us"))
         .orderBy("event_id1", "event_id2")
+    }),
+
+    // Salted skew-safe join, contract-pinned: revenue per supplier via
+    // Salting.saltedEquiJoin against a PLAIN-join oracle, proving the
+    // salt-and-replicate rewrite is result-invariant. l_suppkey is the
+    // archetypal hot key (|lineitem|/|supplier| rows each — 600 per
+    // supplier at sf0.1, and real skew only widens that); the salt
+    // spreads each supplier's fan-in over 8 tasks while the replicated
+    // small side stays |supplier|×8 rows. AQE's byte-based skew split
+    // is the first line of defense — this is the shape for when the
+    // key histogram, not the partition bytes, is the problem.
+    "q_join_salted" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          cents(col("l_extendedprice")).as("price_c"))
+      val sup = Tables.supplier(s, d)
+        .select(col("s_suppkey").as("l_suppkey"), col("s_name"))
+      Salting.saltedEquiJoin(li, sup, "l_suppkey",
+          saltFrom = col("l_orderkey") * 8 + col("l_linenumber"), nSalts = 8)
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("n_items"), sum(col("price_c")).as("rev_cents"))
+        .orderBy("s_name")
     })
   )
 
@@ -243,6 +265,13 @@ object JoinQueries {
         | AND (epoch_us(a.ts) < epoch_us(b.ts)
         |      OR (epoch_us(a.ts) = epoch_us(b.ts) AND a.event_id < b.event_id))
         | AND epoch_us(b.ts) - epoch_us(a.ts) <= 3600000000
-        |ORDER BY event_id1, event_id2""".stripMargin
+        |ORDER BY event_id1, event_id2""".stripMargin,
+    // plain join on purpose: the oracle proves the salted rewrite is
+    // result-invariant
+    "q_join_salted" ->
+      s"""SELECT s_name, CAST(COUNT(*) AS BIGINT) AS n_items,
+         |  ${sqlSumCents("l_extendedprice")} AS rev_cents
+         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         |GROUP BY s_name ORDER BY s_name""".stripMargin
   )
 }

@@ -140,7 +140,52 @@ object TextExtras {
         .groupBy("fp")
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
         .filter(col("n_docs") > 1)
-        .orderBy("fp"))
+        .orderBy("fp")),
+
+    // Context-window chunking (training-prep: long docs → overlapping
+    // token windows of 16, stride 12). Tokenize once, explode the
+    // stride sequence, slice per chunk — one Generate over a
+    // materialized token array, no shuffle except the output sort.
+    // Chunk count per doc is ceil(n_toks/stride): data-proportional
+    // fan-out, so the stage scales like the corpus, not like a join.
+    "q_text_chunk" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) > 0)
+        .select(col("doc_id"), col("toks"),
+          explode(sequence(lit(0), size(col("toks")) - 1, lit(12)))
+            .as("st"))
+        .select(col("doc_id"),
+          (col("st") / 12).cast("long").as("chunk_idx"),
+          col("st").cast("long").as("tok_start"),
+          least(lit(16), size(col("toks")) - col("st")).cast("long")
+            .as("n_toks"),
+          array_join(slice(col("toks"), col("st") + 1, lit(16)), " ")
+            .as("chunk_text"))
+        .orderBy("doc_id", "chunk_idx")),
+
+    // Quality-filter manifest: keep/drop verdict per doc with the FIRST
+    // failing rule as the reason (token-count band, then alphabetic
+    // character ratio). Pure per-row arithmetic — the alpha ratio
+    // divides two exact integer lengths as doubles, so both engines run
+    // the identical IEEE division before the 4-dp round. A manifest
+    // (not a filtered table) is the auditable shape at scale: the drop
+    // reasons aggregate into the corpus-quality report for free.
+    "q_quality_filter" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).as("n_toks"),
+          (length(regexp_replace(col("text"), "[^a-z]", "")).cast("double") /
+            length(col("text"))).as("ar"))
+        .select(col("doc_id"), col("n_toks").cast("long").as("n_toks"),
+          round(col("ar"), 4).as("alpha_ratio"),
+          when(col("n_toks") < 20, "too_short")
+            .when(col("n_toks") > 90, "too_long")
+            .when(col("ar") < 0.81, "low_alpha")
+            .otherwise("keep").as("verdict"),
+          when(col("n_toks") < 20 || col("n_toks") > 90 || col("ar") < 0.81,
+            0L).otherwise(1L).as("kept"))
+        .orderBy("doc_id"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -199,6 +244,35 @@ object TextExtras {
         |      i -> md5(array_to_string(string_split(text,' ')[i:i+3], ' ')))) AS fp
         |  FROM documents)
         |SELECT fp, CAST(COUNT(*) AS BIGINT) AS n_docs, MIN(doc_id) AS keep_id
-        |FROM f GROUP BY fp HAVING COUNT(*) > 1 ORDER BY fp""".stripMargin
+        |FROM f GROUP BY fp HAVING COUNT(*) > 1 ORDER BY fp""".stripMargin,
+    // DuckDB list slice [a:b] is 1-based INCLUSIVE of both ends
+    // (CLAUDE.md): [st+1 : st+16] = 16 elements = Spark slice(toks,
+    // st+1, 16); both clamp at the array end for the final short chunk
+    "q_text_chunk" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s AS (
+        |  SELECT doc_id, toks, unnest(range(0, len(toks), 12)) AS st
+        |  FROM t WHERE len(toks) > 0)
+        |SELECT doc_id, CAST(st // 12 AS BIGINT) AS chunk_idx,
+        |  CAST(st AS BIGINT) AS tok_start,
+        |  CAST(LEAST(16, len(toks) - st) AS BIGINT) AS n_toks,
+        |  array_to_string(toks[st+1 : st+16], ' ') AS chunk_text
+        |FROM s ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q_quality_filter" ->
+      """WITH f AS (
+        |  SELECT doc_id, len(string_split(text, ' ')) AS n_toks,
+        |    CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+        |      / length(text) AS ar
+        |  FROM documents)
+        |SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks,
+        |  ROUND(ar, 4) AS alpha_ratio,
+        |  CASE WHEN n_toks < 20 THEN 'too_short'
+        |       WHEN n_toks > 90 THEN 'too_long'
+        |       WHEN ar < 0.81 THEN 'low_alpha'
+        |       ELSE 'keep' END AS verdict,
+        |  CAST(CASE WHEN n_toks < 20 OR n_toks > 90 OR ar < 0.81
+        |       THEN 0 ELSE 1 END AS BIGINT) AS kept
+        |FROM f ORDER BY doc_id""".stripMargin
   )
 }

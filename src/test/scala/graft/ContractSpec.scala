@@ -95,7 +95,11 @@ class ContractSpec extends AnyFunSuite {
     "q_scalar_array" -> 100L,
     "q_text_tfidf" -> 25L,
     "q_agg_winsorize" -> 3L,
-    "q_window_ntile" -> 30L
+    "q_window_ntile" -> 30L,
+    "q_text_chunk" -> 2559L,
+    "q_quality_filter" -> 500L,
+    "q_stats_profile" -> 4L,
+    "q_join_salted" -> 10L
   )
 
   test("every contract query has oracle SQL and vice versa") {
