@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.functions.ScalarQueries
-import graft.operators.{AggExtras, CorpusExtras, DedupExtras, JoinQueries, MultimodalQueries, PipelineQueries, RelationalQueries, SimilarityExtras, SourceQueries, TextExtras, WindowExtras, WindowQueries}
+import graft.operators.{AggExtras, AnalyticsExtras, CorpusExtras, DedupExtras, JoinQueries, MultimodalQueries, PipelineQueries, RelationalQueries, SimilarityExtras, SourceQueries, TextExtras, WindowExtras, WindowQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (the operator
   * inventory) and §7 (build plan). Every t2 row of SURVEY.md §2 appears
@@ -40,6 +40,7 @@ object SparkEntry {
       MultimodalQueries.queries ++
       WindowExtras.queries ++
       AggExtras.queries ++
+      AnalyticsExtras.queries ++
       SourceQueries.queries ++
       CorpusExtras.queries
 
@@ -58,6 +59,7 @@ object SparkEntry {
       MultimodalQueries.oracle ++
       WindowExtras.oracle ++
       AggExtras.oracle ++
+      AnalyticsExtras.oracle ++
       SourceQueries.oracle ++
       CorpusExtras.oracle
 }

@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Money._
+import graft.sources.Tables
+
+/** Round-9 analytics extensions (SURVEY.md §2.12): behavioral funnel,
+  * equi-width histogram, per-group mode, and min-max feature scaling.
+  *
+  * All four follow the repo's exact-arithmetic discipline: money as
+  * integer cents, ratios as one IEEE division of exact integers rounded
+  * to 4 dp, counts as longs — so both engines hash bit-for-bit.
+  */
+object AnalyticsExtras {
+
+  /** 24 h in epoch-µs — the funnel's per-stage conversion window. */
+  private val DayUs = 86400000000L
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Conversion funnel view → click → purchase with a 24 h window per
+    // stage: stage n counts users whose FIRST qualifying stage-n event
+    // falls within 24 h of their first qualifying stage-(n-1) event.
+    // Each stage is one hash aggregate keyed by user joined to the
+    // previous stage's (user, first_ts) relation — all three joins
+    // shuffle on the same user_id key, so at scale the exchanges line
+    // up and each stage is a co-partitioned equi-join + partial-agg,
+    // never a window over the event stream. The driver sees only the
+    // three scalar counts.
+    "q_events_funnel" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("t"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("t").as("vt"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, "user_id")
+        .filter(col("t") >= col("vt") && col("t") - col("vt") <= DayUs)
+        .groupBy("user_id").agg(min("t").as("ct"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, "user_id")
+        .filter(col("t") >= col("ct") && col("t") - col("ct") <= DayUs)
+        .groupBy("user_id").agg(min("t").as("pt"))
+      def stage(df: DataFrame, n: Int, step: String) =
+        df.agg(count(lit(1)).as("users"))
+          .select(lit(n).as("stage"), lit(step).as("step"), col("users"))
+      stage(v, 1, "view")
+        .unionAll(stage(c, 2, "click"))
+        .unionAll(stage(p, 3, "purchase"))
+        .orderBy("stage")
+    }),
+
+    // Equi-width 10-bin histogram of order value: global [min, max]
+    // from one bounds aggregate (partial-combines map-side, one row
+    // out) BROADCAST over the fact scan, bucket index by exact integer
+    // arithmetic — (c-mn)*10 div (mx-mn+1) never sees a double, so both
+    // engines bin identically. Second pass is one ≤10-group hash agg.
+    "q_stats_histogram" -> ((s, d) => {
+      val c = Tables.orders(s, d).select(cents(col("o_totalprice")).as("c"))
+      val b = c.agg(min("c").as("mn"), max("c").as("mx"))
+      c.crossJoin(broadcast(b))
+        .select(
+          least(lit(9L), expr("(c - mn) * 10 div (mx - mn + 1)"))
+            .as("bucket"),
+          col("c"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), min("c").as("lo_c"), max("c").as("hi_c"))
+        .orderBy("bucket")
+    }),
+
+    // Per-group mode (most frequent order priority per status) with a
+    // deterministic tie-break: smallest priority string among the
+    // max-count ties. Two hash aggregates — (status, priority) counts,
+    // then per-status max — joined on the TINY aggregated relation
+    // (|status|×|priority| rows), so no window ever touches the fact
+    // table and the fact scan shuffles once, partial-combined.
+    "q_agg_mode" -> ((s, d) => {
+      val cdf = Tables.orders(s, d)
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+      val m = cdf.groupBy("o_orderstatus").agg(max("n").as("mx"))
+      cdf.join(broadcast(m), "o_orderstatus")
+        .filter(col("n") === col("mx"))
+        .groupBy("o_orderstatus")
+        .agg(min("o_orderpriority").as("mode_priority"), max("n").as("n"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // Min-max feature scaling per status group — the normalization step
+    // before ML statistics. Per-group [min, max] is a 3-row aggregate
+    // that BROADCASTS back over the fact scan (the q_agg_winsorize
+    // shape), so the scaling pass never shuffles facts. scaled =
+    // (c-mn)/(mx-mn) is one IEEE division of exact integers → 4 dp,
+    // bit-identical across engines.
+    "q_stats_minmax" -> ((s, d) => {
+      val c = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_orderstatus"), cents(col("o_totalprice")).as("c"))
+      val b = c.groupBy(col("o_orderstatus").as("st"))
+        .agg(min("c").as("mn"), max("c").as("mx"))
+      c.join(broadcast(b), col("o_orderstatus") === col("st"))
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          round((col("c") - col("mn")).cast("double") /
+            (col("mx") - col("mn")).cast("double"), 4).as("scaled"))
+        .orderBy("o_orderkey")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_events_funnel" ->
+      s"""WITH v AS (SELECT user_id, MIN(epoch_us(ts)) AS vt
+         |  FROM events WHERE event_type = 'view' GROUP BY 1),
+         |c AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS ct
+         |  FROM events e JOIN v ON e.user_id = v.user_id
+         |  WHERE e.event_type = 'click' AND epoch_us(e.ts) >= v.vt
+         |    AND epoch_us(e.ts) - v.vt <= $DayUs GROUP BY 1),
+         |p AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS pt
+         |  FROM events e JOIN c ON e.user_id = c.user_id
+         |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= c.ct
+         |    AND epoch_us(e.ts) - c.ct <= $DayUs GROUP BY 1)
+         |SELECT stage, step, users FROM (
+         |  SELECT 1 AS stage, 'view' AS step,
+         |    CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS users
+         |  UNION ALL SELECT 2, 'click', CAST((SELECT COUNT(*) FROM c) AS BIGINT)
+         |  UNION ALL SELECT 3, 'purchase', CAST((SELECT COUNT(*) FROM p) AS BIGINT))
+         |ORDER BY stage""".stripMargin,
+    "q_stats_histogram" ->
+      s"""WITH c AS (SELECT ${sqlCents("o_totalprice")} AS c FROM orders),
+         |b AS (SELECT MIN(c) AS mn, MAX(c) AS mx FROM c)
+         |SELECT CAST(LEAST(9, ((c - mn) * 10) // (mx - mn + 1)) AS BIGINT) AS bucket,
+         |  CAST(COUNT(*) AS BIGINT) AS n, MIN(c) AS lo_c, MAX(c) AS hi_c
+         |FROM c, b GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_agg_mode" ->
+      """WITH c AS (SELECT o_orderstatus, o_orderpriority,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM orders GROUP BY 1, 2),
+        |m AS (SELECT o_orderstatus, MAX(n) AS mx FROM c GROUP BY 1)
+        |SELECT c.o_orderstatus, MIN(o_orderpriority) AS mode_priority,
+        |  MAX(n) AS n
+        |FROM c JOIN m ON c.o_orderstatus = m.o_orderstatus AND c.n = m.mx
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_stats_minmax" ->
+      s"""WITH c AS (SELECT o_orderkey, o_orderstatus,
+         |    ${sqlCents("o_totalprice")} AS c FROM orders),
+         |b AS (SELECT o_orderstatus AS st, MIN(c) AS mn, MAX(c) AS mx
+         |  FROM c GROUP BY 1)
+         |SELECT o_orderkey, o_orderstatus,
+         |  ROUND(CAST(c - mn AS DOUBLE) / CAST(mx - mn AS DOUBLE), 4) AS scaled
+         |FROM c JOIN b ON c.o_orderstatus = b.st
+         |ORDER BY o_orderkey""".stripMargin
+  )
+}

@@ -265,7 +265,25 @@ object DedupExtras {
               expr("size(array_distinct(concat(s1.sh, s2.sh)))"),
             4).as("jaccard"))
         .orderBy("doc_id1", "doc_id2")
-    })
+    }),
+
+    // Canonical-form (fingerprint) dedup: docs whose SORTED DISTINCT
+    // token set agrees are near-dups regardless of word order or
+    // repetition — the OpenRefine-style normalize-then-group step that
+    // catches shuffled/re-worded boilerplate exact hashing misses. One
+    // projection computes the 16-byte canonical digest per doc, one
+    // hash aggregate groups on it — the shuffle carries (digest,
+    // doc_id), never text, and there is no pair product at all; the
+    // cheapest near-dup the engine offers at 100 TB.
+    "q_dedup_norm" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          md5(array_join(array_sort(array_distinct(split(col("text"), " "))),
+            " ").cast("binary")).as("norm_sig"))
+        .groupBy("norm_sig")
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keeper_id"))
+        .filter(col("n_docs") > 1)
+        .orderBy("norm_sig"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -355,6 +373,13 @@ object DedupExtras {
         |  ROUND(len(list_filter(a.sh, x -> list_contains(b.sh, x))) * 1.0 /
         |        len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
         |FROM keyed a JOIN keyed b ON a.lang=b.lang AND a.bk=b.bk AND a.doc_id<b.doc_id
-        |ORDER BY doc_id1, doc_id2""".stripMargin
+        |ORDER BY doc_id1, doc_id2""".stripMargin,
+    "q_dedup_norm" ->
+      """WITH n AS (SELECT doc_id,
+        |    md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS norm_sig
+        |  FROM documents)
+        |SELECT norm_sig, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  MIN(doc_id) AS keeper_id
+        |FROM n GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY norm_sig""".stripMargin
   )
 }

@@ -99,6 +99,24 @@ object SourceQueries {
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"), max(col("n_chars")).as("max_chars"))
         .orderBy("source")
+    }),
+
+    // Hive-partitioned parquet SINK round trip under the hash gate —
+    // the reference's partitioned-output knob (SURVEY §2.7) in its
+    // persisted columnar form: write documents partitioned by lang
+    // (one directory per key, the layout that makes downstream
+    // per-lang reads partition-PRUNED scans at 100 TB), read the tree
+    // back, and the per-lang stats must hash-match the unpartitioned
+    // oracle — proving the partition columns survived the
+    // write-as-directory-key/read-as-column round trip losslessly.
+    "q_source_parquet_partition" -> ((s, d) => {
+      val path = exportDir(d) + "/parq_lang"
+      Tables.documents(s, d)
+        .write.mode("overwrite").partitionBy("lang").parquet(path)
+      s.read.parquet(path)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+        .orderBy("lang")
     })
   )
 
@@ -120,6 +138,10 @@ object SourceQueries {
     "q_source_kv_roundtrip" ->
       """SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
         |  SELECT unnest(string_split(text, ' ')) AS word FROM documents
-        |) WHERE word <> '' GROUP BY word ORDER BY cnt DESC, word""".stripMargin
+        |) WHERE word <> '' GROUP BY word ORDER BY cnt DESC, word""".stripMargin,
+    "q_source_parquet_partition" ->
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

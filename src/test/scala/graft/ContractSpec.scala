@@ -99,7 +99,13 @@ class ContractSpec extends AnyFunSuite {
     "q_text_chunk" -> 2559L,
     "q_quality_filter" -> 500L,
     "q_stats_profile" -> 4L,
-    "q_join_salted" -> 10L
+    "q_join_salted" -> 10L,
+    "q_events_funnel" -> 3L,
+    "q_stats_histogram" -> 10L,
+    "q_agg_mode" -> 3L,
+    "q_stats_minmax" -> 1500L,
+    "q_dedup_norm" -> 25L,
+    "q_source_parquet_partition" -> 5L
   )
 
   test("every contract query has oracle SQL and vice versa") {
