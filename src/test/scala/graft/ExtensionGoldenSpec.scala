@@ -74,4 +74,21 @@ class ExtensionGoldenSpec extends AnyFunSuite {
     assert(head2("q_stats_corr") ===
       Seq(Seq("A", 1962L, -0.020151), Seq("N", 2070L, -0.010389)))
   }
+
+  test("q_events_funnel stage counts (24h windows discriminate)") {
+    assert(
+      SparkEntry.queries("q_events_funnel")(spark, sf0001)
+        .collect().toSeq.map(_.toSeq) ===
+        Seq(Seq(1, "view", 15L), Seq(2, "click", 6L), Seq(3, "purchase", 3L)))
+  }
+
+  test("q_agg_mode head rows (smallest-string tie-break)") {
+    assert(head2("q_agg_mode") ===
+      Seq(Seq("F", "3-MEDIUM", 116L), Seq("O", "2-HIGH", 112L)))
+  }
+
+  test("q_stats_histogram head buckets (integer bin arithmetic)") {
+    assert(head2("q_stats_histogram") ===
+      Seq(Seq(0L, 164L, 132051L, 5087598L), Seq(1L, 148L, 5116048L, 10093514L)))
+  }
 }
