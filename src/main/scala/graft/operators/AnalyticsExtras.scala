@@ -87,6 +87,30 @@ object AnalyticsExtras {
         .orderBy("o_orderstatus")
     }),
 
+    // Cohort retention matrix — users cohorted by FIRST-purchase day,
+    // counted per (cohort, day-offset) of later purchase activity: the
+    // product-analytics operator behind every retention curve. Three
+    // hash aggregates and one join, ALL keyed by user_id (cohort agg,
+    // distinct user-day agg, user-keyed join), so the exchanges line
+    // up on one key and the final (cohort, offset) agg is over the
+    // already-thin distinct relation. Dates compare as DATE (exact),
+    // offsets as integer day differences — no timestamp arithmetic
+    // survives to the output.
+    "q_events_retention" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"),
+          to_date(date_trunc("day", col("ts"))).as("day"))
+      val cohorts = ev.groupBy("user_id").agg(min("day").as("cohort"))
+      ev.distinct()
+        .join(cohorts, "user_id")
+        .groupBy(
+          date_format(col("cohort"), "yyyy-MM-dd").as("cohort_day"),
+          datediff(col("day"), col("cohort")).cast("long").as("day_offset"))
+        .agg(count(lit(1)).as("active_users"))
+        .orderBy("cohort_day", "day_offset")
+    }),
+
     // Min-max feature scaling per status group — the normalization step
     // before ML statistics. Per-group [min, max] is a 3-row aggregate
     // that BROADCASTS back over the fact scan (the q_agg_winsorize
@@ -139,6 +163,16 @@ object AnalyticsExtras {
         |  MAX(n) AS n
         |FROM c JOIN m ON c.o_orderstatus = m.o_orderstatus AND c.n = m.mx
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_events_retention" ->
+      """WITH f AS (SELECT user_id, CAST(date_trunc('day', MIN(ts)) AS DATE) AS cohort
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT strftime(cohort, '%Y-%m-%d') AS cohort_day,
+        |  CAST(day - cohort AS BIGINT) AS day_offset,
+        |  CAST(COUNT(*) AS BIGINT) AS active_users
+        |FROM a JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_stats_minmax" ->
       s"""WITH c AS (SELECT o_orderkey, o_orderstatus,
          |    ${sqlCents("o_totalprice")} AS c FROM orders),

@@ -90,6 +90,28 @@ object WindowQueries {
         .agg(count(lit(1)).as("n"), min(cents(col("__v"))).as("min_c"),
           max(cents(col("__v"))).as("max_c"))
         .orderBy("st", "decile")
+    }),
+
+    // percent_rank per status over the full (price, key) order — the
+    // empirical-CDF assignment (value → quantile position) used for
+    // rank normalization of features. Same scale discipline as ntile:
+    // never `percent_rank() over (partition by status)` (3 full-table
+    // window tasks) — RankSelect.withGlobalRank supplies the exact
+    // global rank from the two-phase bucket histogram, and pct_rank =
+    // (rank-1)/(n-1) is one IEEE division of exact integers → 4 dp,
+    // identical in both engines (the unique-key ORDER BY suffix makes
+    // rank = row_number, which is what PERCENT_RANK degenerates to).
+    "q_window_cume" -> ((s, d) => {
+      val ord = Tables.orders(s, d)
+        .select(col("o_orderstatus").as("st"), col("o_totalprice"),
+          col("o_orderkey"))
+      RankSelect.withGlobalRank(ord, "st", "o_totalprice", "o_orderkey",
+          RankSelect.bucketsFor(Stats.rowCount(s, d, "orders")))
+        .select(col("__k").cast("long").as("o_orderkey"),
+          col("st").as("o_orderstatus"),
+          round((col("__rank") - 1).cast("double") /
+            (col("__n") - 1).cast("double"), 4).as("pct_rank"))
+        .orderBy("o_orderkey")
     })
   )
 
@@ -121,6 +143,11 @@ object WindowQueries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
         |    AS running_n
         |FROM events WHERE user_id < 20
-        |ORDER BY user_id, event_id""".stripMargin
+        |ORDER BY user_id, event_id""".stripMargin,
+    "q_window_cume" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  ROUND(PERCENT_RANK() OVER (PARTITION BY o_orderstatus
+        |    ORDER BY o_totalprice, o_orderkey), 4) AS pct_rank
+        |FROM orders ORDER BY o_orderkey""".stripMargin
   )
 }

@@ -105,7 +105,9 @@ class ContractSpec extends AnyFunSuite {
     "q_agg_mode" -> 3L,
     "q_stats_minmax" -> 1500L,
     "q_dedup_norm" -> 25L,
-    "q_source_parquet_partition" -> 5L
+    "q_source_parquet_partition" -> 5L,
+    "q_events_retention" -> 98L,
+    "q_window_cume" -> 1500L
   )
 
   test("every contract query has oracle SQL and vice versa") {
