@@ -191,7 +191,27 @@ object AggExtras {
           max(col("v")).as("max_cents"),
           round(sum(col("v")).cast("double") / count(col("v")), 4)
             .as("avg_cents"))
-        .orderBy("col_name"))
+        .orderBy("col_name")),
+
+    // Latest record per key — the snapshot/compaction step every
+    // incremental ingest runs (newest event wins per user). ONE hash
+    // aggregate via max_by with a composite (ts, -event_id) sort key:
+    // partial-combines map-side, so at 100 TB each executor forwards
+    // one candidate row per user instead of its whole event history —
+    // strictly better than the window-rank or agg-then-self-join
+    // spellings, which shuffle every row. The negated unique id makes
+    // ties (same-µs events) deterministic as "smallest event_id wins",
+    // which is what the oracle's MIN(event_id) tie-break computes.
+    "q_agg_argmax" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(
+          max_by(col("event_type"),
+            struct(col("ts"), (-col("event_id")).as("nid"))).as("last_type"),
+          max("ts").as("mt"))
+        .select(col("user_id"), col("last_type"),
+          date_format(col("mt"), "yyyy-MM-dd HH:mm:ss").as("last_ts"))
+        .orderBy("user_id"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -306,6 +326,19 @@ object AggExtras {
            |FROM (SELECT ${sqlCents(c)} AS v FROM lineitem)""".stripMargin
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
         .map(prof).mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
-    }
+    },
+    // agg + explicit MIN(event_id) tie-break join: DuckDB's arg_max
+    // has no composite-key form, and this spelling pins the same
+    // "latest ts, then smallest event_id" total order the Spark
+    // max_by sort key encodes
+    "q_agg_argmax" ->
+      """WITH m AS (SELECT user_id, MAX(ts) AS mt FROM events GROUP BY 1),
+        |j AS (SELECT e.user_id, MIN(e.event_id) AS eid
+        |      FROM events e JOIN m ON e.user_id = m.user_id AND e.ts = m.mt
+        |      GROUP BY 1)
+        |SELECT e.user_id, e.event_type AS last_type,
+        |  strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS last_ts
+        |FROM events e JOIN j ON e.event_id = j.eid
+        |ORDER BY e.user_id""".stripMargin
   )
 }

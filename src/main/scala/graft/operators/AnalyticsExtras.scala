@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Money._
@@ -127,6 +128,51 @@ object AnalyticsExtras {
           round((col("c") - col("mn")).cast("double") /
             (col("mx") - col("mn")).cast("double"), 4).as("scaled"))
         .orderBy("o_orderkey")
+    }),
+
+    // Event-type transition matrix (first-order Markov counts): each
+    // user's event stream ordered by (ts, event_id) yields consecutive
+    // (from, to) bigrams, counted across users — the sequence-mining
+    // primitive behind session-flow and next-action models. The lag
+    // window partitions by user_id: parallelism is |users| (data-
+    // proportional, never a handful of tasks), each partition is one
+    // user's bounded history, and the unique event_id suffix makes the
+    // order — and so every bigram — deterministic. The |types|² count
+    // agg afterwards partial-combines map-side.
+    "q_events_transitions" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("from_type", lag(col("event_type"), 1).over(w))
+        .filter(col("from_type").isNotNull)
+        .groupBy(col("from_type"), col("event_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("from_type", "to_type")
+    }),
+
+    // Volume-anomaly scan: per (event_type, day) counts flagged where
+    // the day sits more than 2σ from its type's mean — entirely in
+    // INTEGER arithmetic. z² > 4 rearranges to (n·m − s)² > 4(m·q − s²)
+    // over the per-type sufficient statistics (m days, s = Σn,
+    // q = Σn²), so no sqrt, no float, and both engines compare the
+    // identical integers. Daily counts partial-combine map-side; the
+    // per-type stats relation is |types| rows and BROADCASTS back over
+    // the ≤ |types|·|days| daily relation — facts are scanned once.
+    "q_events_anomaly" -> ((s, d) => {
+      val dc = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          to_date(date_trunc("DAY", col("ts"))).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val st = dc.groupBy("event_type")
+        .agg(count(lit(1)).as("m"), sum("n").as("s"),
+          sum(col("n") * col("n")).as("q"))
+      dc.join(broadcast(st), "event_type")
+        .filter((col("n") * col("m") - col("s")) *
+          (col("n") * col("m") - col("s")) >
+          lit(4L) * (col("m") * col("q") - col("s") * col("s")))
+        .select(col("event_type"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"), col("n"))
+        .orderBy("event_type", "day")
     })
   )
 
@@ -181,6 +227,25 @@ object AnalyticsExtras {
          |SELECT o_orderkey, o_orderstatus,
          |  ROUND(CAST(c - mn AS DOUBLE) / CAST(mx - mn AS DOUBLE), 4) AS scaled
          |FROM c JOIN b ON c.o_orderstatus = b.st
-         |ORDER BY o_orderkey""".stripMargin
+         |ORDER BY o_orderkey""".stripMargin,
+    "q_events_transitions" ->
+      """WITH s AS (SELECT user_id, event_type,
+        |    LAG(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS from_type
+        |  FROM events)
+        |SELECT from_type, event_type AS to_type, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM s WHERE from_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_events_anomaly" ->
+      """WITH dc AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |st AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS m,
+        |    CAST(SUM(n) AS BIGINT) AS s, CAST(SUM(n*n) AS BIGINT) AS q
+        |  FROM dc GROUP BY 1)
+        |SELECT dc.event_type, strftime(day, '%Y-%m-%d') AS day, n
+        |FROM dc JOIN st ON dc.event_type = st.event_type
+        |WHERE (n*m - s)*(n*m - s) > 4*(m*q - s*s)
+        |ORDER BY 1, 2""".stripMargin
   )
 }

@@ -218,6 +218,52 @@ object CorpusExtras {
           count(col("hit")).as("n_contaminated"),
           sum(when(col("hit").isNull, 1L).otherwise(0L)).as("n_clean"))
         .orderBy("lang")
+    }),
+
+    // Within-document token co-occurrence with lift — the phrase-mining
+    // / word-association primitive (what PMI tables and word2vec
+    // negative-sampling stats are built from). Scale discipline:
+    //  (1) the vocabulary is df-thresholded (df ≥ |docs|/20) and the
+    //      per-doc token set is restricted to it via a BROADCAST semi
+    //      join, so the per-doc pair fan-out is bounded by the vocab
+    //      tokens a doc actually contains, never by raw doc length;
+    //  (2) pairs are generated per doc from its SORTED vocab-token
+    //      array (i<j index walk) — no self-join of the token table,
+    //      so no second corpus-wide shuffle: one exchange builds the
+    //      per-doc arrays, and the pair counts partial-combine;
+    //  (3) lift = |docs|·c(x,y) / (df(x)·df(y)) is one IEEE division
+    //      of exact integer counts → 4 dp (products stay < 2⁶³ up to
+    //      ~10⁹ docs). Thresholds scale with the memoized corpus row
+    //      count, so the query is SF-invariant by construction.
+    "q_text_cooccur" -> ((s, d) => {
+      val nDocs = Stats.rowCount(s, d, "documents")
+      val minDf = nDocs / 20L
+      val minPair = nDocs / 50L
+      val toks = graft.Materialize.checkpoint(
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            explode(expr("filter(split(text, ' '), t -> t <> '')")).as("token"))
+          .distinct())
+      val vocab = toks.groupBy("token").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= minDf)
+      val pairs = toks.join(broadcast(vocab.select("token")), "token")
+        .groupBy("doc_id")
+        .agg(sort_array(collect_list(col("token"))).as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(explode(expr(
+          """flatten(transform(sequence(0, size(t) - 2),
+            |  i -> transform(sequence(i + 1, size(t) - 1),
+            |    j -> struct(t[i] AS x, t[j] AS y))))""".stripMargin)).as("p"))
+        .groupBy(col("p.x").as("x"), col("p.y").as("y"))
+        .agg(count(lit(1)).as("c_xy"))
+        .filter(col("c_xy") >= minPair)
+      pairs
+        .join(broadcast(vocab.select(col("token").as("x"), col("df").as("dfx"))), "x")
+        .join(broadcast(vocab.select(col("token").as("y"), col("df").as("dfy"))), "y")
+        .select(col("x"), col("y"), col("c_xy"),
+          round((lit(nDocs) * col("c_xy")).cast("double") /
+            (col("dfx") * col("dfy")).cast("double"), 4).as("lift"))
+        .orderBy("x", "y")
     })
   )
 
@@ -327,6 +373,31 @@ object CorpusExtras {
         |  CAST(COUNT(*) FILTER (b.fp IS NULL) AS BIGINT) AS n_clean
         |FROM f t LEFT JOIN bench b ON t.fp = b.fp
         |WHERE t.split = 'train'
-        |GROUP BY t.lang ORDER BY t.lang""".stripMargin
+        |GROUP BY t.lang ORDER BY t.lang""".stripMargin,
+    // pair enumeration via self-join — the oracle need not share the
+    // array-walk plan, only the result; thresholds use the same
+    // integer divisions of the corpus row count as the Spark side
+    "q_text_cooccur" ->
+      """WITH nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+        |toks AS (SELECT DISTINCT doc_id,
+        |    unnest(list_filter(string_split(text,' '), t -> t <> '')) AS token
+        |  FROM documents),
+        |df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM toks GROUP BY 1),
+        |v AS (SELECT token, df FROM df
+        |      WHERE df >= (SELECT n FROM nd) // 20),
+        |pairs AS (
+        |  SELECT a.token AS x, b.token AS y, CAST(COUNT(*) AS BIGINT) AS c_xy
+        |  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND a.token < b.token
+        |  WHERE a.token IN (SELECT token FROM v)
+        |    AND b.token IN (SELECT token FROM v)
+        |  GROUP BY 1, 2)
+        |SELECT x, y, c_xy,
+        |  ROUND(CAST(nd.n * c_xy AS DOUBLE) / CAST(dx.df * dy.df AS DOUBLE), 4) AS lift
+        |FROM pairs
+        |JOIN v dx ON pairs.x = dx.token
+        |JOIN v dy ON pairs.y = dy.token
+        |CROSS JOIN nd
+        |WHERE c_xy >= nd.n // 50
+        |ORDER BY x, y""".stripMargin
   )
 }

@@ -191,6 +191,41 @@ object JoinQueries {
         .groupBy("s_name")
         .agg(count(lit(1)).as("n_items"), sum(col("price_c")).as("rev_cents"))
         .orderBy("s_name")
+    }),
+
+    // Bloom-filter runtime-filtered join, contract-pinned against a
+    // PLAIN-join oracle: the fact side is pre-filtered by a Bloom
+    // sketch of the (already filtered) dim side's join keys BEFORE the
+    // join's exchange, so at 100 TB the shuffle carries only lineitem
+    // rows that can possibly match — the manual, guaranteed form of
+    // Spark's InjectRuntimeFilter heuristic (plans/BloomFilterFns).
+    // The sketch is built by a distributed aggregate (partial Bloom
+    // filters OR-merge map-side; no key list centralizes) and lands in
+    // the plan as a scalar subquery, materialized once. False
+    // positives pass the probe but are dropped by the real join, so
+    // the rewrite is result-invariant for any fpp — exactly what the
+    // oracle hash proves.
+    "q_join_bloom" -> ((s, d) => {
+      graft.plans.BloomFilterFns.register(s)
+      Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .filter(col("n_name").isin("NATION_1", "NATION_2", "NATION_3"))
+        .select(col("s_suppkey"), col("s_name"))
+        .createOrReplaceTempView("bloom_dim")
+      Tables.lineitem(s, d)
+        .select(col("l_suppkey"), cents(col("l_extendedprice")).as("price_c"))
+        .createOrReplaceTempView("bloom_fact")
+      s.sql("""
+        SELECT s.s_suppkey, s.s_name,
+          COUNT(*) AS n_items, SUM(f.price_c) AS revenue_c
+        FROM (SELECT * FROM bloom_fact
+              WHERE bloom_contains(
+                (SELECT bloom_agg(xxhash64(s_suppkey)) FROM bloom_dim),
+                xxhash64(l_suppkey))) f
+        JOIN bloom_dim s ON f.l_suppkey = s.s_suppkey
+        GROUP BY s.s_suppkey, s.s_name
+        ORDER BY s.s_suppkey""")
     })
   )
 
@@ -272,6 +307,17 @@ object JoinQueries {
       s"""SELECT s_name, CAST(COUNT(*) AS BIGINT) AS n_items,
          |  ${sqlSumCents("l_extendedprice")} AS rev_cents
          |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
-         |GROUP BY s_name ORDER BY s_name""".stripMargin
+         |GROUP BY s_name ORDER BY s_name""".stripMargin,
+    // plain join on purpose: the oracle proves the Bloom pre-filter is
+    // result-invariant (false positives die in the join)
+    "q_join_bloom" ->
+      s"""SELECT s.s_suppkey, s.s_name, CAST(COUNT(*) AS BIGINT) AS n_items,
+         |  CAST(SUM(${sqlCents("l.l_extendedprice")}) AS BIGINT) AS revenue_c
+         |FROM lineitem l
+         |JOIN (SELECT s_suppkey, s_name FROM supplier
+         |      JOIN nation ON s_nationkey = n_nationkey
+         |      WHERE n_name IN ('NATION_1','NATION_2','NATION_3')) s
+         |  ON l.l_suppkey = s.s_suppkey
+         |GROUP BY 1, 2 ORDER BY 1""".stripMargin
   )
 }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
+import graft.functions.Money._
 import graft.sources.{LineSources, Tables}
 
 /** Contract-grade line-file source queries (SURVEY.md §2.1 — the
@@ -117,6 +118,41 @@ object SourceQueries {
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
         .orderBy("lang")
+    }),
+
+    // Bucketed-table round trip (round 9): write BOTH join sides
+    // bucketed by the join key (the persisted form of the reference's
+    // hash partitioner, SURVEY.md §2.7), re-read them through the
+    // catalog, and join — with equal bucket counts the sort-merge join
+    // needs NO exchange on either side (BucketingSpec proves that on
+    // the plan; this contract row proves the layout round-trips
+    // losslessly against a plain-join oracle on the original parquet).
+    // At 100 TB this is the difference between a nightly fact-fact
+    // join shuffling both tables and a local per-bucket merge. Sides
+    // are projected to (key, needed columns) BEFORE the write so the
+    // bucketed files carry only what the join reads; hint("merge")
+    // pins the plan the layout exists for (local[*] would otherwise
+    // broadcast the small SF side).
+    "q_source_bucketed_join" -> ((s, d) => {
+      val dir = exportDir(d)
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+        .write.mode("overwrite")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", dir + "/bkt_orders")
+        .saveAsTable("graft_bkt_orders")
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), cents(col("l_extendedprice")).as("price_c"))
+        .write.mode("overwrite")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", dir + "/bkt_lineitem")
+        .saveAsTable("graft_bkt_lineitem")
+      s.table("graft_bkt_orders")
+        .join(s.table("graft_bkt_lineitem").hint("merge"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"), sum(col("price_c")).as("revenue_c"))
+        .orderBy("o_orderpriority")
     })
   )
 
@@ -142,6 +178,14 @@ object SourceQueries {
     "q_source_parquet_partition" ->
       """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS chars
-        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // plain join on the ORIGINAL parquet: a matching hash proves the
+    // bucketed write/read round trip was lossless, not only that the
+    // join ran
+    "q_source_bucketed_join" ->
+      s"""SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_items,
+         |  CAST(SUM(${sqlCents("l.l_extendedprice")}) AS BIGINT) AS revenue_c
+         |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

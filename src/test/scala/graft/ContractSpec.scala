@@ -107,7 +107,13 @@ class ContractSpec extends AnyFunSuite {
     "q_dedup_norm" -> 25L,
     "q_source_parquet_partition" -> 5L,
     "q_events_retention" -> 98L,
-    "q_window_cume" -> 1500L
+    "q_window_cume" -> 1500L,
+    "q_join_bloom" -> 1L,
+    "q_source_bucketed_join" -> 5L,
+    "q_agg_argmax" -> 15L,
+    "q_events_transitions" -> 25L,
+    "q_events_anomaly" -> 2L,
+    "q_text_cooccur" -> 465L
   )
 
   test("every contract query has oracle SQL and vice versa") {

@@ -91,4 +91,42 @@ class ExtensionGoldenSpec extends AnyFunSuite {
     assert(head2("q_stats_histogram") ===
       Seq(Seq(0L, 164L, 132051L, 5087598L), Seq(1L, 148L, 5116048L, 10093514L)))
   }
+
+  test("q_join_bloom full result (Bloom pre-filter is result-invariant)") {
+    assert(
+      SparkEntry.queries("q_join_bloom")(spark, sf0001)
+        .collect().toSeq.map(_.toSeq) ===
+        Seq(Seq(3L, "Supplier#000000003", 617L, 3292999653L)))
+  }
+
+  test("q_source_bucketed_join head rows (bucketed layout is lossless)") {
+    assert(head2("q_source_bucketed_join") ===
+      Seq(Seq("1-URGENT", 1147L, 6113094924L),
+        Seq("2-HIGH", 1260L, 6643199056L)))
+  }
+
+  test("q_agg_argmax head rows (ts then smallest-event_id tie order)") {
+    assert(head2("q_agg_argmax") ===
+      Seq(Seq(0L, "signup", "2024-01-30 18:46:21"),
+        Seq(1L, "signup", "2024-01-30 14:03:35")))
+  }
+
+  test("q_events_transitions head rows") {
+    assert(head2("q_events_transitions") ===
+      Seq(Seq("click", "click", 45L), Seq("click", "error", 43L)))
+  }
+
+  test("q_events_anomaly full result (integer z-squared test)") {
+    assert(
+      SparkEntry.queries("q_events_anomaly")(spark, sf0001)
+        .collect().toSeq.map(_.toSeq) ===
+        Seq(Seq("purchase", "2024-01-07", 15L),
+          Seq("purchase", "2024-01-17", 15L)))
+  }
+
+  test("q_text_cooccur head rows (lift from exact integer counts)") {
+    try assert(head2("q_text_cooccur") ===
+      Seq(Seq("a", "agg", 322L, 1.0424), Seq("a", "batch", 323L, 1.0592)))
+    finally Materialize.releaseAll() // checkpoints its token relation
+  }
 }
