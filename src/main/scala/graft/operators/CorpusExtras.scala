@@ -223,14 +223,16 @@ object CorpusExtras {
     // Within-document token co-occurrence with lift — the phrase-mining
     // / word-association primitive (what PMI tables and word2vec
     // negative-sampling stats are built from). Scale discipline:
-    //  (1) the vocabulary is df-thresholded (df ≥ |docs|/20) and the
-    //      per-doc token set is restricted to it via a BROADCAST semi
-    //      join, so the per-doc pair fan-out is bounded by the vocab
-    //      tokens a doc actually contains, never by raw doc length;
-    //  (2) pairs are generated per doc from its SORTED vocab-token
-    //      array (i<j index walk) — no self-join of the token table,
-    //      so no second corpus-wide shuffle: one exchange builds the
-    //      per-doc arrays, and the pair counts partial-combine;
+    //  (1) per-doc token DEDUP is local (`array_distinct` on the
+    //      carried split array — never a corpus-wide DISTINCT shuffle),
+    //      so doc frequencies need one hash agg over exploded sets;
+    //  (2) the vocabulary is df-thresholded (df ≥ |docs|/20), collapsed
+    //      to a ONE-ROW sorted array, and returned to the corpus as a
+    //      broadcast cross join; `array_intersect` restricts each doc
+    //      to vocab tokens locally — no semi-join, no groupBy(doc_id):
+    //      pairs are generated straight off the intersected SORTED
+    //      array by i<j index walk, and the only remaining exchange is
+    //      the pair-count agg, which partial-combines;
     //  (3) lift = |docs|·c(x,y) / (df(x)·df(y)) is one IEEE division
     //      of exact integer counts → 4 dp (products stay < 2⁶³ up to
     //      ~10⁹ docs). Thresholds scale with the memoized corpus row
@@ -239,16 +241,18 @@ object CorpusExtras {
       val nDocs = Stats.rowCount(s, d, "documents")
       val minDf = nDocs / 20L
       val minPair = nDocs / 50L
-      val toks = graft.Materialize.checkpoint(
-        Tables.documents(s, d)
-          .select(col("doc_id"),
-            explode(expr("filter(split(text, ' '), t -> t <> '')")).as("token"))
-          .distinct())
-      val vocab = toks.groupBy("token").agg(count(lit(1)).as("df"))
+      val docSets = graft.Materialize.checkpoint(
+        Tables.documents(s, d).select(
+          expr("array_distinct(filter(split(text, ' '), t -> t <> ''))")
+            .as("toks")))
+      val vocab = docSets
+        .select(explode(col("toks")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("df"))
         .filter(col("df") >= minDf)
-      val pairs = toks.join(broadcast(vocab.select("token")), "token")
-        .groupBy("doc_id")
-        .agg(sort_array(collect_list(col("token"))).as("t"))
+      val vocabArr = vocab.agg(sort_array(collect_list(col("token"))).as("v"))
+      val pairs = docSets
+        .crossJoin(broadcast(vocabArr))
+        .select(expr("array_sort(array_intersect(toks, v))").as("t"))
         .filter(size(col("t")) >= 2)
         .select(explode(expr(
           """flatten(transform(sequence(0, size(t) - 2),
