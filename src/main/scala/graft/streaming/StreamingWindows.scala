@@ -169,6 +169,42 @@ object StreamingWindows {
       }
   }
 
+  /** Latest-record emission: (user, type, epoch-µs of the winner). */
+  final case class LatestOut(user_id: Long, last_type: String, last_us: Long)
+
+  /** Per-user champion: raw-ns ts + unique id + type of the newest
+    * event seen so far (the id breaks same-timestamp ties).
+    */
+  final case class LatestState(tsNs: Long, eventId: Long, eventType: String)
+
+  /** Streaming twin of the batch q_agg_argmax: the continuously
+    * maintained latest-record-per-key view (the upsert/compaction
+    * materialized view every incremental ingest keeps). State per user
+    * is ONE champion row — (ts, id, type) — updated by the same total
+    * order the batch `max_by` sort key encodes: newest ts wins,
+    * same-µs ties go to the SMALLEST event_id. Re-delivered events
+    * compare against the champion and lose, so the view is idempotent
+    * under replay — the q_dedup-style exactly-once guarantee falls out
+    * of the monotone state fold rather than a digest store.
+    */
+  def latestRecord(events: Dataset[RawEvent]): Dataset[LatestOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[LatestState, LatestOut](
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[RawEvent], state: GroupState[LatestState]) =>
+          var best = state.getOption.orNull
+          rows.foreach { e =>
+            val wins = best == null || e.ts > best.tsNs ||
+              (e.ts == best.tsNs && e.event_id < best.eventId)
+            if (wins) best = LatestState(e.ts, e.event_id, e.event_type)
+          }
+          state.update(best)
+          LatestOut(userId, best.eventType, best.tsNs / 1000)
+      }
+  }
+
   /** Stateful per-key operator: running event count per user via
     * `mapGroupsWithState` — the Spark-native form of the reference's
     * per-key juice fold, with state persisted across micro-batches.

@@ -215,4 +215,45 @@ class StreamingSpec extends AnyFunSuite {
       .distinct().count()
     assert(batch === 500L)
   }
+
+  test("latestRecord: replayed upsert view equals batch q_agg_argmax") {
+    import spark.implicits._
+    // two links to the same events file = two micro-batches of the
+    // same data: the champion fold must be idempotent under replay and
+    // its final view must equal the batch latest-record contract query
+    val dir = java.nio.file.Files.createTempDirectory("graft-latest")
+    java.nio.file.Files.createSymbolicLink(
+      dir.resolve("e1.parquet"),
+      java.nio.file.Paths.get(s"$sf0001/events.parquet"))
+    java.nio.file.Files.createSymbolicLink(
+      dir.resolve("e2.parquet"),
+      java.nio.file.Paths.get(s"$sf0001/events.parquet"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sf0001/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
+      .as[StreamingWindows.RawEvent]
+
+    val q = StreamingWindows.latestRecord(stream)
+      .writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName("stream_latest")
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+
+    // both micro-batches carry identical data, so every update emitted
+    // for a user is the same champion row — distinct = the final view
+    val streamed = spark.table("stream_latest").distinct()
+      .select(col("user_id"), col("last_type"),
+        date_format(expr("timestamp_micros(last_us)"), "yyyy-MM-dd HH:mm:ss")
+          .as("last_ts"))
+      .orderBy("user_id").collect().toSeq.map(_.toString)
+    val batch = SparkEntry.queries("q_agg_argmax")(spark, sf0001)
+      .collect().toSeq.map(_.toString)
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+  }
 }
