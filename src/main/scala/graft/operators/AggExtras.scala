@@ -141,6 +141,35 @@ object AggExtras {
         .orderBy("flag")
     }),
 
+    // Per-group OLS regression (price on quantity per return flag) —
+    // the trend-fit primitive, finished the q_stats_corr way: ONE hash
+    // aggregate collects exact integer sufficient statistics
+    // (n, Σx, Σy, Σx², Σxy; squares in DECIMAL to dodge int64
+    // overflow), and slope/intercept are closed forms over doubles
+    // CONVERTED FROM identical integers in the identical operation
+    // order — so both engines run the same IEEE arithmetic and round
+    // to the same 6/4 dp. Intercept uses the single-division form
+    // (Σy·Σx² − Σx·Σxy)/(n·Σx² − Σx²ᵗᵒᵗ) rather than (Σy − b·Σx)/n to
+    // keep it one division of the same operands on both sides.
+    "q_stats_regression" -> ((s, d) => {
+      val qd = cents(col("l_quantity")).cast("decimal(19,0)")
+      val pd = cents(col("l_extendedprice")).cast("decimal(19,0)")
+      def dbl(c: String) = col(c).cast("double")
+      val den = dbl("n") * dbl("sxx") - dbl("sx") * dbl("sx")
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag").as("flag"))
+        .agg(count(lit(1)).as("n"),
+          sumCents(col("l_quantity")).as("sx"),
+          sumCents(col("l_extendedprice")).as("sy"),
+          sum(qd * qd).as("sxx"), sum(qd * pd).as("sxy"))
+        .select(col("flag"), col("n"),
+          round((dbl("n") * dbl("sxy") - dbl("sx") * dbl("sy")) / den, 6)
+            .as("slope"),
+          round((dbl("sy") * dbl("sxx") - dbl("sx") * dbl("sxy")) / den, 4)
+            .as("intercept"))
+        .orderBy("flag")
+    }),
+
     // Gap-filled time series: per-priority DAILY order counts over a
     // dense date spine (min..max order day), absent days as explicit
     // zeros. The spine derives from a 1-row broadcast bounds aggregate
@@ -290,6 +319,28 @@ object AggExtras {
          |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
          |         sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
          |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS corr
+         |FROM st ORDER BY flag""".stripMargin,
+    // same double-from-identical-integers discipline as q_stats_corr
+    "q_stats_regression" ->
+      s"""WITH st AS (
+         |  SELECT l_returnflag AS flag,
+         |    CAST(COUNT(*) AS BIGINT) AS n,
+         |    ${sqlSumCents("l_quantity")} AS sx,
+         |    ${sqlSumCents("l_extendedprice")} AS sy,
+         |    SUM(CAST(${sqlCents("l_quantity")} AS HUGEINT)
+         |      * CAST(${sqlCents("l_quantity")} AS HUGEINT)) AS sxx,
+         |    SUM(CAST(${sqlCents("l_quantity")} AS HUGEINT)
+         |      * CAST(${sqlCents("l_extendedprice")} AS HUGEINT)) AS sxy
+         |  FROM lineitem GROUP BY l_returnflag)
+         |SELECT flag, n,
+         |  ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+         |          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+         |        (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope,
+         |  ROUND((CAST(sy AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |          - CAST(sx AS DOUBLE) * CAST(sxy AS DOUBLE)) /
+         |        (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 4) AS intercept
          |FROM st ORDER BY flag""".stripMargin,
     "q_timeseries_fill" ->
       """WITH bounds AS (

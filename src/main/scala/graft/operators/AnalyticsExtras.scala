@@ -173,6 +173,49 @@ object AnalyticsExtras {
         .select(col("event_type"),
           date_format(col("day"), "yyyy-MM-dd").as("day"), col("n"))
         .orderBy("event_type", "day")
+    }),
+
+    // Rolling 7-day active users (the WAU curve): the corpus first
+    // thins to the DISTINCT (user, day) relation — the only corpus-
+    // scale shuffle — then each activity day fans out to the ≤ 7
+    // window days it contributes to via a BROADCAST range join against
+    // the tiny day spine, and a count-distinct finishes per day.
+    // Distinct-over-sliding-windows can't partial-combine as a window
+    // function; bounded fan-out over the pre-thinned relation is the
+    // shape that scales (7× a thin relation, never 7× the events).
+    "q_events_wau" -> ((s, d) => {
+      val ud = Tables.events(s, d)
+        .select(col("user_id"),
+          to_date(date_trunc("DAY", col("ts"))).as("day"))
+        .distinct()
+      val days = ud.select(col("day").as("d")).distinct()
+      ud.join(broadcast(days),
+          col("day") >= date_sub(col("d"), 6) && col("day") <= col("d"))
+        .groupBy("d")
+        .agg(countDistinct(col("user_id")).as("wau"))
+        .select(date_format(col("d"), "yyyy-MM-dd").as("day"), col("wau"))
+        .orderBy("day")
+    }),
+
+    // Month-over-month revenue ratio per order status — the period-
+    // over-period reporting primitive. The fact table collapses to a
+    // |status|×|months| aggregate in one partial-combined shuffle;
+    // the lag window then runs over THAT bounded relation (hundreds of
+    // rows at any corpus size), so the window is free — the general
+    // rule: windows over aggregates, never over facts. Ratio is one
+    // IEEE division of exact integer cents → 4 dp; the first month of
+    // each status has no predecessor and stays NULL in both engines.
+    "q_agg_mom" -> ((s, d) => {
+      val w = Window.partitionBy("st").orderBy("month")
+      Tables.orders(s, d)
+        .groupBy(col("o_orderstatus").as("st"),
+          date_format(date_trunc("MONTH", col("o_orderdate")), "yyyy-MM")
+            .as("month"))
+        .agg(sumCents(col("o_totalprice")).as("rev_c"))
+        .withColumn("mom_ratio",
+          round(col("rev_c").cast("double") /
+            lag(col("rev_c"), 1).over(w).cast("double"), 4))
+        .orderBy("st", "month")
     })
   )
 
@@ -246,6 +289,24 @@ object AnalyticsExtras {
         |SELECT dc.event_type, strftime(day, '%Y-%m-%d') AS day, n
         |FROM dc JOIN st ON dc.event_type = st.event_type
         |WHERE (n*m - s)*(n*m - s) > 4*(m*q - s*s)
-        |ORDER BY 1, 2""".stripMargin
+        |ORDER BY 1, 2""".stripMargin,
+    "q_events_wau" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |    CAST(date_trunc('day', ts) AS DATE) AS day FROM events),
+        |days AS (SELECT DISTINCT day AS d FROM ud)
+        |SELECT strftime(d, '%Y-%m-%d') AS day,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+        |FROM days JOIN ud ON ud.day BETWEEN d - 6 AND d
+        |GROUP BY d ORDER BY 1""".stripMargin,
+    "q_agg_mom" ->
+      s"""WITH m AS (SELECT o_orderstatus AS st,
+         |    strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+         |    ${sqlSumCents("o_totalprice")} AS rev_c
+         |  FROM orders GROUP BY 1, 2)
+         |SELECT st, month, rev_c,
+         |  ROUND(CAST(rev_c AS DOUBLE) /
+         |    CAST(LAG(rev_c) OVER (PARTITION BY st ORDER BY month) AS DOUBLE),
+         |    4) AS mom_ratio
+         |FROM m ORDER BY st, month""".stripMargin
   )
 }

@@ -113,7 +113,10 @@ class ContractSpec extends AnyFunSuite {
     "q_agg_argmax" -> 15L,
     "q_events_transitions" -> 25L,
     "q_events_anomaly" -> 2L,
-    "q_text_cooccur" -> 465L
+    "q_text_cooccur" -> 465L,
+    "q_stats_regression" -> 3L,
+    "q_events_wau" -> 30L,
+    "q_agg_mom" -> 237L
   )
 
   test("every contract query has oracle SQL and vice versa") {

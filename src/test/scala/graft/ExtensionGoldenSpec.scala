@@ -129,4 +129,21 @@ class ExtensionGoldenSpec extends AnyFunSuite {
       Seq(Seq("a", "agg", 322L, 1.0424), Seq("a", "batch", 323L, 1.0592)))
     finally Materialize.releaseAll() // checkpoints its token relation
   }
+
+  test("q_stats_regression head rows (exact sufficient-statistics OLS)") {
+    assert(head2("q_stats_regression") ===
+      Seq(Seq("A", 1962L, -42.561751, 5290676.046),
+        Seq("N", 2070L, -21.120325, 5389011.5298)))
+  }
+
+  test("q_events_wau head rows (7-day rolling distinct users)") {
+    assert(head2("q_events_wau") ===
+      Seq(Seq("2024-01-01", 15L), Seq("2024-01-02", 15L)))
+  }
+
+  test("q_agg_mom head rows (first month NULL, ratio at 4 dp)") {
+    assert(head2("q_agg_mom") ===
+      Seq(Seq("F", "1995-01", 333999563L, null),
+        Seq("F", "1995-02", 262760700L, 0.7867)))
+  }
 }
