@@ -226,6 +226,29 @@ object JoinQueries {
         JOIN bloom_dim s ON f.l_suppkey = s.s_suppkey
         GROUP BY s.s_suppkey, s.s_name
         ORDER BY s.s_suppkey""")
+    }),
+
+    // TPC-H Q14-style promo revenue share per brand — the last unused
+    // fixture table (part) under the hash gate. part scales WITH the
+    // fact table (it is a product catalog, not a fixed-cardinality
+    // dimension like region/nation), so unlike the other dim joins it
+    // gets NO broadcast hint: the planner broadcasts while the catalog
+    // fits and falls back to a key-partitioned join when it doesn't —
+    // exactly the call we want made from runtime stats at 100 TB. The
+    // promo share is conditional-sum ÷ total-sum of exact integer
+    // cents in one aggregate pass, one IEEE division → 4 dp.
+    "q_join_dim_part" -> ((s, d) => {
+      val promo = sum(when(col("p_type") === "PROMO",
+        cents(col("l_extendedprice"))).otherwise(0L))
+      Tables.lineitem(s, d)
+        .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_items"),
+          sumCents(col("l_extendedprice")).as("revenue_c"),
+          round(promo.cast("double") /
+            sumCents(col("l_extendedprice")).cast("double"), 4)
+            .as("promo_share"))
+        .orderBy("p_brand")
     })
   )
 
@@ -318,6 +341,15 @@ object JoinQueries {
          |      JOIN nation ON s_nationkey = n_nationkey
          |      WHERE n_name IN ('NATION_1','NATION_2','NATION_3')) s
          |  ON l.l_suppkey = s.s_suppkey
-         |GROUP BY 1, 2 ORDER BY 1""".stripMargin
+         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    "q_join_dim_part" ->
+      s"""SELECT p.p_brand, CAST(COUNT(*) AS BIGINT) AS n_items,
+         |  CAST(SUM(${sqlCents("l.l_extendedprice")}) AS BIGINT) AS revenue_c,
+         |  ROUND(CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+         |      THEN ${sqlCents("l.l_extendedprice")} ELSE 0 END) AS DOUBLE)
+         |    / CAST(SUM(${sqlCents("l.l_extendedprice")}) AS DOUBLE), 4)
+         |    AS promo_share
+         |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

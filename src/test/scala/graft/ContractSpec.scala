@@ -116,7 +116,8 @@ class ContractSpec extends AnyFunSuite {
     "q_text_cooccur" -> 465L,
     "q_stats_regression" -> 3L,
     "q_events_wau" -> 30L,
-    "q_agg_mom" -> 237L
+    "q_agg_mom" -> 237L,
+    "q_join_dim_part" -> 25L
   )
 
   test("every contract query has oracle SQL and vice versa") {

@@ -146,4 +146,10 @@ class ExtensionGoldenSpec extends AnyFunSuite {
       Seq(Seq("F", "1995-01", 333999563L, null),
         Seq("F", "1995-02", 262760700L, 0.7867)))
   }
+
+  test("q_join_dim_part head rows (promo share from integer cents)") {
+    assert(head2("q_join_dim_part") ===
+      Seq(Seq("Brand#1", 237L, 1284393576L, 0.2969),
+        Seq("Brand#10", 253L, 1340590648L, 0.0)))
+  }
 }
