@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.functions.ScalarQueries
-import graft.operators.{AggExtras, AnalyticsExtras, CorpusExtras, DedupExtras, JoinQueries, MultimodalQueries, PipelineQueries, RelationalQueries, SimilarityExtras, SourceQueries, TextExtras, WindowExtras, WindowQueries}
+import graft.operators.{AggExtras, AnalyticsExtras, CorpusExtras, DedupExtras, JoinQueries, MultimodalQueries, PipelineQueries, RelationalQueries, SimilarityExtras, SourceQueries, StatsExtras, TextExtras, WindowExtras, WindowQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (the operator
   * inventory) and §7 (build plan). Every t2 row of SURVEY.md §2 appears
@@ -41,6 +41,7 @@ object SparkEntry {
       WindowExtras.queries ++
       AggExtras.queries ++
       AnalyticsExtras.queries ++
+      StatsExtras.queries ++
       SourceQueries.queries ++
       CorpusExtras.queries
 
@@ -60,6 +61,7 @@ object SparkEntry {
       WindowExtras.oracle ++
       AggExtras.oracle ++
       AnalyticsExtras.oracle ++
+      StatsExtras.oracle ++
       SourceQueries.oracle ++
       CorpusExtras.oracle
 }

@@ -1,0 +1,346 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Money._
+import graft.sources.Tables
+
+/** Round-9 wave-8 extensions (SURVEY.md §2.12): engagement stickiness,
+  * corpus token entropy, IQR outlier fences, higher moments
+  * (skewness/kurtosis), fixed-iteration PageRank over the event-type
+  * transition graph, and a Zipf-law fit per language.
+  *
+  * Shared discipline: every corpus-scale relation is touched once (or
+  * checkpointed when an iteration genuinely re-reads it), windows run
+  * only over bounded aggregates, and all cross-engine comparisons happen
+  * on exact integers or on doubles derived from exact integers through
+  * an identical expression tree (no pow() — libm pow is not
+  * cross-engine reproducible; only * / + - sqrt, which are IEEE
+  * correctly-rounded everywhere).
+  */
+object StatsExtras {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // DAU/MAU stickiness on the orders activity stream: per month,
+    // average daily active customers over monthly active customers —
+    // the engagement ratio every product dashboard leads with. The
+    // corpus thins to the DISTINCT (customer, day) relation ONCE
+    // (checkpointed — both the daily and the monthly aggregate consume
+    // it, and without the materialization each branch would redo the
+    // corpus-scale distinct shuffle); everything after is aggregates
+    // over the thin relation. avg = sum/n on exact integers, one IEEE
+    // division chain → 4 dp.
+    "q_agg_stickiness" -> ((s, d) => {
+      val ud = graft.Materialize.checkpoint(
+        Tables.orders(s, d)
+          .select(col("o_custkey").as("cust"),
+            to_date(date_trunc("DAY", col("o_orderdate"))).as("day"))
+          .distinct())
+      val month = date_format(date_trunc("MONTH", col("day")), "yyyy-MM")
+      val dm = ud.groupBy("day").agg(count(lit(1)).as("dac"))
+        .groupBy(month.as("month"))
+        .agg(sum("dac").as("sum_dac"), count(lit(1)).as("n_days"))
+      val mau = ud.groupBy(month.as("month"))
+        .agg(countDistinct("cust").as("mac"))
+      dm.join(mau, "month")
+        .select(col("month"), col("mac"),
+          round(col("sum_dac").cast("double") / col("n_days"), 4)
+            .as("avg_dac"),
+          round(col("sum_dac").cast("double") / col("n_days") / col("mac"),
+            4).as("stickiness"))
+        .orderBy("month")
+    }),
+
+    // Shannon token entropy per language — the corpus-diversity metric
+    // an LLM-data pipeline tracks per shard (a collapsed/boilerplate
+    // corpus shows up as an entropy drop). One corpus-scale shuffle
+    // (the (lang, token) count, partial-combined map-side); the entropy
+    // finish H = ln(N) − Σ c·ln(c)/N runs over the bounded vocabulary
+    // relation. The Σ c·ln(c) accumulation is FP-order-dependent in
+    // both engines, but the addends are ≤ |vocab| doubles — 4 dp
+    // rounding absorbs the reorder noise.
+    "q_stats_entropy" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("lang"), explode(split(col("text"), " ")).as("t"))
+        .groupBy("lang", "t")
+        .agg(count(lit(1)).as("c"))
+        .groupBy("lang")
+        .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_types"),
+          sum(col("c") * log(col("c").cast("double"))).as("sclc"))
+        .select(col("lang"), col("n_tokens"), col("n_types"),
+          round(log(col("n_tokens").cast("double")) -
+            col("sclc") / col("n_tokens"), 4).as("entropy"))
+        .orderBy("lang")),
+
+    // Tukey-fence outlier scan on event values: per type, rank-selected
+    // exact p25/p75 (RankSelect — no interpolation, no per-type
+    // full-table window), fences at 1.5×IQR, then one conditional
+    // aggregate over a second fact scan with the 5-row fence relation
+    // BROADCAST. The fence comparison is kept ALL-INTEGER by scaling
+    // both sides by 2 (2c < 2·p25 − 3·IQR) so no engine ever rounds a
+    // fence; only the final share is an IEEE division → 4 dp.
+    "q_stats_outlier" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_type").as("et"), cents(col("value")).as("c"),
+          col("event_id"))
+      val fences = RankSelect.selectRanks(ev, "et", "c", "event_id",
+          Seq("p25" -> 0.25, "p75" -> 0.75),
+          RankSelect.bucketsFor(graft.sources.Stats.rowCount(s, d, "events")))
+        .groupBy("et")
+        .agg(max(when(col("__tag") === "p25", col("__v"))).as("p25_c"),
+          max(when(col("__tag") === "p75", col("__v"))).as("p75_c"))
+      val iqr3 = lit(3L) * (col("p75_c") - col("p25_c"))
+      val out = (lit(2L) * col("c") < lit(2L) * col("p25_c") - iqr3) ||
+        (lit(2L) * col("c") > lit(2L) * col("p75_c") + iqr3)
+      ev.join(broadcast(fences), "et")
+        .groupBy(col("et").as("event_type"))
+        .agg(min("p25_c").as("p25_c"), min("p75_c").as("p75_c"),
+          count(lit(1)).as("n"),
+          sum(when(out, 1L).otherwise(0L)).as("n_out"))
+        .withColumn("out_share",
+          round(col("n_out").cast("double") / col("n"), 4))
+        .orderBy("event_type")
+    }),
+
+    // Higher-moment profile (skewness, excess kurtosis) per return
+    // flag: ONE partial-combined hash aggregate collecting exact power
+    // sums Σc..Σc⁴ — cents as DECIMAL so c⁴ ≈ 10²⁸ stays exact where
+    // int64 would overflow (DuckDB sums the same integers in HUGEINT) —
+    // then a closed-form finish on doubles converted from identical
+    // integers. No pow(): σ^1.5 = v·√v and m⁴ = (m·m)·(m·m), so every
+    // FP op is IEEE correctly-rounded and the 4 dp output is
+    // bit-stable across engines.
+    "q_agg_moments" -> ((s, d) => {
+      val cd = cents(col("l_extendedprice")).cast("decimal(12,0)")
+      def dbl(c: String) = col(c).cast("double")
+      val m = dbl("s1") / col("n")
+      val v = dbl("s2") / col("n") - m * m
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag").as("flag"))
+        .agg(count(lit(1)).as("n"), sum(cd).as("s1"),
+          sum(cd * cd).as("s2"), sum(cd * cd * cd).as("s3"),
+          sum((cd * cd) * (cd * cd)).as("s4"))
+        .select(col("flag"), col("n"),
+          round(dbl("s1") / col("n") / lit(100), 4).as("mean_d"),
+          round((dbl("s3") / col("n") - lit(3) * m * (dbl("s2") / col("n")) +
+            lit(2) * (m * m * m)) / (v * sqrt(v)), 4).as("skewness"),
+          round((dbl("s4") / col("n") - lit(4) * m * (dbl("s3") / col("n")) +
+            lit(6) * (m * m) * (dbl("s2") / col("n")) -
+            lit(3) * ((m * m) * (m * m))) / (v * v) - lit(3), 4)
+            .as("kurtosis"))
+        .orderBy("flag")
+    }),
+
+    // PageRank (damping 0.85, 3 fixed iterations) over the event-type
+    // transition graph — graph analytics as aggregate-then-iterate: the
+    // ONLY corpus-scale work is the per-user lag window + bigram count
+    // (the q_events_transitions shape, |users| parallelism); the edge
+    // relation that comes out is |types|² rows and is CHECKPOINTED so
+    // the three iterations never re-touch the events scan. Each
+    // iteration is a tiny broadcast join + |types|-row aggregate — at
+    // any corpus size the iteration cost is constant. Rank mass
+    // arithmetic is double with constants cast explicitly (DuckDB
+    // would otherwise read 0.85 as DECIMAL and diverge); 6 dp output.
+    "q_graph_pagerank" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val edges = graft.Materialize.checkpoint(
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_type"), col("ts"),
+            col("event_id"))
+          .withColumn("from_t", lag(col("event_type"), 1).over(w))
+          .filter(col("from_t").isNotNull)
+          .groupBy(col("from_t"), col("event_type").as("to_t"))
+          .agg(count(lit(1)).as("cnt")))
+      val wts = edges
+        .join(edges.groupBy(col("from_t").as("f2"))
+          .agg(sum("cnt").as("outn")), col("from_t") === col("f2"))
+        .select(col("from_t"), col("to_t"),
+          (col("cnt").cast("double") / col("outn")).as("w"))
+      val nodes = edges.select(col("from_t").as("node"))
+        .union(edges.select(col("to_t"))).distinct()
+      val nc = nodes.agg(count(lit(1)).as("nc"))
+      var pr = nodes.crossJoin(broadcast(nc))
+        .select(col("node"), (lit(1.0) / col("nc")).as("pr"))
+      for (_ <- 1 to 3) {
+        val acc = wts.join(pr, col("from_t") === col("node"))
+          .groupBy(col("to_t").as("nd"))
+          .agg(sum(col("pr") * col("w")).as("acc"))
+        pr = nodes.crossJoin(broadcast(nc))
+          .join(acc, col("node") === col("nd"), "left")
+          .select(col("node"),
+            (lit(0.15) / col("nc") +
+              lit(0.85) * coalesce(col("acc"), lit(0.0))).as("pr"))
+      }
+      pr.select(col("node"), round(col("pr"), 6).as("pagerank"))
+        .orderBy("node")
+    }),
+
+    // Zipf-law fit per language: OLS of ln(count) on ln(rank) over the
+    // top-100 tokens — the corpus-health diagnostic (natural text sits
+    // near slope −1; generated/templated text flattens). The rank
+    // window runs over the VOCABULARY aggregate (bounded per language),
+    // never the token stream, and the rank<=100 filter compiles to a
+    // WindowGroupLimit so only 100 survivors per language leave the
+    // window. OLS finish = the q_stats_regression closed form on ln
+    // sufficient statistics, 4 dp.
+    "q_text_zipf" -> ((s, d) => {
+      val rw = Window.partitionBy("lang").orderBy(col("c").desc, col("t"))
+      def dbl(c: String) = col(c).cast("double")
+      val den = dbl("n") * dbl("sxx") - dbl("sx") * dbl("sx")
+      Tables.documents(s, d)
+        .select(col("lang"), explode(split(col("text"), " ")).as("t"))
+        .groupBy("lang", "t")
+        .agg(count(lit(1)).as("c"))
+        .withColumn("rk", row_number().over(rw))
+        .filter(col("rk") <= 100)
+        .select(col("lang"), log(col("rk").cast("double")).as("x"),
+          log(col("c").cast("double")).as("y"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("x") * col("y")).as("sxy"))
+        .select(col("lang"), col("n"),
+          round((dbl("n") * dbl("sxy") - dbl("sx") * dbl("sy")) / den, 4)
+            .as("slope"),
+          round((dbl("sy") * dbl("sxx") - dbl("sx") * dbl("sxy")) / den, 4)
+            .as("intercept"))
+        .orderBy("lang")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_agg_stickiness" ->
+      """WITH ud AS (SELECT DISTINCT o_custkey AS cust,
+        |    CAST(date_trunc('day', o_orderdate) AS DATE) AS day FROM orders),
+        |dm AS (SELECT strftime(date_trunc('month', day), '%Y-%m') AS month,
+        |    CAST(SUM(dac) AS BIGINT) AS sum_dac,
+        |    CAST(COUNT(*) AS BIGINT) AS n_days
+        |  FROM (SELECT day, CAST(COUNT(*) AS BIGINT) AS dac FROM ud
+        |        GROUP BY day) GROUP BY 1),
+        |mau AS (SELECT strftime(date_trunc('month', day), '%Y-%m') AS month,
+        |    CAST(COUNT(DISTINCT cust) AS BIGINT) AS mac FROM ud GROUP BY 1)
+        |SELECT dm.month, mac,
+        |  ROUND(CAST(sum_dac AS DOUBLE) / n_days, 4) AS avg_dac,
+        |  ROUND(CAST(sum_dac AS DOUBLE) / n_days / mac, 4) AS stickiness
+        |FROM dm JOIN mau USING (month) ORDER BY month""".stripMargin,
+    "q_stats_entropy" ->
+      """WITH tc AS (SELECT lang, t, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS t
+        |        FROM documents) GROUP BY 1, 2)
+        |SELECT lang, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |  CAST(COUNT(*) AS BIGINT) AS n_types,
+        |  ROUND(LN(CAST(SUM(c) AS DOUBLE)) -
+        |    SUM(c * LN(CAST(c AS DOUBLE))) / SUM(c), 4) AS entropy
+        |FROM tc GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_stats_outlier" ->
+      s"""WITH o AS (SELECT event_type AS et, ${sqlCents("value")} AS c,
+         |    event_id AS k FROM events),
+         |r AS (SELECT et, c, ROW_NUMBER() OVER (PARTITION BY et
+         |      ORDER BY c, k) AS rn,
+         |    COUNT(*) OVER (PARTITION BY et) AS n FROM o),
+         |p AS (SELECT et,
+         |    MAX(CASE WHEN rn = CAST(CEIL(n * 0.25) AS BIGINT) THEN c END)
+         |      AS p25,
+         |    MAX(CASE WHEN rn = CAST(CEIL(n * 0.75) AS BIGINT) THEN c END)
+         |      AS p75
+         |  FROM r GROUP BY et)
+         |SELECT o.et AS event_type, p25 AS p25_c, p75 AS p75_c,
+         |  CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(CASE WHEN 2*o.c < 2*p25 - 3*(p75-p25)
+         |    OR 2*o.c > 2*p75 + 3*(p75-p25) THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_out,
+         |  ROUND(CAST(SUM(CASE WHEN 2*o.c < 2*p25 - 3*(p75-p25)
+         |    OR 2*o.c > 2*p75 + 3*(p75-p25) THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / COUNT(*), 4) AS out_share
+         |FROM o JOIN p ON o.et = p.et
+         |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
+    "q_agg_moments" ->
+      s"""WITH st AS (SELECT l_returnflag AS flag,
+         |    CAST(COUNT(*) AS BIGINT) AS n,
+         |    SUM(CAST(${sqlCents("l_extendedprice")} AS HUGEINT)) AS s1,
+         |    SUM(CAST(${sqlCents("l_extendedprice")} AS HUGEINT)
+         |      * ${sqlCents("l_extendedprice")}) AS s2,
+         |    SUM(CAST(${sqlCents("l_extendedprice")} AS HUGEINT)
+         |      * ${sqlCents("l_extendedprice")}
+         |      * ${sqlCents("l_extendedprice")}) AS s3,
+         |    SUM((CAST(${sqlCents("l_extendedprice")} AS HUGEINT)
+         |      * ${sqlCents("l_extendedprice")})
+         |      * (CAST(${sqlCents("l_extendedprice")} AS HUGEINT)
+         |      * ${sqlCents("l_extendedprice")})) AS s4
+         |  FROM lineitem GROUP BY 1)
+         |SELECT flag, n,
+         |  ROUND(CAST(s1 AS DOUBLE) / n / 100, 4) AS mean_d,
+         |  ROUND((CAST(s3 AS DOUBLE) / n
+         |    - 3 * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)
+         |    + 2 * ((CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+         |      * (CAST(s1 AS DOUBLE) / n)))
+         |    / ((CAST(s2 AS DOUBLE) / n
+         |        - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+         |      * SQRT(CAST(s2 AS DOUBLE) / n
+         |        - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))),
+         |    4) AS skewness,
+         |  ROUND((CAST(s4 AS DOUBLE) / n
+         |    - 4 * (CAST(s1 AS DOUBLE) / n) * (CAST(s3 AS DOUBLE) / n)
+         |    + 6 * ((CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+         |      * (CAST(s2 AS DOUBLE) / n)
+         |    - 3 * (((CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+         |      * ((CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))))
+         |    / ((CAST(s2 AS DOUBLE) / n
+         |        - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+         |      * (CAST(s2 AS DOUBLE) / n
+         |        - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)))
+         |    - 3, 4) AS kurtosis
+         |FROM st ORDER BY flag""".stripMargin,
+    "q_graph_pagerank" ->
+      """WITH s AS (SELECT event_type AS to_t,
+        |    LAG(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS from_t FROM events),
+        |e AS (SELECT from_t, to_t, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM s WHERE from_t IS NOT NULL GROUP BY 1, 2),
+        |outd AS (SELECT from_t AS f2, CAST(SUM(cnt) AS BIGINT) AS outn
+        |  FROM e GROUP BY 1),
+        |w AS (SELECT from_t, to_t, CAST(cnt AS DOUBLE) / outn AS w
+        |  FROM e JOIN outd ON e.from_t = outd.f2),
+        |nodes AS (SELECT DISTINCT node FROM
+        |  (SELECT from_t AS node FROM e UNION SELECT to_t FROM e)),
+        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS nc FROM nodes),
+        |p0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nc AS pr
+        |  FROM nodes, nn),
+        |p1 AS (SELECT n.node, CAST(0.15 AS DOUBLE) / nn.nc +
+        |    CAST(0.85 AS DOUBLE) * COALESCE(a.acc, 0.0) AS pr
+        |  FROM nodes n CROSS JOIN nn LEFT JOIN
+        |    (SELECT w.to_t AS node, SUM(p0.pr * w.w) AS acc
+        |     FROM w JOIN p0 ON p0.node = w.from_t GROUP BY 1) a
+        |    ON a.node = n.node),
+        |p2 AS (SELECT n.node, CAST(0.15 AS DOUBLE) / nn.nc +
+        |    CAST(0.85 AS DOUBLE) * COALESCE(a.acc, 0.0) AS pr
+        |  FROM nodes n CROSS JOIN nn LEFT JOIN
+        |    (SELECT w.to_t AS node, SUM(p1.pr * w.w) AS acc
+        |     FROM w JOIN p1 ON p1.node = w.from_t GROUP BY 1) a
+        |    ON a.node = n.node),
+        |p3 AS (SELECT n.node, CAST(0.15 AS DOUBLE) / nn.nc +
+        |    CAST(0.85 AS DOUBLE) * COALESCE(a.acc, 0.0) AS pr
+        |  FROM nodes n CROSS JOIN nn LEFT JOIN
+        |    (SELECT w.to_t AS node, SUM(p2.pr * w.w) AS acc
+        |     FROM w JOIN p2 ON p2.node = w.from_t GROUP BY 1) a
+        |    ON a.node = n.node)
+        |SELECT node, ROUND(pr, 6) AS pagerank FROM p3 ORDER BY node""".stripMargin,
+    "q_text_zipf" ->
+      """WITH tc AS (SELECT lang, t, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS t
+        |        FROM documents) GROUP BY 1, 2),
+        |r AS (SELECT lang, t, c, ROW_NUMBER() OVER (PARTITION BY lang
+        |    ORDER BY c DESC, t) AS rk FROM tc),
+        |top AS (SELECT lang, LN(CAST(rk AS DOUBLE)) AS x,
+        |    LN(CAST(c AS DOUBLE)) AS y FROM r WHERE rk <= 100),
+        |st AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS sx,
+        |    SUM(y) AS sy, SUM(x*x) AS sxx, SUM(x*y) AS sxy
+        |  FROM top GROUP BY lang)
+        |SELECT lang, n,
+        |  ROUND((n*sxy - sx*sy) / (n*sxx - sx*sx), 4) AS slope,
+        |  ROUND((sy*sxx - sx*sxy) / (n*sxx - sx*sx), 4) AS intercept
+        |FROM st ORDER BY lang""".stripMargin
+  )
+}

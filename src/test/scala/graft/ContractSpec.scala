@@ -117,7 +117,13 @@ class ContractSpec extends AnyFunSuite {
     "q_stats_regression" -> 3L,
     "q_events_wau" -> 30L,
     "q_agg_mom" -> 237L,
-    "q_join_dim_part" -> 25L
+    "q_join_dim_part" -> 25L,
+    "q_agg_stickiness" -> 80L,
+    "q_stats_entropy" -> 5L,
+    "q_stats_outlier" -> 5L,
+    "q_agg_moments" -> 3L,
+    "q_graph_pagerank" -> 5L,
+    "q_text_zipf" -> 5L
   )
 
   test("every contract query has oracle SQL and vice versa") {

@@ -152,4 +152,44 @@ class ExtensionGoldenSpec extends AnyFunSuite {
       Seq(Seq("Brand#1", 237L, 1284393576L, 0.2969),
         Seq("Brand#10", 253L, 1340590648L, 0.0)))
   }
+
+  test("q_agg_stickiness head rows (DAU/MAU from exact integer counts)") {
+    try assert(head2("q_agg_stickiness") ===
+      Seq(Seq("1995-01", 16L, 1.1429, 0.0714),
+        Seq("1995-02", 21L, 1.6923, 0.0806)))
+    finally Materialize.releaseAll() // checkpoints its (cust, day) relation
+  }
+
+  test("q_stats_entropy head rows (token Shannon entropy at 4 dp)") {
+    assert(head2("q_stats_entropy") ===
+      Seq(Seq("de", 4070L, 31L, 3.3997), Seq("en", 10343L, 31L, 3.4052)))
+  }
+
+  test("q_stats_outlier head rows (all-integer Tukey fences)") {
+    assert(head2("q_stats_outlier") ===
+      Seq(Seq("click", 1395L, 6902L, 210L, 9L, 0.0429),
+        Seq("error", 1434L, 6408L, 201L, 9L, 0.0448)))
+  }
+
+  test("q_agg_moments full result (exact power sums, no pow())") {
+    assert(SparkEntry.queries("q_agg_moments")(spark, sf0001)
+      .collect().toSeq.map(_.toSeq) ===
+      Seq(Seq("A", 1962L, 51836.404, 0.034, -1.2239),
+        Seq("N", 2070L, 53347.6188, -0.03, -1.1862),
+        Seq("R", 1968L, 53471.6268, -0.0194, -1.2252)))
+  }
+
+  test("q_graph_pagerank full result (3 iterations, damping 0.85)") {
+    try assert(SparkEntry.queries("q_graph_pagerank")(spark, sf0001)
+      .collect().toSeq.map(_.toSeq) ===
+      Seq(Seq("click", 0.209488), Seq("error", 0.197483),
+        Seq("purchase", 0.20271), Seq("signup", 0.198227),
+        Seq("view", 0.192092)))
+    finally Materialize.releaseAll() // checkpoints its edge relation
+  }
+
+  test("q_text_zipf head rows (OLS over ln-rank/ln-count)") {
+    assert(head2("q_text_zipf") ===
+      Seq(Seq("de", 31L, -0.2693, 5.4481), Seq("en", 31L, -0.1945, 6.2245)))
+  }
 }
