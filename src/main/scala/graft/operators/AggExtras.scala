@@ -260,8 +260,8 @@ object AggExtras {
          |    COUNT(*) OVER (PARTITION BY o_orderstatus) AS n
          |  FROM orders)
          |SELECT o_orderstatus,
-         |  MAX(CASE WHEN rn = CEIL(n * 0.5) THEN ${sqlCents("o_totalprice")} END) AS median_c,
-         |  MAX(CASE WHEN rn = CEIL(n * 0.9) THEN ${sqlCents("o_totalprice")} END) AS p90_c
+         |  MAX(CASE WHEN rn = CEIL(n * CAST(0.5 AS DOUBLE)) THEN ${sqlCents("o_totalprice")} END) AS median_c,
+         |  MAX(CASE WHEN rn = CEIL(n * CAST(0.9 AS DOUBLE)) THEN ${sqlCents("o_totalprice")} END) AS p90_c
          |FROM r GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q_agg_winsorize" ->
       s"""WITH o AS (
@@ -275,8 +275,8 @@ object AggExtras {
          |  FROM o),
          |bounds AS (
          |  SELECT st,
-         |    MAX(CASE WHEN rn = CEIL(n * 0.05) THEN c END) AS lo_c,
-         |    MAX(CASE WHEN rn = CEIL(n * 0.95) THEN c END) AS hi_c
+         |    MAX(CASE WHEN rn = CEIL(n * CAST(0.05 AS DOUBLE)) THEN c END) AS lo_c,
+         |    MAX(CASE WHEN rn = CEIL(n * CAST(0.95 AS DOUBLE)) THEN c END) AS hi_c
          |  FROM r GROUP BY st)
          |SELECT o.st, CAST(COUNT(*) AS BIGINT) AS n,
          |  MIN(b.lo_c) AS lo_c, MIN(b.hi_c) AS hi_c,

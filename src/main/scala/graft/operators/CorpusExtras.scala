@@ -168,6 +168,35 @@ object CorpusExtras {
         .orderBy(col("lang"), col("tfidf").desc, col("token"))
     }),
 
+    // Per-document keyword extraction (round 9, wave 9): top-3 tokens
+    // by TF-IDF per doc — the metadata-enrichment step that tags every
+    // training document with its salient terms. Same integer-ratio IDF
+    // as q_text_tfidf (N/df, no ln — ulp-portable and order-equivalent
+    // for fixed tf). The rank window partitions by doc_id: parallelism
+    // is |docs| (data-proportional, never a handful of tasks), each
+    // partition is one doc's bounded vocabulary, and rn <= 3 compiles
+    // to WindowGroupLimit so only 3 survivors per doc leave the window.
+    // Shuffles carry (doc_id, token, counts) — never text.
+    "q_text_keywords" -> ((s, d) => {
+      val n = Stats.rowCount(s, d, "documents")
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(expr("filter(split(text, ' '), t -> t <> '')")).as("token"))
+      val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val df = tok.select("token", "doc_id").distinct()
+        .groupBy("token").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("score_raw").desc, col("token"))
+      tf.join(df, "token")
+        .select(col("doc_id"), col("token"),
+          ((col("tf") * n).cast("double") / col("df")).as("score_raw"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("doc_id"), col("token"),
+          round(col("score_raw"), 4).as("tfidf"))
+        .orderBy(col("doc_id"), col("tfidf").desc, col("token"))
+    }),
+
     // Sequence packing: docs greedily packed into fixed-token-budget
     // (512) bins per source shard — the batch-prep step that turns a
     // ragged corpus into near-uniform training sequences. Deterministic
@@ -346,6 +375,26 @@ object CorpusExtras {
         |  FROM tfl JOIN df ON tfl.token = df.token)
         |SELECT lang, token, ROUND(score_raw, 4) AS tfidf
         |FROM scored WHERE rn <= 5 ORDER BY lang, tfidf DESC, token""".stripMargin,
+    "q_text_keywords" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split(text,' '), t -> t <> '')) AS token
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+        |df AS (
+        |  SELECT token, COUNT(*) AS df FROM (
+        |    SELECT DISTINCT token, doc_id FROM tok) GROUP BY token),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT doc_id, tf.token,
+        |    CAST(tf * (SELECT n_docs FROM n) AS DOUBLE) / df.df AS score_raw,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id
+        |      ORDER BY CAST(tf * (SELECT n_docs FROM n) AS DOUBLE) / df.df DESC,
+        |               tf.token) AS rn
+        |  FROM tf JOIN df ON tf.token = df.token)
+        |SELECT doc_id, token, ROUND(score_raw, 4) AS tfidf
+        |FROM scored WHERE rn <= 3 ORDER BY doc_id, tfidf DESC, token""".stripMargin,
     "q_sample_pack" ->
       """WITH toks AS (
         |  SELECT doc_id, source,

@@ -249,6 +249,44 @@ object JoinQueries {
             sumCents(col("l_extendedprice")).cast("double"), 4)
             .as("promo_share"))
         .orderBy("p_brand")
+    }),
+
+    // TPC-H Q5-shaped star join (round 9, wave 9): revenue per nation
+    // from LOCAL suppliers (s_nationkey = c_nationkey) in one region.
+    // The region filter reaches the fact table EARLY: region⨝nation
+    // (≤ 25 rows) broadcasts onto customer first, so ~4/5 of customers
+    // — and through the o_custkey join ~4/5 of orders and lineitems —
+    // are pruned before any fact-fact shuffle. Only orders⨝customer
+    // and lineitem⨝orders shuffle on their keys; supplier joins last
+    // on the already-reduced stream. Revenue stays exact: discounts
+    // are integer hundredths, so Σ price_c·(100 − disc_c) is an
+    // integer "cent-percent" sum — no float money anywhere.
+    "q_join_star" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"))
+        .join(broadcast(
+          Tables.nation(s, d)
+            .join(broadcast(Tables.region(s, d)
+                .filter(col("r_name") === "ASIA")),
+              col("n_regionkey") === col("r_regionkey"))
+            .select(col("n_nationkey"), col("n_name"))),
+          col("c_nationkey") === col("n_nationkey"))
+      val ord = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"),
+          col("l_extendedprice"), col("l_discount"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.supplier(s, d).select(col("s_suppkey"),
+            col("s_nationkey")),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("s_nationkey") === col("c_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_items"),
+          sum(cents(col("l_extendedprice")) *
+            (lit(100L) - cents(col("l_discount")))).as("rev_cp"))
+        .orderBy(col("rev_cp").desc, col("n_name"))
     })
   )
 
@@ -350,6 +388,19 @@ object JoinQueries {
          |    / CAST(SUM(${sqlCents("l.l_extendedprice")}) AS DOUBLE), 4)
          |    AS promo_share
          |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-         |GROUP BY 1 ORDER BY 1""".stripMargin
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_join_star" ->
+      s"""SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_items,
+         |  CAST(SUM(${sqlCents("l_extendedprice")}
+         |    * (100 - ${sqlCents("l_discount")})) AS BIGINT) AS rev_cp
+         |FROM region
+         |JOIN nation ON n_regionkey = r_regionkey
+         |JOIN customer ON c_nationkey = n_nationkey
+         |JOIN orders ON o_custkey = c_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |JOIN supplier ON s_suppkey = l_suppkey
+         |  AND s_nationkey = c_nationkey
+         |WHERE r_name = 'ASIA'
+         |GROUP BY n_name ORDER BY rev_cp DESC, n_name""".stripMargin
   )
 }

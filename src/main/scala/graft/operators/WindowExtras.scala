@@ -46,6 +46,48 @@ object WindowExtras {
         .orderBy("user_id", "session_id")
     }),
 
+    // Session-duration distribution (round 9, wave 9): sessionize as
+    // q_window_session, keep ENGAGED sessions (≥ 2 events — singletons
+    // have zero duration and would pin every percentile to 0), then
+    // global p50/p90 via the same two-phase RankSelect as
+    // q_percentile — a single logical group ("all") ranked with
+    // buckets-wide parallelism, never a one-task global window. The
+    // thin per-session relation is CHECKPOINTED because both the rank
+    // selection and the totals aggregate consume it. Durations are
+    // exact epoch-µs integers; only the average divides → 4 dp. The
+    // tie key user_id·10⁵ + session_id is unique while any user has
+    // < 10⁵ sessions (session_id is a per-user counter).
+    "q_window_session_stats" -> ((s, d) => {
+      val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val sess = graft.Materialize.checkpoint(
+        Tables.events(s, d)
+          .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+          .withColumn("new_s",
+            when(col("prev_ts").isNull ||
+              unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800000000L, 1)
+              .otherwise(0))
+          .withColumn("session_id", sum(col("new_s")).over(run))
+          .groupBy("user_id", "session_id")
+          .agg(count(lit(1)).as("n_ev"),
+            (max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))))
+              .as("dur"))
+          .filter(col("n_ev") >= 2)
+          .select(lit("all").as("g"), col("dur"),
+            (col("user_id") * 100000L + col("session_id")).as("k")))
+      val pct = RankSelect.selectRanks(sess, "g", "dur", "k",
+          Seq("p50" -> 0.5, "p90" -> 0.9),
+          RankSelect.bucketsFor(graft.sources.Stats.rowCount(s, d, "events")))
+        .groupBy("g")
+        .agg(max(when(col("__tag") === "p50", col("__v"))).as("p50_dur_us"),
+          max(when(col("__tag") === "p90", col("__v"))).as("p90_dur_us"))
+      sess.agg(count(lit(1)).as("n_sessions"), sum("dur").as("sd"))
+        .crossJoin(broadcast(pct))
+        .select(col("n_sessions"), col("p50_dur_us"), col("p90_dur_us"),
+          round(col("sd").cast("double") / col("n_sessions"), 4)
+            .as("avg_dur_us"))
+    }),
+
     // 2-hour window sliding by 1 hour × event_type: explode each event
     // into its two covering windows, then a plain hash aggregate.
     "q_window_sliding" -> ((s, d) =>
@@ -147,6 +189,35 @@ object WindowExtras {
         |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
         |  CAST(COUNT(*) AS BIGINT) AS n_events, MIN(event_id) AS first_event
         |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    "q_window_session_stats" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS t,
+        |    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+        |              ORDER BY ts, event_id) > 1800000000 OR
+        |              LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+        |              ORDER BY ts, event_id) IS NULL
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |s0 AS (
+        |  SELECT user_id, session_id, CAST(COUNT(*) AS BIGINT) AS n_ev,
+        |    MAX(t) - MIN(t) AS dur,
+        |    user_id * 100000 + session_id AS k
+        |  FROM (SELECT user_id, event_id, t,
+        |          SUM(new_s) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |        FROM e)
+        |  GROUP BY user_id, session_id),
+        |s AS (SELECT * FROM s0 WHERE n_ev >= 2),
+        |r AS (SELECT dur,
+        |    ROW_NUMBER() OVER (ORDER BY dur, k) AS rn,
+        |    COUNT(*) OVER () AS n, SUM(dur) OVER () AS sd FROM s)
+        |SELECT CAST(MAX(n) AS BIGINT) AS n_sessions,
+        |  CAST(MAX(CASE WHEN rn = CEIL(n * CAST(0.5 AS DOUBLE)) THEN dur END)
+        |    AS BIGINT) AS p50_dur_us,
+        |  CAST(MAX(CASE WHEN rn = CEIL(n * CAST(0.9 AS DOUBLE)) THEN dur END)
+        |    AS BIGINT) AS p90_dur_us,
+        |  ROUND(CAST(MAX(sd) AS DOUBLE) / MAX(n), 4) AS avg_dur_us
+        |FROM r""".stripMargin,
     "q_window_sliding" ->
       """WITH w AS (
         |  SELECT event_type,

@@ -123,7 +123,10 @@ class ContractSpec extends AnyFunSuite {
     "q_stats_outlier" -> 5L,
     "q_agg_moments" -> 3L,
     "q_graph_pagerank" -> 5L,
-    "q_text_zipf" -> 5L
+    "q_text_zipf" -> 5L,
+    "q_join_star" -> 1L,
+    "q_window_session_stats" -> 1L,
+    "q_text_keywords" -> 1500L
   )
 
   test("every contract query has oracle SQL and vice versa") {

@@ -192,4 +192,22 @@ class ExtensionGoldenSpec extends AnyFunSuite {
     assert(head2("q_text_zipf") ===
       Seq(Seq("de", 31L, -0.2693, 5.4481), Seq("en", 31L, -0.1945, 6.2245)))
   }
+
+  test("q_join_star full result (local-supplier revenue, cent-percent)") {
+    assert(SparkEntry.queries("q_join_star")(spark, sf0001)
+      .collect().toSeq.map(_.toSeq) ===
+      Seq(Seq("NATION_12", 25L, 11559149514L)))
+  }
+
+  test("q_window_session_stats full result (engaged-session percentiles)") {
+    try assert(SparkEntry.queries("q_window_session_stats")(spark, sf0001)
+      .collect().toSeq.map(_.toSeq) ===
+      Seq(Seq(52L, 650221913L, 1773099393L, 861321617.4038)))
+    finally Materialize.releaseAll() // checkpoints its session relation
+  }
+
+  test("q_text_keywords head rows (per-doc top-3 TF-IDF)") {
+    assert(head2("q_text_keywords") ===
+      Seq(Seq(0L, "dup", 20.0), Seq(0L, "batch", 3.886)))
+  }
 }
