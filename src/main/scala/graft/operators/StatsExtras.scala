@@ -177,6 +177,82 @@ object StatsExtras {
         .orderBy("node")
     }),
 
+    // Gini coefficient of order value per status — the inequality/
+    // concentration metric (revenue concentration, data-contributor
+    // skew). Needs every row's exact global rank within its group:
+    // RankSelect.withGlobalRank supplies it with (group × bucket)
+    // parallelism (never a |status|-task window), and the Gini closed
+    // form G = (2·Σi·xᵢ − (n+1)·Σx)/(n·Σx) is computed ENTIRELY in
+    // exact integers (rank·cents products in DECIMAL — Σi·x ≈ 1.5·10¹⁸
+    // already grazes int64 at sf0.1; DuckDB sums in HUGEINT) with one
+    // final IEEE division → 4 dp.
+    "q_agg_gini" -> ((s, d) => {
+      val ord = Tables.orders(s, d)
+        .select(col("o_orderstatus").as("st"),
+          cents(col("o_totalprice")).as("c"), col("o_orderkey"))
+      val rd = col("__rank").cast("decimal(19,0)")
+      val vd = col("__v").cast("decimal(19,0)")
+      RankSelect.withGlobalRank(ord, "st", "c", "o_orderkey",
+          RankSelect.bucketsFor(graft.sources.Stats.rowCount(s, d, "orders")))
+        .groupBy("st")
+        .agg(count(lit(1)).as("n"), sum(vd).as("sx"), sum(rd * vd).as("six"))
+        .select(col("st"), col("n"),
+          round((lit(2) * col("six") - (col("n") + lit(1)) * col("sx"))
+            .cast("double") /
+            (col("n") * col("sx")).cast("double"), 4).as("gini"))
+        .orderBy("st")
+    }),
+
+    // Welch's two-sample t statistic (order value, status F vs O) —
+    // the A/B-test primitive. ONE partial-combined conditional
+    // aggregate collects both groups' exact sufficient statistics in a
+    // single fact pass (no per-group scan, no join); the t closed form
+    // runs on doubles converted from identical integers through an
+    // identical expression tree. Squares in DECIMAL (int64 overflow);
+    // sample variance spelled pop_var·n/(n−1) so sqrt is the only
+    // non-arithmetic FP op (IEEE correctly-rounded everywhere).
+    "q_stats_ttest" -> ((s, d) => {
+      val cd = cents(col("o_totalprice")).cast("decimal(19,0)")
+      def dbl(c: String) = col(c).cast("double")
+      val isF = col("o_orderstatus") === "F"
+      val isO = col("o_orderstatus") === "O"
+      val m1 = dbl("s1") / col("n1")
+      val m2 = dbl("s2") / col("n2")
+      val se1 = (dbl("q1") / col("n1") - m1 * m1) * col("n1") /
+        (col("n1") - lit(1)) / col("n1")
+      val se2 = (dbl("q2") / col("n2") - m2 * m2) * col("n2") /
+        (col("n2") - lit(1)) / col("n2")
+      Tables.orders(s, d)
+        .filter(col("o_orderstatus").isin("F", "O"))
+        .agg(
+          sum(when(isF, 1L).otherwise(0L)).as("n1"),
+          sum(when(isO, 1L).otherwise(0L)).as("n2"),
+          sum(when(isF, cd)).as("s1"), sum(when(isO, cd)).as("s2"),
+          sum(when(isF, cd * cd)).as("q1"), sum(when(isO, cd * cd)).as("q2"))
+        .select(col("n1"), col("n2"),
+          round((m1 - m2) / lit(100), 4).as("mean_diff_d"),
+          round((m1 - m2) / sqrt(se1 + se2), 4).as("t_stat"))
+    }),
+
+    // Customer-acquisition curve: new customers per month (month of
+    // FIRST order) plus the cumulative total — the growth-accounting
+    // view. Two user-keyed aggregates thin the corpus (facts shuffle
+    // once, on o_custkey); the running sum is a window over the
+    // ≤|months| aggregate, never the fact table. All-integer output.
+    "q_agg_new_customers" -> ((s, d) => {
+      val w = Window.orderBy("month")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d)
+        .groupBy("o_custkey")
+        .agg(min(to_date(date_trunc("DAY", col("o_orderdate"))))
+          .as("first_day"))
+        .groupBy(date_format(date_trunc("MONTH", col("first_day")),
+          "yyyy-MM").as("month"))
+        .agg(count(lit(1)).as("new_custs"))
+        .withColumn("cum_custs", sum("new_custs").over(w))
+        .orderBy("month")
+    }),
+
     // Zipf-law fit per language: OLS of ln(count) on ln(rank) over the
     // top-100 tokens — the corpus-health diagnostic (natural text sits
     // near slope −1; generated/templated text flattens). The rank
@@ -327,6 +403,61 @@ object StatsExtras {
         |     FROM w JOIN p2 ON p2.node = w.from_t GROUP BY 1) a
         |    ON a.node = n.node)
         |SELECT node, ROUND(pr, 6) AS pagerank FROM p3 ORDER BY node""".stripMargin,
+    "q_agg_gini" ->
+      s"""WITH o AS (SELECT o_orderstatus AS st,
+         |    ${sqlCents("o_totalprice")} AS c, o_orderkey AS k FROM orders),
+         |r AS (SELECT st, c, ROW_NUMBER() OVER (PARTITION BY st
+         |    ORDER BY c, k) AS rn FROM o),
+         |a AS (SELECT st, CAST(COUNT(*) AS BIGINT) AS n,
+         |    SUM(CAST(c AS HUGEINT)) AS sx,
+         |    SUM(CAST(rn AS HUGEINT) * c) AS six
+         |  FROM r GROUP BY st)
+         |SELECT st, n,
+         |  ROUND(CAST(2*six - (n+1)*sx AS DOUBLE) /
+         |    CAST(n*sx AS DOUBLE), 4) AS gini
+         |FROM a ORDER BY st""".stripMargin,
+    "q_stats_ttest" ->
+      s"""WITH s AS (SELECT
+         |    CAST(SUM(CASE WHEN o_orderstatus='F' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n1,
+         |    CAST(SUM(CASE WHEN o_orderstatus='O' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n2,
+         |    SUM(CASE WHEN o_orderstatus='F'
+         |      THEN CAST(${sqlCents("o_totalprice")} AS HUGEINT)
+         |      ELSE 0 END) AS s1,
+         |    SUM(CASE WHEN o_orderstatus='O'
+         |      THEN CAST(${sqlCents("o_totalprice")} AS HUGEINT)
+         |      ELSE 0 END) AS s2,
+         |    SUM(CASE WHEN o_orderstatus='F'
+         |      THEN CAST(${sqlCents("o_totalprice")} AS HUGEINT)
+         |        * ${sqlCents("o_totalprice")} ELSE 0 END) AS q1,
+         |    SUM(CASE WHEN o_orderstatus='O'
+         |      THEN CAST(${sqlCents("o_totalprice")} AS HUGEINT)
+         |        * ${sqlCents("o_totalprice")} ELSE 0 END) AS q2
+         |  FROM orders WHERE o_orderstatus IN ('F','O'))
+         |SELECT n1, n2,
+         |  ROUND((CAST(s1 AS DOUBLE)/n1 - CAST(s2 AS DOUBLE)/n2) / 100, 4)
+         |    AS mean_diff_d,
+         |  ROUND((CAST(s1 AS DOUBLE)/n1 - CAST(s2 AS DOUBLE)/n2) /
+         |    SQRT((CAST(q1 AS DOUBLE)/n1
+         |        - (CAST(s1 AS DOUBLE)/n1)*(CAST(s1 AS DOUBLE)/n1))
+         |        * n1 / (n1-1) / n1
+         |      + (CAST(q2 AS DOUBLE)/n2
+         |        - (CAST(s2 AS DOUBLE)/n2)*(CAST(s2 AS DOUBLE)/n2))
+         |        * n2 / (n2-1) / n2), 4) AS t_stat
+         |FROM s""".stripMargin,
+    "q_agg_new_customers" ->
+      """WITH f AS (SELECT o_custkey,
+        |    MIN(CAST(date_trunc('day', o_orderdate) AS DATE)) AS first_day
+        |  FROM orders GROUP BY 1),
+        |d AS (SELECT strftime(date_trunc('month', first_day), '%Y-%m')
+        |      AS month,
+        |    CAST(COUNT(*) AS BIGINT) AS new_custs FROM f GROUP BY 1)
+        |SELECT month, new_custs,
+        |  CAST(SUM(new_custs) OVER (ORDER BY month
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_custs
+        |FROM d ORDER BY month""".stripMargin,
     "q_text_zipf" ->
       """WITH tc AS (SELECT lang, t, CAST(COUNT(*) AS BIGINT) AS c
         |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS t

@@ -126,7 +126,10 @@ class ContractSpec extends AnyFunSuite {
     "q_text_zipf" -> 5L,
     "q_join_star" -> 1L,
     "q_window_session_stats" -> 1L,
-    "q_text_keywords" -> 1500L
+    "q_text_keywords" -> 1500L,
+    "q_agg_gini" -> 3L,
+    "q_stats_ttest" -> 1L,
+    "q_agg_new_customers" -> 26L
   )
 
   test("every contract query has oracle SQL and vice versa") {
