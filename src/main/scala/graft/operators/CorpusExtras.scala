@@ -89,6 +89,58 @@ object CorpusExtras {
           sum(when(col("u") < col("t"), 1L).otherwise(0L)).as("n_flagged"))
         .orderBy("lang")),
 
+    // Corpus boilerplate share: fraction of each doc's 3-gram
+    // occurrences whose shingle sits in the top 1% of the corpus by
+    // document frequency — the CCNet-style duplicated-paragraph signal
+    // (headers, footers, licence blocks repeat VERBATIM across docs).
+    // The percentile threshold is rank-selected from the df HISTOGRAM
+    // (≤ max-df distinct values — the window runs over that bounded
+    // relation, never the gram table), so the definition is
+    // SF-adaptive with no tuned absolute cutoff. Corpus-scale work:
+    // the (doc, gram) aggregate (checkpointed — the df aggregate and
+    // the share join both consume it), the gram-df aggregate
+    // (checkpointed — histogram, count, and join consume it), and one
+    // key-partitioned join on gram; shuffles carry grams and counts,
+    // never text.
+    "q_text_boilerplate" -> ((s, d) => {
+      val grams = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
+        // materialize toks behind the exchange (q_text_repetition
+        // discipline): the per-position lambda would otherwise
+        // re-split text per gram position — O(T²) char work per doc.
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"), col("lang"), explode(expr(
+          """transform(sequence(1, greatest(size(toks) - 2, 1)),
+            |  i -> concat_ws(' ', slice(toks, i, 3)))""".stripMargin))
+          .as("gram"))
+      val dg = graft.Materialize.checkpoint(
+        grams.groupBy("doc_id", "lang", "gram").agg(count(lit(1)).as("c")))
+      val df = graft.Materialize.checkpoint(
+        dg.groupBy("gram").agg(count(lit(1)).as("df")))
+      val cw = Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val thr = df.groupBy(col("df").as("v")).agg(count(lit(1)).as("k"))
+        .withColumn("cum", sum("k").over(cw))
+        .crossJoin(broadcast(df.agg(count(lit(1)).as("ng"))))
+        .filter(col("cum") >=
+          ceil(col("ng").cast("double") * lit(0.99)).cast("long"))
+        .agg(min("v").as("thr"))
+      dg.join(df, "gram")
+        .crossJoin(broadcast(thr))
+        .groupBy("doc_id", "lang")
+        .agg(sum("c").as("t"),
+          sum(when(col("df") >= col("thr"), col("c")).otherwise(0L))
+            .as("fr"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("t").as("total_grams"),
+          sum("fr").as("boiler_grams"),
+          round(sum("fr").cast("double") / sum("t"), 4).as("boiler_share"),
+          sum(when(col("fr") * 10 > col("t"), 1L).otherwise(0L))
+            .as("n_flagged"))
+        .orderBy("lang")
+    }),
+
     // Deterministic stratified sample: exactly ceil(10%) of each lang
     // stratum, chosen by md5-hash order — a reproducible per-stratum
     // quota with no RNG. Exact quotas need a per-stratum rank, so this
@@ -324,6 +376,36 @@ object CorpusExtras {
         |  ROUND(1.0 - CAST(SUM(u) AS DOUBLE) / SUM(t), 4) AS corpus_rep,
         |  CAST(COUNT(*) FILTER (u < t) AS BIGINT) AS n_flagged
         |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_text_boilerplate" ->
+      """WITH g AS (
+        |  SELECT doc_id, lang,
+        |    unnest(list_transform(
+        |      range(1, greatest(len(string_split(text,' '))-1, 2)),
+        |      i -> array_to_string(string_split(text,' ')[i:i+2], ' ')))
+        |      AS gram
+        |  FROM documents),
+        |dg AS (SELECT doc_id, lang, gram, CAST(COUNT(*) AS BIGINT) AS c
+        |       FROM g GROUP BY 1, 2, 3),
+        |df AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS df FROM dg
+        |       GROUP BY gram),
+        |h AS (SELECT df AS v, CAST(COUNT(*) AS BIGINT) AS k FROM df
+        |      GROUP BY df),
+        |ng AS (SELECT CAST(COUNT(*) AS BIGINT) AS ng FROM df),
+        |thr AS (SELECT MIN(v) AS thr FROM
+        |    (SELECT v, SUM(k) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+        |       PRECEDING AND CURRENT ROW) AS cum FROM h) CROSS JOIN ng
+        |  WHERE cum >= CAST(CEIL(CAST(ng AS DOUBLE) * CAST(0.99 AS DOUBLE))
+        |    AS BIGINT)),
+        |pd AS (SELECT dg.doc_id, dg.lang, SUM(dg.c) AS t,
+        |    SUM(CASE WHEN df.df >= (SELECT thr FROM thr) THEN dg.c
+        |        ELSE 0 END) AS fr
+        |  FROM dg JOIN df USING (gram) GROUP BY 1, 2)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(t) AS BIGINT) AS total_grams,
+        |  CAST(SUM(fr) AS BIGINT) AS boiler_grams,
+        |  ROUND(CAST(SUM(fr) AS DOUBLE) / SUM(t), 4) AS boiler_share,
+        |  CAST(COUNT(*) FILTER (10*fr > t) AS BIGINT) AS n_flagged
+        |FROM pd GROUP BY lang ORDER BY lang""".stripMargin,
     "q_sample_stratified" ->
       """WITH ranked AS (
         |  SELECT lang, n_chars, doc_id,

@@ -283,6 +283,58 @@ object StatsExtras {
           round((dbl("sy") * dbl("sxx") - dbl("sx") * dbl("sxy")) / den, 4)
             .as("intercept"))
         .orderBy("lang")
+    }),
+
+    // Chi-square independence test, order status × priority — the
+    // categorical A/B-test primitive (is the treatment split
+    // independent of the outcome?). The corpus collapses to the
+    // |status|×|priority| contingency aggregate in ONE partial-combined
+    // shuffle; the checkpointed cell relation feeds all four consumers
+    // (row totals, column totals, grand total, the term join) without
+    // re-scanning facts; χ² = Σ(O−E)²/E runs over ≤15 rows with E
+    // derived from exact integer marginals through an identical
+    // double-expression tree in both engines → 4 dp.
+    "q_stats_chisq" -> ((s, d) => {
+      val cells = graft.Materialize.checkpoint(
+        Tables.orders(s, d)
+          .groupBy(col("o_orderstatus").as("st"),
+            col("o_orderpriority").as("pr"))
+          .agg(count(lit(1)).as("o")))
+      val rt = cells.groupBy("st").agg(sum("o").as("r"))
+      val ct = cells.groupBy("pr").agg(sum("o").as("c"))
+      val tot = cells.agg(sum("o").as("n"),
+        countDistinct("st").as("n_rows"), countDistinct("pr").as("n_cols"))
+      val e = col("r").cast("double") * col("c") / col("n")
+      val diff = col("o").cast("double") - e
+      cells.join(broadcast(rt), "st").join(broadcast(ct), "pr")
+        .crossJoin(broadcast(tot))
+        .select(col("n_rows"), col("n_cols"),
+          ((col("n_rows") - 1) * (col("n_cols") - 1)).as("dof"),
+          (diff * diff / e).as("term"))
+        .groupBy("n_rows", "n_cols", "dof")
+        .agg(round(sum("term"), 4).as("chi2"))
+    }),
+
+    // Benford first-digit profile of order values — the fraud /
+    // data-quality scan (fabricated or truncated money columns bend
+    // away from the log law). One partial-combined hash aggregate over
+    // the leading digit of exact integer cents (≤ 9 groups), the
+    // 1-row total broadcasts back, and the reference curve
+    // ln(1+1/d)/ln 10 uses only ln — correctly rounded in both
+    // engines' libm (pow never appears) → 4 dp.
+    "q_stats_benford" -> ((s, d) => {
+      val agg = graft.Materialize.checkpoint(
+        Tables.orders(s, d)
+          .select(substring(cents(col("o_totalprice")).cast("string"), 1, 1)
+            .cast("long").as("digit"))
+          .groupBy("digit").agg(count(lit(1)).as("n")))
+      val one = lit(1).cast("double")
+      agg.crossJoin(broadcast(agg.agg(sum("n").as("tot"))))
+        .select(col("digit"), col("n"),
+          round(col("n").cast("double") / col("tot"), 4).as("share"),
+          round(log(one + one / col("digit")) / log(lit(10).cast("double")),
+            4).as("benford"))
+        .orderBy("digit")
     })
   )
 
@@ -472,6 +524,35 @@ object StatsExtras {
         |SELECT lang, n,
         |  ROUND((n*sxy - sx*sy) / (n*sxx - sx*sx), 4) AS slope,
         |  ROUND((sy*sxx - sx*sxy) / (n*sxx - sx*sx), 4) AS intercept
-        |FROM st ORDER BY lang""".stripMargin
+        |FROM st ORDER BY lang""".stripMargin,
+    "q_stats_chisq" ->
+      """WITH cells AS (SELECT o_orderstatus AS st, o_orderpriority AS pr,
+        |    CAST(COUNT(*) AS BIGINT) AS o FROM orders GROUP BY 1, 2),
+        |rt AS (SELECT st, CAST(SUM(o) AS BIGINT) AS r FROM cells
+        |       GROUP BY st),
+        |ct AS (SELECT pr, CAST(SUM(o) AS BIGINT) AS c FROM cells
+        |       GROUP BY pr),
+        |t AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+        |    CAST(COUNT(DISTINCT st) AS BIGINT) AS n_rows,
+        |    CAST(COUNT(DISTINCT pr) AS BIGINT) AS n_cols FROM cells)
+        |SELECT n_rows, n_cols,
+        |  CAST((n_rows - 1) * (n_cols - 1) AS BIGINT) AS dof,
+        |  ROUND(SUM((CAST(o AS DOUBLE) - CAST(r AS DOUBLE) * c / n)
+        |    * (CAST(o AS DOUBLE) - CAST(r AS DOUBLE) * c / n)
+        |    / (CAST(r AS DOUBLE) * c / n)), 4) AS chi2
+        |FROM cells JOIN rt USING (st) JOIN ct USING (pr) CROSS JOIN t
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "q_stats_benford" ->
+      s"""WITH dig AS (SELECT CAST(substr(
+         |      CAST(${sqlCents("o_totalprice")} AS VARCHAR), 1, 1)
+         |      AS BIGINT) AS digit FROM orders),
+         |agg AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM dig
+         |        GROUP BY digit),
+         |t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM agg)
+         |SELECT digit, n,
+         |  ROUND(CAST(n AS DOUBLE) / tot, 4) AS share,
+         |  ROUND(LN(CAST(1 AS DOUBLE) + CAST(1 AS DOUBLE) / digit)
+         |    / LN(CAST(10 AS DOUBLE)), 4) AS benford
+         |FROM agg CROSS JOIN t ORDER BY digit""".stripMargin
   )
 }

@@ -129,7 +129,10 @@ class ContractSpec extends AnyFunSuite {
     "q_text_keywords" -> 1500L,
     "q_agg_gini" -> 3L,
     "q_stats_ttest" -> 1L,
-    "q_agg_new_customers" -> 26L
+    "q_agg_new_customers" -> 26L,
+    "q_stats_chisq" -> 1L,
+    "q_stats_benford" -> 9L,
+    "q_text_boilerplate" -> 5L
   )
 
   test("every contract query has oracle SQL and vice versa") {
