@@ -216,10 +216,44 @@ object AnalyticsExtras {
           round(col("rev_c").cast("double") /
             lag(col("rev_c"), 1).over(w).cast("double"), 4))
         .orderBy("st", "month")
-    })
+    }),
+
+    // Inter-arrival gap profile per event type — the telemetry-health
+    // primitive (delivery stalls and clock skew show up as gap-tail
+    // blowouts). The lag window partitions by user_id (parallelism
+    // scales with users — data-proportional, never a global sort);
+    // gaps are exact epoch-µs integer differences attributed to the
+    // LATER event's type, and the per-type profile is one
+    // partial-combined hash aggregate; only the average divides → 4 dp.
+    "q_events_interarrival" -> ((s, d) => {
+      val byUser = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("gap_us",
+          unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(byUser)))
+        .filter(col("gap_us").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_gaps"),
+          sum("gap_us").as("sum_gap_us"),
+          max("gap_us").as("max_gap_us"),
+          round(sum("gap_us").cast("double") / count(lit(1)) /
+            lit(1000000).cast("double"), 4).as("avg_gap_s"))
+        .orderBy("event_type")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
+    "q_events_interarrival" ->
+      """WITH g AS (SELECT event_type,
+        |    epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id)) AS gap_us
+        |  FROM events)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+        |  CAST(SUM(gap_us) AS BIGINT) AS sum_gap_us,
+        |  CAST(MAX(gap_us) AS BIGINT) AS max_gap_us,
+        |  ROUND(CAST(SUM(gap_us) AS DOUBLE) / COUNT(*)
+        |    / CAST(1000000 AS DOUBLE), 4) AS avg_gap_s
+        |FROM g WHERE gap_us IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_events_funnel" ->
       s"""WITH v AS (SELECT user_id, MIN(epoch_us(ts)) AS vt
          |  FROM events WHERE event_type = 'view' GROUP BY 1),

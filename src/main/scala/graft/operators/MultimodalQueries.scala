@@ -163,6 +163,36 @@ object MultimodalQueries {
       decodeMeta(s, media, StubCodec)
         .toDF()
         .orderBy("doc_id")
+    }),
+
+    // Asset near-dup by header digest: md5 over the first 64 bytes of
+    // each payload — the cheap perceptual-hash-lite pass an asset
+    // registry runs before byte-exact compare (same media re-encoded
+    // or re-chunked shares its header). Group by (type, digest), keep
+    // the LARGEST copy as canonical, report the storage savings. One
+    // partial-combined hash aggregate on (type, digest) then a tiny
+    // per-type rollup; shuffles carry 16-byte digests + counts, never
+    // payloads — the 100 TB asset-dedup shape.
+    "q_multimodal_dedup" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(
+          when(col("doc_id") % 3 === 0, "image")
+            .when(col("doc_id") % 3 === 1, "audio")
+            .otherwise("video").as("media_type"),
+          md5(substring(col("text"), 1, 64).cast("binary")).as("digest"),
+          length(col("text").cast("binary")).cast("long").as("n_bytes"))
+        .groupBy("media_type", "digest")
+        .agg(count(lit(1)).as("cnt"), max("n_bytes").as("bytes1"),
+          sum("n_bytes").as("bytes_all"))
+        .groupBy("media_type")
+        .agg(count(lit(1)).as("n_unique"),
+          sum("cnt").as("n_assets"),
+          (sum("cnt") - count(lit(1))).as("n_dup_rows"),
+          sum("bytes_all").as("bytes_total"),
+          sum("bytes1").as("bytes_dedup"),
+          round((sum("bytes_all") - sum("bytes1")).cast("double") /
+            sum("bytes_all"), 4).as("savings"))
+        .orderBy("media_type")
     })
   )
 
@@ -210,6 +240,25 @@ object MultimodalQueries {
         |  CAST(octet_length(encode(text)) % 640 AS BIGINT) AS width,
         |  CAST((octet_length(encode(text)) * 7) % 480 AS BIGINT) AS height,
         |  CAST(1 + doc_id % 24 AS BIGINT) AS frames
-        |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin
+        |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
+    "q_multimodal_dedup" ->
+      """WITH m AS (SELECT
+        |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |      ELSE 'video' END AS media_type,
+        |    md5(substr(text, 1, 64)) AS digest,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |  FROM documents),
+        |grp AS (SELECT media_type, digest, CAST(COUNT(*) AS BIGINT)
+        |      AS cnt,
+        |    MAX(n_bytes) AS bytes1, SUM(n_bytes) AS bytes_all
+        |  FROM m GROUP BY 1, 2)
+        |SELECT media_type, CAST(COUNT(*) AS BIGINT) AS n_unique,
+        |  CAST(SUM(cnt) AS BIGINT) AS n_assets,
+        |  CAST(SUM(cnt) - COUNT(*) AS BIGINT) AS n_dup_rows,
+        |  CAST(SUM(bytes_all) AS BIGINT) AS bytes_total,
+        |  CAST(SUM(bytes1) AS BIGINT) AS bytes_dedup,
+        |  ROUND(CAST(SUM(bytes_all) - SUM(bytes1) AS DOUBLE)
+        |    / SUM(bytes_all), 4) AS savings
+        |FROM grp GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

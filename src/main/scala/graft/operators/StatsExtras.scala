@@ -335,6 +335,37 @@ object StatsExtras {
           round(log(one + one / col("digit")) / log(lit(10).cast("double")),
             4).as("benford"))
         .orderBy("digit")
+    }),
+
+    // Pareto concentration: what share of revenue do the top 20% of
+    // customers hold — the 80/20 check on any contributor
+    // distribution (and the data-curation question "how skewed is the
+    // source mix"). Facts collapse to the per-customer revenue
+    // aggregate (one corpus shuffle on o_custkey); ranking that
+    // aggregate still scales with |customers|, so it goes through
+    // RankSelect.withGlobalRank at bucket-grain parallelism rather
+    // than a one-task global window; k = ceil(0.2·n) in IEEE doubles
+    // matches the oracle's CEIL bit-for-bit, the top-k test is integer
+    // rank arithmetic, and only the final share divides → 4 dp.
+    "q_agg_pareto" -> ((s, d) => {
+      val rev = Tables.orders(s, d)
+        .groupBy(col("o_custkey").as("cust"))
+        .agg(sumCents(col("o_totalprice")).as("rc"))
+        .withColumn("g", lit("all"))
+      RankSelect.withGlobalRank(rev, "g", "rc", "cust",
+          RankSelect.bucketsFor(
+            graft.sources.Stats.rowCount(s, d, "customer")))
+        .select(col("__n").as("n_custs"),
+          ceil(col("__n").cast("double") * lit(0.2)).cast("long")
+            .as("top_custs"),
+          col("__rank"), col("__v"))
+        .groupBy("n_custs", "top_custs")
+        .agg(sum("__v").as("total_c"),
+          sum(when(col("__rank") > col("n_custs") - col("top_custs"),
+            col("__v")).otherwise(0L)).as("top_c"),
+          round(sum(when(col("__rank") > col("n_custs") - col("top_custs"),
+            col("__v")).otherwise(0L)).cast("double") / sum("__v"), 4)
+            .as("top_share"))
     })
   )
 
@@ -553,6 +584,21 @@ object StatsExtras {
          |  ROUND(CAST(n AS DOUBLE) / tot, 4) AS share,
          |  ROUND(LN(CAST(1 AS DOUBLE) + CAST(1 AS DOUBLE) / digit)
          |    / LN(CAST(10 AS DOUBLE)), 4) AS benford
-         |FROM agg CROSS JOIN t ORDER BY digit""".stripMargin
+         |FROM agg CROSS JOIN t ORDER BY digit""".stripMargin,
+    "q_agg_pareto" ->
+      s"""WITH rev AS (SELECT o_custkey AS cust,
+         |    ${sqlSumCents("o_totalprice")} AS rc FROM orders GROUP BY 1),
+         |r AS (SELECT cust, rc, ROW_NUMBER() OVER (ORDER BY rc, cust)
+         |      AS rn, COUNT(*) OVER () AS nn FROM rev),
+         |k AS (SELECT CAST(MAX(nn) AS BIGINT) AS n,
+         |    CAST(CEIL(CAST(MAX(nn) AS DOUBLE) * CAST(0.2 AS DOUBLE))
+         |      AS BIGINT) AS k FROM r)
+         |SELECT k.n AS n_custs, k.k AS top_custs,
+         |  CAST(SUM(rc) AS BIGINT) AS total_c,
+         |  CAST(SUM(CASE WHEN rn > k.n - k.k THEN rc ELSE 0 END)
+         |    AS BIGINT) AS top_c,
+         |  ROUND(CAST(SUM(CASE WHEN rn > k.n - k.k THEN rc ELSE 0 END)
+         |    AS DOUBLE) / SUM(rc), 4) AS top_share
+         |FROM r CROSS JOIN k GROUP BY 1, 2""".stripMargin
   )
 }
