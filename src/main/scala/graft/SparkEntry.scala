@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.functions.ScalarQueries
-import graft.operators.{AggExtras, AnalyticsExtras, CorpusExtras, DedupExtras, JoinQueries, MultimodalQueries, PipelineQueries, RelationalQueries, SimilarityExtras, SourceQueries, StatsExtras, TextExtras, WindowExtras, WindowQueries}
+import graft.operators.{AggExtras, AnalyticsExtras, CorpusExtras, DataQuality, DedupExtras, JoinQueries, MultimodalQueries, PipelineQueries, RelationalQueries, SimilarityExtras, SourceQueries, StatsExtras, TextExtras, WindowExtras, WindowQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (the operator
   * inventory) and §7 (build plan). Every t2 row of SURVEY.md §2 appears
@@ -43,7 +43,8 @@ object SparkEntry {
       AnalyticsExtras.queries ++
       StatsExtras.queries ++
       SourceQueries.queries ++
-      CorpusExtras.queries
+      CorpusExtras.queries ++
+      DataQuality.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -63,5 +64,6 @@ object SparkEntry {
       AnalyticsExtras.oracle ++
       StatsExtras.oracle ++
       SourceQueries.oracle ++
-      CorpusExtras.oracle
+      CorpusExtras.oracle ++
+      DataQuality.oracle
 }

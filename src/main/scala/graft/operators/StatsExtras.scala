@@ -366,6 +366,42 @@ object StatsExtras {
           round(sum(when(col("__rank") > col("n_custs") - col("top_custs"),
             col("__v")).otherwise(0L)).cast("double") / sum("__v"), 4)
             .as("top_share"))
+    }),
+
+    // Recency-weighted customer value per market segment: each order
+    // contributes value·2^-age_months (age clamped at 40) — the decay
+    // scoring every retention/churn model starts from. The weighting
+    // stays EXACT integer arithmetic: terms are scaled by
+    // 2^(40−age) (a variable bit-shift, never pow()) and summed in
+    // DECIMAL(38,0) (max term ≈ 2^74; DuckDB mirrors in HUGEINT), and
+    // the single 2^40·100 divisor at the end is a power of two times
+    // the cent scale — one deterministic division chain → 4 dp. One
+    // o_custkey shuffle; the 1-row anchor broadcasts; the customer
+    // dim join carries no hint (AQE's call, q_join_dim_part
+    // discipline).
+    "q_agg_decay" -> ((s, d) => {
+      val om = (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+        .as("om")
+      val anchor = Tables.orders(s, d).agg(max(om).as("am"))
+      val sc = Tables.orders(s, d)
+        .crossJoin(broadcast(anchor))
+        .withColumn("w", expr(
+          "shiftleft(CAST(1 AS BIGINT), " +
+            "40 - least(am - (year(o_orderdate)*12 + month(o_orderdate)), 40))"))
+        .select(col("o_custkey").as("cust"),
+          (cents(col("o_totalprice")).cast("decimal(38,0)") * col("w"))
+            .as("term"))
+        .groupBy("cust").agg(sum("term").as("s"))
+      val div = expr("shiftleft(CAST(1 AS BIGINT), 40)")
+      sc.join(Tables.customer(s, d),
+          sc("cust") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("n_custs"),
+          round(sum("s").cast("double") / div / lit(100), 4)
+            .as("decayed_value_d"),
+          round(sum("s").cast("double") / div / lit(100) / count(lit(1)), 4)
+            .as("avg_decayed_d"))
+        .orderBy("segment")
     })
   )
 
@@ -599,6 +635,23 @@ object StatsExtras {
          |    AS BIGINT) AS top_c,
          |  ROUND(CAST(SUM(CASE WHEN rn > k.n - k.k THEN rc ELSE 0 END)
          |    AS DOUBLE) / SUM(rc), 4) AS top_share
-         |FROM r CROSS JOIN k GROUP BY 1, 2""".stripMargin
+         |FROM r CROSS JOIN k GROUP BY 1, 2""".stripMargin,
+    "q_agg_decay" ->
+      s"""WITH anchor AS (SELECT MAX(year(o_orderdate)*12
+         |      + month(o_orderdate)) AS am FROM orders),
+         |sc AS (SELECT o_custkey AS cust,
+         |    SUM(CAST(${sqlCents("o_totalprice")} AS HUGEINT)
+         |      * (CAST(1 AS BIGINT) << (40 - LEAST(am
+         |        - (year(o_orderdate)*12 + month(o_orderdate)), 40))))
+         |      AS s
+         |  FROM orders CROSS JOIN anchor GROUP BY 1),
+         |j AS (SELECT c.c_mktsegment AS segment, s FROM sc
+         |  JOIN customer c ON c.c_custkey = sc.cust)
+         |SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_custs,
+         |  ROUND(CAST(SUM(s) AS DOUBLE) / (CAST(1 AS BIGINT) << 40)
+         |    / 100, 4) AS decayed_value_d,
+         |  ROUND(CAST(SUM(s) AS DOUBLE) / (CAST(1 AS BIGINT) << 40)
+         |    / 100 / COUNT(*), 4) AS avg_decayed_d
+         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
