@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+import org.apache.spark.sql.execution.joins.CartesianProductExec
+import org.apache.spark.sql.execution.window.WindowExec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Static scale-shape regression guards over the contract plans.
+  *
+  * These inspect the planner's physical output (pre-AQE `sparkPlan`)
+  * without executing the queries, so a future edit that silently
+  * reintroduces a scale-killer — an unconstrained pair product, or a
+  * window that funnels the fact table through |group-values| tasks —
+  * fails the suite even though every row-level oracle still matches.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  import SparkTestBase._
+
+  private def plan(name: String): SparkPlan = {
+    val p = SparkEntry.queries(name)(spark, sf0001).queryExecution.sparkPlan
+    Materialize.releaseAll() // drop construction-time checkpoints
+    p
+  }
+
+  test("no contract query plans a CartesianProduct") {
+    SparkEntry.queries.keys.toSeq.sorted.foreach { n =>
+      assert(plan(n).collectFirst { case c: CartesianProductExec => c }
+        .isEmpty, s"$n plans an unconstrained CartesianProduct")
+    }
+  }
+
+  // The RankSelect guarantee (SURVEY §2.12 percentile family): ranking
+  // windows over FACT rows partition by (group, bucket) — never by the
+  // bare low-cardinality group alone. Size-1 windows are legal only
+  // over bounded aggregates (RankSelect's histogram prefix sum) or
+  // data-proportional keys (user_id sessionization), so the check
+  // fails exactly when a single-column group window sits on a subtree
+  // with no aggregation below it.
+  private val lowCardGroups = Set("st", "et", "g", "grp",
+    "o_orderstatus", "event_type", "l_returnflag")
+
+  test("rank-selection queries never window-partition facts by the bare group") {
+    Seq("q_percentile", "q_agg_winsorize", "q_window_ntile", "q_agg_gini",
+      "q_agg_pareto", "q_window_session_stats", "q_stats_outlier")
+      .foreach { n =>
+        plan(n).collect { case w: WindowExec => w }.foreach { w =>
+          val parts = w.partitionSpec.flatMap(_.references).map(_.name)
+            .toSet
+          val overFacts =
+            w.child.collectFirst { case a: BaseAggregateExec => a }.isEmpty
+          assert(!(parts.nonEmpty && parts.subsetOf(lowCardGroups) &&
+            overFacts),
+            s"$n windows raw facts partitioned only by $parts — " +
+              "the |group|-task scale-killer RankSelect exists to avoid")
+        }
+      }
+  }
+}
