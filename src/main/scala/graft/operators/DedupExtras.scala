@@ -267,6 +267,48 @@ object DedupExtras {
         .orderBy("doc_id1", "doc_id2")
     }),
 
+    // Edit-distance near-dup verify: exact Levenshtein over a 60-char
+    // normalized head, for candidate pairs blocked by
+    // (lang, length-bucket, first character) — the fuzzy-match verify
+    // stage (OCR noise, diff-level edits) that set-based similarity
+    // (Jaccard/MinHash) under-scores because single-character edits
+    // break whole shingles. Same scale discipline as q_dedup_jaccard:
+    // pair ENUMERATION runs over the slim projection through the
+    // salted self-pairing (hot blocks spread over 8 tasks), and the
+    // head strings — the payload — join in once per side from a
+    // checkpointed projection afterwards. Two cost bounds beyond the
+    // jaccard shape, because the DP is ~1000× a hash probe: the
+    // first-char block key cuts candidate pairs ~12× without losing a
+    // single ≤20-edit survivor on any fixture, and the DP itself runs
+    // THRESHOLDED (Spark's 3-arg levenshtein early-exits past 20 edits
+    // and returns -1; the oracle computes the full distance and
+    // filters — identical surviving rows and values).
+    "q_dedup_editdist" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val slim = docs.select(col("doc_id"), col("lang"),
+        expr("n_chars div 20").as("lb"),
+        substring(col("text"), 1, 1).as("c1"))
+      val pairs = Salting.saltedSelfPairs(slim, Seq("lang", "lb", "c1"),
+          "doc_id", 8)
+        .select(col("a.lang").as("lang"), col("a.doc_id").as("doc1"),
+          col("b.doc_id").as("doc2"))
+      val heads = graft.Materialize.checkpoint(
+        docs.select(col("doc_id"), substring(col("text"), 1, 60).as("head")))
+      pairs
+        .join(heads.as("h1"), col("doc1") === col("h1.doc_id"))
+        .join(heads.as("h2"), col("doc2") === col("h2.doc_id"))
+        // explicit count: the DP stage is CPU-heavy over tiny bytes,
+        // and AQE's size-based coalesce would serialize it (the
+        // q_text_repetition pitfall — CLAUDE.md parity rules)
+        .repartition(s.sparkContext.defaultParallelism, col("doc1"),
+          col("doc2"))
+        .select(col("lang"), col("doc1"), col("doc2"),
+          levenshtein(col("h1.head"), col("h2.head"), 20).cast("long")
+            .as("dist"))
+        .filter(col("dist") >= 0)
+        .orderBy("lang", "doc1", "doc2")
+    }),
+
     // Canonical-form (fingerprint) dedup: docs whose SORTED DISTINCT
     // token set agrees are near-dups regardless of word order or
     // repetition — the OpenRefine-style normalize-then-group step that
@@ -374,6 +416,16 @@ object DedupExtras {
         |        len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
         |FROM keyed a JOIN keyed b ON a.lang=b.lang AND a.bk=b.bk AND a.doc_id<b.doc_id
         |ORDER BY doc_id1, doc_id2""".stripMargin,
+    "q_dedup_editdist" ->
+      """WITH b AS (SELECT doc_id, lang, n_chars // 20 AS lb,
+        |    substr(text, 1, 60) AS head FROM documents),
+        |p AS (SELECT a.lang, a.doc_id AS doc1, c.doc_id AS doc2,
+        |    CAST(levenshtein(a.head, c.head) AS BIGINT) AS dist
+        |  FROM b a JOIN b c ON a.lang = c.lang AND a.lb = c.lb
+        |    AND substr(a.head, 1, 1) = substr(c.head, 1, 1)
+        |    AND a.doc_id < c.doc_id)
+        |SELECT lang, doc1, doc2, dist FROM p WHERE dist <= 20
+        |ORDER BY lang, doc1, doc2""".stripMargin,
     "q_dedup_norm" ->
       """WITH n AS (SELECT doc_id,
         |    md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS norm_sig

@@ -101,4 +101,39 @@ class GoldenValueSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
     assert(rows.toSeq === Seq((0L, "2024-01-01", 0L, 2L), (0L, "2024-01-03", 1L, 2L)))
   }
+
+  test("q_agg_gini exact coefficients per status") {
+    val rows = SparkEntry.queries("q_agg_gini")(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.toSeq === Seq(
+      ("F", 493L, 0.3331), ("O", 514L, 0.3345), ("P", 493L, 0.3371)))
+  }
+
+  test("q_stats_ttest exact Welch statistic") {
+    val r = SparkEntry.queries("q_stats_ttest")(spark, sf0001).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)) ===
+      ((493L, 514L, -2078.722, -0.2277)))
+  }
+
+  test("q_stats_chisq exact statistic and dof") {
+    val r = SparkEntry.queries("q_stats_chisq")(spark, sf0001).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)) ===
+      ((3L, 5L, 8L, 9.4116)))
+  }
+
+  test("q_agg_pareto exact top-20% share") {
+    val r = SparkEntry.queries("q_agg_pareto")(spark, sf0001).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getDouble(4)) === ((150L, 30L, 37444679161L, 11549089435L, 0.3084)))
+  }
+
+  test("q_agg_decay exact dyadic decay per segment") {
+    val rows = SparkEntry.queries("q_agg_decay")(spark, sf0001)
+      .limit(2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))
+    assert(rows.toSeq === Seq(
+      ("AUTOMOBILE", 23L, 1352879.1236, 58820.8315),
+      ("BUILDING", 34L, 815932.702, 23998.0206)))
+  }
 }
