@@ -55,6 +55,39 @@ object AggExtras {
         .orderBy("o_orderstatus")
     }),
 
+    // Median absolute deviation per event type — the robust
+    // dispersion estimate (MAD-based thresholds survive the outliers
+    // that poison σ). TWO chained rank selections, both through
+    // RankSelect's bucketed two-phase shape: the per-type median, then
+    // the median of |x − med| over the deviation relation derived by
+    // broadcasting the ≤|types|-row median back over the cached fact
+    // projection. Everything is integer cents; no interpolation, no
+    // per-type full-table window in either pass.
+    "q_agg_mad" -> ((s, d) => {
+      val buckets = RankSelect.bucketsFor(Stats.rowCount(s, d, "events"))
+      val o = graft.Materialize.checkpoint(
+        Tables.events(s, d).select(col("event_type").as("et"),
+          cents(col("value")).as("c"), col("event_id").as("k")))
+      // the ≤|types|-row median is CHECKPOINTED: the second pass's
+      // histogram build and the final join each trigger their own
+      // action, and without the checkpoint every one of them re-runs
+      // pass 1's whole selection DAG (broadcast exchanges are not
+      // reused across separate jobs) — measured 1.7 s of pure rework
+      // at sf0.1
+      val med = graft.Materialize.checkpoint(
+        RankSelect.selectRanks(o, "et", "c", "k",
+            Seq("p50" -> 0.5), buckets)
+          .select(col("et"), col("__v").as("med")))
+      val dev = o.join(broadcast(med), "et")
+        .select(col("et"), abs(col("c") - col("med")).as("dv"), col("k"))
+      RankSelect.selectRanks(dev, "et", "dv", "k", Seq("p50m" -> 0.5),
+          buckets)
+        .join(broadcast(med), "et")
+        .select(col("et").as("event_type"), col("med").as("median_c"),
+          col("__v").as("mad_c"))
+        .orderBy("event_type")
+    }),
+
     // Winsorization: per-group outlier clipping at rank-selected
     // p05/p95 — the value-cleaning step before statistics a skewed
     // money column would otherwise poison. Two passes: bounds from the
@@ -244,6 +277,25 @@ object AggExtras {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_agg_mad" ->
+      s"""WITH o AS (SELECT event_type AS et, ${sqlCents("value")} AS c,
+         |    event_id AS k FROM events),
+         |r1 AS (SELECT et, c, ROW_NUMBER() OVER (PARTITION BY et
+         |      ORDER BY c, k) AS rn,
+         |    COUNT(*) OVER (PARTITION BY et) AS n FROM o),
+         |med AS (SELECT et, MAX(CASE WHEN rn =
+         |    CAST(CEIL(n * CAST(0.5 AS DOUBLE)) AS BIGINT) THEN c END)
+         |    AS med FROM r1 GROUP BY et),
+         |dev AS (SELECT o.et, ABS(o.c - m.med) AS dv, o.k
+         |  FROM o JOIN med m ON o.et = m.et),
+         |r2 AS (SELECT et, dv, ROW_NUMBER() OVER (PARTITION BY et
+         |      ORDER BY dv, k) AS rn,
+         |    COUNT(*) OVER (PARTITION BY et) AS n FROM dev)
+         |SELECT r2.et AS event_type, med.med AS median_c,
+         |  MAX(CASE WHEN rn = CAST(CEIL(n * CAST(0.5 AS DOUBLE))
+         |    AS BIGINT) THEN dv END) AS mad_c
+         |FROM r2 JOIN med ON r2.et = med.et
+         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     "q_pivot" ->
       """SELECT user_id,
         |  CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,

@@ -240,6 +240,26 @@ object AnalyticsExtras {
             lit(1000000).cast("double"), 4).as("avg_gap_s"))
         .orderBy("event_type")
     }),
+
+    // Day-of-week × hour activity heatmap — the ops-dashboard load
+    // matrix (when do users show up; when can maintenance run). Both
+    // axes derive from raw epoch-µs INTEGER arithmetic — (days+4)%7
+    // with the 1970-01-01-was-Thursday anchor, hours from the µs
+    // remainder — never from engine calendar functions, whose
+    // weekday-numbering conventions differ (DuckDB Sunday=0, Spark
+    // Sunday=1). One partial-combined aggregate into ≤168 cells; the
+    // per-cell count_distinct expands to the standard two-phase
+    // distinct aggregate.
+    "q_events_heatmap" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(
+          expr("(unix_micros(ts) div 86400000000 + 4) % 7").as("dow"),
+          expr("(unix_micros(ts) % 86400000000) div 3600000000").as("hour"),
+          col("user_id"))
+        .groupBy("dow", "hour")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct("user_id").as("n_users"))
+        .orderBy("dow", "hour")),
   )
 
   val oracle: Map[String, String] = Map(
@@ -254,6 +274,15 @@ object AnalyticsExtras {
         |  ROUND(CAST(SUM(gap_us) AS DOUBLE) / COUNT(*)
         |    / CAST(1000000 AS DOUBLE), 4) AS avg_gap_s
         |FROM g WHERE gap_us IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_events_heatmap" ->
+      """WITH e AS (SELECT
+        |    (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+        |    (epoch_us(ts) % 86400000000) // 3600000000 AS hour, user_id
+        |  FROM events)
+        |SELECT CAST(dow AS BIGINT) AS dow, CAST(hour AS BIGINT) AS hour,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_events_funnel" ->
       s"""WITH v AS (SELECT user_id, MIN(epoch_us(ts)) AS vt
          |  FROM events WHERE event_type = 'view' GROUP BY 1),

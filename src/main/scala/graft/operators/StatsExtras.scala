@@ -402,7 +402,29 @@ object StatsExtras {
           round(sum("s").cast("double") / div / lit(100) / count(lit(1)), 4)
             .as("avg_decayed_d"))
         .orderBy("segment")
-    })
+    }),
+
+    // Herfindahl–Hirschman concentration of brand revenue within each
+    // part type — the market-concentration / source-mix-diversity
+    // index. HHI = Σ share² collapses to Σrev² / (Σrev)², which keeps
+    // the whole computation in EXACT integers (squares in
+    // DECIMAL(38,0)/HUGEINT — rev² ≈ 10²⁴ overflows int64) with a
+    // single IEEE division at the end → 4 dp, no per-brand share
+    // division and no FP sum of squares. Facts join the part catalog
+    // hint-free (q_join_dim_part discipline), then two stacked
+    // partial-combined aggregates.
+    "q_agg_hhi" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_type").as("ptype"), col("p_brand").as("brand"))
+        .agg(sumCents(col("l_extendedprice")).as("rc"))
+        .groupBy("ptype")
+        .agg(count(lit(1)).as("n_brands"),
+          sum("rc").as("total_c"),
+          round(sum(col("rc").cast("decimal(38,0)") * col("rc"))
+            .cast("double") /
+            (sum("rc").cast("double") * sum("rc")), 4).as("hhi"))
+        .orderBy("ptype"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -652,6 +674,16 @@ object StatsExtras {
          |    / 100, 4) AS decayed_value_d,
          |  ROUND(CAST(SUM(s) AS DOUBLE) / (CAST(1 AS BIGINT) << 40)
          |    / 100 / COUNT(*), 4) AS avg_decayed_d
-         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_agg_hhi" ->
+      s"""WITH rev AS (SELECT p.p_type AS ptype, p.p_brand AS brand,
+         |    ${sqlSumCents("l_extendedprice")} AS rc
+         |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+         |  GROUP BY 1, 2)
+         |SELECT ptype, CAST(COUNT(*) AS BIGINT) AS n_brands,
+         |  CAST(SUM(rc) AS BIGINT) AS total_c,
+         |  ROUND(CAST(SUM(CAST(rc AS HUGEINT) * rc) AS DOUBLE)
+         |    / (CAST(SUM(rc) AS DOUBLE) * SUM(rc)), 4) AS hhi
+         |FROM rev GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
