@@ -260,6 +260,28 @@ object AnalyticsExtras {
         .agg(count(lit(1)).as("n_events"),
           countDistinct("user_id").as("n_users"))
         .orderBy("dow", "hour")),
+
+    // Longest consecutive-day activity streak distribution — the
+    // engagement-streak metric, via the gaps-and-islands technique:
+    // day − row_number is constant exactly within a consecutive run.
+    // The corpus thins to DISTINCT (user, day) first (the only
+    // corpus-scale shuffle; q_events_wau discipline), the island
+    // window partitions by user_id (data-proportional), and days are
+    // raw epoch-µs integer division (UTC) — no calendar functions.
+    // Everything after the window is stacked aggregates; output is
+    // the bounded streak histogram.
+    "q_window_streak" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("day")
+      Tables.events(s, d)
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .distinct()
+        .withColumn("island", col("day") - row_number().over(w))
+        .groupBy("user_id", "island").agg(count(lit(1)).as("len"))
+        .groupBy("user_id").agg(max("len").as("streak"))
+        .groupBy("streak").agg(count(lit(1)).as("n_users"))
+        .orderBy("streak")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -283,6 +305,19 @@ object AnalyticsExtras {
         |  CAST(COUNT(*) AS BIGINT) AS n_events,
         |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_window_streak" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 86400000000 AS day FROM events),
+        |d AS (SELECT user_id, day,
+        |    day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+        |      AS island
+        |  FROM ud),
+        |s AS (SELECT user_id, island, CAST(COUNT(*) AS BIGINT) AS len
+        |      FROM d GROUP BY 1, 2),
+        |m AS (SELECT user_id, MAX(len) AS streak FROM s GROUP BY 1)
+        |SELECT CAST(streak AS BIGINT) AS streak,
+        |  CAST(COUNT(*) AS BIGINT) AS n_users
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_events_funnel" ->
       s"""WITH v AS (SELECT user_id, MIN(epoch_us(ts)) AS vt
          |  FROM events WHERE event_type = 'view' GROUP BY 1),
