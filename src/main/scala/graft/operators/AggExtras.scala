@@ -118,6 +118,27 @@ object AggExtras {
         .orderBy("st")
     }),
 
+    // Weighted median: the price point splitting each return flag's
+    // total QUANTITY in half (quantity-weighted, not row-weighted —
+    // the duplicate-aware corpus statistic: re-weighting by a
+    // multiplicity column is how a deduplicated 100 TB corpus keeps
+    // its pre-dedup distribution). Two-phase weighted rank selection
+    // (RankSelect.selectWeightedRanks): count(*) generalizes to
+    // sum(weight) in the bucket histogram, and only the bucket
+    // straddling ceil(W/2) cumulative weight pays an in-bucket pass.
+    // Integer weights make every cumulative sum exact in both engines.
+    "q_agg_wmedian" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_returnflag").as("flag"),
+          cents(col("l_extendedprice")).as("v"),
+          col("l_quantity").cast("long").as("wt"))
+      RankSelect.selectWeightedRanks(li, "flag", "v", "wt",
+          Seq("p50" -> 0.5),
+          RankSelect.bucketsFor(Stats.rowCount(s, d, "lineitem")))
+        .select(col("flag"), col("__v").as("wmedian_c"))
+        .orderBy("flag")
+    }),
+
     // Correlated-subquery class: orders priced far above their status
     // group's mean — decorrelated as aggregate-then-join (the form the
     // optimizer rewrites correlated scalar subqueries into; at scale
@@ -336,6 +357,20 @@ object AggExtras {
          |  CAST(SUM(LEAST(GREATEST(o.c, b.lo_c), b.hi_c)) AS BIGINT) AS sum_wins_c
          |FROM o JOIN bounds b ON o.st = b.st
          |GROUP BY o.st ORDER BY o.st""".stripMargin,
+    // 2·cw ≥ tot ⟺ cw ≥ ceil(tot/2) for integer cw — the same rank the
+    // Spark side selects as ceil(__n · 0.5); spelled multiplicatively
+    // here so the oracle never divides (exact integers end to end).
+    "q_agg_wmedian" ->
+      s"""WITH c AS (
+         |  SELECT l_returnflag AS flag, ${sqlCents("l_extendedprice")} AS v,
+         |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+         |  FROM lineitem GROUP BY 1, 2),
+         |t AS (SELECT flag, CAST(SUM(w) AS BIGINT) AS tot FROM c GROUP BY 1),
+         |o AS (SELECT flag, v,
+         |    SUM(w) OVER (PARTITION BY flag ORDER BY v) AS cw FROM c)
+         |SELECT o.flag, CAST(MIN(v) AS BIGINT) AS wmedian_c
+         |FROM o JOIN t USING (flag) WHERE 2*cw >= tot
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_subquery_corr" ->
       s"""WITH avg_by_status AS (
          |  SELECT o_orderstatus AS st, AVG(o_totalprice) AS avg_p

@@ -282,6 +282,35 @@ object AnalyticsExtras {
         .groupBy("streak").agg(count(lit(1)).as("n_users"))
         .orderBy("streak")
     }),
+
+    // 2-D skyline (dominance frontier) over the part catalog: parts
+    // where no other part has size ≥ AND price ≤ (strict in one) —
+    // the Pareto-optimal operator the NOT-EXISTS oracle spells as an
+    // O(n²) anti self-join. The distributed shape exploits the 2-D
+    // closed form instead: per-size min price is ONE partial-combined
+    // aggregate into ≤ |sizes| rows; the "best price at any strictly
+    // larger size" is a prefix-min over that bounded relation (the
+    // single-partition window is ≤ 50 rows BY CONSTRUCTION — the
+    // bounded-aggregate exemption, never a window over facts); then
+    // the frontier test broadcasts the bounds back over the fact scan.
+    // A row survives iff it attains its size's min price and strictly
+    // beats every larger size's best. O(n) + two tiny passes vs the
+    // oracle's quadratic — at 100 TB the only corpus-scale ops are
+    // the aggregate and the broadcast-join filter.
+    "q_agg_skyline" -> ((s, d) => {
+      val facts = Tables.part(s, d)
+        .select(col("p_partkey"), col("p_size").cast("long").as("size"),
+          cents(col("p_retailprice")).as("price_c"))
+      val perSize = facts.groupBy("size").agg(min("price_c").as("m"))
+      val wDesc = Window.orderBy(col("size").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val bounds = perSize.withColumn("better", min(col("m")).over(wDesc))
+      facts.join(broadcast(bounds), "size")
+        .filter(col("price_c") === col("m") &&
+          (col("better").isNull || col("price_c") < col("better")))
+        .select(col("p_partkey"), col("size"), col("price_c"))
+        .orderBy("size", "p_partkey")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -318,6 +347,19 @@ object AnalyticsExtras {
         |SELECT CAST(streak AS BIGINT) AS streak,
         |  CAST(COUNT(*) AS BIGINT) AS n_users
         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Deliberately the quadratic NOT-EXISTS spelling: a fully
+    // independent derivation of the frontier, so the hash compare
+    // checks the closed form's SEMANTICS, not a re-implementation.
+    "q_agg_skyline" ->
+      s"""SELECT p_partkey, CAST(p_size AS BIGINT) AS size,
+         |  ${sqlCents("q.p_retailprice")} AS price_c
+         |FROM part q
+         |WHERE NOT EXISTS (
+         |  SELECT 1 FROM part p
+         |  WHERE p.p_size >= q.p_size
+         |    AND p.p_retailprice <= q.p_retailprice
+         |    AND (p.p_size > q.p_size OR p.p_retailprice < q.p_retailprice))
+         |ORDER BY size, p_partkey""".stripMargin,
     "q_events_funnel" ->
       s"""WITH v AS (SELECT user_id, MIN(epoch_us(ts)) AS vt
          |  FROM events WHERE event_type = 'view' GROUP BY 1),

