@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Money._
-import graft.sources.Tables
+import graft.sources.{Stats, Tables}
 
 /** Round-9 wave-8 extensions (SURVEY.md §2.12): engagement stickiness,
   * corpus token entropy, IQR outlier fences, higher moments
@@ -232,6 +232,38 @@ object StatsExtras {
         .select(col("n1"), col("n2"),
           round((m1 - m2) / lit(100), 4).as("mean_diff_d"),
           round((m1 - m2) / sqrt(se1 + se2), 4).as("t_stat"))
+    }),
+
+    // Two-sample Kolmogorov–Smirnov: max ECDF gap between finished and
+    // open orders' price distributions — the drift detector that needs
+    // the WHOLE distribution, not moments. sup|F1−F2| compares exact
+    // integer cross-products (|cw1·n2 − cw2·n1|, one row per distinct
+    // price) so the max is engine-portable; the global cumulative
+    // counts come from PrefixSum's two-phase shape — never a
+    // single-task `sum over (order by v)` window. The (value, c1, c2)
+    // collapse is checkpointed: it is corpus-scale and feeds both the
+    // totals and the cumsum machinery. One IEEE division at the end
+    // → 4 dp.
+    "q_stats_ks" -> ((s, d) => {
+      val c = graft.Materialize.checkpoint(
+        Tables.orders(s, d)
+          .filter(col("o_orderstatus").isin("F", "O"))
+          .groupBy(cents(col("o_totalprice")).as("v"))
+          .agg(
+            sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L))
+              .as("c1"),
+            sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L))
+              .as("c2")))
+      val tot = c.agg(sum("c1").as("n1"), sum("c2").as("n2"))
+      PrefixSum.globalCumsum(c, "v", Seq("c1", "c2"),
+          RankSelect.bucketsFor(Stats.rowCount(s, d, "orders")))
+        .crossJoin(broadcast(tot))
+        .groupBy("n1", "n2")
+        .agg(max(abs(col("__cw_c1") * col("n2") -
+          col("__cw_c2") * col("n1"))).as("d_num"))
+        .select(col("n1"), col("n2"), col("d_num"),
+          round(col("d_num").cast("double") / (col("n1") * col("n2")), 4)
+            .as("d"))
     }),
 
     // Customer-acquisition curve: new customers per month (month of
@@ -587,6 +619,23 @@ object StatsExtras {
          |        - (CAST(s2 AS DOUBLE)/n2)*(CAST(s2 AS DOUBLE)/n2))
          |        * n2 / (n2-1) / n2), 4) AS t_stat
          |FROM s""".stripMargin,
+    // KS distance compared on exact integer cross-products; the single
+    // final ROUND is the only IEEE op, identical in both engines.
+    "q_stats_ks" ->
+      s"""WITH c AS (
+         |  SELECT ${sqlCents("o_totalprice")} AS v,
+         |    CAST(COUNT(*) FILTER (o_orderstatus='F') AS BIGINT) AS c1,
+         |    CAST(COUNT(*) FILTER (o_orderstatus='O') AS BIGINT) AS c2
+         |  FROM orders WHERE o_orderstatus IN ('F','O') GROUP BY 1),
+         |o AS (SELECT SUM(c1) OVER (ORDER BY v) AS cw1,
+         |             SUM(c2) OVER (ORDER BY v) AS cw2 FROM c),
+         |t AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+         |             CAST(SUM(c2) AS BIGINT) AS n2 FROM c)
+         |SELECT n1, n2,
+         |  CAST(MAX(ABS(cw1*n2 - cw2*n1)) AS BIGINT) AS d_num,
+         |  ROUND(CAST(MAX(ABS(cw1*n2 - cw2*n1)) AS DOUBLE)/(n1*n2), 4)
+         |    AS d
+         |FROM o, t GROUP BY 1, 2""".stripMargin,
     "q_agg_new_customers" ->
       """WITH f AS (SELECT o_custkey,
         |    MIN(CAST(date_trunc('day', o_orderdate) AS DATE)) AS first_day
