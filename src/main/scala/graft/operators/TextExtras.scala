@@ -104,6 +104,22 @@ object TextExtras {
         .orderBy(col("cnt").desc, col("bigram"))
         .limit(20)),
 
+    // Exact heavy hitters — tokens with > 0.5% corpus share — via
+    // per-partition Misra–Gries candidate summaries + exact recount
+    // (HeavyHitters scaladoc has the n/(k+1) superset bound; k = 512
+    // comfortably covers den = 200). Pass-1 shuffle is ≤ k rows per
+    // partition no matter the vocabulary size; pass 2 recounts only
+    // the broadcast candidates. The oracle spells the exact semantics
+    // as the direct group-count-filter.
+    "q_text_heavyhitters" -> ((s, d) => {
+      import s.implicits._
+      HeavyHitters.frequentItems(
+        Tables.documents(s, d)
+          .select(explode(split(col("text"), " ")).as("word"))
+          .filter(col("word") =!= "").as[String],
+        k = 512, den = 200)
+    }),
+
     // Chained pipeline (the reference's multi-job chain as ONE plan):
     // quality-filter → exact dedup per (digest, lang) → per-lang stats.
     // Catalyst fuses the stages; only the dedup groupBy and final agg
@@ -225,6 +241,18 @@ object TextExtras {
         |  FROM documents WHERE len(string_split(text,' ')) >= 2)
         |SELECT bigram, CAST(COUNT(*) AS BIGINT) AS cnt
         |FROM grams GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 20""".stripMargin,
+    // Exact semantics of the two-pass Misra–Gries plan: plain
+    // group-count against the total, integer threshold compare, one
+    // IEEE division → 4 dp.
+    "q_text_heavyhitters" ->
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(string_split(text,' '), t -> t <> '')) AS word
+        |  FROM documents),
+        |c AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY 1),
+        |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM c)
+        |SELECT word, cnt, ROUND(CAST(cnt AS DOUBLE)/n, 4) AS share
+        |FROM c, t WHERE cnt*200 > n
+        |ORDER BY cnt DESC, word""".stripMargin,
     "q_pipeline_chain" ->
       """WITH toks AS (
         |  SELECT doc_id, lang, md5(text) AS h,
