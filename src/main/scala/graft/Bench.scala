@@ -47,7 +47,13 @@ object Bench {
     // A failing query must not masquerade as a fast one: any failing
     // rep marks the query -1 (excluded from the total, listed by name).
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional comma-separated subset for targeted profiling runs;
+    // absent (the driver's invocation) every query is timed.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val times = (1 to reps).map { r =>
         val t0 = System.nanoTime()
         val ok =

@@ -177,6 +177,83 @@ object StatsExtras {
         .orderBy("node")
     }),
 
+    // Triangle census of the co-purchase graph — parts bought together
+    // in ≥ 2 distinct orders (the frequent-pairs support filter every
+    // production co-purchase graph applies before any graph analytics).
+    // Scale discipline in three steps: (1) pair enumeration collapses
+    // each order to its sorted distinct part set in ONE partial-combined
+    // corpus shuffle, then generates the ≤ C(basket,2) in-basket pairs
+    // array-side — never a |parts|² product, and one shuffle cheaper
+    // than the distinct + self-join spelling (profiled ~0.8 s faster at
+    // sf0.1); the explicit repartition keeps AQE's size-based coalesce
+    // from serializing the CPU-heavy low-byte explode stage (the known
+    // bite from CLAUDE.md); (2) the support filter thins the edge set
+    // BEFORE any graph-shaped join touches it; (3) triangles are
+    // counted over DEGREE-ORDERED oriented edges — each edge points
+    // from its (degree, node)-smaller endpoint, so every wedge is
+    // generated exactly once and per-node fan-out is bounded by
+    // √(2·|E|) (arboricity bound) instead of the raw hub degree. Wedge
+    // closure is a join back against the oriented edges; orientation
+    // respects one total order, so each triangle is produced exactly
+    // once and the count equals the oracle's lexicographic a<b<c
+    // triple join. Clustering = 3·triangles/wedges with wedges =
+    // Σ d(d−1)/2 exact integers; the single IEEE division → 4 dp.
+    "q_graph_triangles" -> ((s, d) => {
+      val pairs = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .groupBy("o").agg(sort_array(collect_set("p")).as("ps"))
+        .repartition(s.sparkContext.defaultParallelism, col("o"))
+        .select(explode(expr(
+          "flatten(transform(ps, (x, i) -> transform(" +
+            "slice(ps, i + 2, size(ps)), y -> named_struct('pa', x, 'pb', y))))"))
+          .as("pr"))
+      val e = graft.Materialize.checkpoint(
+        pairs.groupBy(col("pr.pa").as("pa"), col("pr.pb").as("pb"))
+          .agg(count(lit(1)).as("sup"))
+          .filter(col("sup") >= 2)
+          .select("pa", "pb"))
+      // bounded (≤ |nodes| rows) and re-derived from the cached edge
+      // relation by one cheap aggregate per consumer — a blocking
+      // checkpoint here would only add a driver round-trip
+      val deg = e.select(col("pa").as("p"))
+        .unionAll(e.select(col("pb").as("p")))
+        .groupBy("p").agg(count(lit(1)).as("dg"))
+      // orient each edge out of its (degree, node)-smaller endpoint;
+      // carry the dst endpoint's (degree, node) so wedge generation
+      // can order the two out-neighbors by the SAME total order
+      val oe = graft.Materialize.checkpoint(
+        e.join(deg.select(col("p").as("pa"), col("dg").as("da")), "pa")
+          .join(deg.select(col("p").as("pb"), col("dg").as("db")), "pb")
+          .select(
+            when(col("da") < col("db") ||
+              (col("da") === col("db") && col("pa") < col("pb")),
+              col("pa")).otherwise(col("pb")).as("src"),
+            when(col("da") < col("db") ||
+              (col("da") === col("db") && col("pa") < col("pb")),
+              col("pb")).otherwise(col("pa")).as("dst"),
+            greatest(col("da"), col("db")).as("dd")))
+      // ties in (da, db) cannot reach greatest(): when da = db the
+      // orientation falls back to node id, and dd is the dst's degree
+      // either way because both are equal
+      val wedges = oe.as("x").join(oe.as("y"),
+          col("x.src") === col("y.src") &&
+            (col("x.dd") < col("y.dd") ||
+              (col("x.dd") === col("y.dd") && col("x.dst") < col("y.dst"))))
+        .select(col("x.dst").as("src"), col("y.dst").as("dst"))
+      val tri = wedges.join(oe.select("src", "dst"), Seq("src", "dst"),
+          "left_semi")
+        .agg(count(lit(1)).as("triangles"))
+      // d(d−1) is even, so integer DIV keeps the wedge count exact at
+      // any scale (double division would round past 2^53)
+      val st = deg.agg(count(lit(1)).as("nodes"),
+        expr("SUM(dg * (dg - 1)) DIV 2").as("wedges"))
+      val ec = e.agg(count(lit(1)).as("edges"))
+      st.crossJoin(broadcast(ec)).crossJoin(broadcast(tri))
+        .select(col("nodes"), col("edges"), col("wedges"), col("triangles"),
+          round(lit(3.0) * col("triangles") / col("wedges"), 4)
+            .as("clustering"))
+    }),
+
     // Gini coefficient of order value per status — the inequality/
     // concentration metric (revenue concentration, data-contributor
     // skew). Needs every row's exact global rank within its group:
@@ -264,6 +341,46 @@ object StatsExtras {
         .select(col("n1"), col("n2"), col("d_num"),
           round(col("d_num").cast("double") / (col("n1") * col("n2")), 4)
             .as("d"))
+    }),
+
+    // Mann–Whitney U (rank-sum) between finished and open orders'
+    // prices — the nonparametric two-sample test that, unlike Welch's
+    // t (q_stats_ttest), needs every value's GLOBAL rank, not moments.
+    // Ranks with ties are midranks; on the (value, c1, c2) collapse
+    // the doubled midrank of a tied block is the integer
+    // 2·cumBefore + cnt + 1 = 2·cwAll − cntAll + 1, so the doubled
+    // rank sum 2·R1 = Σ c1·(2·cwAll − (c1+c2) + 1) and the doubled
+    // statistic u2 = 2·R1 − 2·n1(n1+1)/2 stay EXACT integers — the
+    // only IEEE op is the final AUC division → 4 dp (AUC = U1/(n1·n2),
+    // the probability a random F-price exceeds a random O-price).
+    // Global cumulative counts come from PrefixSum's two-phase shape,
+    // never a single-task `sum over (order by v)`; the identity
+    // 2·U1 = #{F>O pairs}·2 + #{F=O ties} is pinned against the brute
+    // pairwise count in StatsValueSpec's golden.
+    "q_stats_mwu" -> ((s, d) => {
+      val c = graft.Materialize.checkpoint(
+        Tables.orders(s, d)
+          .filter(col("o_orderstatus").isin("F", "O"))
+          .groupBy(cents(col("o_totalprice")).as("v"))
+          .agg(
+            sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L))
+              .as("c1"),
+            sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L))
+              .as("c2")))
+      val tot = c.agg(sum("c1").as("n1"), sum("c2").as("n2"))
+      PrefixSum.globalCumsum(c, "v", Seq("c1", "c2"),
+          RankSelect.bucketsFor(Stats.rowCount(s, d, "orders")))
+        .select(col("c1"), col("c2"),
+          (col("__cw_c1") + col("__cw_c2")).as("cwa"))
+        .agg(sum(col("c1") * (lit(2L) * col("cwa")
+          - (col("c1") + col("c2")) + lit(1L))).as("r2"))
+        .crossJoin(broadcast(tot))
+        .select(col("n1"), col("n2"),
+          (col("r2") - col("n1") * (col("n1") + lit(1L)))
+            .cast("long").as("u2"),
+          round((col("r2") - col("n1") * (col("n1") + lit(1L)))
+              .cast("double") / (lit(2.0) * col("n1") * col("n2")), 4)
+            .as("auc"))
     }),
 
     // Customer-acquisition curve: new customers per month (month of
@@ -576,6 +693,28 @@ object StatsExtras {
         |     FROM w JOIN p2 ON p2.node = w.from_t GROUP BY 1) a
         |    ON a.node = n.node)
         |SELECT node, ROUND(pr, 6) AS pagerank FROM p3 ORDER BY node""".stripMargin,
+    // Lexicographic a<b<c triple join — counts each triangle once,
+    // exactly as the Spark side's degree-ordered orientation does
+    // (both respect ONE total order per triangle). Integer DIV keeps
+    // the wedge count exact; the clustering ratio is the single IEEE
+    // division.
+    "q_graph_triangles" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem),
+        |e AS (SELECT a.p AS pa, b.p AS pb FROM op a
+        |  JOIN op b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |deg AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS d FROM
+        |  (SELECT pa AS p FROM e UNION ALL SELECT pb FROM e) GROUP BY 1),
+        |tr AS (SELECT CAST(COUNT(*) AS BIGINT) AS triangles
+        |  FROM e e1 JOIN e e2 ON e1.pa = e2.pa AND e1.pb < e2.pb
+        |            JOIN e e3 ON e3.pa = e1.pb AND e3.pb = e2.pb),
+        |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS nodes,
+        |  CAST(SUM(d*(d-1)//2) AS BIGINT) AS wedges FROM deg),
+        |ec AS (SELECT CAST(COUNT(*) AS BIGINT) AS edges FROM e)
+        |SELECT nodes, edges, wedges, triangles,
+        |  ROUND(3.0*triangles/wedges, 4) AS clustering
+        |FROM st, ec, tr""".stripMargin,
     "q_agg_gini" ->
       s"""WITH o AS (SELECT o_orderstatus AS st,
          |    ${sqlCents("o_totalprice")} AS c, o_orderkey AS k FROM orders),
@@ -636,6 +775,25 @@ object StatsExtras {
          |  ROUND(CAST(MAX(ABS(cw1*n2 - cw2*n1)) AS DOUBLE)/(n1*n2), 4)
          |    AS d
          |FROM o, t GROUP BY 1, 2""".stripMargin,
+    // Doubled midranks keep the rank sum integer under ties; the AUC
+    // division is the only IEEE op. Identical collapse + cumsum
+    // derivation as the Spark side, spelled with the window DuckDB
+    // runs over the bounded distinct-value relation.
+    "q_stats_mwu" ->
+      s"""WITH c AS (
+         |  SELECT ${sqlCents("o_totalprice")} AS v,
+         |    CAST(COUNT(*) FILTER (o_orderstatus='F') AS BIGINT) AS c1,
+         |    CAST(COUNT(*) FILTER (o_orderstatus='O') AS BIGINT) AS c2
+         |  FROM orders WHERE o_orderstatus IN ('F','O') GROUP BY 1),
+         |o AS (SELECT c1, c2, SUM(c1+c2) OVER (ORDER BY v) AS cwa
+         |  FROM c),
+         |t AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+         |             CAST(SUM(c2) AS BIGINT) AS n2 FROM c),
+         |r AS (SELECT CAST(SUM(c1*(2*cwa - (c1+c2) + 1)) AS BIGINT)
+         |    AS r2 FROM o)
+         |SELECT n1, n2, CAST(r2 - n1*(n1+1) AS BIGINT) AS u2,
+         |  ROUND(CAST(r2 - n1*(n1+1) AS DOUBLE)/(2.0*n1*n2), 4) AS auc
+         |FROM r, t""".stripMargin,
     "q_agg_new_customers" ->
       """WITH f AS (SELECT o_custkey,
         |    MIN(CAST(date_trunc('day', o_orderdate) AS DATE)) AS first_day

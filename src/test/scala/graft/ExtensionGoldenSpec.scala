@@ -210,4 +210,20 @@ class ExtensionGoldenSpec extends AnyFunSuite {
     assert(head2("q_text_keywords") ===
       Seq(Seq(0L, "dup", 20.0), Seq(0L, "batch", 3.886)))
   }
+
+  test("q_stats_mwu full result (doubled midranks equal brute pairwise U)") {
+    // 251400 = 2·U1 verified against the O(n²) pairwise
+    // #{F>O}·2 + #{F=O} count in the oracle prototype
+    try assert(SparkEntry.queries("q_stats_mwu")(spark, sf0001)
+      .collect().toSeq.map(_.toSeq) ===
+      Seq(Seq(493L, 514L, 251400L, 0.496)))
+    finally Materialize.releaseAll() // checkpoints its value collapse
+  }
+
+  test("q_graph_triangles full result (orientation count = a<b<c count)") {
+    try assert(SparkEntry.queries("q_graph_triangles")(spark, sf0001)
+      .collect().toSeq.map(_.toSeq) ===
+      Seq(Seq(200L, 2324L, 58796L, 3258L, 0.1662)))
+    finally Materialize.releaseAll() // checkpoints edges + orientation
+  }
 }
