@@ -39,6 +39,21 @@ object Materialize {
     p
   }
 
+  /** Persist `df` and register it WITHOUT a materializing action — for
+    * callers whose very next statement is itself an action over every
+    * partition of the frame (e.g. a fixpoint's convergence count over a
+    * change flag carried in the frame): that action populates the cache
+    * and the separate blocking count here would be a pure extra job.
+    * Not for frames whose first consumers are concurrent plan branches
+    * — those need [[checkpoint]]'s eager count to avoid computing the
+    * cache twice.
+    */
+  def checkpointLazy(df: DataFrame): DataFrame = {
+    val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+    synchronized { active += p }
+    p
+  }
+
   /** Unpersist ONE frame before the query finishes — for iterative
     * fixpoints where each round's frame supersedes the previous one.
     * Without early release a 20-round loop holds 20 corpus-scale

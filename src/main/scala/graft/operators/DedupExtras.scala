@@ -203,26 +203,36 @@ object DedupExtras {
       graft.Materialize.release(sig)
       // round 1 folded into initialization: under identity labels the
       // bucket minimum IS the minimum member doc_id, so the first
-      // propagation needs no label join and its convergence check is
-      // a filter against doc_id, not a join
-      var labels = graft.Materialize.checkpoint(
+      // propagation needs no label join. Each round's frame carries its
+      // own change flag (`__chg` = label strictly decreased), so ONE
+      // job — the convergence count, which scans every partition —
+      // both materializes the cache (checkpointLazy) and answers the
+      // driver's only question; the old two-job shape (eager checkpoint
+      // count, then a separate diff-join count) paid a full extra pass
+      // per round.
+      var labels = graft.Materialize.checkpointLazy(
         m.join(m.groupBy("bucket").agg(min(col("doc_id")).as("bl")),
             "bucket")
-          .groupBy("doc_id").agg(min(col("bl")).as("lab")))
-      var changed = labels.filter(col("lab") < col("doc_id")).count()
+          .groupBy("doc_id").agg(min(col("bl")).as("lab"))
+          .withColumn("__chg", col("lab") < col("doc_id")))
+      var changed = labels.filter(col("__chg")).count()
       var rounds = 1
       while (changed > 0 && rounds < 20) {
         val bmin = m.join(labels, "doc_id")
           .groupBy("bucket").agg(min(col("lab")).as("bl"))
-        val nxt = graft.Materialize.checkpoint(
-          m.join(bmin, "bucket")
-            .groupBy("doc_id").agg(min(col("bl")).as("lab")))
         // a doc is in every one of its buckets, so nxt.lab ≤ labels.lab
-        // pointwise: convergence is "no label strictly decreased"
-        changed = nxt.as("n")
-          .join(labels.select(col("doc_id"), col("lab").as("old")), "doc_id")
-          .filter(col("lab") < col("old")).count()
-        // the old frame's last consumer is the `changed` count above —
+        // pointwise: convergence is "no label strictly decreased" —
+        // the diff join against the old frame rides INSIDE the cached
+        // lineage so the flag costs no second pass
+        val nxt = graft.Materialize.checkpointLazy(
+          m.join(bmin, "bucket")
+            .groupBy("doc_id").agg(min(col("bl")).as("lab"))
+            .join(labels.select(col("doc_id"), col("lab").as("__old")),
+              "doc_id")
+            .withColumn("__chg", col("lab") < col("__old"))
+            .select("doc_id", "lab", "__chg"))
+        changed = nxt.filter(col("__chg")).count()
+        // the old frame's last consumer is nxt's materialization above —
         // release it NOW, not at query end, or a 20-round fixpoint
         // holds 20 dead corpus-scale frames persisted simultaneously
         graft.Materialize.release(labels)
