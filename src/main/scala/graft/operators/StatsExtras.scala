@@ -199,10 +199,18 @@ object StatsExtras {
     // triple join. Clustering = 3·triangles/wedges with wedges =
     // Σ d(d−1)/2 exact integers; the single IEEE division → 4 dp.
     "q_graph_triangles" -> ((s, d) => {
+      // the repartition sits BELOW the groupBy: the aggregate then
+      // reuses this REPARTITION_BY_NUM exchange (EnsureRequirements
+      // adds nothing), and AQE's size-based coalesce must leave a
+      // user-numbered shuffle alone — so the CPU-heavy low-byte
+      // explode stage keeps full parallelism. Placed ABOVE the
+      // aggregate it is dead: the planner drops it as redundant with
+      // the agg's own exchange, which AQE then coalesces (profiled
+      // 1.1-3.0 s vs 0.75-0.91 s for this edge build at sf0.1).
       val pairs = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .groupBy("o").agg(sort_array(collect_set("p")).as("ps"))
         .repartition(s.sparkContext.defaultParallelism, col("o"))
+        .groupBy("o").agg(sort_array(collect_set("p")).as("ps"))
         .select(explode(expr(
           "flatten(transform(ps, (x, i) -> transform(" +
             "slice(ps, i + 2, size(ps)), y -> named_struct('pa', x, 'pb', y))))"))
