@@ -311,6 +311,43 @@ object AnalyticsExtras {
         .select(col("p_partkey"), col("size"), col("price_c"))
         .orderBy("size", "p_partkey")
     }),
+
+    // Leaderboard dynamics: top-10 customers per month by spend, each
+    // with their rank in the PREVIOUS month's top-10 (NULL if they
+    // weren't on it) — the rank-churn reporting primitive. Scale
+    // shape: the (month, customer) spend collapse is one
+    // partial-combined corpus shuffle; the rank filter sits DIRECTLY
+    // on the raw row_number (cast only after) so the optimizer plans
+    // WindowGroupLimit — map tasks forward only their local top-10
+    // per month and the window ranks ≤ 10·parts survivors, never
+    // every customer (q_topk_pergroup discipline). Everything after
+    // is bounded: the leaderboard is ≤ 10·|months| rows, checkpointed
+    // once (two consumers: current and month-shifted sides), and the
+    // previous-month lookup is a broadcast self-join on the shifted
+    // month key.
+    "q_window_rankchange" -> ((s, d) => {
+      val w = Window.partitionBy("mon")
+        .orderBy(col("spend_c").desc, col("cust"))
+      val t = graft.Materialize.checkpoint(
+        Tables.orders(s, d)
+          .groupBy(
+            date_format(date_trunc("MONTH", col("o_orderdate")), "yyyy-MM")
+              .as("mon"),
+            col("o_custkey").as("cust"))
+          .agg(sumCents(col("o_totalprice")).as("spend_c"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 10)
+          .withColumn("rnk", col("rn").cast("long"))
+          .select("mon", "cust", "rnk", "spend_c"))
+      val p = t.select(
+        date_format(add_months(to_date(concat(col("mon"), lit("-01"))), 1),
+          "yyyy-MM").as("mon"),
+        col("cust"), col("rnk").as("prev_rnk"))
+      t.join(broadcast(p), Seq("mon", "cust"), "left")
+        .select(col("mon"), col("cust"), col("rnk"), col("prev_rnk"),
+          col("spend_c"))
+        .orderBy("mon", "rnk")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -447,6 +484,26 @@ object AnalyticsExtras {
          |  ROUND(CAST(rev_c AS DOUBLE) /
          |    CAST(LAG(rev_c) OVER (PARTITION BY st ORDER BY month) AS DOUBLE),
          |    4) AS mom_ratio
-         |FROM m ORDER BY st, month""".stripMargin
+         |FROM m ORDER BY st, month""".stripMargin,
+    // The self-join looks back one month by shifting the PREVIOUS
+    // month's rows forward — identical month arithmetic to the Spark
+    // side's add_months. Ranks are BIGINT in both engines; the
+    // (mon, rnk) tail of the ORDER BY is unique.
+    "q_window_rankchange" ->
+      s"""WITH m AS (SELECT
+         |    strftime(date_trunc('month', o_orderdate), '%Y-%m') AS mon,
+         |    o_custkey AS cust,
+         |    ${sqlSumCents("o_totalprice")} AS spend_c
+         |  FROM orders GROUP BY 1, 2),
+         |r AS (SELECT mon, cust, spend_c,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY mon
+         |      ORDER BY spend_c DESC, cust) AS BIGINT) AS rnk
+         |  FROM m),
+         |t AS (SELECT * FROM r WHERE rnk <= 10)
+         |SELECT t.mon, t.cust, t.rnk, p.rnk AS prev_rnk, t.spend_c
+         |FROM t LEFT JOIN t AS p ON p.cust = t.cust
+         |  AND strftime(CAST(p.mon || '-01' AS DATE) + INTERVAL 1 MONTH,
+         |    '%Y-%m') = t.mon
+         |ORDER BY t.mon, t.rnk""".stripMargin
   )
 }
