@@ -262,6 +262,51 @@ object StatsExtras {
             .as("clustering"))
     }),
 
+    // Market-basket association rules over co-purchased parts: for
+    // every pair bought together in ≥ 2 orders, both directed rules
+    // a→b with exact support, confidence = sup_ab/sup_a and
+    // lift = sup_ab·N/(sup_a·sup_b) — the frequent-itemset mining
+    // family (recommendations, cross-sell). Scale shape shared with
+    // q_graph_triangles: ONE per-order sorted-set collapse (checkpointed
+    // — three consumers: pair counts, item supports, basket total), the
+    // ≤ C(basket,2) in-basket pairs explode array-side, and the support
+    // filter bounds everything downstream; item supports come from
+    // exploding the SAME cached sets (no second corpus distinct), so
+    // the corpus is shuffled exactly once. Both ratios are single IEEE
+    // divisions of exact integer products (sup_ab·N stays in long
+    // range: supports ≤ orders, N ≤ 2^31) → 4 dp.
+    "q_assoc_rules" -> ((s, d) => {
+      val sets = graft.Materialize.checkpoint(
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+          .repartition(s.sparkContext.defaultParallelism, col("o"))
+          .groupBy("o").agg(sort_array(collect_set("p")).as("ps")))
+      val isup = sets.select(explode(col("ps")).as("p"))
+        .groupBy("p").agg(count(lit(1)).as("sup"))
+      val n = sets.agg(count(lit(1)).as("n_orders"))
+      val pairs = sets
+        .select(explode(expr(
+          "flatten(transform(ps, (x, i) -> transform(" +
+            "slice(ps, i + 2, size(ps)), y -> named_struct('pa', x, 'pb', y))))"))
+          .as("pr"))
+        .groupBy(col("pr.pa").as("pa"), col("pr.pb").as("pb"))
+        .agg(count(lit(1)).as("sup_ab"))
+        .filter(col("sup_ab") >= 2)
+      val rules = pairs
+        .select(col("pa").as("ante"), col("pb").as("cons"), col("sup_ab"))
+        .unionAll(pairs
+          .select(col("pb").as("ante"), col("pa").as("cons"), col("sup_ab")))
+      rules
+        .join(isup.select(col("p").as("ante"), col("sup").as("sa")), "ante")
+        .join(isup.select(col("p").as("cons"), col("sup").as("sb")), "cons")
+        .crossJoin(broadcast(n))
+        .select(col("ante"), col("cons"), col("sup_ab"),
+          round(col("sup_ab").cast("double") / col("sa"), 4).as("conf"),
+          round((col("sup_ab") * col("n_orders")).cast("double") /
+            (col("sa") * col("sb")), 4).as("lift"))
+        .orderBy("ante", "cons")
+    }),
+
     // Gini coefficient of order value per status — the inequality/
     // concentration metric (revenue concentration, data-contributor
     // skew). Needs every row's exact global rank within its group:
@@ -723,6 +768,33 @@ object StatsExtras {
         |SELECT nodes, edges, wedges, triangles,
         |  ROUND(3.0*triangles/wedges, 4) AS clustering
         |FROM st, ec, tr""".stripMargin,
+    // Confidence and lift are single divisions of exact integer
+    // products, identical to the Spark side; the pair CTE is the same
+    // a<b self-join the triangle oracle uses, with both rule
+    // directions unioned afterwards.
+    "q_assoc_rules" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem),
+        |n AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n_orders
+        |  FROM op),
+        |isup AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS sup FROM op
+        |  GROUP BY 1),
+        |pairs AS (SELECT a.p AS pa, b.p AS pb,
+        |    CAST(COUNT(*) AS BIGINT) AS sup_ab
+        |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |rules AS (
+        |  SELECT pa AS ante, pb AS cons, sup_ab FROM pairs
+        |  UNION ALL
+        |  SELECT pb, pa, sup_ab FROM pairs)
+        |SELECT r.ante, r.cons, r.sup_ab,
+        |  ROUND(CAST(r.sup_ab AS DOUBLE) / sa.sup, 4) AS conf,
+        |  ROUND(CAST(r.sup_ab * n.n_orders AS DOUBLE) /
+        |    (sa.sup * sb.sup), 4) AS lift
+        |FROM rules r
+        |JOIN isup sa ON sa.p = r.ante
+        |JOIN isup sb ON sb.p = r.cons, n
+        |ORDER BY ante, cons""".stripMargin,
     "q_agg_gini" ->
       s"""WITH o AS (SELECT o_orderstatus AS st,
          |    ${sqlCents("o_totalprice")} AS c, o_orderkey AS k FROM orders),
