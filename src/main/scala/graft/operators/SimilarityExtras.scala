@@ -158,6 +158,45 @@ object SimilarityExtras {
         .orderBy("label", "pos")
     }),
 
+    // Nearest-centroid classification with a confusion matrix — the
+    // ML-scoring/evaluation family: classify every vector by the most
+    // cosine-similar per-label centroid and cross-tabulate predictions
+    // against true labels. The model (≤ |labels| centroids, elements
+    // ROUNDED to 4 dp so both engines score the identical model)
+    // BROADCASTS over one corpus scan — the canonical scalable scoring
+    // shape: no shuffle touches the vectors; the only aggregates after
+    // scoring are the per-vector argmax and the bounded
+    // |labels|² confusion count. The argmax is deterministic across
+    // engines because the similarity is rounded to 4 dp BEFORE the
+    // comparison and ties break to the smaller label (max of a
+    // (sim, -label) struct) — near-ties become exact ties resolved
+    // identically, so last-ulp engine drift cannot flip a prediction.
+    "q_ml_confusion" -> ((s, d) => {
+      import s.implicits._
+      val agg = new graft.functions.VectorMean(64).toColumn
+      val cent = Tables.embeddings(s, d)
+        .select(col("label"), col("embedding"))
+        .as[(Int, Array[Float])]
+        .groupByKey(_._1)
+        .mapValues(_._2)
+        .agg(agg.name("c"))
+        .map { case (l, c) => (l.toLong, c) }
+        .toDF("clabel", "c0")
+        .select(col("clabel"),
+          expr("transform(c0, x -> round(x, 4))").as("cv"))
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label").cast("long").as("tl"),
+          col("embedding").cast("array<double>").as("e"))
+        .crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("tl"), col("clabel"),
+          round(expr(cosPair("e", "cv")), 4).as("sim"))
+        .groupBy("vec_id", "tl")
+        .agg(max(struct(col("sim"), (-col("clabel")).as("nl"))).as("m"))
+        .select(col("tl").as("label"), (-col("m.nl")).as("pred"))
+        .groupBy("label", "pred").agg(count(lit(1)).as("n"))
+        .orderBy("label", "pred")
+    }),
+
     // Same semantics as q_sim_cosine (PipelineQueries) but through the
     // native codegen'd CosineSimilarity expression — the hot-path form.
     // Identical accumulation order ⇒ bit-identical results ⇒ shares the
@@ -429,6 +468,32 @@ object SimilarityExtras {
         |  ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 4) AS mean_v
         |FROM embeddings, unnest(range(1,65)) AS t(i)
         |GROUP BY label, i ORDER BY label, pos""".stripMargin,
+
+    // Identical rounded-centroid model and rounded-before-compare
+    // argmax as the Spark side; the window is the oracle's spelling of
+    // the (sim, -label) struct max.
+    "q_ml_confusion" ->
+      """WITH c0 AS (SELECT label, i,
+        |    ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 4) AS m
+        |  FROM embeddings, unnest(range(1, 65)) AS t(i) GROUP BY 1, 2),
+        |cent AS (SELECT label AS clabel, list(m ORDER BY i) AS cv
+        |  FROM c0 GROUP BY 1),
+        |sc AS (SELECT e.vec_id, CAST(e.label AS BIGINT) AS tl,
+        |    CAST(c.clabel AS BIGINT) AS clabel,
+        |    ROUND(
+        |      list_sum(list_transform(range(1, 65),
+        |        i -> CAST(e.embedding[i] AS DOUBLE) * c.cv[i])) /
+        |      (sqrt(list_sum(list_transform(e.embedding,
+        |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+        |       sqrt(list_sum(list_transform(c.cv, x -> x * x)))), 4)
+        |      AS sim
+        |  FROM embeddings e, cent c),
+        |p AS (SELECT tl, clabel AS pred,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY sim DESC, clabel) AS rn
+        |  FROM sc)
+        |SELECT tl AS label, pred, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM p WHERE rn = 1 GROUP BY 1, 2 ORDER BY label, pred""".stripMargin,
 
     "q_dedup_embed" ->
       s"""WITH nb AS (
