@@ -312,6 +312,40 @@ object AnalyticsExtras {
         .orderBy("size", "p_partkey")
     }),
 
+    // SCD2 dimension-history build: collapse each user's event stream
+    // into state-validity intervals [from_us, to_us) — one row per
+    // consecutive same-state run, to_us = next run's start, NULL while
+    // the run is still open. This is the warehouse temporal-modeling
+    // primitive (point-in-time joinable history; q_join_asof consumes
+    // exactly this shape). Plan: the change-flag and run-id windows
+    // partition by user_id (parallelism scales with users — the
+    // sanctioned data-proportional window, never a global or
+    // low-cardinality sort), the run collapse is a partial-combined
+    // hash aggregate, and the closing lead() runs over RUNS (already
+    // collapsed), not events. Times are exact epoch-µs integers; the
+    // run index rn makes the ORDER BY unique even when two runs share
+    // a start microsecond.
+    "q_scd2_intervals" -> ((s, d) => {
+      val byUser = Window.partitionBy("user_id").orderBy("t", "event_id")
+      val wRun = Window.partitionBy("user_id").orderBy("rn")
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_type").as("state"),
+          unix_micros(col("ts")).as("t"), col("event_id"))
+        .withColumn("chg",
+          when(lag(col("state"), 1).over(byUser).isNull ||
+            col("state") =!= lag(col("state"), 1).over(byUser), 1)
+            .otherwise(0))
+        .withColumn("rn", sum(col("chg")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "rn")
+        .agg(min(col("state")).as("state"), min(col("t")).as("from_us"),
+          count(lit(1)).as("n_ev"))
+        .withColumn("to_us", lead(col("from_us"), 1).over(wRun))
+        .select(col("user_id"), col("rn"), col("state"), col("from_us"),
+          col("to_us"), col("n_ev"))
+        .orderBy("user_id", "rn")
+    }),
+
     // Leaderboard dynamics: top-10 customers per month by spend, each
     // with their rank in the PREVIOUS month's top-10 (NULL if they
     // weren't on it) — the rank-churn reporting primitive. Scale
@@ -485,6 +519,25 @@ object AnalyticsExtras {
          |    CAST(LAG(rev_c) OVER (PARTITION BY st ORDER BY month) AS DOUBLE),
          |    4) AS mom_ratio
          |FROM m ORDER BY st, month""".stripMargin,
+    // Identical window/collapse construction; state is constant within
+    // a run so MIN(state) is the run's state in both engines.
+    "q_scd2_intervals" ->
+      """WITH e AS (SELECT user_id, event_type AS state, epoch_us(ts) AS t,
+        |    event_id FROM events),
+        |f AS (SELECT *, CASE WHEN LAG(state) OVER w IS NULL
+        |      OR state <> LAG(state) OVER w THEN 1 ELSE 0 END AS chg
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+        |r AS (SELECT *, CAST(SUM(chg) OVER (PARTITION BY user_id
+        |      ORDER BY t, event_id ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS BIGINT) AS rn
+        |  FROM f),
+        |runs AS (SELECT user_id, rn, MIN(state) AS state,
+        |    MIN(t) AS from_us, CAST(COUNT(*) AS BIGINT) AS n_ev
+        |  FROM r GROUP BY 1, 2)
+        |SELECT user_id, rn, state, from_us,
+        |  LEAD(from_us) OVER (PARTITION BY user_id ORDER BY rn) AS to_us,
+        |  n_ev
+        |FROM runs ORDER BY user_id, rn""".stripMargin,
     // The self-join looks back one month by shifting the PREVIOUS
     // month's rows forward — identical month arithmetic to the Spark
     // side's add_months. Ranks are BIGINT in both engines; the
