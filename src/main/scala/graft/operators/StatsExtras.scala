@@ -262,6 +262,57 @@ object StatsExtras {
             .as("clustering"))
     }),
 
+    // RFM customer segmentation — quintile scores for Recency (epoch
+    // day of last order), Frequency (order count) and Monetary (total
+    // cents), concatenated to the classic '543'-style segment label,
+    // with customer counts per segment. The composite-scoring family.
+    // Scale shape: ONE customer collapse (checkpointed — it feeds the
+    // three-metric stack and the final classify), then ONE stacked
+    // RankSelect.selectRanks call over (metric, value) finds all 12
+    // quintile boundaries — the 3-value metric key is exactly the
+    // low-cardinality-group case the two-phase selection exists for
+    // (a plain ntile(5) over customers would funnel every customer
+    // through 3 window tasks); the 1-row boundary frame broadcasts
+    // back over the cached collapse, so no second corpus shuffle.
+    // Quintile q = 1 + #{boundaries strictly below} — boundaries are
+    // rank-selected exact integers, so both engines classify
+    // identically, ties included.
+    "q_agg_rfm" -> ((s, d) => {
+      val cm = graft.Materialize.checkpoint(
+        Tables.orders(s, d).groupBy(col("o_custkey").as("cust"))
+          .agg(
+            // o_orderdate is TIMESTAMP_NTZ; the cast is wall-clock
+            // preserving under the UTC session, matching epoch_us
+            max(expr("unix_micros(cast(o_orderdate as timestamp))" +
+              " div 86400000000")).as("r"),
+            count(lit(1)).as("f"),
+            sumCents(col("o_totalprice")).as("m")))
+      val st = cm.select(col("cust"), lit("r").as("metric"), col("r").as("v"))
+        .unionAll(cm.select(col("cust"), lit("f").as("metric"),
+          col("f").as("v")))
+        .unionAll(cm.select(col("cust"), lit("m").as("metric"),
+          col("m").as("v")))
+      val sel = RankSelect.selectRanks(st, "metric", "v", "cust",
+        Seq("p20" -> 0.2, "p40" -> 0.4, "p60" -> 0.6, "p80" -> 0.8),
+        RankSelect.bucketsFor(Stats.rowCount(s, d, "orders")))
+      def bd(metric: String, tag: String) =
+        max(when(col("metric") === metric && col("__tag") === tag,
+          col("__v"))).as(s"$metric$tag")
+      val w = sel.agg(
+        bd("r", "p20"), bd("r", "p40"), bd("r", "p60"), bd("r", "p80"),
+        bd("f", "p20"), bd("f", "p40"), bd("f", "p60"), bd("f", "p80"),
+        bd("m", "p20"), bd("m", "p40"), bd("m", "p60"), bd("m", "p80"))
+      def q(v: String) =
+        (lit(1) + (col(v) > col(s"${v}p20")).cast("int")
+          + (col(v) > col(s"${v}p40")).cast("int")
+          + (col(v) > col(s"${v}p60")).cast("int")
+          + (col(v) > col(s"${v}p80")).cast("int")).cast("string")
+      cm.crossJoin(broadcast(w))
+        .select(concat(q("r"), q("f"), q("m")).as("segment"))
+        .groupBy("segment").agg(count(lit(1)).as("n_customers"))
+        .orderBy("segment")
+    }),
+
     // Market-basket association rules over co-purchased parts: for
     // every pair bought together in ≥ 2 orders, both directed rules
     // a→b with exact support, confidence = sup_ab/sup_a and
@@ -768,6 +819,52 @@ object StatsExtras {
         |SELECT nodes, edges, wedges, triangles,
         |  ROUND(3.0*triangles/wedges, 4) AS clustering
         |FROM st, ec, tr""".stripMargin,
+    // Same rank-selected boundaries (ROW_NUMBER ordered by (v, cust)
+    // at rank CEIL(n·p) = selectRanks' pick) and the same strict
+    // greater-than quintile arithmetic — integers end to end.
+    "q_agg_rfm" ->
+      s"""WITH cm AS (SELECT o_custkey AS cust,
+         |    CAST(MAX(epoch_us(o_orderdate) // 86400000000) AS BIGINT)
+         |      AS r,
+         |    CAST(COUNT(*) AS BIGINT) AS f,
+         |    ${sqlSumCents("o_totalprice")} AS m
+         |  FROM orders GROUP BY 1),
+         |st AS (
+         |  SELECT cust, 'r' AS metric, r AS v FROM cm
+         |  UNION ALL SELECT cust, 'f', f FROM cm
+         |  UNION ALL SELECT cust, 'm', m FROM cm),
+         |rk AS (SELECT metric, v,
+         |    ROW_NUMBER() OVER (PARTITION BY metric ORDER BY v, cust)
+         |      AS rn,
+         |    COUNT(*) OVER (PARTITION BY metric) AS n
+         |  FROM st),
+         |b AS (SELECT metric, p,
+         |    MAX(v) FILTER (rn = CAST(CEIL(n * p) AS BIGINT)) AS bv
+         |  FROM rk, (SELECT UNNEST([0.2, 0.4, 0.6, 0.8]) AS p)
+         |  GROUP BY 1, 2),
+         |w AS (SELECT
+         |    MAX(bv) FILTER (metric='r' AND p=0.2) AS r20,
+         |    MAX(bv) FILTER (metric='r' AND p=0.4) AS r40,
+         |    MAX(bv) FILTER (metric='r' AND p=0.6) AS r60,
+         |    MAX(bv) FILTER (metric='r' AND p=0.8) AS r80,
+         |    MAX(bv) FILTER (metric='f' AND p=0.2) AS f20,
+         |    MAX(bv) FILTER (metric='f' AND p=0.4) AS f40,
+         |    MAX(bv) FILTER (metric='f' AND p=0.6) AS f60,
+         |    MAX(bv) FILTER (metric='f' AND p=0.8) AS f80,
+         |    MAX(bv) FILTER (metric='m' AND p=0.2) AS m20,
+         |    MAX(bv) FILTER (metric='m' AND p=0.4) AS m40,
+         |    MAX(bv) FILTER (metric='m' AND p=0.6) AS m60,
+         |    MAX(bv) FILTER (metric='m' AND p=0.8) AS m80
+         |  FROM b)
+         |SELECT CONCAT(
+         |    1 + (r > r20)::INT + (r > r40)::INT
+         |      + (r > r60)::INT + (r > r80)::INT,
+         |    1 + (f > f20)::INT + (f > f40)::INT
+         |      + (f > f60)::INT + (f > f80)::INT,
+         |    1 + (m > m20)::INT + (m > m40)::INT
+         |      + (m > m60)::INT + (m > m80)::INT) AS segment,
+         |  CAST(COUNT(*) AS BIGINT) AS n_customers
+         |FROM cm, w GROUP BY 1 ORDER BY 1""".stripMargin,
     // Confidence and lift are single divisions of exact integer
     // products, identical to the Spark side; the pair CTE is the same
     // a<b self-join the triangle oracle uses, with both rule
