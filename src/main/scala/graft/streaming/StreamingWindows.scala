@@ -169,6 +169,50 @@ object StreamingWindows {
       }
   }
 
+  /** Closed SCD2 interval row (matches q_scd2_intervals' closed rows). */
+  final case class Scd2Out(user_id: Long, rn: Long, state: String,
+      from_us: Long, to_us: Long, n_ev: Long)
+
+  /** Open-run state for [[scd2Intervals]]: current run's index, state
+    * value, start, event count, plus the intervals this batch closed.
+    */
+  final case class Scd2State(rn: Long, st: String, fromUs: Long, n: Long,
+      closed: List[Scd2Out])
+
+  /** Streaming twin of the batch q_scd2_intervals: the continuously
+    * maintained dimension-history build. State per user is ONE open
+    * run; an arriving event with a different state value closes it —
+    * the closed interval's to_us is the new run's from_us, exactly the
+    * batch lead() semantics — and opens the next. Closed intervals are
+    * emitted as they close (append mode); the open run stays in state,
+    * which is precisely the batch output's to_us-IS-NULL tail.
+    */
+  def scd2Intervals(events: Dataset[RawEvent]): Dataset[Scd2Out] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Scd2State, Scd2Out](
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[RawEvent], state: GroupState[Scd2State]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts, e.event_id))
+          var st = state.getOption.getOrElse(Scd2State(0L, "", 0L, 0L, Nil))
+          sorted.foreach { e =>
+            val us = e.ts / 1000
+            st =
+              if (st.n == 0L) Scd2State(1L, e.event_type, us, 1L, st.closed)
+              else if (e.event_type != st.st)
+                Scd2State(st.rn + 1, e.event_type, us, 1L,
+                  Scd2Out(userId, st.rn, st.st, st.fromUs, us, st.n)
+                    :: st.closed)
+              else st.copy(n = st.n + 1)
+          }
+          val out = st.closed.reverse
+          state.update(st.copy(closed = Nil))
+          out.iterator
+      }
+  }
+
   /** Latest-record emission: (user, type, epoch-µs of the winner). */
   final case class LatestOut(user_id: Long, last_type: String, last_us: Long)
 

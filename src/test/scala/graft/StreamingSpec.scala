@@ -128,6 +128,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === closedBatch)
   }
 
+  test("scd2Intervals: closed streaming intervals match batch history build") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sf0001/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .parquet(stagedDir)
+      .as[StreamingWindows.RawEvent]
+
+    val q = StreamingWindows.scd2Intervals(stream)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("stream_scd2")
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+
+    val streamed = spark.table("stream_scd2")
+      .orderBy("user_id", "rn")
+      .collect().toSeq.map(_.toString)
+    // Batch truth from the contract query; streaming emits only CLOSED
+    // intervals, so keep the batch rows with a non-null to_us.
+    val closedBatch = SparkEntry.queries("q_scd2_intervals")(spark, sf0001)
+      .filter("to_us IS NOT NULL")
+      .select("user_id", "rn", "state", "from_us", "to_us", "n_ev")
+      .orderBy("user_id", "rn")
+      .collect().toSeq.map(_.toString)
+    assert(streamed.nonEmpty)
+    assert(streamed === closedBatch)
+  }
+
   test("userRunningCounts: stateful fold equals batch groupBy count") {
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
