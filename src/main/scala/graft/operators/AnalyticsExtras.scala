@@ -19,6 +19,31 @@ object AnalyticsExtras {
   /** 24 h in epoch-µs — the funnel's per-stage conversion window. */
   private val DayUs = 86400000000L
 
+  /** The SCD2 interval collapse shared by q_scd2_intervals and
+    * q_join_pit: (user_id, state, t, event_id) → one row per
+    * consecutive same-state run with [from_us, to_us) validity
+    * (to_us NULL while open) and the run's event count. Both windows
+    * partition by user_id only (data-proportional); the closing
+    * lead() runs over collapsed RUNS, never events.
+    */
+  private def scd2Runs(ev: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("t", "event_id")
+    val wRun = Window.partitionBy("user_id").orderBy("rn")
+    ev
+      .withColumn("chg",
+        when(lag(col("state"), 1).over(byUser).isNull ||
+          col("state") =!= lag(col("state"), 1).over(byUser), 1)
+          .otherwise(0))
+      .withColumn("rn", sum(col("chg")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "rn")
+      .agg(min(col("state")).as("state"), min(col("t")).as("from_us"),
+        count(lit(1)).as("n_ev"))
+      .withColumn("to_us", lead(col("from_us"), 1).over(wRun))
+      .select(col("user_id"), col("rn"), col("state"), col("from_us"),
+        col("to_us"), col("n_ev"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Conversion funnel view → click → purchase with a 24 h window per
     // stage: stage n counts users whose FIRST qualifying stage-n event
@@ -325,25 +350,42 @@ object AnalyticsExtras {
     // collapsed), not events. Times are exact epoch-µs integers; the
     // run index rn makes the ORDER BY unique even when two runs share
     // a start microsecond.
-    "q_scd2_intervals" -> ((s, d) => {
-      val byUser = Window.partitionBy("user_id").orderBy("t", "event_id")
-      val wRun = Window.partitionBy("user_id").orderBy("rn")
-      Tables.events(s, d)
+    "q_scd2_intervals" -> ((s, d) =>
+      scd2Runs(Tables.events(s, d)
         .select(col("user_id"), col("event_type").as("state"),
-          unix_micros(col("ts")).as("t"), col("event_id"))
-        .withColumn("chg",
-          when(lag(col("state"), 1).over(byUser).isNull ||
-            col("state") =!= lag(col("state"), 1).over(byUser), 1)
-            .otherwise(0))
-        .withColumn("rn", sum(col("chg")).over(
-          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .groupBy("user_id", "rn")
-        .agg(min(col("state")).as("state"), min(col("t")).as("from_us"),
-          count(lit(1)).as("n_ev"))
-        .withColumn("to_us", lead(col("from_us"), 1).over(wRun))
-        .select(col("user_id"), col("rn"), col("state"), col("from_us"),
-          col("to_us"), col("n_ev"))
-        .orderBy("user_id", "rn")
+          unix_micros(col("ts")).as("t"), col("event_id")))
+        .orderBy("user_id", "rn")),
+
+    // Point-in-time join — the SCD2 consumer: each purchase event
+    // joins the browsing-state interval (built from the user's
+    // NON-purchase events) valid at purchase time, answering "what
+    // state was the user in when they bought". Plan: intervals and
+    // purchases are both keyed by user_id, so the join is ONE
+    // user-key equi-join with the interval-membership residual
+    // (from_us ≤ t < to_us, open tail = NULL to_us) evaluated on the
+    // joined rows — per-user interval counts bound the fan-out, and
+    // intervals are DISJOINT per user so each purchase matches at
+    // most once (left join keeps pre-history purchases with a NULL
+    // state). No window touches the purchase stream.
+    "q_join_pit" -> ((s, d) => {
+      val iv = scd2Runs(Tables.events(s, d)
+        .filter(col("event_type") =!= "purchase")
+        .select(col("user_id"), col("event_type").as("state"),
+          unix_micros(col("ts")).as("t"), col("event_id")))
+        .select(col("user_id").as("iu"), col("rn"), col("state"),
+          col("from_us"), col("to_us"))
+      Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("t_us"))
+        .join(iv,
+          col("user_id") === col("iu")
+            && col("t_us") >= col("from_us")
+            && (col("to_us").isNull || col("t_us") < col("to_us")),
+          "left_outer")
+        .select(col("event_id"), col("user_id"), col("t_us"), col("state"),
+          col("rn"))
+        .orderBy("event_id")
     }),
 
     // Leaderboard dynamics: top-10 customers per month by spend, each
@@ -538,6 +580,30 @@ object AnalyticsExtras {
         |  LEAD(from_us) OVER (PARTITION BY user_id ORDER BY rn) AS to_us,
         |  n_ev
         |FROM runs ORDER BY user_id, rn""".stripMargin,
+    // Same interval construction filtered to non-purchase events;
+    // intervals are disjoint per user so the membership join matches
+    // at most once per purchase.
+    "q_join_pit" ->
+      """WITH e AS (SELECT user_id, event_type AS state, epoch_us(ts) AS t,
+        |    event_id FROM events WHERE event_type <> 'purchase'),
+        |f AS (SELECT *, CASE WHEN LAG(state) OVER w IS NULL
+        |      OR state <> LAG(state) OVER w THEN 1 ELSE 0 END AS chg
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+        |r AS (SELECT *, CAST(SUM(chg) OVER (PARTITION BY user_id
+        |      ORDER BY t, event_id ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS BIGINT) AS rn FROM f),
+        |runs AS (SELECT user_id, rn, MIN(state) AS state,
+        |    MIN(t) AS from_us FROM r GROUP BY 1, 2),
+        |iv AS (SELECT user_id AS iu, rn, state, from_us,
+        |    LEAD(from_us) OVER (PARTITION BY user_id ORDER BY rn)
+        |      AS to_us FROM runs),
+        |p AS (SELECT event_id, user_id, epoch_us(ts) AS t_us
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, p.t_us, iv.state, iv.rn
+        |FROM p LEFT JOIN iv ON p.user_id = iv.iu
+        |  AND p.t_us >= iv.from_us
+        |  AND (iv.to_us IS NULL OR p.t_us < iv.to_us)
+        |ORDER BY p.event_id""".stripMargin,
     // The self-join looks back one month by shifting the PREVIOUS
     // month's rows forward — identical month arithmetic to the Spark
     // side's add_months. Ranks are BIGINT in both engines; the
