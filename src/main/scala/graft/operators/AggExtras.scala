@@ -23,6 +23,24 @@ object AggExtras {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Per-user event-type matrix (explicit value list → single-pass).
+    // Bitwise aggregation — the bitmap/feature-flag accumulation
+    // family: per order, OR the line-number slots into a 7-bit
+    // occupancy mask, then the corpus-wide mask distribution with
+    // popcounts. Two stacked partial-combining hash aggregates (bit_or
+    // combines map-side like any monoid; the second groupBy is over
+    // ≤ 127 masks); integers end to end.
+    "q_agg_bitmask" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_orderkey")
+        .agg(expr("cast(bit_or(shiftleft(1, l_linenumber - 1)) as bigint)")
+          .as("mask"))
+        .groupBy("mask")
+        .agg(count(lit(1)).as("n_orders"))
+        .select(col("mask"),
+          expr("cast(bit_count(mask) as bigint)").as("n_slots"),
+          col("n_orders"))
+        .orderBy("mask")),
+
     "q_pivot" -> ((s, d) => {
       val pivoted = Tables.events(s, d)
         .filter(col("user_id") < 20)
@@ -298,6 +316,13 @@ object AggExtras {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_agg_bitmask" ->
+      """SELECT mask, CAST(bit_count(mask) AS BIGINT) AS n_slots,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders
+        |FROM (SELECT l_orderkey,
+        |        CAST(bit_or(1 << (l_linenumber - 1)) AS BIGINT) AS mask
+        |      FROM lineitem GROUP BY 1)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_agg_mad" ->
       s"""WITH o AS (SELECT event_type AS et, ${sqlCents("value")} AS c,
          |    event_id AS k FROM events),
