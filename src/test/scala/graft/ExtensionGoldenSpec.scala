@@ -220,6 +220,18 @@ class ExtensionGoldenSpec extends AnyFunSuite {
     finally Materialize.releaseAll() // checkpoints its value collapse
   }
 
+  test("q_assoc_rules head rules (supports, confidence, lift from DuckDB)") {
+    try assert(head2("q_assoc_rules") ===
+      Seq(Seq(0L, 12L, 3L, 0.0833, 4.0917), Seq(0L, 37L, 2L, 0.0556, 2.7278)))
+    finally Materialize.releaseAll() // checkpoints the basket collapse
+  }
+
+  test("q_agg_rfm head segments") {
+    try assert(head2("q_agg_rfm") ===
+      Seq(Seq("111", 12L), Seq("112", 4L)))
+    finally Materialize.releaseAll() // checkpoints the customer collapse
+  }
+
   test("q_graph_triangles full result (orientation count = a<b<c count)") {
     try assert(SparkEntry.queries("q_graph_triangles")(spark, sf0001)
       .collect().toSeq.map(_.toSeq) ===
