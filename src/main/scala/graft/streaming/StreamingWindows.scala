@@ -23,9 +23,51 @@ import graft.functions.Money._
   */
 object StreamingWindows {
 
-  /** Raw event row as stored (ts = epoch nanos; see Tables.events). */
+  /** Typed event row for the stateful operators, ts = epoch MICROS.
+    * The stored layout has varied across fixture generations (ns-long
+    * vs µs-timestamp — see Tables.normalizeEventsTs), so ingestion
+    * goes through [[typedEvents]] / [[typedEventsStream]], which
+    * normalize ts to µs before the `as[RawEvent]` cast; the operators
+    * never see a physical layout.
+    */
   final case class RawEvent(event_id: Long, ts: Long, user_id: Long,
       event_type: String, value: Double, props: String)
+
+  /** ts → epoch-µs LongType from either stored layout: ns-as-long
+    * (integer div — ns exceeds 2^53, double math corrupts µs) or
+    * (NTZ-)timestamp (unix_micros under the UTC-pinned session).
+    */
+  private def tsToMicros(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("ts div 1000"))
+      case _ =>
+        df.withColumn("ts", unix_micros(col("ts")
+          .cast(org.apache.spark.sql.types.TimestampType)))
+    }
+
+  /** Batch read of an events parquet as a typed µs dataset. */
+  def typedEvents(spark: SparkSession, path: String): Dataset[RawEvent] = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    tsToMicros(spark.read.parquet(path)).as[RawEvent]
+  }
+
+  /** File-stream read of an events directory as a typed µs dataset
+    * (one arriving file per micro-batch when `maxFilesPerTrigger` is
+    * passed by the caller's plan; schema from a batch twin file).
+    */
+  def typedEventsStream(spark: SparkSession, streamDir: String,
+      schemaFrom: String, maxFilesPerTrigger: Option[Int] = None)
+      : Dataset[RawEvent] = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(schemaFrom).schema
+    val reader = spark.readStream.schema(schema)
+    val withOpt = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n.toString))
+    tsToMicros(withOpt.parquet(streamDir)).as[RawEvent]
+  }
 
   /** Running per-user state for [[userRunningCounts]]. */
   final case class UserState(n: Long)
@@ -43,11 +85,11 @@ object StreamingWindows {
       schemaFrom: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(schemaFrom).schema
-    spark.readStream
-      .schema(schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(streamDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    graft.sources.Tables.normalizeEventsTs(
+      spark.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(streamDir))
   }
 
   /** Windowed counts × event_type with a 1-hour watermark bounding
@@ -155,7 +197,7 @@ object StreamingWindows {
           val sorted = rows.toSeq.sortBy(e => (e.ts, e.event_id))
           var st = state.getOption.getOrElse(SessState(Long.MinValue, 0L, 0L, Nil))
           sorted.foreach { e =>
-            val us = e.ts / 1000
+            val us = e.ts
             st =
               if (st.n == 0L) SessState(us, 1L, 1L, st.closed)
               else if (us - st.lastUs > gapUs)
@@ -198,7 +240,7 @@ object StreamingWindows {
           val sorted = rows.toSeq.sortBy(e => (e.ts, e.event_id))
           var st = state.getOption.getOrElse(Scd2State(0L, "", 0L, 0L, Nil))
           sorted.foreach { e =>
-            val us = e.ts / 1000
+            val us = e.ts
             st =
               if (st.n == 0L) Scd2State(1L, e.event_type, us, 1L, st.closed)
               else if (e.event_type != st.st)
@@ -216,10 +258,10 @@ object StreamingWindows {
   /** Latest-record emission: (user, type, epoch-µs of the winner). */
   final case class LatestOut(user_id: Long, last_type: String, last_us: Long)
 
-  /** Per-user champion: raw-ns ts + unique id + type of the newest
+  /** Per-user champion: epoch-µs ts + unique id + type of the newest
     * event seen so far (the id breaks same-timestamp ties).
     */
-  final case class LatestState(tsNs: Long, eventId: Long, eventType: String)
+  final case class LatestState(tsUs: Long, eventId: Long, eventType: String)
 
   /** Streaming twin of the batch q_agg_argmax: the continuously
     * maintained latest-record-per-key view (the upsert/compaction
@@ -240,12 +282,12 @@ object StreamingWindows {
         (userId: Long, rows: Iterator[RawEvent], state: GroupState[LatestState]) =>
           var best = state.getOption.orNull
           rows.foreach { e =>
-            val wins = best == null || e.ts > best.tsNs ||
-              (e.ts == best.tsNs && e.event_id < best.eventId)
+            val wins = best == null || e.ts > best.tsUs ||
+              (e.ts == best.tsUs && e.event_id < best.eventId)
             if (wins) best = LatestState(e.ts, e.event_id, e.event_type)
           }
           state.update(best)
-          LatestOut(userId, best.eventType, best.tsNs / 1000)
+          LatestOut(userId, best.eventType, best.tsUs)
       }
   }
 

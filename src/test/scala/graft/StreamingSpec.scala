@@ -95,12 +95,8 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("sessionize: closed streaming sessions match batch sessionization") {
-    import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$sf0001/events.parquet").schema
-    val stream = spark.readStream.schema(schema)
-      .parquet(stagedDir)
-      .as[StreamingWindows.RawEvent]
+    val stream = StreamingWindows.typedEventsStream(
+      spark, stagedDir, s"$sf0001/events.parquet")
 
     val q = StreamingWindows.sessionize(stream)
       .writeStream
@@ -129,12 +125,8 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("scd2Intervals: closed streaming intervals match batch history build") {
-    import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$sf0001/events.parquet").schema
-    val stream = spark.readStream.schema(schema)
-      .parquet(stagedDir)
-      .as[StreamingWindows.RawEvent]
+    val stream = StreamingWindows.typedEventsStream(
+      spark, stagedDir, s"$sf0001/events.parquet")
 
     val q = StreamingWindows.scd2Intervals(stream)
       .writeStream
@@ -160,14 +152,9 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("userRunningCounts: stateful fold equals batch groupBy count") {
-    import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$sf0001/events.parquet")
-      .as[StreamingWindows.RawEvent]
-    val schema = raw.schema
-    val stream = spark.readStream.schema(schema)
-      .parquet(stagedDir)
-      .as[StreamingWindows.RawEvent]
+    val raw = StreamingWindows.typedEvents(spark, s"$sf0001/events.parquet")
+    val stream = StreamingWindows.typedEventsStream(
+      spark, stagedDir, s"$sf0001/events.parquet")
 
     val q = StreamingWindows.userRunningCounts(stream)
       .writeStream
@@ -259,12 +246,9 @@ class StreamingSpec extends AnyFunSuite {
     java.nio.file.Files.createSymbolicLink(
       dir.resolve("e2.parquet"),
       java.nio.file.Paths.get(s"$sf0001/events.parquet"))
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$sf0001/events.parquet").schema
-    val stream = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(dir.toString)
-      .as[StreamingWindows.RawEvent]
+    val stream = StreamingWindows.typedEventsStream(
+      spark, dir.toString, s"$sf0001/events.parquet",
+      maxFilesPerTrigger = Some(1))
 
     val q = StreamingWindows.latestRecord(stream)
       .writeStream
