@@ -50,7 +50,10 @@ object ScalarQueries {
             .cast(LongType).as("rev_c"),
           floor(col("l_quantity")).cast(LongType).as("qty_floor"),
           round(abs(col("l_discount") - 0.05), 4).as("disc_abs"))
-        .orderBy("l_orderkey", "l_linenumber")),
+        // full-row sort key — (orderkey, linenumber) is NOT unique in
+        // the synthetic fixture (see q_scan_project note)
+        .orderBy("l_orderkey", "l_linenumber", "rev_c", "qty_floor",
+          "disc_abs")),
 
     // events.props is a one-key JSON object {"k": <int>} (FIXTURES.md).
     "q_json_extract" -> ((s, d) =>
@@ -116,7 +119,8 @@ object ScalarQueries {
         |  CAST(FLOOR(l_quantity) AS BIGINT) AS qty_floor,
         |  ROUND(ABS(l_discount - 0.05), 4) AS disc_abs
         |FROM lineitem WHERE l_orderkey < 100
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, rev_c, qty_floor, disc_abs"""
+        .stripMargin,
     "q_json_extract" ->
       """SELECT event_type,
         |  CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k

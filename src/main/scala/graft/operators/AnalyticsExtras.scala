@@ -424,6 +424,62 @@ object AnalyticsExtras {
           col("spend_c"))
         .orderBy("mon", "rnk")
     }),
+
+    // Sequential-pattern census (MATCH_RECOGNIZE-lite, round 9 wave
+    // 22): per user, count CONSECUTIVE view → click → purchase triples
+    // in the ts-ordered event sequence, then aggregate users by their
+    // triple count. One window pass computes both lookaheads (lead 1
+    // and lead 2 share the user-keyed sort — Spark plans a single
+    // Window operator), then two user-keyed hash aggregates; nothing
+    // after the window exceeds |users| rows. The (ts, event_id) order
+    // key makes the sequence — and so the pattern census — replay-
+    // deterministic under any partitioning.
+    "q_events_pattern" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts"),
+          col("event_id"))
+        .withColumn("e2", lead(col("event_type"), 1).over(w))
+        .withColumn("e3", lead(col("event_type"), 2).over(w))
+        .groupBy("user_id")
+        .agg(count(when(col("event_type") === "view" &&
+          col("e2") === "click" && col("e3") === "purchase", 1))
+          .as("n_pat"))
+        .groupBy("n_pat")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("n_pat")
+    }),
+
+    // Click-abandonment by day (round 9 wave 22) — the anti side of
+    // q_events_funnel: for each (user, day) FIRST click, did ANY
+    // purchase by that user land within 24 h? Clicks collapse to one
+    // row per (user, day) BEFORE the purchase join, and the join keys
+    // on user_id alone with per-user multiplicity bounded by that
+    // user's purchase count — at scale this is a co-partitioned
+    // equi-join between two user-keyed aggregates, never a window
+    // over the raw stream. The day-level finish is a ≤|days|-group agg.
+    "q_events_abandon" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("t"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), expr("t div 86400000000").as("day"))
+        .agg(min("t").as("ct"))
+      val purch = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("t").as("pt"))
+      clicks.join(purch, Seq("user_id"), "left")
+        .groupBy("user_id", "day")
+        .agg(max(when(col("pt") >= col("ct") &&
+          col("pt") - col("ct") <= DayUs, 1).otherwise(0)).as("conv"))
+        .groupBy("day")
+        .agg(count(lit(1)).as("n_clickers"),
+          sum(col("conv")).as("n_converted"))
+        .select(col("day"), col("n_clickers"), col("n_converted"),
+          round((col("n_clickers") - col("n_converted"))
+            .cast("double") / col("n_clickers").cast("double"), 4)
+            .as("abandon_rate"))
+        .orderBy("day")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -623,6 +679,39 @@ object AnalyticsExtras {
          |FROM t LEFT JOIN t AS p ON p.cust = t.cust
          |  AND strftime(CAST(p.mon || '-01' AS DATE) + INTERVAL 1 MONTH,
          |    '%Y-%m') = t.mon
-         |ORDER BY t.mon, t.rnk""".stripMargin
+         |ORDER BY t.mon, t.rnk""".stripMargin,
+    // Same two-lookahead window + two-phase user aggregate as the
+    // Spark side; (ts, event_id) keys the sequence deterministically.
+    "q_events_pattern" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |    LEAD(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS e2,
+        |    LEAD(event_type, 2) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS e3
+        |  FROM events),
+        |u AS (SELECT user_id,
+        |    CAST(COUNT(*) FILTER (WHERE event_type = 'view'
+        |      AND e2 = 'click' AND e3 = 'purchase') AS BIGINT) AS n_pat
+        |  FROM e GROUP BY 1)
+        |SELECT n_pat, CAST(COUNT(*) AS BIGINT) AS n_users
+        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
+    // abandon_rate is ONE IEEE division of two exact integers → 4 dp,
+    // so both engines agree bit-for-bit; day is unique in the output.
+    "q_events_abandon" ->
+      """WITH c AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+        |    MIN(epoch_us(ts)) AS ct
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |p AS (SELECT user_id, epoch_us(ts) AS pt
+        |  FROM events WHERE event_type = 'purchase'),
+        |j AS (SELECT c.user_id, c.day,
+        |    MAX(CASE WHEN p.pt >= c.ct AND p.pt - c.ct <= 86400000000
+        |      THEN 1 ELSE 0 END) AS conv
+        |  FROM c LEFT JOIN p ON c.user_id = p.user_id GROUP BY 1, 2)
+        |SELECT CAST(day AS BIGINT) AS day,
+        |  CAST(COUNT(*) AS BIGINT) AS n_clickers,
+        |  CAST(SUM(conv) AS BIGINT) AS n_converted,
+        |  ROUND(CAST(COUNT(*) - SUM(conv) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 4) AS abandon_rate
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

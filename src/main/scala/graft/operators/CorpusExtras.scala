@@ -349,7 +349,59 @@ object CorpusExtras {
           round((lit(nDocs) * col("c_xy")).cast("double") /
             (col("dfx") * col("dfy")).cast("double"), 4).as("lift"))
         .orderBy("x", "y")
-    })
+    }),
+
+    // Corpus readability profile per language (round 9 wave 22) — the
+    // fluency-screening cousin of q_text_quality: corpus-level
+    // words-per-sentence and chars-per-word ratios from exact integer
+    // token/sentence/char counts. All per-row counts are computed in
+    // one projection (no shuffle) and the finish is a ≤|langs|-group
+    // partial-combining aggregate; each ratio is ONE IEEE division of
+    // exact integer sums → 4 dp, so both engines agree bit-for-bit.
+    // Sentence proxy = '.' count clamped to ≥ 1 (a prose-less doc is
+    // one sentence), word chars = length minus spaces — both exact
+    // string arithmetic, no tokenizer model needed at 100 TB.
+    "q_text_readability" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("lang"),
+          size(expr("filter(split(text, ' '), t -> t <> '')"))
+            .cast("long").as("nw"),
+          greatest(lit(1L), (length(col("text")) -
+            length(regexp_replace(col("text"), "\\.", ""))).cast("long"))
+            .as("ns"),
+          length(regexp_replace(col("text"), " ", "")).cast("long")
+            .as("nc"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("nw").as("words"),
+          round(sum("nw").cast("double") / sum("ns").cast("double"), 4)
+            .as("words_per_sent"),
+          round(sum("nc").cast("double") / sum("nw").cast("double"), 4)
+            .as("chars_per_word"))
+        .orderBy("lang")),
+
+    // Hashing-trick feature buckets (round 9 wave 22) — the
+    // fixed-width featurization step (Vowpal-Wabbit-style) that lets
+    // downstream models consume unbounded vocabularies: tokens land in
+    // 16 buckets by an ENGINE-PORTABLE hash (first md5 hex nibble —
+    // both engines md5 identical bytes, so bucketing is identical;
+    // never the engines' incompatible native hash()). One explode +
+    // one two-phase distinct-aggregate; the shuffle carries (lang,
+    // bucket, token), never text, and the output is the bounded
+    // |langs|×16 feature table | explode + md5-nibble bucket + hash
+    // agg with countDistinct.
+    "q_ml_feature_hash" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("lang"),
+          explode(expr("filter(split(text, ' '), t -> t <> '')")).as("tok"))
+        .select(col("lang"), col("tok"),
+          (instr(lit("0123456789abcdef"),
+            substring(md5(col("tok").cast("binary")), 1, 1)) - 1)
+            .cast("long").as("bucket"))
+        .groupBy("lang", "bucket")
+        .agg(count(lit(1)).as("n_toks"),
+          countDistinct("tok").as("n_distinct"))
+        .orderBy("lang", "bucket"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -533,6 +585,34 @@ object CorpusExtras {
         |JOIN v dy ON pairs.y = dy.token
         |CROSS JOIN nd
         |WHERE c_xy >= nd.n // 50
-        |ORDER BY x, y""".stripMargin
+        |ORDER BY x, y""".stripMargin,
+    "q_text_readability" ->
+      """WITH d AS (SELECT lang,
+        |    CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+        |      AS BIGINT) AS nw,
+        |    CAST(GREATEST(1, length(text) - length(replace(text, '.', '')))
+        |      AS BIGINT) AS ns,
+        |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS nc
+        |  FROM documents)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(nw) AS BIGINT) AS words,
+        |  ROUND(CAST(SUM(nw) AS DOUBLE) / CAST(SUM(ns) AS DOUBLE), 4)
+        |    AS words_per_sent,
+        |  ROUND(CAST(SUM(nc) AS DOUBLE) / CAST(SUM(nw) AS DOUBLE), 4)
+        |    AS chars_per_word
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+    // strpos on the hex-nibble alphabet is the engine-portable bucket:
+    // both engines md5 the same bytes to the same hex string
+    "q_ml_feature_hash" ->
+      """WITH toks AS (SELECT lang,
+        |    unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+        |  FROM documents),
+        |b AS (SELECT lang, tok,
+        |    CAST(strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1
+        |      AS BIGINT) AS bucket
+        |  FROM toks)
+        |SELECT lang, bucket, CAST(COUNT(*) AS BIGINT) AS n_toks,
+        |  CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_distinct
+        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

@@ -27,14 +27,19 @@ object RelationalQueries {
     "q_scan_project" -> ((s, d) =>
       Tables.lineitem(s, d)
         .select("l_orderkey", "l_linenumber", "l_returnflag")
-        .orderBy("l_orderkey", "l_linenumber")),
+        // the synthetic fixture has DUPLICATE (orderkey, linenumber)
+        // pairs, so the full output row is the only unique sort key —
+        // anything shorter leaves tie order at the mercy of scan
+        // partitioning (smoked out by the round-9 layout re-staging)
+        .orderBy("l_orderkey", "l_linenumber", "l_returnflag")),
 
     // §2.2 — typed predicate, pushed to parquet row-group stats.
     "q_filter_pred" -> ((s, d) =>
       Tables.lineitem(s, d)
         .filter(col("l_quantity") > 30 && col("l_discount") < 0.05)
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
-        .orderBy("l_orderkey", "l_linenumber")),
+        // full-row sort key: (orderkey, linenumber) is NOT unique here
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_discount")),
 
     // §2.2 — the CS425 "SQL filter" demo: regex WHERE over events.
     "q_filter_regex" -> ((s, d) =>
@@ -144,11 +149,12 @@ object RelationalQueries {
   val oracle: Map[String, String] = Map(
     "q_scan_project" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_returnflag""".stripMargin,
     "q_filter_pred" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem
         |WHERE l_quantity > 30 AND l_discount < 0.05
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_discount"""
+        .stripMargin,
     "q_filter_regex" ->
       """SELECT event_id, user_id, event_type, value FROM events
         |WHERE regexp_matches(event_type, '^(sign|purch)')

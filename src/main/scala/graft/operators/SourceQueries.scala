@@ -170,6 +170,29 @@ object SourceQueries {
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n_items"), sum(col("price_c")).as("revenue_c"))
         .orderBy("o_orderpriority")
+    }),
+
+    // ORC round trip (round 9 wave 22) — the second columnar format
+    // Spark ships natively (predicate pushdown + column pruning work
+    // the same as parquet): write the supplier dimension to ORC,
+    // re-read it, broadcast-join the nation names and aggregate; the
+    // hash-match against the parquet-reading oracle proves the
+    // parquet → ORC → DataFrame trip is lossless INCLUDING the
+    // DECIMAL-exact money cents. Completes the format surface (text /
+    // CSV / JSONL / kv lines / parquet / partitioned parquet /
+    // bucketed catalog tables / ORC).
+    "q_source_orc_roundtrip" -> ((s, d) => {
+      val path = exportDir(d) + "/orc_supplier"
+      Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_nationkey"),
+          cents(col("s_acctbal")).as("bal"))
+        .write.mode("overwrite").orc(path)
+      s.read.orc(path)
+        .join(broadcast(Tables.nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"))
+        .agg(count(lit(1)).as("n_supp"), sum(col("bal")).as("bal_c"))
+        .orderBy("nation")
     })
   )
 
@@ -203,6 +226,11 @@ object SourceQueries {
       s"""SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_items,
          |  CAST(SUM(${sqlCents("l.l_extendedprice")}) AS BIGINT) AS revenue_c
          |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_source_orc_roundtrip" ->
+      s"""SELECT n.n_name AS nation, CAST(COUNT(*) AS BIGINT) AS n_supp,
+         |  CAST(SUM(${sqlCents("s.s_acctbal")}) AS BIGINT) AS bal_c
+         |FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
          |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -677,7 +677,44 @@ object StatsExtras {
           round(sum(col("rc").cast("decimal(38,0)") * col("rc"))
             .cast("double") /
             (sum("rc").cast("double") * sum("rc")), 4).as("hhi"))
-        .orderBy("ptype"))
+        .orderBy("ptype")),
+
+    // Covariance matrix over the lineitem measures (round 9 wave 22) —
+    // the multi-column dependence profile feeding feature selection /
+    // whitening, generalizing q_stats_corr's fixed pair: ONE
+    // partial-combining aggregate collects ALL sufficient statistics
+    // (n, 3 sums, 6 exact product sums as DECIMAL(38) — price-cents
+    // squared times 600k rows overflows int64, and DuckDB's HUGEINT
+    // sums the same integers exactly), then `stack` unpivots the
+    // 1-row aggregate into the 6 unique (x, y) cells with the
+    // closed-form cov finish — the fact table is scanned ONCE for the
+    // whole matrix and nothing after the aggregate exceeds 6 rows.
+    // Every double op is the same IEEE sequence in both engines → 4 dp.
+    "q_stats_cov" -> ((s, d) => {
+      val x = cents(col("l_extendedprice")).cast("decimal(20,0)")
+      val y = col("l_quantity").cast("long").cast("decimal(20,0)")
+      val z = (col("l_discount").cast("decimal(18,4)") * 10000)
+        .cast("long").cast("decimal(20,0)")
+      Tables.lineitem(s, d)
+        .agg(count(lit(1)).as("n"),
+          sum(x).as("sx"), sum(y).as("sy"), sum(z).as("sz"),
+          sum(x * x).as("sxx"), sum(x * y).as("sxy"), sum(x * z).as("sxz"),
+          sum(y * y).as("syy"), sum(y * z).as("syz"), sum(z * z).as("szz"))
+        .select(col("n"), expr(
+          "stack(6, " +
+            "'disc_bp', 'disc_bp', szz, sz, sz, " +
+            "'price_c', 'disc_bp', sxz, sx, sz, " +
+            "'price_c', 'price_c', sxx, sx, sx, " +
+            "'price_c', 'qty', sxy, sx, sy, " +
+            "'qty', 'disc_bp', syz, sy, sz, " +
+            "'qty', 'qty', syy, sy, sy) AS (x_col, y_col, sab, sa, sb)"))
+        .select(col("x_col"), col("y_col"), col("n"),
+          round((col("sab").cast("double") -
+            col("sa").cast("double") * col("sb").cast("double") /
+              col("n").cast("double")) / col("n").cast("double"), 4)
+            .as("cov"))
+        .orderBy("x_col", "y_col")
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -1068,6 +1105,37 @@ object StatsExtras {
          |  CAST(SUM(rc) AS BIGINT) AS total_c,
          |  ROUND(CAST(SUM(CAST(rc AS HUGEINT) * rc) AS DOUBLE)
          |    / (CAST(SUM(rc) AS DOUBLE) * SUM(rc)), 4) AS hhi
-         |FROM rev GROUP BY 1 ORDER BY 1""".stripMargin
+         |FROM rev GROUP BY 1 ORDER BY 1""".stripMargin,
+    // HUGEINT keeps every product sum exact (the Spark side uses
+    // DECIMAL(38)); the cov finish is the IDENTICAL double op sequence
+    "q_stats_cov" ->
+      s"""WITH m AS (SELECT
+         |    ${sqlCents("l_extendedprice")} AS x,
+         |    CAST(l_quantity AS BIGINT) AS y,
+         |    CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000 AS BIGINT) AS z
+         |  FROM lineitem),
+         |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+         |    CAST(SUM(z) AS HUGEINT) AS sz,
+         |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
+         |    SUM(CAST(x AS HUGEINT) * y) AS sxy,
+         |    SUM(CAST(x AS HUGEINT) * z) AS sxz,
+         |    SUM(CAST(y AS HUGEINT) * y) AS syy,
+         |    SUM(CAST(y AS HUGEINT) * z) AS syz,
+         |    SUM(CAST(z AS HUGEINT) * z) AS szz
+         |  FROM m),
+         |u AS (
+         |  SELECT 'disc_bp' AS x_col, 'disc_bp' AS y_col, szz AS sab,
+         |    sz AS sa, sz AS sb, n FROM s
+         |  UNION ALL SELECT 'price_c', 'disc_bp', sxz, sx, sz, n FROM s
+         |  UNION ALL SELECT 'price_c', 'price_c', sxx, sx, sx, n FROM s
+         |  UNION ALL SELECT 'price_c', 'qty', sxy, sx, sy, n FROM s
+         |  UNION ALL SELECT 'qty', 'disc_bp', syz, sy, sz, n FROM s
+         |  UNION ALL SELECT 'qty', 'qty', syy, sy, sy, n FROM s)
+         |SELECT x_col, y_col, n,
+         |  ROUND((CAST(sab AS DOUBLE) - CAST(sa AS DOUBLE) *
+         |    CAST(sb AS DOUBLE) / CAST(n AS DOUBLE))
+         |    / CAST(n AS DOUBLE), 4) AS cov
+         |FROM u ORDER BY 1, 2""".stripMargin
   )
 }
