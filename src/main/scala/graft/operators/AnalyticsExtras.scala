@@ -480,6 +480,39 @@ object AnalyticsExtras {
             .as("abandon_rate"))
         .orderBy("day")
     }),
+
+    // Last-touch marketing attribution (round 9 wave 23): each
+    // purchase credits its revenue to the channel (props.k mod 4) of
+    // the LATEST same-user click at-or-before purchase time;
+    // click-less purchases fall in the 'direct' bucket. The as-of
+    // lookup is ONE user-keyed left join (per-purchase fan-in bounded
+    // by that user's click count) finished by a per-purchase
+    // struct-max — (ct, −event_id) encodes "newest click, smallest id
+    // on a shared microsecond" — so no window ever touches the raw
+    // stream and the null-guard keeps unmatched purchases out of the
+    // argmax. Revenue is exact integer cents.
+    "q_events_attribution" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), unix_micros(col("ts")).as("ct"),
+          (get_json_object(col("props"), "$.k").cast("long") % 4)
+            .as("channel"),
+          col("event_id"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("pt"),
+          col("event_id").as("pid"), cents(col("value")).as("val_c"))
+      p.join(c, p("user_id") === c("user_id") && col("ct") <= col("pt"),
+          "left")
+        .groupBy("pid", "val_c")
+        .agg(max(when(col("ct").isNotNull,
+          struct(col("ct"), (-col("event_id")).as("nid"),
+            col("channel")))).as("m"))
+        .select(coalesce(col("m.channel").cast("string"), lit("direct"))
+          .as("channel"), col("val_c"))
+        .groupBy("channel")
+        .agg(count(lit(1)).as("n_purchases"), sum("val_c").as("revenue_c"))
+        .orderBy("channel")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -712,6 +745,26 @@ object AnalyticsExtras {
         |  CAST(SUM(conv) AS BIGINT) AS n_converted,
         |  ROUND(CAST(COUNT(*) - SUM(conv) AS DOUBLE)
         |    / CAST(COUNT(*) AS DOUBLE), 4) AS abandon_rate
-        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    // MAX_BY's HUGEINT key ct·10⁶ − event_id is the oracle-side
+    // encoding of the Spark struct order (newest ct, smallest id);
+    // event_id < 10⁶ at every oracle SF, and MAX_BY skips the NULL
+    // keys of unmatched purchases exactly like the Spark null-guard.
+    "q_events_attribution" ->
+      s"""WITH c AS (SELECT user_id, epoch_us(ts) AS ct,
+         |    CAST(props->>'k' AS BIGINT) % 4 AS channel, event_id
+         |  FROM events WHERE event_type = 'click'),
+         |p AS (SELECT user_id, epoch_us(ts) AS pt, event_id AS pid,
+         |    ${sqlCents("value")} AS val_c
+         |  FROM events WHERE event_type = 'purchase'),
+         |m AS (SELECT p.pid, p.val_c,
+         |    MAX_BY(c.channel, CAST(c.ct AS HUGEINT) * 1000000 - c.event_id)
+         |      AS channel
+         |  FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.ct <= p.pt
+         |  GROUP BY 1, 2)
+         |SELECT COALESCE(CAST(channel AS VARCHAR), 'direct') AS channel,
+         |  CAST(COUNT(*) AS BIGINT) AS n_purchases,
+         |  CAST(SUM(val_c) AS BIGINT) AS revenue_c
+         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

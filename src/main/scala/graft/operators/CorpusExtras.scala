@@ -401,7 +401,25 @@ object CorpusExtras {
         .groupBy("lang", "bucket")
         .agg(count(lit(1)).as("n_toks"),
           countDistinct("tok").as("n_distinct"))
-        .orderBy("lang", "bucket"))
+        .orderBy("lang", "bucket")),
+
+    // Deterministic k-fold cross-validation assignment (round 9 wave
+    // 23) — the evaluation-split step completing the sampling family
+    // (train/val/test = q_sample_split): fold = md5-nibble(doc_id)
+    // mod 5, RNG-free and engine-portable (the q_sample_split idiom),
+    // so every engine — and every re-run at any parallelism — deals
+    // the same docs to the same folds. One projection + one
+    // partial-combining hash agg; the fold × lang occupancy table is
+    // the auditable artifact a CV pipeline logs.
+    "q_ml_kfold" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("lang"), col("n_chars"),
+          ((instr(lit("0123456789abcdef"),
+            substring(md5(col("doc_id").cast("string").cast("binary")),
+              1, 1)) - 1).cast("long") % 5).as("fold"))
+        .groupBy("fold", "lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+        .orderBy("fold", "lang"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -613,6 +631,15 @@ object CorpusExtras {
         |  FROM toks)
         |SELECT lang, bucket, CAST(COUNT(*) AS BIGINT) AS n_toks,
         |  CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_distinct
-        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_ml_kfold" ->
+      """WITH f AS (SELECT lang, n_chars,
+        |    CAST(strpos('0123456789abcdef',
+        |      substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS BIGINT)
+        |      % 5 AS fold
+        |  FROM documents)
+        |SELECT fold, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

@@ -714,6 +714,38 @@ object StatsExtras {
               col("n").cast("double")) / col("n").cast("double"), 4)
             .as("cov"))
         .orderBy("x_col", "y_col")
+    }),
+
+    // Lag-1 autocorrelation of daily revenue (round 9 wave 23) — the
+    // time-series diagnostic (is demand momentum real?) completing
+    // the stats family: facts collapse to the |days|-row daily series
+    // in ONE partial-combining aggregate, the lag pairs come from a
+    // single-partition window over that BOUNDED relation (|days| does
+    // not scale with the corpus — same discipline as the RankSelect
+    // histogram prefix sum), and Pearson r over (rev, prev) uses
+    // exact DECIMAL(38) sufficient sums with the identical IEEE
+    // finish in both engines (sqrt is correctly rounded) → 4 dp.
+    "q_stats_autocorr" -> ((s, d) => {
+      val drev = Tables.orders(s, d)
+        .groupBy(expr(
+          "unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+          .as("day"))
+        .agg(sumCents(col("o_totalprice")).as("rev"))
+      val l = drev
+        .withColumn("prev", lag(col("rev"), 1).over(Window.orderBy("day")))
+        .filter(col("prev").isNotNull)
+      val x = col("rev").cast("decimal(20,0)")
+      val y = col("prev").cast("decimal(20,0)")
+      def d2(c: String) = col(c).cast("double")
+      l.agg(count(lit(1)).as("n"),
+          sum(x).as("sx"), sum(y).as("sy"), sum(x * y).as("sxy"),
+          sum(x * x).as("sxx"), sum(y * y).as("syy"))
+        .select(col("n"),
+          round((d2("sxy") - d2("sx") * d2("sy") / col("n").cast("double"))
+            / (sqrt(d2("sxx") - d2("sx") * d2("sx") /
+                col("n").cast("double")) *
+              sqrt(d2("syy") - d2("sy") * d2("sy") /
+                col("n").cast("double"))), 4).as("r1"))
     })
   )
 
@@ -1136,6 +1168,28 @@ object StatsExtras {
          |  ROUND((CAST(sab AS DOUBLE) - CAST(sa AS DOUBLE) *
          |    CAST(sb AS DOUBLE) / CAST(n AS DOUBLE))
          |    / CAST(n AS DOUBLE), 4) AS cov
-         |FROM u ORDER BY 1, 2""".stripMargin
+         |FROM u ORDER BY 1, 2""".stripMargin,
+    "q_stats_autocorr" ->
+      s"""WITH drev AS (SELECT
+         |    epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 AS day,
+         |    ${sqlSumCents("o_totalprice")} AS rev
+         |  FROM orders GROUP BY 1),
+         |l AS (SELECT day, rev, LAG(rev) OVER (ORDER BY day) AS prev
+         |  FROM drev),
+         |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(rev) AS HUGEINT) AS sx,
+         |    CAST(SUM(prev) AS HUGEINT) AS sy,
+         |    SUM(CAST(rev AS HUGEINT) * prev) AS sxy,
+         |    SUM(CAST(rev AS HUGEINT) * rev) AS sxx,
+         |    SUM(CAST(prev AS HUGEINT) * prev) AS syy
+         |  FROM l WHERE prev IS NOT NULL)
+         |SELECT n,
+         |  ROUND((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) *
+         |      CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) /
+         |    (sqrt(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) *
+         |        CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) *
+         |     sqrt(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) *
+         |        CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))), 4) AS r1
+         |FROM s""".stripMargin
   )
 }
