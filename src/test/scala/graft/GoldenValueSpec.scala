@@ -136,4 +136,25 @@ class GoldenValueSpec extends AnyFunSuite {
       ("AUTOMOBILE", 23L, 1352879.1236, 58820.8315),
       ("BUILDING", 34L, 815932.702, 23998.0206)))
   }
+
+  test("q_stats_autocorr exact lag-1 Pearson r") {
+    val r = SparkEntry.queries("q_stats_autocorr")(spark, sf0001).collect()(0)
+    assert((r.getLong(0), r.getDouble(1)) === ((1093L, -0.0308)))
+  }
+
+  test("q_stats_cov exact qty cells") {
+    val rows = SparkEntry.queries("q_stats_cov")(spark, sf0001)
+      .filter("x_col = 'qty'").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(3)))
+    assert(rows.toSeq === Seq(
+      ("qty", "disc_bp", 56.2426), ("qty", "qty", 210.8293)))
+  }
+
+  test("q_events_attribution full channel table") {
+    val rows = SparkEntry.queries("q_events_attribution")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq === Seq(
+      ("0", 44L, 210950L), ("1", 48L, 225109L), ("2", 55L, 323557L),
+      ("3", 31L, 177630L), ("direct", 24L, 105223L)))
+  }
 }
