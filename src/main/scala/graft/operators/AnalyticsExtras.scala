@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -513,6 +513,51 @@ object AnalyticsExtras {
         .agg(count(lit(1)).as("n_purchases"), sum("val_c").as("revenue_c"))
         .orderBy("channel")
     }),
+
+    // Growth accounting (round 9 wave 24) — the month-over-month
+    // new / retained / resurrected / churned customer decomposition
+    // (the product-analytics ledger whose identity MAU(m) =
+    // new + retained + resurrected must balance): ONE checkpointed
+    // distinct (customer, month) collapse feeds three consumers —
+    // the lag/first-month window pass (partitioned by customer,
+    // data-proportional, never global), the churn lead pass, and the
+    // max-month bound. Everything after the collapse is ≤ |customers|
+    // × |their months| rows; the month-level finish is bounded by the
+    // calendar. Churn for month m+1 = customers active in m whose
+    // next active month is not m+1 (or never).
+    "q_agg_growth" -> ((s, d) => {
+      val cm = graft.Materialize.checkpoint(
+        Tables.orders(s, d)
+          .select(col("o_custkey").as("cust"),
+            date_format(date_trunc("MONTH", col("o_orderdate")), "yyyy-MM")
+              .as("mon"))
+          .distinct())
+      val w = Window.partitionBy("cust").orderBy("mon")
+      def nextMon(c: Column) =
+        date_format(add_months(to_date(concat(c, lit("-01"))), 1), "yyyy-MM")
+      val x = cm
+        .withColumn("prev", lag(col("mon"), 1).over(w))
+        .withColumn("first_mon",
+          min(col("mon")).over(Window.partitionBy("cust")))
+      val cur = x.groupBy("mon").agg(
+        count(when(col("mon") === col("first_mon"), 1)).as("new_c"),
+        count(when(col("mon") =!= col("first_mon") &&
+          nextMon(col("prev")) === col("mon"), 1)).as("retained"),
+        count(when(col("mon") =!= col("first_mon") &&
+          nextMon(col("prev")) =!= col("mon"), 1)).as("resurrected"))
+      val chn = cm
+        .withColumn("nxt", lead(col("mon"), 1).over(w))
+        .filter(col("nxt").isNull || col("nxt") =!= nextMon(col("mon")))
+        .groupBy(nextMon(col("mon")).as("mon"))
+        .agg(count(lit(1)).as("churned"))
+      val mx = cm.agg(max("mon").as("mx"))
+      cur.join(chn, Seq("mon"), "left")
+        .crossJoin(broadcast(mx))
+        .filter(col("mon") <= col("mx"))
+        .select(col("mon"), col("new_c"), col("retained"),
+          col("resurrected"), coalesce(col("churned"), lit(0L)).as("churned"))
+        .orderBy("mon")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -765,6 +810,38 @@ object AnalyticsExtras {
          |SELECT COALESCE(CAST(channel AS VARCHAR), 'direct') AS channel,
          |  CAST(COUNT(*) AS BIGINT) AS n_purchases,
          |  CAST(SUM(val_c) AS BIGINT) AS revenue_c
-         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
+         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_agg_growth" ->
+      """WITH cm AS (SELECT DISTINCT o_custkey AS cust,
+        |    strftime(date_trunc('month', o_orderdate), '%Y-%m') AS mon
+        |  FROM orders),
+        |x AS (SELECT cust, mon,
+        |    LAG(mon) OVER (PARTITION BY cust ORDER BY mon) AS prev,
+        |    MIN(mon) OVER (PARTITION BY cust) AS first_mon
+        |  FROM cm),
+        |cur AS (SELECT mon,
+        |    CAST(COUNT(*) FILTER (WHERE mon = first_mon) AS BIGINT)
+        |      AS new_c,
+        |    CAST(COUNT(*) FILTER (WHERE mon <> first_mon AND
+        |      strftime(CAST(prev || '-01' AS DATE) + INTERVAL 1 MONTH,
+        |        '%Y-%m') = mon) AS BIGINT) AS retained,
+        |    CAST(COUNT(*) FILTER (WHERE mon <> first_mon AND
+        |      strftime(CAST(prev || '-01' AS DATE) + INTERVAL 1 MONTH,
+        |        '%Y-%m') <> mon) AS BIGINT) AS resurrected
+        |  FROM x GROUP BY 1),
+        |chn AS (SELECT strftime(CAST(mon || '-01' AS DATE) +
+        |      INTERVAL 1 MONTH, '%Y-%m') AS mon,
+        |    CAST(COUNT(*) AS BIGINT) AS churned
+        |  FROM (SELECT cust, mon,
+        |      LEAD(mon) OVER (PARTITION BY cust ORDER BY mon) AS nxt
+        |    FROM cm)
+        |  WHERE nxt IS NULL OR nxt <> strftime(
+        |    CAST(mon || '-01' AS DATE) + INTERVAL 1 MONTH, '%Y-%m')
+        |  GROUP BY 1)
+        |SELECT c.mon, c.new_c, c.retained, c.resurrected,
+        |  COALESCE(ch.churned, 0) AS churned
+        |FROM cur c LEFT JOIN chn ch ON c.mon = ch.mon
+        |WHERE c.mon <= (SELECT MAX(mon) FROM cm)
+        |ORDER BY c.mon""".stripMargin
   )
 }

@@ -419,7 +419,42 @@ object CorpusExtras {
               1, 1)) - 1).cast("long") % 5).as("fold"))
         .groupBy("fold", "lang")
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
-        .orderBy("fold", "lang"))
+        .orderBy("fold", "lang")),
+
+    // RAKE-style keyphrase extraction (round 9 wave 25) — the
+    // unsupervised keyword miner: candidate phrases are maximal
+    // stopword-free token runs (split on the stopword boundary
+    // regex), scored by Σ word-degree / Σ word-frequency — the
+    // ratio-of-sums RAKE variant, which keeps scoring a SINGLE IEEE
+    // division of exact integer sums (canonical sum-of-ratios would
+    // accumulate doubles in engine-dependent order). Phrase splitting
+    // and token explosion are map-side; the two corpus-scale shuffles
+    // are the word-stats aggregate and the phrase-score aggregate,
+    // both partial-combining; the w-join's per-key fan-in is the
+    // word's phrase-occurrence count (vocab-bounded). Top-20 plans as
+    // TakeOrderedAndProject (per-partition heap, no global sort).
+    "q_text_rake" -> ((s, d) => {
+      val ph = Tables.documents(s, d)
+        .select(explode(split(
+          concat(lit(" "), col("text"), lit(" ")), " (?:the|a) "))
+          .as("p"))
+        .select(trim(col("p")).as("phrase"))
+        .filter(col("phrase") =!= "")
+      val pw = ph.select(col("phrase"),
+          explode(split(col("phrase"), " ")).as("w"),
+          size(split(col("phrase"), " ")).cast("long").as("plen"))
+      val ws = pw.groupBy("w")
+        .agg(count(lit(1)).as("freq"), sum(col("plen") - 1).as("deg"))
+      pw.join(ws, "w")
+        .groupBy("phrase")
+        .agg(sum("deg").as("sum_deg"), sum("freq").as("sum_freq"))
+        .filter(size(split(col("phrase"), " ")).between(2, 4))
+        .select(col("phrase"), col("sum_deg"), col("sum_freq"),
+          round(col("sum_deg").cast("double") /
+            col("sum_freq").cast("double"), 4).as("score"))
+        .orderBy(col("score").desc, col("phrase"))
+        .limit(20)
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -640,6 +675,29 @@ object CorpusExtras {
         |  FROM documents)
         |SELECT fold, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
-        |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_text_rake" ->
+      """WITH ph AS (
+        |  SELECT trim(p) AS phrase FROM (
+        |    SELECT unnest(string_split_regex(' ' || text || ' ',
+        |      ' (?:the|a) ')) AS p
+        |    FROM documents)
+        |  WHERE trim(p) <> ''),
+        |pw AS (SELECT phrase, unnest(string_split(phrase, ' ')) AS w,
+        |    CAST(len(string_split(phrase, ' ')) AS BIGINT) AS plen
+        |  FROM ph),
+        |ws AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq,
+        |    CAST(SUM(plen - 1) AS BIGINT) AS deg
+        |  FROM pw GROUP BY 1),
+        |ps AS (SELECT pw.phrase,
+        |    CAST(SUM(ws.deg) AS BIGINT) AS sum_deg,
+        |    CAST(SUM(ws.freq) AS BIGINT) AS sum_freq
+        |  FROM pw JOIN ws USING (w) GROUP BY 1)
+        |SELECT phrase, sum_deg, sum_freq,
+        |  ROUND(CAST(sum_deg AS DOUBLE) / CAST(sum_freq AS DOUBLE), 4)
+        |    AS score
+        |FROM ps
+        |WHERE len(string_split(phrase, ' ')) BETWEEN 2 AND 4
+        |ORDER BY score DESC, phrase LIMIT 20""".stripMargin
   )
 }

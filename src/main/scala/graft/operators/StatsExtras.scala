@@ -690,6 +690,13 @@ object StatsExtras {
     // closed-form cov finish — the fact table is scanned ONCE for the
     // whole matrix and nothing after the aggregate exceeds 6 rows.
     // Every double op is the same IEEE sequence in both engines → 4 dp.
+    // Cells are reported in NATURAL units (dollars / qty / discount
+    // fraction), derived from the exact integer sums by one extra
+    // division through the per-cell scale product: in raw cents² the
+    // price-price cell is ~9e12, where a double's ulp (~2e-3) exceeds
+    // the 4 dp rounding step and round() is undefined across engines
+    // (caught by the sf0.1 matrix cell); at dollar² magnitude (~9e8)
+    // the step is 400× the ulp again.
     "q_stats_cov" -> ((s, d) => {
       val x = cents(col("l_extendedprice")).cast("decimal(20,0)")
       val y = col("l_quantity").cast("long").cast("decimal(20,0)")
@@ -702,16 +709,18 @@ object StatsExtras {
           sum(y * y).as("syy"), sum(y * z).as("syz"), sum(z * z).as("szz"))
         .select(col("n"), expr(
           "stack(6, " +
-            "'disc_bp', 'disc_bp', szz, sz, sz, " +
-            "'price_c', 'disc_bp', sxz, sx, sz, " +
-            "'price_c', 'price_c', sxx, sx, sx, " +
-            "'price_c', 'qty', sxy, sx, sy, " +
-            "'qty', 'disc_bp', syz, sy, sz, " +
-            "'qty', 'qty', syy, sy, sy) AS (x_col, y_col, sab, sa, sb)"))
+            "'disc_f', 'disc_f', szz, sz, sz, cast(1e8 as double), " +
+            "'price_d', 'disc_f', sxz, sx, sz, cast(1e6 as double), " +
+            "'price_d', 'price_d', sxx, sx, sx, cast(1e4 as double), " +
+            "'price_d', 'qty', sxy, sx, sy, cast(1e2 as double), " +
+            "'qty', 'disc_f', syz, sy, sz, cast(1e4 as double), " +
+            "'qty', 'qty', syy, sy, sy, cast(1e0 as double)) " +
+            "AS (x_col, y_col, sab, sa, sb, scl)"))
         .select(col("x_col"), col("y_col"), col("n"),
           round((col("sab").cast("double") -
             col("sa").cast("double") * col("sb").cast("double") /
-              col("n").cast("double")) / col("n").cast("double"), 4)
+              col("n").cast("double")) / col("n").cast("double") /
+            col("scl"), 4)
             .as("cov"))
         .orderBy("x_col", "y_col")
     }),
@@ -746,6 +755,86 @@ object StatsExtras {
                 col("n").cast("double")) *
               sqrt(d2("syy") - d2("sy") * d2("sy") /
                 col("n").cast("double"))), 4).as("r1"))
+    }),
+
+    // Day-of-week seasonality index (round 9 wave 24): revenue share
+    // per weekday normalized by order share — idx > 1 = that weekday
+    // over-indexes on basket size. One fact projection feeds the
+    // 7-group aggregate and the 1-row total (re-derived, both
+    // partial-combine); the 1-row total BROADCASTS back over the
+    // ≤ 7-row distribution. Exact integer cents/counts; idx is the
+    // identical IEEE sequence in both engines → 4 dp.
+    "q_stats_seasonality" -> ((s, d) => {
+      val dd = Tables.orders(s, d).select(
+        expr("(unix_micros(cast(o_orderdate as timestamp))" +
+          " div 86400000000 + 4) % 7").as("dow"),
+        cents(col("o_totalprice")).as("c"))
+      val t = dd.agg(sum("c").as("tot"), count(lit(1)).as("nt"))
+      dd.groupBy("dow")
+        .agg(count(lit(1)).as("n_orders"), sum("c").as("rev_c"))
+        .crossJoin(broadcast(t))
+        .select(col("dow"), col("n_orders"), col("rev_c"),
+          round(col("rev_c").cast("double") * col("nt").cast("double") /
+            (col("n_orders").cast("double") * col("tot").cast("double")), 4)
+            .as("idx"))
+        .orderBy("dow")
+    }),
+
+    // Deterministic subsampling bootstrap (round 9 wave 24) — the
+    // uncertainty-quantification operator: 16 half-rate (p = 1/2)
+    // m-out-of-n resamples of order value, each resample's membership
+    // decided by md5(rep:key) (RNG-free, engine-portable, replay- and
+    // partition-independent — the q_sample_split idiom), reported as
+    // one row per resample so no cross-resample float accumulation
+    // ever happens (the CI band is read off the 16 exact per-rep
+    // means). The 16× fan-out is explode-side (no shuffle until the
+    // 16-group aggregate) and IS the honest bootstrap cost at scale.
+    "q_sample_bootstrap" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), cents(col("o_totalprice")).as("c"))
+        .select(col("c"), col("o_orderkey"),
+          explode(sequence(lit(0), lit(15))).as("rep"))
+        .filter(substring(md5(concat(col("rep").cast("string"), lit(":"),
+          col("o_orderkey").cast("string")).cast("binary")), 1, 2) < "80")
+        .groupBy(col("rep").cast("long").as("rep"))
+        .agg(count(lit(1)).as("n"),
+          round(sum("c").cast("double") / count(lit(1)).cast("double") /
+            lit(100.0), 4).as("mean_d"))
+        .orderBy("rep")),
+
+    // Entropy rate of the behavioral Markov chain (round 9 wave 25) —
+    // conditional entropy H(next | current) in bits over the event-type
+    // transition matrix: how predictable is the next user action?
+    // Builds on the q_events_transitions shape (user-keyed lag window,
+    // |types|² count agg); the transition matrix is CHECKPOINTED (3
+    // consumers — row sums, grand total, term join) and everything
+    // after it is ≤ |types|² rows, so the entropy finish costs the
+    // same at any corpus size. Log parity follows the q_stats_entropy
+    // precedent (both engines' ln on identical integer ratios → 4 dp).
+    "q_stats_entropy_rate" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val cc = graft.Materialize.checkpoint(
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_type"), col("ts"),
+            col("event_id"))
+          .withColumn("nxt", lead(col("event_type"), 1).over(w))
+          .filter(col("nxt").isNotNull)
+          .groupBy(col("event_type").as("cur"), col("nxt"))
+          .agg(count(lit(1)).as("c_ij")))
+      val r = cc.groupBy("cur").agg(sum("c_ij").as("c_i"))
+      val t = cc.agg(sum("c_ij").as("n"))
+      val states = r.agg(count(lit(1)).as("n_states"))
+      cc.join(broadcast(r), "cur")
+        .crossJoin(broadcast(t))
+        .select(col("n"),
+          (negate(col("c_ij").cast("double") / col("n").cast("double")) *
+            (log(col("c_ij").cast("double") / col("c_i").cast("double")) /
+              log(lit(2.0).cast("double")))).as("term"))
+        .groupBy("n")
+        .agg(round(sum("term"), 4).as("h_bits"))
+        .crossJoin(broadcast(states))
+        .select(col("n_states"), col("n").as("n_transitions"),
+          col("h_bits"))
     })
   )
 
@@ -1157,17 +1246,22 @@ object StatsExtras {
          |    SUM(CAST(z AS HUGEINT) * z) AS szz
          |  FROM m),
          |u AS (
-         |  SELECT 'disc_bp' AS x_col, 'disc_bp' AS y_col, szz AS sab,
-         |    sz AS sa, sz AS sb, n FROM s
-         |  UNION ALL SELECT 'price_c', 'disc_bp', sxz, sx, sz, n FROM s
-         |  UNION ALL SELECT 'price_c', 'price_c', sxx, sx, sx, n FROM s
-         |  UNION ALL SELECT 'price_c', 'qty', sxy, sx, sy, n FROM s
-         |  UNION ALL SELECT 'qty', 'disc_bp', syz, sy, sz, n FROM s
-         |  UNION ALL SELECT 'qty', 'qty', syy, sy, sy, n FROM s)
+         |  SELECT 'disc_f' AS x_col, 'disc_f' AS y_col, szz AS sab,
+         |    sz AS sa, sz AS sb, CAST(1e8 AS DOUBLE) AS scl, n FROM s
+         |  UNION ALL SELECT 'price_d', 'disc_f', sxz, sx, sz,
+         |    CAST(1e6 AS DOUBLE), n FROM s
+         |  UNION ALL SELECT 'price_d', 'price_d', sxx, sx, sx,
+         |    CAST(1e4 AS DOUBLE), n FROM s
+         |  UNION ALL SELECT 'price_d', 'qty', sxy, sx, sy,
+         |    CAST(1e2 AS DOUBLE), n FROM s
+         |  UNION ALL SELECT 'qty', 'disc_f', syz, sy, sz,
+         |    CAST(1e4 AS DOUBLE), n FROM s
+         |  UNION ALL SELECT 'qty', 'qty', syy, sy, sy,
+         |    CAST(1e0 AS DOUBLE), n FROM s)
          |SELECT x_col, y_col, n,
          |  ROUND((CAST(sab AS DOUBLE) - CAST(sa AS DOUBLE) *
          |    CAST(sb AS DOUBLE) / CAST(n AS DOUBLE))
-         |    / CAST(n AS DOUBLE), 4) AS cov
+         |    / CAST(n AS DOUBLE) / scl, 4) AS cov
          |FROM u ORDER BY 1, 2""".stripMargin,
     "q_stats_autocorr" ->
       s"""WITH drev AS (SELECT
@@ -1190,6 +1284,46 @@ object StatsExtras {
          |        CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) *
          |     sqrt(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) *
          |        CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))), 4) AS r1
-         |FROM s""".stripMargin
+         |FROM s""".stripMargin,
+    "q_stats_seasonality" ->
+      s"""WITH d AS (SELECT
+         |    (epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 + 4)
+         |      % 7 AS dow,
+         |    ${sqlCents("o_totalprice")} AS c FROM orders),
+         |t AS (SELECT CAST(SUM(c) AS BIGINT) AS tot,
+         |    CAST(COUNT(*) AS BIGINT) AS nt FROM d)
+         |SELECT CAST(dow AS BIGINT) AS dow,
+         |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+         |  CAST(SUM(c) AS BIGINT) AS rev_c,
+         |  ROUND(CAST(SUM(c) AS DOUBLE) * CAST(t.nt AS DOUBLE) /
+         |    (CAST(COUNT(*) AS DOUBLE) * CAST(t.tot AS DOUBLE)), 4) AS idx
+         |FROM d, t GROUP BY 1, t.nt, t.tot ORDER BY 1""".stripMargin,
+    "q_sample_bootstrap" ->
+      s"""WITH reps AS (SELECT unnest(range(16)) AS rep),
+         |s AS (SELECT r.rep, ${sqlCents("o.o_totalprice")} AS c
+         |  FROM orders o CROSS JOIN reps r
+         |  WHERE substr(md5(CAST(r.rep AS VARCHAR) || ':' ||
+         |    CAST(o.o_orderkey AS VARCHAR)), 1, 2) < '80')
+         |SELECT CAST(rep AS BIGINT) AS rep, CAST(COUNT(*) AS BIGINT) AS n,
+         |  ROUND(CAST(SUM(c) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         |    / CAST(100 AS DOUBLE), 4) AS mean_d
+         |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_stats_entropy_rate" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |    LEAD(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS nxt
+        |  FROM events),
+        |c AS (SELECT event_type AS cur, nxt, CAST(COUNT(*) AS BIGINT) AS c_ij
+        |  FROM e WHERE nxt IS NOT NULL GROUP BY 1, 2),
+        |r AS (SELECT cur, CAST(SUM(c_ij) AS BIGINT) AS c_i
+        |  FROM c GROUP BY 1),
+        |t AS (SELECT CAST(SUM(c_ij) AS BIGINT) AS n FROM c)
+        |SELECT CAST((SELECT COUNT(*) FROM r) AS BIGINT) AS n_states,
+        |  CAST(t.n AS BIGINT) AS n_transitions,
+        |  ROUND(SUM(-(CAST(c.c_ij AS DOUBLE) / CAST(t.n AS DOUBLE)) *
+        |    (LN(CAST(c.c_ij AS DOUBLE) / CAST(r.c_i AS DOUBLE)) /
+        |      LN(CAST(2 AS DOUBLE)))), 4) AS h_bits
+        |FROM c JOIN r USING (cur) CROSS JOIN t
+        |GROUP BY t.n""".stripMargin
   )
 }

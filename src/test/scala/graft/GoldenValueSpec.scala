@@ -142,12 +142,14 @@ class GoldenValueSpec extends AnyFunSuite {
     assert((r.getLong(0), r.getDouble(1)) === ((1093L, -0.0308)))
   }
 
-  test("q_stats_cov exact qty cells") {
+  test("q_stats_cov natural-unit cells") {
     val rows = SparkEntry.queries("q_stats_cov")(spark, sf0001)
-      .filter("x_col = 'qty'").collect()
-      .map(r => (r.getString(0), r.getString(1), r.getDouble(3)))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(3)))
     assert(rows.toSeq === Seq(
-      ("qty", "disc_bp", 56.2426), ("qty", "qty", 210.8293)))
+      ("disc_f", "disc_f", 0.0008), ("price_d", "disc_f", 13.3701),
+      ("price_d", "price_d", 908335167.0588),
+      ("price_d", "qty", -4289.987),
+      ("qty", "disc_f", 0.0056), ("qty", "qty", 210.8293)))
   }
 
   test("q_events_attribution full channel table") {
@@ -156,5 +158,30 @@ class GoldenValueSpec extends AnyFunSuite {
     assert(rows.toSeq === Seq(
       ("0", 44L, 210950L), ("1", 48L, 225109L), ("2", 55L, 323557L),
       ("3", 31L, 177630L), ("direct", 24L, 105223L)))
+  }
+
+  test("q_agg_growth ledger head (new/retained/resurrected/churned)") {
+    val rows = SparkEntry.queries("q_agg_growth")(spark, sf0001)
+      .limit(3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.toSeq === Seq(
+      ("1995-01", 16L, 0L, 0L, 0L),
+      ("1995-02", 20L, 1L, 0L, 15L),
+      ("1995-03", 14L, 3L, 4L, 18L)))
+  }
+
+  test("q_stats_seasonality exact weekday indices") {
+    val rows = SparkEntry.queries("q_stats_seasonality")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getDouble(3)))
+    assert(rows.toSeq === Seq((0L, 0.9839), (1L, 1.0056), (2L, 0.9733),
+      (3L, 1.0166), (4L, 0.9954), (5L, 0.983), (6L, 1.0438)))
+  }
+
+  test("q_stats_entropy_rate exact bits") {
+    val r = SparkEntry.queries("q_stats_entropy_rate")(spark, sf0001)
+      .collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2)) ===
+      ((5L, 985L, 2.3101)))
   }
 }
