@@ -526,12 +526,14 @@ object AnalyticsExtras {
     // calendar. Churn for month m+1 = customers active in m whose
     // next active month is not m+1 (or never).
     "q_agg_growth" -> ((s, d) => {
-      val cm = graft.Materialize.checkpoint(
-        Tables.orders(s, d)
-          .select(col("o_custkey").as("cust"),
-            date_format(date_trunc("MONTH", col("o_orderdate")), "yyyy-MM")
-              .as("mon"))
-          .distinct())
+      // NOT checkpointed: `distinct` ends in an aggregate exchange and
+      // AQE query-stage reuse serves all three consumers (window pass,
+      // churn pass, max-month) from that one shuffle
+      val cm = Tables.orders(s, d)
+        .select(col("o_custkey").as("cust"),
+          date_format(date_trunc("MONTH", col("o_orderdate")), "yyyy-MM")
+            .as("mon"))
+        .distinct()
       val w = Window.partitionBy("cust").orderBy("mon")
       def nextMon(c: Column) =
         date_format(add_months(to_date(concat(c, lit("-01"))), 1), "yyyy-MM")

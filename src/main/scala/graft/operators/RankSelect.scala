@@ -61,14 +61,16 @@ object RankSelect {
     // nulls-first window order must coalesce to a sentinel first.)
     val base = df.select(col(grp), col(v).as("__v"), col(tie).as("__k"))
       .filter(col(grp).isNotNull && col("__v").isNotNull)
-    // one row per group — materialized (Materialize registry) because
-    // it feeds several branches (bucket bounds ×2 consumers + target
-    // ranks); without it each branch would re-scan the fact table
-    val stats = graft.Materialize.checkpoint(
-      base.groupBy(grp).agg(
-        min(col("__v").cast("double")).as("__lo"),
-        max(col("__v").cast("double")).as("__hi"),
-        count(lit(1)).as("__n")))
+    // one row per group, ending in an aggregate EXCHANGE — NOT
+    // checkpointed: AQE query-stage reuse serves every consumer
+    // (bucket bounds ×2, target ranks) from that one shuffle, so the
+    // fact table is still scanned once; the former blocking
+    // checkpoint-count here was one driver round-trip per RankSelect
+    // call across the ~10 rank-family contract queries
+    val stats = base.groupBy(grp).agg(
+      min(col("__v").cast("double")).as("__lo"),
+      max(col("__v").cast("double")).as("__hi"),
+      count(lit(1)).as("__n"))
     // floor((v-lo)/width) is monotone in v (IEEE - and / preserve order
     // for fixed lo/width > 0), so bucket boundaries respect the sort
     // order and equal values always share a bucket; the `least` cap

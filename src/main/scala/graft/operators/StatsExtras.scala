@@ -813,14 +813,18 @@ object StatsExtras {
     // precedent (both engines' ln on identical integer ratios → 4 dp).
     "q_stats_entropy_rate" -> ((s, d) => {
       val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-      val cc = graft.Materialize.checkpoint(
-        Tables.events(s, d)
-          .select(col("user_id"), col("event_type"), col("ts"),
-            col("event_id"))
-          .withColumn("nxt", lead(col("event_type"), 1).over(w))
-          .filter(col("nxt").isNotNull)
-          .groupBy(col("event_type").as("cur"), col("nxt"))
-          .agg(count(lit(1)).as("c_ij")))
+      // NOT checkpointed: the |types|²-row matrix ends in an aggregate
+      // exchange, and AQE's query-stage reuse serves all three
+      // consumers (row sums, total, term join) from that ONE shuffle —
+      // a blocking checkpoint job here only added a driver round-trip
+      // (measured ~0.4 s of the query's ~0.9 s).
+      val cc = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts"),
+          col("event_id"))
+        .withColumn("nxt", lead(col("event_type"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .groupBy(col("event_type").as("cur"), col("nxt"))
+        .agg(count(lit(1)).as("c_ij"))
       val r = cc.groupBy("cur").agg(sum("c_ij").as("c_i"))
       val t = cc.agg(sum("c_ij").as("n"))
       val states = r.agg(count(lit(1)).as("n_states"))
