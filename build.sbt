@@ -29,14 +29,33 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 24g + ParallelGC: the full-contract Bench churns ~138 queries ×
-  // 3 reps of persist/unpersist cycles through one JVM; at 8g/G1 the
-  // GC tax inflated the sf0.1 total ~13% (54.6 → 48.1 s measured).
-  // Throughput GC fits a batch bench; the box has 128 GiB.
+  // Shuffle/spill/disk-persist files on tmpfs: this sandbox's kernel
+  // makes small-file I/O on the root disk ~20× slower than tmpfs
+  // (measured 1.2 ms vs 0.07 ms per 64k fsync), and a full-contract
+  // session writes tens of thousands of tiny shuffle segments. The
+  // box has 128 GiB; sf0.1 shuffle data is MBs.
+  "-Dspark.local.dir=/dev/shm/graft-local",
+  // Let AQE re-plan the output partitioning of cached frames:
+  // without it every Materialize.checkpoint freezes its pre-AQE
+  // 32-partition layout, and each downstream consumer of a tiny
+  // cached aggregate pays a 32-96-task stage of empty scheduling
+  // (measured: the rank-family queries' 96-task union stages).
+  "-Dspark.sql.optimizer.canChangeCachedPlanOutputPartitioning=true",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
   // pre-sized young-gen-heavy heap: with the default tiny -Xms the
   // 441-execution bench spends its first minutes growing the heap
   // through adaptive-sizing GCs
   s"-Xms${sys.env.getOrElse("SPARK_GRAFT_XMS", "12g")}",
-  "-XX:+UseParallelGC",
-)
+  // G1 over ParallelGC: round 8 measured ParallelGC ahead (48.1 vs
+  // 54.6 s) but on this round's host the 12-24g ParallelGC full
+  // collections are multi-second stop-the-worlds that land inside
+  // min-of-3 reps — A/B on the three slowest queries measured G1
+  // 2-3× faster mins with far lower variance (rfm 9.2→3.1 s,
+  // mad 5.7→2.9 s, cluster 9.0→5.5 s).
+  s"-XX:+Use${sys.env.getOrElse("SPARK_GRAFT_GC", "G1GC")}",
+) ++
+  // ad-hoc forked-JVM flags for A/B profiling runs, e.g.
+  // SPARK_GRAFT_EXTRA_JAVA_OPTS="-Dspark.foo=bar -Dspark.baz=qux"
+  sys.env.get("SPARK_GRAFT_EXTRA_JAVA_OPTS")
+    .map(_.split("\\s+").toSeq.filter(_.nonEmpty))
+    .getOrElse(Seq.empty)
