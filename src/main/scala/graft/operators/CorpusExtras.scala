@@ -58,6 +58,36 @@ object CorpusExtras {
         .orderBy(col("df").desc, col("tf").desc, col("token"))
         .limit(30)),
 
+    // Lexical-diversity profile per language: vocabulary size,
+    // type-token ratio, top-token share, and the Simpson
+    // concentration index Σ(tf/N)² — the corpus-health gauge that
+    // flags template/boilerplate floods (diversity collapses) before
+    // they poison a training mix. Same two-level aggregate shape as
+    // q_text_vocab: tokens collapse to (lang, token, tf) map-side,
+    // then ≤ |langs|×|vocab| rows aggregate to one row per language —
+    // no posting list and no token string survives the first
+    // exchange. tf sums are exact integers; the three ratios are
+    // single IEEE divisions of exact integers (tf² summed in DECIMAL
+    // in case a 100 TB corpus pushes Σtf² past int64) → 4 dp.
+    "q_text_diversity" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("lang"),
+          explode(expr("filter(split(text, ' '), t -> t <> '')")).as("token"))
+        .groupBy("lang", "token")
+        .agg(count(lit(1)).as("tf"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("vocab"), sum(col("tf")).as("tokens"),
+          max(col("tf")).as("top_tf"),
+          sum(col("tf").cast("decimal(19,0)") * col("tf")).as("sq"))
+        .select(col("lang"), col("vocab"), col("tokens"),
+          round(col("vocab").cast("double") / col("tokens"), 4).as("ttr"),
+          round(col("top_tf").cast("double") / col("tokens"), 4)
+            .as("top_share"),
+          round(col("sq").cast("double") /
+            (col("tokens").cast("double") * col("tokens").cast("double")), 4)
+            .as("simpson"))
+        .orderBy("lang")),
+
     // Repetition-based quality: fraction of duplicate token 3-grams —
     // the "excessive repetition" filter of web-corpus curation. Gram
     // totals and distinct counts are exact integers, so per-lang sums
@@ -467,6 +497,25 @@ object CorpusExtras {
         |SELECT token, CAST(COUNT(*) AS BIGINT) AS df, CAST(SUM(n) AS BIGINT) AS tf
         |FROM per_doc GROUP BY token HAVING COUNT(*) >= 5
         |ORDER BY df DESC, tf DESC, token LIMIT 30""".stripMargin,
+
+    "q_text_diversity" ->
+      """WITH toks AS (
+        |  SELECT lang, unnest(list_filter(string_split(text, ' '),
+        |    t -> t <> '')) AS token
+        |  FROM documents),
+        |tf AS (SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM toks GROUP BY lang, token),
+        |tot AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS vocab,
+        |    CAST(SUM(tf) AS BIGINT) AS tokens,
+        |    CAST(MAX(tf) AS BIGINT) AS top_tf,
+        |    SUM(CAST(tf AS HUGEINT) * tf) AS sq
+        |  FROM tf GROUP BY lang)
+        |SELECT lang, vocab, tokens,
+        |  ROUND(CAST(vocab AS DOUBLE) / tokens, 4) AS ttr,
+        |  ROUND(CAST(top_tf AS DOUBLE) / tokens, 4) AS top_share,
+        |  ROUND(CAST(sq AS DOUBLE) /
+        |    (CAST(tokens AS DOUBLE) * CAST(tokens AS DOUBLE)), 4) AS simpson
+        |FROM tot ORDER BY lang""".stripMargin,
     "q_text_repetition" ->
       """WITH g AS (
         |  SELECT lang,

@@ -358,6 +358,56 @@ object StatsExtras {
         .orderBy("ante", "cons")
     }),
 
+    // Theil T index of order value per status — the inequality
+    // metric that decomposes additively across groups (gini does
+    // not), so it is the one a contributor-concentration dashboard
+    // aggregates hierarchically. T = Σx·ln(x)/Σx − ln(Σx/n) over
+    // integer cents: ONE partial-combined hash aggregate per group
+    // collects (n, Σx, Σx·ln x) in a single fact pass — no rank, no
+    // join, no window. ln(integer cents) is the only libm call and
+    // both engines' ~1-ulp log error vanishes at 4 dp (same argument
+    // as q_stats_entropy's log2).
+    "q_agg_theil" -> ((s, d) => {
+      val c = cents(col("o_totalprice")).cast("double")
+      Tables.orders(s, d)
+        .groupBy(col("o_orderstatus").as("st"))
+        .agg(count(lit(1)).as("n"),
+          sum(c).as("sx"), sum(c * log(c)).as("sxl"))
+        .select(col("st"), col("n"),
+          round(col("sxl") / col("sx") - log(col("sx") / col("n")), 4)
+            .as("theil"))
+        .orderBy("st")
+    }),
+
+    // Degree distribution of the co-purchase graph (same ≥2-support
+    // edge set as q_graph_triangles) — the first thing a graph
+    // workload reports, and the skew evidence behind salting
+    // decisions: a power-law tail here is exactly the hot-key
+    // distribution joins must survive. Shares the triangle census's
+    // scale shape: one numbered-repartition basket collapse, pair
+    // explode bounded by C(basket, 2), and everything after the
+    // support filter operates on the bounded edge relation (degree =
+    // one hash agg over 2|E| node slots, histogram = one agg over
+    // ≤ |V| rows). The corpus is shuffled exactly once.
+    "q_graph_degree" -> ((s, d) => {
+      val pairs = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .repartition(s.sparkContext.defaultParallelism, col("o"))
+        .groupBy("o").agg(sort_array(collect_set("p")).as("ps"))
+        .select(explode(expr(
+          "flatten(transform(ps, (x, i) -> transform(" +
+            "slice(ps, i + 2, size(ps)), y -> named_struct('pa', x, 'pb', y))))"))
+          .as("pr"))
+      val e = pairs.groupBy(col("pr.pa").as("pa"), col("pr.pb").as("pb"))
+        .agg(count(lit(1)).as("sup"))
+        .filter(col("sup") >= 2)
+        .select("pa", "pb")
+      e.select(col("pa").as("node")).unionAll(e.select(col("pb").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("degree"))
+        .groupBy("degree").agg(count(lit(1)).as("n_parts"))
+        .orderBy("degree")
+    }),
+
     // Gini coefficient of order value per status — the inequality/
     // concentration metric (revenue concentration, data-contributor
     // skew). Needs every row's exact global rank within its group:
@@ -1054,6 +1104,31 @@ object StatsExtras {
         |JOIN isup sa ON sa.p = r.ante
         |JOIN isup sb ON sb.p = r.cons, n
         |ORDER BY ante, cons""".stripMargin,
+    "q_agg_theil" ->
+      s"""WITH c AS (SELECT o_orderstatus AS st,
+         |    CAST(${sqlCents("o_totalprice")} AS DOUBLE) AS c FROM orders)
+         |SELECT st, CAST(COUNT(*) AS BIGINT) AS n,
+         |  ROUND(SUM(c*LN(c))/SUM(c) - LN(SUM(c)/COUNT(*)), 4) AS theil
+         |FROM c GROUP BY st ORDER BY st""".stripMargin,
+
+    "q_graph_degree" ->
+      """WITH sets AS (
+        |  SELECT l_orderkey AS o,
+        |    list_sort(list_distinct(list(l_partkey))) AS ps
+        |  FROM lineitem GROUP BY l_orderkey),
+        |pairs AS (
+        |  SELECT pr.pa AS pa, pr.pb AS pb, COUNT(*) AS sup
+        |  FROM sets, LATERAL (SELECT UNNEST(flatten(list_transform(ps,
+        |    (x, i) -> list_transform(ps[i+1:],
+        |      y -> {'pa': x, 'pb': y})))) AS pr) t
+        |  GROUP BY pr.pa, pr.pb HAVING COUNT(*) >= 2),
+        |deg AS (
+        |  SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+        |    SELECT pa AS node FROM pairs
+        |    UNION ALL SELECT pb FROM pairs) GROUP BY node)
+        |SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_parts
+        |FROM deg GROUP BY degree ORDER BY degree""".stripMargin,
+
     "q_agg_gini" ->
       s"""WITH o AS (SELECT o_orderstatus AS st,
          |    ${sqlCents("o_totalprice")} AS c, o_orderkey AS k FROM orders),
