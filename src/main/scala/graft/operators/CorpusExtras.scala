@@ -173,19 +173,29 @@ object CorpusExtras {
 
     // Deterministic stratified sample: exactly ceil(10%) of each lang
     // stratum, chosen by md5-hash order — a reproducible per-stratum
-    // quota with no RNG. Exact quotas need a per-stratum rank, so this
-    // is the small-strata shape (languages, sources: bounded count,
-    // windows sort-spill if a stratum is huge); when strata are massive
-    // and ±ε is fine, the hash-threshold split (q_sample_split) does it
-    // with no window at all.
+    // quota with no RNG. Exact quotas need a per-stratum rank, and a
+    // naive `row_number() over (partition by lang)` funnels the whole
+    // corpus through |lang| sort tasks — the low-cardinality-key
+    // scale-killer RankSelect exists to avoid (RankSelect.scala:7). So
+    // the rank comes from RankSelect.withGlobalRank at (lang × bucket)
+    // parallelism instead: the bucketable sort value is the first 60
+    // bits of the md5 as a long (fixed-width lowercase hex compares
+    // identically as string and as integer), ties broken by the full
+    // hex + zero-padded doc_id — exactly the oracle's (md5, doc_id)
+    // order. The integer quota `(n + 9) div 10` is computed from the
+    // exact per-stratum count, never ceil(n·0.1) in doubles (IEEE
+    // n·0.1 can land one ulp ABOVE n/10 at multiples of 10 and shift
+    // the quota by one).
     "q_sample_stratified" -> ((s, d) => {
       val h = md5(col("doc_id").cast("string").cast("binary"))
-      val w = Window.partitionBy("lang").orderBy(h, col("doc_id"))
-      Tables.documents(s, d)
-        .select(col("lang"), col("n_chars"), col("doc_id"))
-        .withColumn("rn", row_number().over(w))
-        .withColumn("cnt", count(lit(1)).over(Window.partitionBy("lang")))
-        .filter(expr("rn <= (cnt + 9) div 10"))
+      val docs = Tables.documents(s, d)
+        .select(col("lang"), col("n_chars"), col("doc_id"),
+          conv(substring(h, 1, 15), 16, 10).cast("long").as("__hv"),
+          concat(h, lit("|"),
+            lpad(col("doc_id").cast("string"), 19, "0")).as("__tk"))
+      RankSelect.withGlobalRank(docs, "lang", "__hv", "__tk",
+          carry = Seq("n_chars", "doc_id"))
+        .filter(expr("__rank <= (__n + 9) div 10"))
         .groupBy("lang")
         .agg(count(lit(1)).as("n_sampled"), sum(col("n_chars")).as("sum_chars"),
           min(col("doc_id")).as("min_doc"))

@@ -287,6 +287,43 @@ object JoinQueries {
           sum(cents(col("l_extendedprice")) *
             (lit(100L) - cents(col("l_discount")))).as("rev_cp"))
         .orderBy(col("rev_cp").desc, col("n_name"))
+    }),
+
+    // TPC-H Q3-shaped shipping-priority query (round 10): the canonical
+    // multi-fact join + aggregate + top-k composition — segment-filtered
+    // customers ⨝ date-filtered orders ⨝ date-filtered lineitems,
+    // revenue per order, top-10 by revenue. All three filters are plain
+    // scan predicates, so they push into the parquet reads BEFORE any
+    // shuffle; customer scales with the fact tables (like `part`), so
+    // no broadcast hint — the planner broadcasts while it fits and
+    // falls back to key-partitioned joins from runtime stats. The
+    // grouping key (o_orderkey) is the high-cardinality join key, so
+    // the lineitem⨝orders exchange doubles as the aggregation exchange
+    // (one fact-fact shuffle total), and the final top-10 compiles to
+    // TakeOrderedAndProject — per-partition heaps forward 10 rows each,
+    // no global sort. Revenue is the exact integer cent-percent sum
+    // (q_join_star's idiom): Σ price_c·(100 − disc_c), no float money.
+    "q_join_priority" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val ord = Tables.orders(s, d)
+        .filter(expr("to_date(o_orderdate) < date'1998-06-01'"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          col("o_orderpriority"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+      Tables.lineitem(s, d)
+        .filter(expr("to_date(l_shipdate) > date'1998-06-01'"))
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(sum(cents(col("l_extendedprice")) *
+          (lit(100L) - cents(col("l_discount")))).as("rev_cp"))
+        .select(col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+          col("o_orderpriority"), col("rev_cp"))
+        .orderBy(col("rev_cp").desc, col("order_date"), col("o_orderkey"))
+        .limit(10)
     })
   )
 
@@ -401,6 +438,22 @@ object JoinQueries {
          |JOIN supplier ON s_suppkey = l_suppkey
          |  AND s_nationkey = c_nationkey
          |WHERE r_name = 'ASIA'
-         |GROUP BY n_name ORDER BY rev_cp DESC, n_name""".stripMargin
+         |GROUP BY n_name ORDER BY rev_cp DESC, n_name""".stripMargin,
+
+    "q_join_priority" ->
+      s"""SELECT o_orderkey,
+         |  strftime(date_trunc('day', o_orderdate), '%Y-%m-%d')
+         |    AS order_date,
+         |  o_orderpriority,
+         |  CAST(SUM(${sqlCents("l_extendedprice")}
+         |    * (100 - ${sqlCents("l_discount")})) AS BIGINT) AS rev_cp
+         |FROM customer
+         |JOIN orders ON o_custkey = c_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND CAST(o_orderdate AS DATE) < DATE '1998-06-01'
+         |  AND CAST(l_shipdate AS DATE) > DATE '1998-06-01'
+         |GROUP BY 1, 2, 3
+         |ORDER BY rev_cp DESC, order_date, o_orderkey LIMIT 10""".stripMargin
   )
 }

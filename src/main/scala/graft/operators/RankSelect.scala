@@ -49,17 +49,20 @@ object RankSelect {
       stats: DataFrame)
 
   /** Phase 1 + 2: bucket assignment and per-(group, bucket) cumulative
-    * counts. `bucketed` carries (grp, __v, __k, __b); `cum` is the tiny
-    * histogram with `__cumBefore`; `stats` has per-group `__n`.
+    * counts. `bucketed` carries (grp, __v, __k, __b) plus any `carry`
+    * payload columns (threaded through untouched — Catalyst prunes them
+    * off the histogram branch); `cum` is the tiny histogram with
+    * `__cumBefore`; `stats` has per-group `__n`.
     */
   private def build(df: DataFrame, grp: String, v: String, tie: String,
-      buckets: Int): Hist = {
+      buckets: Int, carry: Seq[String]): Hist = {
     // NULL group / NULL value rows are EXCLUDED — from __n as well as
     // from ranking, so ceil(n·p) always lands on a ranked row. (A NULL
     // value would bucket to NULL and silently vanish in the (grp, __b)
     // equi-joins while still counting in __n; callers needing SQL
     // nulls-first window order must coalesce to a sentinel first.)
-    val base = df.select(col(grp), col(v).as("__v"), col(tie).as("__k"))
+    val base = df.select(col(grp) +: col(v).as("__v") +: col(tie).as("__k")
+        +: carry.map(col): _*)
       .filter(col(grp).isNotNull && col("__v").isNotNull)
     // one row per group, ending in an aggregate EXCHANGE — NOT
     // checkpointed: AQE query-stage reuse serves every consumer
@@ -83,7 +86,8 @@ object RankSelect {
               ((col("__hi") - col("__lo")) / buckets)),
             lit(buckets - 1L)))
           .cast("int"))
-      .select(col(grp), col("__v"), col("__k"), col("__b"))
+      .select(col(grp) +: col("__v") +: col("__k") +: col("__b")
+        +: carry.map(col): _*)
     val hist = bucketed.groupBy(col(grp), col("__b"))
       .agg(count(lit(1)).as("__cnt"))
     // prefix sum over ≤ groups × buckets rows — per-group partitioning
@@ -103,7 +107,7 @@ object RankSelect {
     */
   def selectRanks(df: DataFrame, grp: String, v: String, tie: String,
       targets: Seq[(String, Double)], buckets: Int = 1024): DataFrame = {
-    val h = build(df, grp, v, tie, buckets)
+    val h = build(df, grp, v, tie, buckets, Nil)
     val pairs = targets.flatMap { case (t, p) => Seq(lit(t), lit(p)) }
     // ceil(n·p) in IEEE doubles — bit-identical to the oracle's
     // CEIL(n * p), so the selected rank agrees across engines
@@ -212,13 +216,14 @@ object RankSelect {
 
   /** Every row with its exact global rank within its group under
     * (v, tie) order, plus the group size. Returns
-    * (grp, __v, __k, __rank, __n). The ranking window partitions by
+    * (grp, __v, __k, __rank, __n) plus any `carry` payload columns
+    * threaded through unchanged. The ranking window partitions by
     * (group, bucket) — groups × buckets parallel tasks of bounded size,
     * never |groups| full-table tasks.
     */
   def withGlobalRank(df: DataFrame, grp: String, v: String, tie: String,
-      buckets: Int = 1024): DataFrame = {
-    val h = build(df, grp, v, tie, buckets)
+      buckets: Int = 1024, carry: Seq[String] = Nil): DataFrame = {
+    val h = build(df, grp, v, tie, buckets, carry)
     val w = Window.partitionBy(col(grp), col("__b"))
       .orderBy(col("__v"), col("__k"))
     // ≤ groups × buckets rows with a single consumer — the broadcast
@@ -229,6 +234,7 @@ object RankSelect {
       .join(broadcast(cum), Seq(grp, "__b"))
       .join(broadcast(h.stats.select(col(grp), col("__n"))), Seq(grp))
       .withColumn("__rank", col("__cumBefore") + row_number().over(w))
-      .select(col(grp), col("__v"), col("__k"), col("__rank"), col("__n"))
+      .select(col(grp) +: col("__v") +: col("__k") +: col("__rank")
+        +: col("__n") +: carry.map(col): _*)
   }
 }

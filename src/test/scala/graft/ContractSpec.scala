@@ -172,11 +172,35 @@ class ContractSpec extends AnyFunSuite {
     "q_stats_seasonality" -> 7L,
     "q_sample_bootstrap" -> 16L,
     "q_stats_entropy_rate" -> 1L,
-    "q_text_rake" -> 20L
+    "q_text_rake" -> 20L,
+    "q_join_priority" -> 10L
   )
 
   test("every contract query has oracle SQL and vice versa") {
     assert(SparkEntry.queries.keySet === SparkEntry.oracleSql.keySet)
+  }
+
+  // SURVEY.md §2 is the contract of record; round 9's table and its
+  // prose total drifted 35 queries apart. Parse the t2 rows out of the
+  // table and pin them to the code so neither the table nor the
+  // "Contract total: N" line can go stale again.
+  test("SURVEY.md §2 t2 rows equal SparkEntry.queries exactly") {
+    val survey = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("SURVEY.md")), "UTF-8")
+    val t2 = "(?m)^\\| `(q_[a-z0-9_]+)` \\|.*\\*\\*t2\\*\\* \\|$".r
+      .findAllMatchIn(survey).map(_.group(1)).toSet
+    val code = SparkEntry.queries.keySet
+    assert(t2 === code,
+      s"SURVEY-only: ${(t2 -- code).toSeq.sorted.mkString(",")}; " +
+        s"code-only: ${(code -- t2).toSeq.sorted.mkString(",")}")
+    val total = "\\*\\*Contract total: (\\d+) t2 queries\\*\\*".r
+      .findFirstMatchIn(survey).map(_.group(1).toInt)
+    assert(total.contains(code.size),
+      s"SURVEY prose says ${total.orNull}, code has ${code.size}")
+  }
+
+  test("every contract query carries a golden row count") {
+    assert(goldenCounts.keySet === SparkEntry.queries.keySet)
   }
 
   test("entry (t1 smoke) returns rows") {

@@ -38,12 +38,12 @@ class PlanShapeSpec extends AnyFunSuite {
   // fails exactly when a single-column group window sits on a subtree
   // with no aggregation below it.
   private val lowCardGroups = Set("st", "et", "g", "grp", "flag",
-    "o_orderstatus", "event_type", "l_returnflag")
+    "o_orderstatus", "event_type", "l_returnflag", "lang")
 
   test("rank-selection queries never window-partition facts by the bare group") {
     Seq("q_percentile", "q_agg_winsorize", "q_window_ntile", "q_agg_gini",
       "q_agg_pareto", "q_window_session_stats", "q_stats_outlier",
-      "q_agg_wmedian")
+      "q_agg_wmedian", "q_sample_stratified")
       .foreach { n =>
         plan(n).collect { case w: WindowExec => w }.foreach { w =>
           val parts = w.partitionSpec.flatMap(_.references).map(_.name)
