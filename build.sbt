@@ -33,8 +33,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // makes small-file I/O on the root disk ~20× slower than tmpfs
   // (measured 1.2 ms vs 0.07 ms per 64k fsync), and a full-contract
   // session writes tens of thousands of tiny shuffle segments. The
-  // box has 128 GiB; sf0.1 shuffle data is MBs.
-  "-Dspark.local.dir=/dev/shm/graft-local",
+  // box has 128 GiB; sf0.1 shuffle data is MBs. Overridable for hosts
+  // without a roomy /dev/shm; Spark only removes its spark-<uuid>
+  // subdir on graceful shutdown, so killed runs leak tmpfs RAM —
+  // cleaned at fork startup below.
+  s"-Dspark.local.dir=${sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR",
+    "/dev/shm/graft-local")}",
   // Let AQE re-plan the output partitioning of cached frames:
   // without it every Materialize.checkpoint freezes its pre-AQE
   // 32-partition layout, and each downstream consumer of a tiny
@@ -55,7 +59,24 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   s"-XX:+Use${sys.env.getOrElse("SPARK_GRAFT_GC", "G1GC")}",
 ) ++
   // ad-hoc forked-JVM flags for A/B profiling runs, e.g.
-  // SPARK_GRAFT_EXTRA_JAVA_OPTS="-Dspark.foo=bar -Dspark.baz=qux"
+  // SPARK_GRAFT_EXTRA_JAVA_OPTS="-Dspark.foo=bar -Dspark.baz=qux".
+  // Split on whitespace — a -D VALUE containing a space (even quoted)
+  // becomes separate bogus flags; no such flag has been needed, so the
+  // limitation is documented rather than worked around.
   sys.env.get("SPARK_GRAFT_EXTRA_JAVA_OPTS")
     .map(_.split("\\s+").toSeq.filter(_.nonEmpty))
     .getOrElse(Seq.empty)
+
+// Reap stale tmpfs shuffle dirs at build load: Spark removes its
+// spark-<uuid> subdir only on graceful shutdown, so killed/crashed
+// forked JVMs leak RAM-backed files until reboot. Anything older than
+// 2 h cannot belong to a live fork of this build (no run approaches
+// that); concurrent fresh runs are untouched.
+val graftLocalReaped: Unit = {
+  val base = new java.io.File(sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR",
+    "/dev/shm/graft-local"))
+  val cutoff = System.currentTimeMillis() - 2L * 3600 * 1000
+  Option(base.listFiles).getOrElse(Array.empty[java.io.File])
+    .filter(_.lastModified < cutoff)
+    .foreach(sbt.IO.delete)
+}

@@ -102,6 +102,21 @@ object Bench {
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    // The driver artifact keeps only the tail of stdout, so per-query
+    // timings for most of the contract are unrecoverable from
+    // BENCH_r{N}.json — write the full map to a file too (committed
+    // per round) so cross-round regression analysis can diff every
+    // query, not just the slowest-5. Best-effort: a read-only CWD must
+    // not fail the bench.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    if (out.nonEmpty) try {
+      val qLines = results.map { case (k, v) =>
+        f"""  "$k": ${v}%.3f""" }.mkString(",\n")
+      val json = s"""{"sf":"$sfDir","cpus":"$cpus","total":$total,""" +
+        s""""failed":$failed,"queries":{\n$qLines\n}}\n"""
+      java.nio.file.Files.write(java.nio.file.Paths.get(out),
+        json.getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
     // The driver captures only the TAIL of stdout; the per-query map
     // above is ~85 entries and can push the headline total off the
     // front of the capture window. Emit a short, self-contained JSON

@@ -65,7 +65,12 @@ object Profile {
         SparkEntry.queries(n)(spark, sfDir).count()
         val wallMs = (System.nanoTime() - t0) / 1000000L
         Materialize.releaseAll()
-        // let listener events drain before reading counters
+        // Drain the async listener bus before reading counters. The
+        // fixed sleep is heuristic — under heavy load a straggling
+        // stage/job-end event can still post after the print (and then
+        // bleed into the next rep's freshly-reset counters), so treat
+        // a single surprising rep as suspect and re-run; waitUntilEmpty
+        // is not public API on this bus.
         Thread.sleep(300)
         println(f"$n%-24s rep$r wall=${wallMs}ms jobs=$jobs stages=$stages " +
           f"taskTime=${taskMs}ms jobWall=${jobMs}ms")

@@ -83,9 +83,25 @@ object AggExtras {
     // per-type full-table window in either pass.
     "q_agg_mad" -> ((s, d) => {
       val buckets = RankSelect.bucketsFor(Stats.rowCount(s, d, "events"))
-      val o = graft.Materialize.checkpoint(
+      // The original two chained selectRanks ran 33 AQE stage-jobs per
+      // execution (profiled: wall ~4-6 s at sf0.1 with <0.7 s of
+      // parallel task work — the rest sequential driver round-trips).
+      // The restructure below fuses every bounds pass: ONE stats
+      // action doubles as o's cache materializer and serves BOTH
+      // selections, because pass 2's deviations provably lie in
+      // [0, max(hi−med, med−lo)] — selectRanksGivenStats needs only a
+      // COVER, not exact bounds. Facts are scanned once per remaining
+      // phase: cache+stats, histogram 1, rank 1, dev histogram, rank 2.
+      val o = graft.Materialize.checkpointLazy(
         Tables.events(s, d).select(col("event_type").as("et"),
           cents(col("value")).as("c"), col("event_id").as("k")))
+      // count(c), not count(*): RankSelect excludes null values from
+      // ranking, so targets must be ceil(p · non-null count)
+      val stats1 = graft.Materialize.checkpoint(
+        o.groupBy("et").agg(
+          min(col("c").cast("double")).as("__lo"),
+          max(col("c").cast("double")).as("__hi"),
+          count(col("c")).as("__n")))
       // the ≤|types|-row median is CHECKPOINTED: the second pass's
       // histogram build and the final join each trigger their own
       // action, and without the checkpoint every one of them re-runs
@@ -93,13 +109,18 @@ object AggExtras {
       // reused across separate jobs) — measured 1.7 s of pure rework
       // at sf0.1
       val med = graft.Materialize.checkpoint(
-        RankSelect.selectRanks(o, "et", "c", "k",
-            Seq("p50" -> 0.5), buckets)
+        RankSelect.selectRanksGivenStats(o, "et", "c", "k",
+            Seq("p50" -> 0.5), stats1, buckets)
           .select(col("et"), col("__v").as("med")))
+      val stats2 = med.join(stats1, "et")
+        .select(col("et"), lit(0.0).as("__lo"),
+          greatest(col("__hi") - col("med"), col("med") - col("__lo"))
+            .as("__hi"),
+          col("__n"))
       val dev = o.join(broadcast(med), "et")
         .select(col("et"), abs(col("c") - col("med")).as("dv"), col("k"))
-      RankSelect.selectRanks(dev, "et", "dv", "k", Seq("p50m" -> 0.5),
-          buckets)
+      RankSelect.selectRanksGivenStats(dev, "et", "dv", "k",
+          Seq("p50m" -> 0.5), stats2, buckets)
         .join(broadcast(med), "et")
         .select(col("et").as("event_type"), col("med").as("median_c"),
           col("__v").as("mad_c"))

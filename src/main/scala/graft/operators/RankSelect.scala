@@ -74,17 +74,26 @@ object RankSelect {
       min(col("__v").cast("double")).as("__lo"),
       max(col("__v").cast("double")).as("__hi"),
       count(lit(1)).as("__n"))
+    buildFrom(base, grp, stats, buckets, carry)
+  }
+
+  /** Phases 1 + 2 against a caller-supplied (or just-derived) stats
+    * relation — shared by [[build]] and [[selectRanksGivenStats]].
+    */
+  private def buildFrom(base: DataFrame, grp: String, stats: DataFrame,
+      buckets: Int, carry: Seq[String]): Hist = {
     // floor((v-lo)/width) is monotone in v (IEEE - and / preserve order
     // for fixed lo/width > 0), so bucket boundaries respect the sort
     // order and equal values always share a bucket; the `least` cap
-    // absorbs v == hi rounding up to exactly `buckets`.
+    // absorbs v == hi rounding up to exactly `buckets`, and the
+    // `greatest` floor clamps values under a too-wide cover's __lo.
     val bucketed = base.join(broadcast(stats), Seq(grp))
       .withColumn("__b",
         when(col("__hi") === col("__lo"), lit(0L))
-          .otherwise(least(
+          .otherwise(greatest(least(
             floor((col("__v").cast("double") - col("__lo")) /
               ((col("__hi") - col("__lo")) / buckets)),
-            lit(buckets - 1L)))
+            lit(buckets - 1L)), lit(0L)))
           .cast("int"))
       .select(col(grp) +: col("__v") +: col("__k") +: col("__b")
         +: carry.map(col): _*)
@@ -100,14 +109,39 @@ object RankSelect {
     Hist(bucketed, cum, stats)
   }
 
+  /** [[selectRanks]] with caller-supplied per-group stats — for the
+    * second of two chained selections, whose bounds are derivable from
+    * the first's (q_agg_mad: deviations lie in [0, max(hi−med,
+    * med−lo)]), so the facts are never re-scanned for min/max/count.
+    * `statsDf` must carry (grp, __lo double, __hi double, __n long)
+    * for every group, where [__lo, __hi] COVERS the values (a wider
+    * cover only wastes empty buckets — results are bucket-invariant;
+    * values outside are clamped to the edge buckets) and __n is the
+    * EXACT count of non-null values (rank targets are ceil(__n·p)).
+    */
+  def selectRanksGivenStats(df: DataFrame, grp: String, v: String,
+      tie: String, targets: Seq[(String, Double)], statsDf: DataFrame,
+      buckets: Int = 1024): DataFrame = {
+    val base = df.select(col(grp), col(v).as("__v"), col(tie).as("__k"))
+      .filter(col(grp).isNotNull && col("__v").isNotNull)
+    val h = buildFrom(base, grp, statsDf, buckets, Nil)
+    finishSelect(h, grp, targets)
+  }
+
   /** The exact value at rank ceil(n·p) per group under (v, tie) order,
     * for each (tag, p) target. Returns (grp, __tag, __v) — one row per
     * group × target. Only the buckets containing a target rank are
     * ranked: the in-bucket window touches ≈ targets × n/buckets rows.
     */
   def selectRanks(df: DataFrame, grp: String, v: String, tie: String,
-      targets: Seq[(String, Double)], buckets: Int = 1024): DataFrame = {
-    val h = build(df, grp, v, tie, buckets, Nil)
+      targets: Seq[(String, Double)], buckets: Int = 1024): DataFrame =
+    finishSelect(build(df, grp, v, tie, buckets, Nil), grp, targets)
+
+  /** Phase 3 of rank selection (target ranks → pick → in-bucket rank)
+    * — shared by [[selectRanks]] and [[selectRanksGivenStats]].
+    */
+  private def finishSelect(h: Hist, grp: String,
+      targets: Seq[(String, Double)]): DataFrame = {
     val pairs = targets.flatMap { case (t, p) => Seq(lit(t), lit(p)) }
     // ceil(n·p) in IEEE doubles — bit-identical to the oracle's
     // CEIL(n * p), so the selected rank agrees across engines
@@ -163,19 +197,18 @@ object RankSelect {
     // consumers (stats, bucket histogram, in-bucket join) — unlike
     // selectRanks' projection-only base, re-deriving it per branch
     // re-runs a full shuffle each time, so it is materialized once
-    // (measured: 2.3 s → ~1 s at sf0.1 for q_agg_wmedian).
-    val base = graft.Materialize.checkpoint(df
+    // (measured: 2.3 s → ~1 s at sf0.1 for q_agg_wmedian). The stats
+    // aggregate IS the materializing action (q_agg_mad's fused shape):
+    // one job populates the collapse cache and pins the ≤|groups|-row
+    // bounds, so neither downstream consumer re-derives them.
+    val base = graft.Materialize.checkpointLazy(df
       .select(col(grp), col(v).as("__v"), col(weight).cast("long").as("__w"))
       .filter(col(grp).isNotNull && col("__v").isNotNull)
       .groupBy(col(grp), col("__v")).agg(sum(col("__w")).as("__w")))
-    // per-group bounds + total weight — NOT checkpointed: both of its
-    // consumers (bucket bounds, target ranks) re-derive it from the
-    // cached base with one tiny agg each, cheaper than another
-    // blocking driver job
-    val stats = base.groupBy(grp).agg(
+    val stats = graft.Materialize.checkpoint(base.groupBy(grp).agg(
       min(col("__v").cast("double")).as("__lo"),
       max(col("__v").cast("double")).as("__hi"),
-      sum(col("__w")).as("__n"))
+      sum(col("__w")).as("__n")))
     val bucketed = base.join(broadcast(stats), Seq(grp))
       .withColumn("__b",
         when(col("__hi") === col("__lo"), lit(0L))

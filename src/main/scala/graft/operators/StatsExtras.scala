@@ -278,7 +278,7 @@ object StatsExtras {
     // rank-selected exact integers, so both engines classify
     // identically, ties included.
     "q_agg_rfm" -> ((s, d) => {
-      val cm = graft.Materialize.checkpoint(
+      val cm = graft.Materialize.checkpointLazy(
         Tables.orders(s, d).groupBy(col("o_custkey").as("cust"))
           .agg(
             // o_orderdate is TIMESTAMP_NTZ; the cast is wall-clock
@@ -287,13 +287,31 @@ object StatsExtras {
               " div 86400000000")).as("r"),
             count(lit(1)).as("f"),
             sumCents(col("o_totalprice")).as("m")))
+      // ONE 1-row bounds aggregate doubles as cm's cache materializer
+      // (q_agg_mad's fused-stats shape): min/max of all three metrics +
+      // the customer count in a single pass, stacked into the 3-row
+      // (metric, __lo, __hi, __n) relation selectRanksGivenStats needs
+      // — the stacked metric stream is never re-scanned for bounds.
+      val s1 = graft.Materialize.checkpoint(cm.agg(
+        min(col("r").cast("double")).as("rlo"),
+        max(col("r").cast("double")).as("rhi"),
+        min(col("f").cast("double")).as("flo"),
+        max(col("f").cast("double")).as("fhi"),
+        min(col("m").cast("double")).as("mlo"),
+        max(col("m").cast("double")).as("mhi"),
+        count(lit(1)).as("n")))
+      val statsDf = s1.select(
+        expr("stack(3, 'r', rlo, rhi, 'f', flo, fhi, 'm', mlo, mhi)" +
+          " as (metric, __lo, __hi)"),
+        col("n").as("__n"))
       val st = cm.select(col("cust"), lit("r").as("metric"), col("r").as("v"))
         .unionAll(cm.select(col("cust"), lit("f").as("metric"),
           col("f").as("v")))
         .unionAll(cm.select(col("cust"), lit("m").as("metric"),
           col("m").as("v")))
-      val sel = RankSelect.selectRanks(st, "metric", "v", "cust",
+      val sel = RankSelect.selectRanksGivenStats(st, "metric", "v", "cust",
         Seq("p20" -> 0.2, "p40" -> 0.4, "p60" -> 0.6, "p80" -> 0.8),
+        statsDf,
         RankSelect.bucketsFor(Stats.rowCount(s, d, "orders")))
       def bd(metric: String, tag: String) =
         max(when(col("metric") === metric && col("__tag") === tag,
@@ -366,7 +384,13 @@ object StatsExtras {
     // collects (n, Σx, Σx·ln x) in a single fact pass — no rank, no
     // join, no window. ln(integer cents) is the only libm call and
     // both engines' ~1-ulp log error vanishes at 4 dp (same argument
-    // as q_stats_entropy's log2).
+    // as q_stats_entropy's log2). Residual risk, accepted: Σx·ln(x)
+    // accumulates DOUBLES, so unlike the repo's usual
+    // exact-integer-sums idiom the partial sums depend on partition
+    // layout / engine accumulation order (~1e-10 relative spread at
+    // these SFs). A value sitting exactly on a 4-dp rounding boundary
+    // could in principle flake across AQE layouts; if it ever does,
+    // widen the comparison to 3 dp rather than chasing the layout.
     "q_agg_theil" -> ((s, d) => {
       val c = cents(col("o_totalprice")).cast("double")
       Tables.orders(s, d)
