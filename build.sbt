@@ -39,6 +39,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // cleaned at fork startup below.
   s"-Dspark.local.dir=${sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR",
     "/dev/shm/graft-local")}",
+  // The generated-class cache defaults to 100 entries (static conf) —
+  // one rank-family query alone emits ~113 codegen units, so a
+  // 163-query session recompiles EVERY stage on EVERY rep (profiled:
+  // +26 Janino compiles on q_agg_mad's own second rep, ~500 compiles
+  // across a 7-query profile where steady state should be ~0; each
+  // costs driver Janino time plus C2 re-JIT burn in the tasks).
+  "-Dspark.sql.codegen.cache.maxEntries=8000",
   // Let AQE re-plan the output partitioning of cached frames:
   // without it every Materialize.checkpoint freezes its pre-AQE
   // 32-partition layout, and each downstream consumer of a tiny

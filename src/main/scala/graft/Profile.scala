@@ -72,8 +72,14 @@ object Profile {
         // a single surprising rep as suspect and re-run; waitUntilEmpty
         // is not public API on this bus.
         Thread.sleep(300)
+        // Janino whole-stage compile time this rep — nonzero steady-state
+        // means the codegen class cache (spark.sql.codegen.cache
+        // .maxEntries, static conf, default 100) is thrashing and every
+        // rep recompiles its stages from source.
+        val cn = org.apache.spark.metrics.source.CodegenMetrics
+          .METRIC_COMPILATION_TIME.getCount
         println(f"$n%-24s rep$r wall=${wallMs}ms jobs=$jobs stages=$stages " +
-          f"taskTime=${taskMs}ms jobWall=${jobMs}ms")
+          f"taskTime=${taskMs}ms jobWall=${jobMs}ms compileCum=${cn}")
       }
     }
     spark.stop()
