@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.{Stats, Tables}
@@ -378,6 +379,52 @@ object SimilarityExtras {
           round(expr(cosSql), 4).as("sim"))
         .orderBy(col("sim").desc, col("vec_id1"), col("vec_id2"))
         .limit(20)
+    }),
+
+    // NDCG@10 retrieval-quality evaluation (round 10, wave 27) — the
+    // ranking-eval step of an embedding-search pipeline: for each of 5
+    // probe vectors, rank the rest of the corpus by cosine and score
+    // the top-10 against binary same-label relevance. Discipline
+    // follows q_ml_confusion: similarity is ROUNDED to 4 dp BEFORE
+    // ranking (near-ties become exact ties broken by vec_id, so
+    // engine last-ulp drift cannot reorder), the gain uses log2
+    // directly (ONE libm call per term — never ln(x)/ln(2), whose two
+    // 1-ulp errors compound), and the ideal DCG comes from an exploded
+    // integer spine over the ≤5-row relevant-count frame. Scale shape:
+    // probes broadcast over ONE corpus scan per consumer; the rank
+    // window partitions by probe but rn ≤ 10 compiles to
+    // WindowGroupLimit (map tasks forward local top-10s — the
+    // q_window_rankchange pattern), so no task ever holds a full
+    // probe partition. Probes with zero relevant docs drop (NDCG
+    // undefined) via the inner joins in both engines.
+    "q_ml_ndcg" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val probes = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("pid"), col("embedding").as("p"),
+          col("label").as("pl"))
+      val pairs = emb.filter(col("vec_id") >= 5)
+        .select(col("vec_id"), col("embedding").as("e"), col("label"))
+        .crossJoin(broadcast(probes))
+        .select(col("pid"), col("vec_id"),
+          round(expr(cosPair("e", "p")), 4).as("sim"),
+          when(col("label") === col("pl"), 1L).otherwise(0L).as("rel"))
+      val w = Window.partitionBy("pid")
+        .orderBy(col("sim").desc, col("vec_id"))
+      val dcg = pairs.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10)
+        .groupBy("pid")
+        .agg(sum(when(col("rel") === 1, lit(1.0) / log2(col("rn") + 1))
+          .otherwise(lit(0.0))).as("dcg"))
+      val rtot = pairs.groupBy("pid").agg(sum(col("rel")).as("n_rel"))
+      val idcg = rtot.filter(col("n_rel") >= 1)
+        .select(col("pid"),
+          explode(expr("sequence(1, least(n_rel, 10))")).as("i"))
+        .groupBy("pid")
+        .agg(sum(lit(1.0) / log2(col("i") + 1)).as("idcg"))
+      dcg.join(rtot, "pid").join(idcg, "pid")
+        .select(col("pid").as("probe_id"), col("n_rel"),
+          round(col("dcg") / col("idcg"), 4).as("ndcg10"))
+        .orderBy("probe_id")
     })
   )
 
@@ -545,6 +592,36 @@ object SimilarityExtras {
         |     sqrt(list_sum(list_transform(b.e, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS sim
         |  FROM sig a JOIN sig b ON a.bucket=b.bucket AND a.vec_id < b.vec_id)
         |SELECT vec_id1, vec_id2, ROUND(sim, 4) AS sim
-        |FROM pairs ORDER BY sim DESC, vec_id1, vec_id2 LIMIT 20""".stripMargin
+        |FROM pairs ORDER BY sim DESC, vec_id1, vec_id2 LIMIT 20""".stripMargin,
+
+    "q_ml_ndcg" ->
+      s"""WITH probes AS (
+         |  SELECT vec_id AS pid, embedding AS p, label AS pl
+         |  FROM embeddings WHERE vec_id < 5),
+         |pairs AS (
+         |  SELECT pid, r.vec_id,
+         |    ROUND(${cosPairDuck("r.embedding", "p")}, 4) AS sim,
+         |    CASE WHEN r.label = pl THEN 1 ELSE 0 END AS rel
+         |  FROM embeddings r, probes WHERE r.vec_id >= 5),
+         |ranked AS (
+         |  SELECT pid, rel,
+         |    ROW_NUMBER() OVER (PARTITION BY pid
+         |      ORDER BY sim DESC, vec_id) AS rn
+         |  FROM pairs),
+         |dcg AS (
+         |  SELECT pid,
+         |    SUM(CASE WHEN rel = 1 THEN CAST(1.0 AS DOUBLE) / log2(rn + 1)
+         |        ELSE CAST(0.0 AS DOUBLE) END) AS dcg
+         |  FROM ranked WHERE rn <= 10 GROUP BY pid),
+         |rtot AS (
+         |  SELECT pid, CAST(SUM(rel) AS BIGINT) AS n_rel
+         |  FROM pairs GROUP BY pid),
+         |idcg AS (
+         |  SELECT pid, SUM(CAST(1.0 AS DOUBLE) / log2(i + 1)) AS idcg
+         |  FROM (SELECT pid, UNNEST(range(1, LEAST(n_rel, 10) + 1)) AS i
+         |        FROM rtot WHERE n_rel >= 1) GROUP BY pid)
+         |SELECT dcg.pid AS probe_id, n_rel, ROUND(dcg / idcg, 4) AS ndcg10
+         |FROM dcg JOIN rtot USING (pid) JOIN idcg USING (pid)
+         |ORDER BY probe_id""".stripMargin
   )
 }

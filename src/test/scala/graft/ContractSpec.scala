@@ -173,7 +173,8 @@ class ContractSpec extends AnyFunSuite {
     "q_sample_bootstrap" -> 16L,
     "q_stats_entropy_rate" -> 1L,
     "q_text_rake" -> 20L,
-    "q_join_priority" -> 10L
+    "q_join_priority" -> 10L,
+    "q_ml_ndcg" -> 5L
   )
 
   test("every contract query has oracle SQL and vice versa") {

@@ -57,6 +57,32 @@ class RankSelectSpec extends AnyFunSuite {
     Materialize.releaseAll()
   }
 
+  // selectRanksGivenStats' contract: the supplied stats only need to
+  // COVER the values (with the exact non-null count) — exact bounds, a
+  // widened cover, and a cover shifted past the true min must all pick
+  // the identical rows as the self-deriving selectRanks.
+  test("selectRanksGivenStats equals selectRanks under exact and widened covers") {
+    val expected = RankSelect
+      .selectRanks(skewed, "g", "v", "k", Seq("p50" -> 0.5, "p99" -> 0.99),
+        buckets = 64)
+      .orderBy("g", "__tag").collect().toSeq.map(_.toString)
+    val exact = skewed.groupBy("g").agg(
+      min(col("v").cast("double")).as("__lo"),
+      max(col("v").cast("double")).as("__hi"),
+      count(lit(1)).as("__n"))
+    val widened = exact.select(col("g"),
+      (col("__lo") - 500).as("__lo"), (col("__hi") + 1000).as("__hi"),
+      col("__n"))
+    Seq(exact, widened).foreach { st =>
+      val got = RankSelect
+        .selectRanksGivenStats(skewed, "g", "v", "k",
+          Seq("p50" -> 0.5, "p99" -> 0.99), st, buckets = 64)
+        .orderBy("g", "__tag").collect().toSeq.map(_.toString)
+      assert(got === expected)
+    }
+    Materialize.releaseAll()
+  }
+
   test("results are bucket-count invariant") {
     def run(b: Int) = RankSelect
       .selectRanks(skewed, "g", "v", "k", Seq("p50" -> 0.5), buckets = b)
