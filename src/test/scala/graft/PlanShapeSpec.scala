@@ -38,20 +38,27 @@ class PlanShapeSpec extends AnyFunSuite {
   // fails exactly when a single-column group window sits on a subtree
   // with no aggregation below it.
   private val lowCardGroups = Set("st", "et", "g", "grp", "flag",
-    "o_orderstatus", "event_type", "l_returnflag", "lang")
+    "o_orderstatus", "event_type", "l_returnflag", "lang", "pid")
 
   test("rank-selection queries never window-partition facts by the bare group") {
     Seq("q_percentile", "q_agg_winsorize", "q_window_ntile", "q_agg_gini",
       "q_agg_pareto", "q_window_session_stats", "q_stats_outlier",
-      "q_agg_wmedian", "q_sample_stratified")
+      "q_agg_wmedian", "q_sample_stratified", "q_ml_ndcg")
       .foreach { n =>
         plan(n).collect { case w: WindowExec => w }.foreach { w =>
           val parts = w.partitionSpec.flatMap(_.references).map(_.name)
             .toSet
           val overFacts =
             w.child.collectFirst { case a: BaseAggregateExec => a }.isEmpty
+          // A rank-limited window (rn <= k) is exempt: WindowGroupLimit
+          // below it makes map tasks forward local top-k rows, so no
+          // task ever holds a full group partition even when the
+          // partition key is low-cardinality (q_ml_ndcg's top-10).
+          val rankLimited = w.child.collectFirst {
+            case l: org.apache.spark.sql.execution.window
+              .WindowGroupLimitExec => l }.nonEmpty
           assert(!(parts.nonEmpty && parts.subsetOf(lowCardGroups) &&
-            overFacts),
+            overFacts && !rankLimited),
             s"$n windows raw facts partitioned only by $parts — " +
               "the |group|-task scale-killer RankSelect exists to avoid")
         }
