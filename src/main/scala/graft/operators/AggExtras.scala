@@ -41,6 +41,21 @@ object AggExtras {
           col("n_orders"))
         .orderBy("mask")),
 
+    // Boolean/conditional aggregate family (round 10, wave 28):
+    // count_if + bool_and + bool_or — the data-quality assertions users
+    // write inline ("did every click have a positive value? did any
+    // breach the cap?"). One partial-combining hash aggregate; the
+    // predicates compare identical doubles in both engines (no
+    // arithmetic before the comparison), so the booleans are exact.
+    "q_agg_bool" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          expr("count_if(value > cast(100.0 as double))").as("n_big"),
+          expr("bool_and(value > cast(0.25 as double))").as("all_above"),
+          expr("bool_or(value > cast(300.0 as double))").as("any_above"))
+        .orderBy("event_type")),
+
     "q_pivot" -> ((s, d) => {
       val pivoted = Tables.events(s, d)
         .filter(col("user_id") < 20)
@@ -344,6 +359,13 @@ object AggExtras {
         |        CAST(bit_or(1 << (l_linenumber - 1)) AS BIGINT) AS mask
         |      FROM lineitem GROUP BY 1)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_agg_bool" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(COUNT(*) FILTER (WHERE value > CAST(100.0 AS DOUBLE))
+        |    AS BIGINT) AS n_big,
+        |  bool_and(value > CAST(0.25 AS DOUBLE)) AS all_above,
+        |  bool_or(value > CAST(300.0 AS DOUBLE)) AS any_above
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_agg_mad" ->
       s"""WITH o AS (SELECT event_type AS et, ${sqlCents("value")} AS c,
          |    event_id AS k FROM events),

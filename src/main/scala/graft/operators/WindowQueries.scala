@@ -112,6 +112,27 @@ object WindowQueries {
           round((col("__rank") - 1).cast("double") /
             (col("__n") - 1).cast("double"), 4).as("pct_rank"))
         .orderBy("o_orderkey")
+    }),
+
+    // FIRST_VALUE/LAST_VALUE with an explicit unbounded-both-sides
+    // frame (round 10, wave 28) — the entry/exit-point primitive
+    // (landing event vs final event per user) the other window queries
+    // don't exercise: row_number picks ONE row, this paints every row
+    // with the partition's boundary values. The window partitions by
+    // user_id (data-proportional, never a low-cardinality funnel) and
+    // the values collapse to one row per user in the following
+    // aggregate; ties resolved by the repo's (ts, event_id) total
+    // order on both engines.
+    "q_window_firstlast" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.events(s, d)
+        .select(col("user_id"),
+          first(col("event_type")).over(w).as("first_type"),
+          last(col("event_type")).over(w).as("last_type"))
+        .groupBy("user_id", "first_type", "last_type")
+        .agg(count(lit(1)).as("n_events"))
+        .orderBy("user_id")
     })
   )
 
@@ -148,6 +169,21 @@ object WindowQueries {
       """SELECT o_orderkey, o_orderstatus,
         |  ROUND(PERCENT_RANK() OVER (PARTITION BY o_orderstatus
         |    ORDER BY o_totalprice, o_orderkey), 4) AS pct_rank
-        |FROM orders ORDER BY o_orderkey""".stripMargin
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_window_firstlast" ->
+      """WITH fl AS (
+        |  SELECT user_id,
+        |    FIRST_VALUE(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |      AS first_type,
+        |    LAST_VALUE(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |      AS last_type
+        |  FROM events)
+        |SELECT user_id, first_type, last_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM fl GROUP BY 1, 2, 3 ORDER BY user_id""".stripMargin
   )
 }

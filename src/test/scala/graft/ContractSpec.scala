@@ -174,7 +174,9 @@ class ContractSpec extends AnyFunSuite {
     "q_stats_entropy_rate" -> 1L,
     "q_text_rake" -> 20L,
     "q_join_priority" -> 10L,
-    "q_ml_ndcg" -> 5L
+    "q_ml_ndcg" -> 5L,
+    "q_window_firstlast" -> 15L,
+    "q_agg_bool" -> 5L
   )
 
   test("every contract query has oracle SQL and vice versa") {
