@@ -291,6 +291,64 @@ object StreamingWindows {
       }
   }
 
+  /** Token row + Misra–Gries state/output for [[heavyHittersStream]]. */
+  final case class TokenRow(token: String)
+  final case class MgState(total: Long, words: List[String],
+      counts: List[Long])
+  final case class MgOut(bucket: Int, processed: Long,
+      words: List[String], lower: List[Long])
+
+  /** Streaming Misra–Gries heavy hitters —
+    * [[graft.operators.HeavyHitters]]'s bounded-summary pass lifted
+    * onto a stream. Tokens hash into `buckets` state keys (playing the
+    * batch shape's partition role); each key folds its substream
+    * through a capacity-`capacity` MG summary held in the state store,
+    * so state is BOUNDED by buckets × capacity counters no matter how
+    * large the vocabulary grows — the unbounded-domain property that
+    * makes frequent-items viable on an endless stream. Every token
+    * lands in exactly ONE bucket, so a token whose in-bucket count
+    * exceeds n_b/(capacity+1) — in particular any token with global
+    * count > n/(capacity+1), since n_b ≤ n — provably retains a
+    * counter (the batch superset argument verbatim), and the union of
+    * final per-bucket candidates feeds the same exact recount pass.
+    * Each micro-batch emits the bucket's current (processed,
+    * candidates) snapshot; the row with max `processed` per bucket is
+    * the final summary (StreamingSpec reads it that way).
+    */
+  def heavyHittersStream(tokens: Dataset[TokenRow], buckets: Int,
+      capacity: Int): Dataset[MgOut] = {
+    import tokens.sparkSession.implicits._
+    require(buckets > 0 && capacity > 0)
+    tokens
+      .groupByKey(t => math.floorMod(t.token.hashCode, buckets))
+      .mapGroupsWithState[MgState, MgOut](
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        (bucket: Int, rows: Iterator[TokenRow], state: GroupState[MgState]) =>
+          val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+          val st = state.getOption.getOrElse(MgState(0L, Nil, Nil))
+          st.words.zip(st.counts).foreach { case (w, c) => m.update(w, c) }
+          var total = st.total
+          rows.foreach { t =>
+            total += 1L
+            m.get(t.token) match {
+              case Some(c) => m.update(t.token, c + 1L)
+              case None =>
+                if (m.size < capacity) m.update(t.token, 1L)
+                else {
+                  // decrement-all: destroys capacity+1 units per pass
+                  val dead = List.newBuilder[String]
+                  m.foreach { case (w, c) =>
+                    if (c == 1L) dead += w else m.update(w, c - 1L)
+                  }
+                  dead.result().foreach(m.remove)
+                }
+            }
+          }
+          state.update(MgState(total, m.keys.toList, m.values.toList))
+          MgOut(bucket, total, m.keys.toList, m.values.toList)
+      }
+  }
+
   /** Stateful per-key operator: running event count per user via
     * `mapGroupsWithState` — the Spark-native form of the reference's
     * per-key juice fold, with state persisted across micro-batches.

@@ -271,4 +271,67 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
     assert(streamed === batch)
   }
+
+  test("heavyHittersStream: bounded MG state covers every frequent token") {
+    import spark.implicits._
+    // two links to the same documents file = the token stream delivered
+    // across two micro-batches; MG state must fold across them
+    val dir = java.nio.file.Files.createTempDirectory("graft-hhstream")
+    java.nio.file.Files.createSymbolicLink(
+      dir.resolve("d1.parquet"),
+      java.nio.file.Paths.get(s"$sf0001/documents.parquet"))
+    java.nio.file.Files.createSymbolicLink(
+      dir.resolve("d2.parquet"),
+      java.nio.file.Paths.get(s"$sf0001/documents.parquet"))
+    val buckets = 8
+    val capacity = 16
+    val toks = StreamingWindows
+      .tableStream(spark, dir.toString, s"$sf0001/documents.parquet")
+      .select(explode(expr("filter(split(text, ' '), t -> t <> '')"))
+        .as("token"))
+      .as[StreamingWindows.TokenRow]
+    val q = StreamingWindows.heavyHittersStream(toks, buckets, capacity)
+      .writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName("stream_hh")
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+
+    // final snapshot per bucket = the row with the max processed count
+    val finals = spark.table("stream_hh")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("bucket")
+          .orderBy(col("processed").desc)))
+      .filter(col("rn") === 1)
+      .select(col("bucket"), col("words"))
+      .as[(Int, List[String])].collect().toMap
+
+    // state stayed bounded: ≤ capacity counters per bucket
+    assert(finals.values.forall(_.size <= capacity))
+
+    // exact per-bucket counts of the DOUBLED stream, computed directly
+    val tokenCounts = Tables.documents(spark, sf0001)
+      .select(explode(expr("filter(split(text, ' '), t -> t <> '')"))
+        .as("w"))
+      .groupBy("w").count()
+      .as[(String, Long)].collect()
+      .map { case (w, c) => (w, 2L * c) } // two identical micro-batches
+    val byBucket = tokenCounts
+      .groupBy { case (w, _) => math.floorMod(w.hashCode, buckets) }
+    // the MG guarantee, per bucket: every token with in-bucket count
+    // > n_b/(capacity+1) must survive in that bucket's candidates
+    var checked = 0
+    byBucket.foreach { case (b, ws) =>
+      val nb = ws.map(_._2).sum
+      val frequent = ws.filter { case (_, c) =>
+        c * (capacity + 1) > nb }.map(_._1).toSet
+      checked += frequent.size
+      assert(frequent.subsetOf(finals.getOrElse(b, Nil).toSet),
+        s"bucket $b lost frequent tokens ${
+          frequent -- finals.getOrElse(b, Nil).toSet}")
+    }
+    assert(checked > 0, "no bucket had a frequent token — vacuous test")
+  }
 }
