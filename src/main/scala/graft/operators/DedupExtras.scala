@@ -239,6 +239,8 @@ object DedupExtras {
         labels = nxt
         rounds += 1
       }
+      if (sys.env.contains("SPARK_GRAFT_DEBUG_ROUNDS"))
+        System.err.println(s"[q_dedup_cluster] rounds=$rounds")
       labels.groupBy("lab")
         .agg(count(lit(1)).as("n_docs"))
         .filter(col("n_docs") > 1)
