@@ -184,4 +184,30 @@ class GoldenValueSpec extends AnyFunSuite {
     assert((r.getLong(0), r.getLong(1), r.getDouble(2)) ===
       ((5L, 985L, 2.3101)))
   }
+
+  test("q_join_priority top revenue order (TPC-H Q3 shape)") {
+    val r = SparkEntry.queries("q_join_priority")(spark, sf0001)
+      .collect()(0)
+    assert((r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)) ===
+      ((297L, "1996-10-20", "5-LOW", 4137335805L)))
+  }
+
+  test("q_ml_ndcg exact per-probe scores") {
+    val rows = SparkEntry.queries("q_ml_ndcg")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.toSeq === Seq((0L, 50L, 0.137), (1L, 41L, 0.0),
+      (2L, 62L, 0.0), (3L, 49L, 0.0), (4L, 55L, 0.0784)))
+  }
+
+  test("q_agg_bool exact boolean aggregates") {
+    val rows = SparkEntry.queries("q_agg_bool")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3), r.getBoolean(4)))
+    assert(rows.toSeq === Seq(
+      ("click", 210L, 23L, true, true),
+      ("error", 201L, 23L, false, false),
+      ("purchase", 202L, 33L, true, false),
+      ("signup", 199L, 31L, false, false),
+      ("view", 188L, 26L, true, false)))
+  }
 }
