@@ -195,46 +195,73 @@ object DedupExtras {
     // the propagation form is the one that survives 100 TB.
     "q_dedup_cluster" -> ((s, d) => {
       val (bands, sig) = minhashBandsWithSig(s, d)
+      // bucket identity = the (band_id, bk) PAIR, grouped/joined as two
+      // columns — no concat_ws string build, no hash-collision risk, and
+      // the shuffle key stays the raw 4-byte int + binary digest.
+      //
+      // Singleton-bucket pruning: a bucket with ONE member can only hand
+      // a doc its own label back — it never propagates anything — so the
+      // fixpoint runs on multi-member buckets only. In a mostly-unique
+      // corpus that is a 10-100× cut in the relation every hop shuffles,
+      // and it's exactly the docs the output keeps (docs absent from
+      // every multi bucket are singleton clusters, filtered by the final
+      // n_docs > 1 anyway). One window pass (per-bucket groups are small
+      // by LSH design) prices the prune.
       val m = graft.Materialize.checkpoint(
-        bands.select(col("doc_id"),
-          concat_ws(":", col("band_id"), col("bk")).as("bucket")))
+        bands.select(col("doc_id"), col("band_id"), col("bk"))
+          .withColumn("__n", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("band_id", "bk")))
+          .filter(col("__n") > 1)
+          .drop("__n"))
+      val bcols = Seq("band_id", "bk")
       // the signature frame's only consumer here was m's build — drop
       // its blocks now rather than carrying them through the fixpoint
       graft.Materialize.release(sig)
-      // round 1 folded into initialization: under identity labels the
-      // bucket minimum IS the minimum member doc_id, so the first
-      // propagation needs no label join. Each round's frame carries its
-      // own change flag (`__chg` = label strictly decreased), so ONE
-      // job — the convergence count, which scans every partition —
-      // both materializes the cache (checkpointLazy) and answers the
-      // driver's only question; the old two-job shape (eager checkpoint
-      // count, then a separate diff-join count) paid a full extra pass
-      // per round.
-      var labels = graft.Materialize.checkpointLazy(
-        m.join(m.groupBy("bucket").agg(min(col("doc_id")).as("bl")),
-            "bucket")
+      // One doc→bucket→doc propagation hop: bucket takes the min label
+      // of its members, doc takes the min over its buckets. A doc is a
+      // member of every one of its buckets, so the result is pointwise
+      // ≤ the input labels (monotone min).
+      def hop(lab: DataFrame): DataFrame =
+        m.join(m.join(lab, "doc_id")
+            .groupBy(bcols.head, bcols.tail: _*)
+            .agg(min(col("lab")).as("bl")), bcols)
           .groupBy("doc_id").agg(min(col("bl")).as("lab"))
-          .withColumn("__chg", col("lab") < col("doc_id")))
+      // Hop 1 folded into initialization: under identity labels the
+      // bucket minimum IS the minimum member doc_id, so the first
+      // propagation needs no label join; hop 2 chains straight onto it
+      // inside the SAME materialized frame. Each round's frame carries
+      // its own change flag (`__chg` = label strictly decreased), so ONE
+      // job — the convergence count, which scans every partition — both
+      // materializes the cache (checkpointLazy) and answers the driver's
+      // only question.
+      val init =
+        m.join(m.groupBy(bcols.head, bcols.tail: _*)
+            .agg(min(col("doc_id")).as("bl")), bcols)
+          .groupBy("doc_id").agg(min(col("bl")).as("lab"))
+      var labels = graft.Materialize.checkpointLazy(
+        hop(hop(init)).withColumn("__chg", col("lab") < col("doc_id")))
       var changed = labels.filter(col("__chg")).count()
       var rounds = 1
       while (changed > 0 && rounds < 20) {
-        val bmin = m.join(labels, "doc_id")
-          .groupBy("bucket").agg(min(col("lab")).as("bl"))
-        // a doc is in every one of its buckets, so nxt.lab ≤ labels.lab
-        // pointwise: convergence is "no label strictly decreased" —
-        // the diff join against the old frame rides INSIDE the cached
-        // lineage so the flag costs no second pass
+        // TWO propagation hops per materialized frame: the intermediate
+        // hop's labels ride inside the cached lineage (no checkpoint, no
+        // driver round-trip, no diff join), halving the fixpoint's
+        // driver-synchronized counts — at 100 TB each count is a full
+        // cluster barrier, so rounds, not hops, dominate wall time.
+        // Convergence stays sound: hops are pointwise monotone (nxt ≤
+        // hop1 ≤ labels), so a single-hop decrease anywhere implies the
+        // double-hop frame also strictly decreased there.
         val nxt = graft.Materialize.checkpointLazy(
-          m.join(bmin, "bucket")
-            .groupBy("doc_id").agg(min(col("bl")).as("lab"))
+          hop(hop(labels))
             .join(labels.select(col("doc_id"), col("lab").as("__old")),
               "doc_id")
             .withColumn("__chg", col("lab") < col("__old"))
             .select("doc_id", "lab", "__chg"))
         changed = nxt.filter(col("__chg")).count()
         // the old frame's last consumer is nxt's materialization above —
-        // release it NOW, not at query end, or a 20-round fixpoint
-        // holds 20 dead corpus-scale frames persisted simultaneously
+        // release it NOW, not at query end, or a long fixpoint holds
+        // many dead corpus-scale frames persisted simultaneously
         graft.Materialize.release(labels)
         labels = nxt
         rounds += 1
