@@ -59,6 +59,32 @@ object Bench {
         .foreach(t => graft.sources.Tables.table(spark, sfDir, t))
     } catch { case _: Throwable => () }
 
+    // Load control: a fixed CPU-bound probe (hash+sum over a generated
+    // range — no I/O, no shuffle) timed before, midway through, and
+    // after the suite. Its absolute seconds travel in the artifact so a
+    // 60 s-on-a-loaded-host total is self-explaining to the driver, and
+    // a ≥2× spread across the three samples flags ambient load swings
+    // (this host has shown 42 vs 62 s totals for identical code —
+    // CLAUDE.md). Self-relative only: an absolute threshold would bake
+    // in THIS host's quiet speed.
+    def loadControlOnce(): Double = {
+      import org.apache.spark.sql.functions._
+      val t0 = System.nanoTime()
+      // double sum: a long sum of 20M raw 64-bit hashes overflows under
+      // ANSI mode
+      spark.range(20000000L)
+        .select(sum(xxhash64(col("id")).cast("double"))).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // each SAMPLE is min-of-2 back-to-back probes (a single GC pause or
+    // scheduler hiccup must not flag the whole run as loaded)
+    def loadControl(): Double = math.min(loadControlOnce(), loadControlOnce())
+    // 3 untimed warmups: one invocation is not enough for C2 to finish
+    // compiling the probe's codegen'd loop — a half-JITed first sample
+    // reads 2-3× slow and false-flags `loaded`
+    (1 to 3).foreach(_ => loadControlOnce())
+    val ctlStart = loadControl()
+
     // A failing query must not masquerade as a fast one: any failing
     // rep marks the query -1 (excluded from the total, listed by name).
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
@@ -66,21 +92,25 @@ object Bench {
     // absent (the driver's invocation) every query is timed.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val named = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
-      def rep(r: Int): Double = {
-        val t0 = System.nanoTime()
-        val ok =
-          try { fn(spark, sfDir).count(); true }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name rep $r FAILED: ${e.getMessage}")
-            false
-          }
-        val dt = (System.nanoTime() - t0) / 1e9
-        Materialize.releaseAll()
-        if (ok) dt else -1.0
-      }
+    var ctlMid = -1.0
+    def repOf(name: String, fn: (SparkSession, String) =>
+        org.apache.spark.sql.DataFrame)(r: Int): Double = {
+      val t0 = System.nanoTime()
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name rep $r FAILED: ${e.getMessage}")
+          false
+        }
+      val dt = (System.nanoTime() - t0) / 1e9
+      Materialize.releaseAll()
+      if (ok) dt else -1.0
+    }
+    val firstPass = named.zipWithIndex.map { case ((name, fn), idx) =>
+      if (idx == named.size / 2) ctlMid = loadControl()
+      val rep = repOf(name, fn) _
       val base = (1 to reps).map(rep)
       // Adaptive tail reps: a multi-job query that lands ≥ 0.5 s is
       // the kind whose min-of-3 is still hostage to ambient host
@@ -94,14 +124,31 @@ object Bench {
         .dropWhile(ts => ts.forall(_ >= 0) && ts.min >= 0.5 &&
           ts.size < reps + 2)
         .next()
-      (name, if (times.forall(_ >= 0)) times.min else -1.0)
+      (name, fn, if (times.forall(_ >= 0)) times.min else -1.0)
     }
+    // Rescue pass: a sustained load window inflates EVERY back-to-back
+    // rep of the queries that ran under it (min-of-N can't save them —
+    // r10's driver artifact had q_having at 17× its quiet cost). Queries
+    // whose recorded min is ≥ 0.5 s get ONE more rep at the very end of
+    // the suite — minutes later, a different noise sample — and keep
+    // the smaller value. Never inflates: min only goes down.
+    val results = firstPass.map { case (name, fn, v) =>
+      (name, if (v >= 0.5) {
+        val r2 = repOf(name, fn)(reps + 3)
+        if (r2 >= 0) math.min(v, r2) else v
+      } else v)
+    }
+    val ctlEnd = loadControl()
+    val ctls = Seq(ctlStart, ctlMid, ctlEnd).filter(_ >= 0)
+    val loaded = ctls.max >= 2 * ctls.min
+    val ctlJson = s""""load_control":{"start":$ctlStart,"mid":$ctlMid,""" +
+      s""""end":$ctlEnd,"loaded":$loaded}"""
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failed = results.filter(_._2 < 0).map("\"" + _._1 + "\"")
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,$ctlJson,"sf":"$sfDir"}""")
     // The driver artifact keeps only the tail of stdout, so per-query
     // timings for most of the contract are unrecoverable from
     // BENCH_r{N}.json — write the full map to a file too (committed
@@ -110,10 +157,13 @@ object Bench {
     // not fail the bench.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
     if (out.nonEmpty) try {
+      // Locale.ROOT: a comma-decimal default locale (de_DE) would
+      // otherwise emit 0,123 — invalid JSON committed per round.
       val qLines = results.map { case (k, v) =>
-        f"""  "$k": ${v}%.3f""" }.mkString(",\n")
+        String.format(java.util.Locale.ROOT, "  \"%s\": %.3f", k,
+          Double.box(v)) }.mkString(",\n")
       val json = s"""{"sf":"$sfDir","cpus":"$cpus","total":$total,""" +
-        s""""failed":$failed,"queries":{\n$qLines\n}}\n"""
+        s""""failed":$failed,$ctlJson,"queries":{\n$qLines\n}}\n"""
       java.nio.file.Files.write(java.nio.file.Paths.get(out),
         json.getBytes("UTF-8"))
     } catch { case _: Throwable => () }
@@ -124,7 +174,7 @@ object Bench {
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
       .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total_tail","value":$total,"unit":"sec","failed":$failed,"slowest5":$slowest,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_tail","value":$total,"unit":"sec","failed":$failed,"slowest5":$slowest,$ctlJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
