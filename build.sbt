@@ -41,7 +41,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
     "/dev/shm/graft-local")}",
   // The generated-class cache defaults to 100 entries (static conf) —
   // one rank-family query alone emits ~113 codegen units, so a
-  // 163-query session recompiles EVERY stage on EVERY rep (profiled:
+  // full-contract session recompiles EVERY stage on EVERY rep (profiled:
   // +26 Janino compiles on q_agg_mad's own second rep, ~500 compiles
   // across a 7-query profile where steady state should be ~0; each
   // costs driver Janino time plus C2 re-JIT burn in the tasks).
@@ -78,12 +78,17 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 // spark-<uuid> subdir only on graceful shutdown, so killed/crashed
 // forked JVMs leak RAM-backed files until reboot. Anything older than
 // 2 h cannot belong to a live fork of this build (no run approaches
-// that); concurrent fresh runs are untouched.
+// that); concurrent fresh runs are untouched. Deletion is scoped to
+// entries SPARK CREATED (spark-*/blockmgr-*): if SPARK_GRAFT_LOCAL_DIR
+// points at a shared directory (/tmp, a data dir), foreign files must
+// survive an sbt load unharmed.
 val graftLocalReaped: Unit = {
   val base = new java.io.File(sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR",
     "/dev/shm/graft-local"))
   val cutoff = System.currentTimeMillis() - 2L * 3600 * 1000
   Option(base.listFiles).getOrElse(Array.empty[java.io.File])
+    .filter(f => f.getName.startsWith("spark-") ||
+      f.getName.startsWith("blockmgr-"))
     .filter(_.lastModified < cutoff)
     .foreach(sbt.IO.delete)
 }
