@@ -188,7 +188,13 @@ object CorpusExtras {
     // the quota by one).
     "q_sample_stratified" -> ((s, d) => {
       val h = md5(col("doc_id").cast("string").cast("binary"))
+      // A NULL lang is NOT a stratum: RankSelect's build drops
+      // NULL-group rows, so the exclusion is made explicit here AND in
+      // the oracle (WHERE lang IS NOT NULL) — fixtures have no NULL
+      // langs today, but a regeneration with them must not silently
+      // diverge the two engines.
       val docs = Tables.documents(s, d)
+        .filter(col("lang").isNotNull)
         .select(col("lang"), col("n_chars"), col("doc_id"),
           conv(substring(h, 1, 15), 16, 10).cast("long").as("__hv"),
           concat(h, lit("|"),
@@ -576,7 +582,7 @@ object CorpusExtras {
         |    ROW_NUMBER() OVER (PARTITION BY lang
         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
         |    COUNT(*) OVER (PARTITION BY lang) AS cnt
-        |  FROM documents)
+        |  FROM documents WHERE lang IS NOT NULL)
         |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_sampled,
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars, MIN(doc_id) AS min_doc
         |FROM ranked WHERE rn <= (cnt + 9) // 10
