@@ -115,6 +115,37 @@ class GoldenValueSpec extends AnyFunSuite {
       ((493L, 514L, -2078.722, -0.2277)))
   }
 
+  // q_agg_theil is the contract's one double-accumulation aggregate
+  // (Σx·ln x — partition-order-dependent partial sums, ~1e-10 relative
+  // spread). Its 4-dp rounding is only engine-stable if every group's
+  // unrounded value sits FAR from a .00005 rounding boundary, so the
+  // documented risk becomes a tested margin: at every SF the distance
+  // from the nearest half-boundary must exceed the spread by ≥3 orders
+  // of magnitude (measured minimum today: 0.0015 4-dp-units at
+  // sf0.001/P ≈ 1.5e-7 absolute vs ~2e-11 spread). If a fixture
+  // regeneration ever fails this, widen q_agg_theil to 3 dp (see the
+  // operator's comment) instead of chasing accumulation layouts.
+  test("q_agg_theil values keep ≥1e-3 4-dp-units from rounding boundaries at all SFs") {
+    import org.apache.spark.sql.functions._
+    for (dir <- Seq(sf0001, sf001, "/root/testdata/sf0.1")) {
+      val unrounded = graft.sources.Tables.orders(spark, dir)
+        .select((col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("long").cast("double").as("x"),
+          col("o_orderstatus").as("st"))
+        .groupBy("st")
+        .agg((sum(col("x") * log(col("x"))) / sum(col("x")) -
+          log(sum(col("x")) / count(lit(1)))).as("v"))
+        .collect().map(r => (r.getString(0), r.getDouble(1)))
+      unrounded.foreach { case (st, v) =>
+        val frac = (v * 10000) - math.floor(v * 10000)
+        val dist = math.abs(frac - 0.5)
+        assert(dist >= 1e-3,
+          s"$dir/$st: theil=$v sits $dist 4-dp-units from a rounding " +
+            "boundary — double-accumulation spread can now flip the 4th dp")
+      }
+    }
+  }
+
   test("q_stats_chisq exact statistic and dof") {
     val r = SparkEntry.queries("q_stats_chisq")(spark, sf0001).collect()(0)
     assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)) ===

@@ -59,8 +59,11 @@ class RankSelectSpec extends AnyFunSuite {
 
   // selectRanksGivenStats' contract: the supplied stats only need to
   // COVER the values (with the exact non-null count) — exact bounds, a
-  // widened cover, and a cover shifted past the true min must all pick
-  // the identical rows as the self-deriving selectRanks.
+  // widened cover, and even a NARROWED cover (lo raised above the true
+  // min, hi lowered below the true max: out-of-cover values clamp to
+  // the edge buckets via buildFrom's greatest()/least(), bucketing
+  // stays monotone) must all pick the identical rows as the
+  // self-deriving selectRanks.
   test("selectRanksGivenStats equals selectRanks under exact and widened covers") {
     val expected = RankSelect
       .selectRanks(skewed, "g", "v", "k", Seq("p50" -> 0.5, "p99" -> 0.99),
@@ -73,7 +76,13 @@ class RankSelectSpec extends AnyFunSuite {
     val widened = exact.select(col("g"),
       (col("__lo") - 500).as("__lo"), (col("__hi") + 1000).as("__hi"),
       col("__n"))
-    Seq(exact, widened).foreach { st =>
+    // narrowed: __lo ABOVE the true min / __hi BELOW the true max —
+    // exercises the greatest()-clamp (values below __lo → bucket 0)
+    // and the least()-cap (values above __hi → bucket buckets-1)
+    val narrowed = exact.select(col("g"),
+      (col("__lo") + 100).as("__lo"), (col("__hi") - 100).as("__hi"),
+      col("__n"))
+    Seq(exact, widened, narrowed).foreach { st =>
       val got = RankSelect
         .selectRanksGivenStats(skewed, "g", "v", "k",
           Seq("p50" -> 0.5, "p99" -> 0.99), st, buckets = 64)
