@@ -63,6 +63,41 @@ object ScalarQueries {
           .as("sum_k"))
         .orderBy("event_type")),
 
+    // NESTED JSON with an explicit schema — the from_json path a real
+    // events pipeline hits first (q_json_extract covers only one-key
+    // get_json_object). The fixture's props is flat, so the query first
+    // RE-SERIALIZES each event into the nested envelope an upstream
+    // producer would emit ({"et", "meta": {"uid", "k"}, "vals": [v,
+    // 2v]}), then parses it back with from_json + a full DDL schema and
+    // traverses object.object, object.field and array[index] paths.
+    // Parity: each engine parses the envelope IT printed — double →
+    // JSON → double is bit-exact per engine (shortest round-trip
+    // printing both sides), ×2 is an exact power-of-two scale, and the
+    // compared aggregates are integer cents/counts. Per-row projection
+    // + one partial-combined aggregate; json never crosses the shuffle
+    // (only (et, k, cents) leave the map side).
+    "q_json_nested" -> ((s, d) => {
+      val env = Tables.events(s, d)
+        .select(to_json(struct(
+          col("event_type").as("et"),
+          struct(col("user_id").as("uid"),
+            get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+            .as("meta"),
+          array(col("value"), col("value") * 2).as("vals"))).as("j"))
+      env
+        .select(from_json(col("j"),
+          "et STRING, meta STRUCT<uid: BIGINT, k: BIGINT>, vals ARRAY<DOUBLE>",
+          Map.empty[String, String]).as("p"))
+        .select(col("p.et").as("event_type"), col("p.meta.uid").as("uid"),
+          col("p.meta.k").as("k"), element_at(col("p.vals"), 2).as("v2"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("k")).as("sum_k"),
+          Money.sumCents(col("v2")).as("sum_v2_cents"),
+          max(col("uid")).as("max_uid"))
+        .orderBy("event_type")
+    }),
+
     // Array + map scalar functions over the embedding column: size,
     // min/max, HOF-folded mean and L2 norm (the left-to-right
     // cast-per-element accumulation the cosine queries pinned), and a
@@ -124,6 +159,27 @@ object ScalarQueries {
     "q_json_extract" ->
       """SELECT event_type,
         |  CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_json_nested" ->
+      """WITH env AS (
+        |  SELECT to_json(struct_pack(
+        |      et := event_type,
+        |      meta := struct_pack(uid := user_id,
+        |                          k := CAST(props->>'$.k' AS BIGINT)),
+        |      vals := [value, value * 2])) AS j
+        |  FROM events),
+        |parsed AS (
+        |  SELECT j->>'$.et' AS et,
+        |    CAST(j->>'$.meta.uid' AS BIGINT) AS uid,
+        |    CAST(j->>'$.meta.k' AS BIGINT) AS k,
+        |    CAST(j->>'$.vals[1]' AS DOUBLE) AS v2
+        |  FROM env)
+        |SELECT et AS event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(k) AS BIGINT) AS sum_k,
+        |  CAST(SUM(CAST(CAST(v2 AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+        |    AS sum_v2_cents,
+        |  CAST(MAX(uid) AS BIGINT) AS max_uid
+        |FROM parsed GROUP BY et ORDER BY et""".stripMargin
   )
 }

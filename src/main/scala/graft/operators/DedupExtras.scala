@@ -105,7 +105,8 @@ object DedupExtras {
           4).as("minhash_sim"))
       .distinct()
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map[String, (SparkSession, String) => DataFrame](
     // MinHash + LSH banding (4 bands × 2 rows): candidate pairs are docs
     // agreeing on both signature components of at least one band.
     //
@@ -365,6 +366,47 @@ object DedupExtras {
         .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keeper_id"))
         .filter(col("n_docs") > 1)
         .orderBy("norm_sig"))
+  ) ++ paragraphQueries
+
+  // SUB-document dedup (CCNet's duplicated-paragraph step): every other
+  // dedup here is doc-granularity; this one segments each doc into
+  // fixed 10-token chunks (the fixture has no newline paragraph marks —
+  // the chunk spine reuses q_text_chunk's sequence-explode), md5s each
+  // segment, and reports the per-doc drop manifest — how many of a
+  // doc's segments also appear verbatim in ANOTHER doc. Same-doc
+  // repeats don't count (COUNT(DISTINCT doc) ≥ 2 defines a shared
+  // segment). Discipline matches q_dedup_norm: segment TEXT dies at the
+  // md5 projection — both shuffles (distinct-pair aggregate, dup-set
+  // join) carry 16-byte digests + ids only. The segment frame feeds two
+  // consumers (dup-set build, manifest join), so it materializes once.
+  private def paragraphQueries
+      : Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_paragraph" -> ((s, d) => {
+      val segs = graft.Materialize.checkpoint(
+        Tables.documents(s, d)
+          .filter(length(col("text")) > 0)
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .select(col("doc_id"),
+            explode(sequence(lit(0), size(col("toks")) - 1, lit(10)))
+              .as("st"),
+            col("toks"))
+          .select(col("doc_id"),
+            md5(array_join(slice(col("toks"), col("st") + 1, lit(10)), " ")
+              .cast("binary")).as("h")))
+      val dup = segs.select("doc_id", "h").distinct()
+        .groupBy("h").agg(count(lit(1)).as("nd"))
+        .filter(col("nd") >= 2)
+        .select(col("h"), lit(1).as("__dup"))
+      segs.join(dup, Seq("h"), "left_outer")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_segs"),
+          sum(when(col("__dup").isNotNull, 1L).otherwise(0L))
+            .as("n_dup_segs"))
+        .select(col("doc_id"), col("n_segs"), col("n_dup_segs"),
+          round(col("n_dup_segs").cast("double") / col("n_segs"), 4)
+            .as("dup_share"))
+        .orderBy("doc_id")
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -471,6 +513,25 @@ object DedupExtras {
         |  FROM documents)
         |SELECT norm_sig, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  MIN(doc_id) AS keeper_id
-        |FROM n GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY norm_sig""".stripMargin
+        |FROM n GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY norm_sig""".stripMargin,
+
+    // NB DuckDB list slice [a:b] is INCLUSIVE of both ends (10 elements
+    // here), matching Spark slice(toks, st+1, 10).
+    "q_dedup_paragraph" ->
+      """WITH segs AS (
+        |  SELECT doc_id, md5(array_to_string(toks[st+1 : st+10], ' ')) AS h
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        |        FROM documents WHERE length(text) > 0),
+        |       UNNEST(range(0, len(toks), 10)) AS t(st)),
+        |dup AS (
+        |  SELECT h FROM (
+        |    SELECT h, COUNT(DISTINCT doc_id) AS nd FROM segs GROUP BY h)
+        |  WHERE nd >= 2)
+        |SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_segs,
+        |  CAST(COUNT(*) FILTER (d.h IS NOT NULL) AS BIGINT) AS n_dup_segs,
+        |  ROUND(CAST(COUNT(*) FILTER (d.h IS NOT NULL) AS DOUBLE)
+        |        / COUNT(*), 4) AS dup_share
+        |FROM segs s LEFT JOIN dup d USING (h)
+        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin
   )
 }

@@ -398,16 +398,7 @@ object SimilarityExtras {
     // probe partition. Probes with zero relevant docs drop (NDCG
     // undefined) via the inner joins in both engines.
     "q_ml_ndcg" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
-      val probes = emb.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("pid"), col("embedding").as("p"),
-          col("label").as("pl"))
-      val pairs = emb.filter(col("vec_id") >= 5)
-        .select(col("vec_id"), col("embedding").as("e"), col("label"))
-        .crossJoin(broadcast(probes))
-        .select(col("pid"), col("vec_id"),
-          round(expr(cosPair("e", "p")), 4).as("sim"),
-          when(col("label") === col("pl"), 1L).otherwise(0L).as("rel"))
+      val pairs = labeledProbePairs(s, d)
       val w = Window.partitionBy("pid")
         .orderBy(col("sim").desc, col("vec_id"))
       val dcg = pairs.withColumn("rn", row_number().over(w))
@@ -425,8 +416,56 @@ object SimilarityExtras {
         .select(col("pid").as("probe_id"), col("n_rel"),
           round(col("dcg") / col("idcg"), 4).as("ndcg10"))
         .orderBy("probe_id")
+    }),
+
+    // MRR@10 + capped recall@10 beside NDCG — the other two numbers a
+    // retrieval eval report carries. Shares q_ml_ndcg's construction
+    // verbatim ([[labeledProbePairs]]: sims rounded to 4 dp BEFORE
+    // ranking, vec_id tiebreak) so the two metrics can never disagree
+    // on the ranking they score. MRR is 1/rank of the first relevant
+    // hit in the top-10 (0.0 when none — an exact constant, no float
+    // path); recall@10 divides hits by min(n_rel, 10), the achievable
+    // maximum, so a probe with 50 relevant docs can still score 1.0.
+    // Same WindowGroupLimit shape: rn ≤ 10 keeps every task at local
+    // top-10 state.
+    "q_ml_mrr" -> ((s, d) => {
+      val pairs = labeledProbePairs(s, d)
+      val w = Window.partitionBy("pid")
+        .orderBy(col("sim").desc, col("vec_id"))
+      val top = pairs.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10)
+        .groupBy("pid")
+        .agg(min(when(col("rel") === 1, col("rn"))).as("fr"),
+          sum(col("rel")).as("n_hit"))
+      val rtot = pairs.groupBy("pid").agg(sum(col("rel")).as("n_rel"))
+      rtot.filter(col("n_rel") >= 1).join(top, "pid")
+        .select(col("pid").as("probe_id"), col("n_rel"),
+          round(coalesce(lit(1.0) / col("fr"), lit(0.0)), 4).as("mrr10"),
+          round(col("n_hit").cast("double") /
+            least(col("n_rel"), lit(10L)), 4).as("recall10"))
+        .orderBy("probe_id")
     })
   )
+
+  /** Shared probe/corpus scoring frame for the retrieval-eval queries
+    * (q_ml_ndcg, q_ml_mrr): vec_id < 5 are probes, the rest the corpus;
+    * sim is cosine ROUNDED to 4 dp before any ranking (near-ties become
+    * exact ties broken by vec_id, so engine last-ulp drift cannot
+    * reorder) and rel is binary same-label relevance. Probes ride a
+    * broadcast nested loop over ONE corpus scan per consumer.
+    */
+  private def labeledProbePairs(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val probes = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("pid"), col("embedding").as("p"),
+        col("label").as("pl"))
+    emb.filter(col("vec_id") >= 5)
+      .select(col("vec_id"), col("embedding").as("e"), col("label"))
+      .crossJoin(broadcast(probes))
+      .select(col("pid"), col("vec_id"),
+        round(expr(cosPair("e", "p")), 4).as("sim"),
+        when(col("label") === col("pl"), 1L).otherwise(0L).as("rel"))
+  }
 
   /** DuckDB twin of [[cosPair]] (list_sum sums left-to-right, matching
     * the HOF accumulate order — the parity q_sim_cosine established).
@@ -622,6 +661,33 @@ object SimilarityExtras {
          |        FROM rtot WHERE n_rel >= 1) GROUP BY pid)
          |SELECT dcg.pid AS probe_id, n_rel, ROUND(dcg / idcg, 4) AS ndcg10
          |FROM dcg JOIN rtot USING (pid) JOIN idcg USING (pid)
-         |ORDER BY probe_id""".stripMargin
+         |ORDER BY probe_id""".stripMargin,
+
+    "q_ml_mrr" ->
+      s"""WITH probes AS (
+         |  SELECT vec_id AS pid, embedding AS p, label AS pl
+         |  FROM embeddings WHERE vec_id < 5),
+         |pairs AS (
+         |  SELECT pid, r.vec_id,
+         |    ROUND(${cosPairDuck("r.embedding", "p")}, 4) AS sim,
+         |    CASE WHEN r.label = pl THEN 1 ELSE 0 END AS rel
+         |  FROM embeddings r, probes WHERE r.vec_id >= 5),
+         |ranked AS (
+         |  SELECT pid, rel,
+         |    ROW_NUMBER() OVER (PARTITION BY pid
+         |      ORDER BY sim DESC, vec_id) AS rn
+         |  FROM pairs),
+         |rtot AS (
+         |  SELECT pid, CAST(SUM(rel) AS BIGINT) AS n_rel
+         |  FROM pairs GROUP BY pid),
+         |top AS (
+         |  SELECT pid, MIN(CASE WHEN rel = 1 THEN rn END) AS fr,
+         |    CAST(SUM(rel) AS BIGINT) AS n_hit
+         |  FROM ranked WHERE rn <= 10 GROUP BY pid)
+         |SELECT r.pid AS probe_id, n_rel,
+         |  ROUND(COALESCE(CAST(1.0 AS DOUBLE) / fr, 0.0), 4) AS mrr10,
+         |  ROUND(CAST(n_hit AS DOUBLE) / LEAST(n_rel, 10), 4) AS recall10
+         |FROM rtot r JOIN top USING (pid)
+         |WHERE n_rel >= 1 ORDER BY probe_id""".stripMargin
   )
 }

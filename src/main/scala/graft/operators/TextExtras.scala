@@ -201,7 +201,50 @@ object TextExtras {
             .otherwise("keep").as("verdict"),
           when(col("n_toks") < 20 || col("n_toks") > 90 || col("ar") < 0.81,
             0L).otherwise(1L).as("kept"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Corpus-trained bigram-LM cross-entropy per doc — the KenLM-shaped
+    // quality signal that pairs with q_quality_filter's rule bands
+    // (CCNet scores docs by LM perplexity; low-entropy ≈ fluent).
+    // Model: Laplace-smoothed conditional P(w2|w1) = (c2+1)/(c1+V) with
+    // c2/c1 the corpus bigram/prefix counts and V the corpus vocab —
+    // every quantity an EXACT integer, so both engines run the
+    // identical IEEE division before the one libm ln() per term.
+    // Per-doc Σln accumulates doubles (same accepted risk + margin
+    // argument as q_agg_theil; 4-dp round absorbs ~1e-13 spread).
+    // Scale shape: the bigram frame is ONE corpus explode materialized
+    // once for its three consumers (c2, c1, scoring pass); the model
+    // (c2 ∪ c1 ∪ V) is the trained artifact and BROADCASTS — scoring is
+    // map-side-only over the corpus, exactly how a shipped KenLM scores
+    // 100 TB (a web-scale c2 that outgrows broadcast would shuffle-join
+    // on (w1,w2) instead; the plan shape downstream is unchanged).
+    "q_quality_lm" -> ((s, d) => {
+      val tk = Tables.documents(s, d)
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      val big = graft.Materialize.checkpoint(
+        tk.filter(size(col("toks")) >= 2)
+          .select(col("doc_id"), explode(expr(
+            """transform(sequence(1, size(toks) - 1),
+              |  i -> struct(element_at(toks, i) as w1,
+              |              element_at(toks, i + 1) as w2))""".stripMargin))
+            .as("b"))
+          .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2")))
+      val c2 = big.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+      val c1 = big.groupBy("w1").agg(count(lit(1)).as("cu"))
+      val v = tk.select(explode(col("toks")).as("tok"))
+        .agg(countDistinct(col("tok")).as("vocab"))
+      big.join(broadcast(c2), Seq("w1", "w2"))
+        .join(broadcast(c1), Seq("w1"))
+        .crossJoin(broadcast(v))
+        .select(col("doc_id"),
+          log((col("cb") + 1).cast("double") /
+            (col("cu") + col("vocab")).cast("double")).as("lp"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(-sum(col("lp")) / count(lit(1)), 4).as("xent"))
+        .orderBy("doc_id")
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -301,6 +344,23 @@ object TextExtras {
         |       ELSE 'keep' END AS verdict,
         |  CAST(CASE WHEN n_toks < 20 OR n_toks > 90 OR ar < 0.81
         |       THEN 0 ELSE 1 END AS BIGINT) AS kept
-        |FROM f ORDER BY doc_id""".stripMargin
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    "q_quality_lm" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |  WHERE length(text) > 0),
+        |big AS (
+        |  SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+        |  FROM tk, UNNEST(range(1, len(toks))) AS t(i)),
+        |v AS (SELECT COUNT(DISTINCT tok) AS vocab
+        |      FROM (SELECT UNNEST(toks) AS tok FROM tk)),
+        |c2 AS (SELECT w1, w2, COUNT(*) AS cb FROM big GROUP BY 1, 2),
+        |c1 AS (SELECT w1, COUNT(*) AS cu FROM big GROUP BY 1)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |  ROUND(-SUM(LN(CAST(cb + 1 AS DOUBLE) / CAST(cu + vocab AS DOUBLE)))
+        |        / COUNT(*), 4) AS xent
+        |FROM big JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

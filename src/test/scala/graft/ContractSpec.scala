@@ -176,7 +176,11 @@ class ContractSpec extends AnyFunSuite {
     "q_join_priority" -> 10L,
     "q_ml_ndcg" -> 5L,
     "q_window_firstlast" -> 15L,
-    "q_agg_bool" -> 5L
+    "q_agg_bool" -> 5L,
+    "q_json_nested" -> 5L,
+    "q_ml_mrr" -> 5L,
+    "q_dedup_paragraph" -> 500L,
+    "q_quality_lm" -> 500L
   )
 
   test("every contract query has oracle SQL and vice versa") {
