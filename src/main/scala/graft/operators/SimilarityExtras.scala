@@ -428,6 +428,34 @@ object SimilarityExtras {
     // maximum, so a probe with 50 relevant docs can still score 1.0.
     // Same WindowGroupLimit shape: rn ≤ 10 keeps every task at local
     // top-10 state.
+    // Per-vector symmetric int8 quantization — the storage/ANN step
+    // that turns a float32 corpus into 4×-smaller int8 codes (scale =
+    // max|x|/127 per vector, q = clamp(round(x/scale))). Output is the
+    // integer manifest (code checksum + saturation count) rather than
+    // 64 codes per row. Parity: float→double casts are exact, the
+    // scale division and per-element divisions are identical IEEE ops,
+    // and round-half-away-from-zero matches between engines, so every
+    // compared value is an exact integer. Pure per-row projection —
+    // no shuffle but the output sort; at 100 TB this maps over the
+    // corpus once and writes codes beside the index.
+    "q_embed_quantize" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          (expr("array_max(transform(embedding, x -> abs(cast(x as double))))")
+            / 127).as("scale"),
+          col("embedding"))
+        .select(col("vec_id"), expr(
+          """transform(embedding, x ->
+            |  CASE WHEN scale = 0D THEN 0L
+            |  ELSE greatest(-127L, least(127L,
+            |    cast(round(cast(x as double) / scale) as long))) END)"""
+            .stripMargin).as("q"))
+        .select(col("vec_id"),
+          expr("aggregate(q, 0L, (a, x) -> a + x)").as("sum_q"),
+          expr("size(filter(q, v -> abs(v) = 127))").cast("long")
+            .as("n_sat"))
+        .orderBy("vec_id")),
+
     "q_ml_mrr" -> ((s, d) => {
       val pairs = labeledProbePairs(s, d)
       val w = Window.partitionBy("pid")
@@ -688,6 +716,23 @@ object SimilarityExtras {
          |  ROUND(COALESCE(CAST(1.0 AS DOUBLE) / fr, 0.0), 4) AS mrr10,
          |  ROUND(CAST(n_hit AS DOUBLE) / LEAST(n_rel, 10), 4) AS recall10
          |FROM rtot r JOIN top USING (pid)
-         |WHERE n_rel >= 1 ORDER BY probe_id""".stripMargin
+         |WHERE n_rel >= 1 ORDER BY probe_id""".stripMargin,
+
+    "q_embed_quantize" ->
+      """WITH s AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE)))) / 127 AS scale
+        |  FROM embeddings),
+        |qz AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x ->
+        |      CASE WHEN scale = 0 THEN 0
+        |        ELSE GREATEST(-127, LEAST(127,
+        |          CAST(ROUND(CAST(x AS DOUBLE) / scale) AS BIGINT))) END) AS q
+        |  FROM s)
+        |SELECT vec_id, CAST(list_sum(q) AS BIGINT) AS sum_q,
+        |  CAST(len(list_filter(q, v -> abs(v) = 127)) AS BIGINT) AS n_sat
+        |FROM qz ORDER BY vec_id""".stripMargin
   )
 }

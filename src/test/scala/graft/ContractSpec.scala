@@ -180,7 +180,9 @@ class ContractSpec extends AnyFunSuite {
     "q_json_nested" -> 5L,
     "q_ml_mrr" -> 5L,
     "q_dedup_paragraph" -> 500L,
-    "q_quality_lm" -> 500L
+    "q_quality_lm" -> 500L,
+    "q_sketch_bounds" -> 3L,
+    "q_embed_quantize" -> 500L
   )
 
   test("every contract query has oracle SQL and vice versa") {
