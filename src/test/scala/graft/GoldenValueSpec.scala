@@ -115,6 +115,63 @@ class GoldenValueSpec extends AnyFunSuite {
       ((493L, 514L, -2078.722, -0.2277)))
   }
 
+  test("q_ml_mrr exact MRR@10 and capped recall@10 per probe") {
+    val rows = SparkEntry.queries("q_ml_mrr")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.toSeq === Seq(
+      (0L, 50L, 0.1429, 0.2), (1L, 41L, 0.0, 0.0), (2L, 62L, 0.0, 0.0),
+      (3L, 49L, 0.0, 0.0), (4L, 55L, 0.1667, 0.1)))
+  }
+
+  test("q_json_nested exact per-type aggregates after the JSON round-trip") {
+    val rows = SparkEntry.queries("q_json_nested")(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.toSeq === Seq(
+      ("click", 210L, 9707L, 2062142L, 14L),
+      ("error", 201L, 10442L, 1885818L, 14L),
+      ("purchase", 202L, 9664L, 2084938L, 14L),
+      ("signup", 199L, 9738L, 2067036L, 14L),
+      ("view", 188L, 9325L, 1910104L, 14L)))
+  }
+
+  test("q_dedup_paragraph head manifest rows and corpus dup-segment total") {
+    val rows = SparkEntry.queries("q_dedup_paragraph")(spark, sf0001)
+      .limit(3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.toSeq === Seq(
+      (0L, 3L, 2L, 0.6667), (1L, 8L, 0L, 0.0), (2L, 7L, 0L, 0.0)))
+    val (dup, tot) = SparkEntry.queries("q_dedup_paragraph")(spark, sf0001)
+      .agg(org.apache.spark.sql.functions.sum("n_dup_segs"),
+        org.apache.spark.sql.functions.sum("n_segs"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).head
+    assert((dup, tot) === ((298L, 3017L)))
+  }
+
+  test("q_quality_lm exact bigram cross-entropy head rows") {
+    val rows = SparkEntry.queries("q_quality_lm")(spark, sf0001)
+      .limit(3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.toSeq === Seq(
+      (0L, 22L, 3.4275), (1L, 77L, 3.396), (2L, 64L, 3.3844)))
+  }
+
+  test("q_sketch_bounds flags hold with exact counts") {
+    val rows = SparkEntry.queries("q_sketch_bounds")(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.toSeq === Seq(
+      ("F", 493L, 145L, 1L, 1L), ("O", 514L, 148L, 1L, 1L),
+      ("P", 493L, 143L, 1L, 1L)))
+  }
+
+  test("q_embed_quantize exact int8 code checksums head rows") {
+    val rows = SparkEntry.queries("q_embed_quantize")(spark, sf0001)
+      .limit(3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq === Seq((0L, -172L, 1L), (1L, -841L, 1L), (2L, 331L, 1L)))
+  }
+
   // q_agg_theil is the contract's one double-accumulation aggregate
   // (Σx·ln x — partition-order-dependent partial sums, ~1e-10 relative
   // spread). Its 4-dp rounding is only engine-stable if every group's
