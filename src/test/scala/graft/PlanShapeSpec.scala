@@ -43,7 +43,7 @@ class PlanShapeSpec extends AnyFunSuite {
   test("rank-selection queries never window-partition facts by the bare group") {
     Seq("q_percentile", "q_agg_winsorize", "q_window_ntile", "q_agg_gini",
       "q_agg_pareto", "q_window_session_stats", "q_stats_outlier",
-      "q_agg_wmedian", "q_sample_stratified", "q_ml_ndcg")
+      "q_agg_wmedian", "q_sample_stratified", "q_ml_ndcg", "q_ml_mrr")
       .foreach { n =>
         plan(n).collect { case w: WindowExec => w }.foreach { w =>
           val parts = w.partitionSpec.flatMap(_.references).map(_.name)
@@ -63,5 +63,20 @@ class PlanShapeSpec extends AnyFunSuite {
               "the |group|-task scale-killer RankSelect exists to avoid")
         }
       }
+  }
+
+  // q_quality_lm's model joins (c2 on (w1,w2), c1 on w1, the 1-row V)
+  // must all stay broadcast hash joins: a sort-merge join there would
+  // shuffle the corpus-scale bigram stream by token — exactly the
+  // "model rides to the data, not the data to the model" inversion the
+  // query's scale story depends on.
+  test("q_quality_lm joins the broadcast model, never shuffling bigrams") {
+    val joins = plan("q_quality_lm").collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }
+    assert(joins.isEmpty,
+      s"q_quality_lm plans ${joins.size} shuffled join(s) — the LM " +
+        "model must broadcast")
   }
 }
