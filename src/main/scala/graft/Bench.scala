@@ -57,6 +57,19 @@ object Bench {
       Seq("region", "nation", "customer", "supplier", "part", "orders",
         "lineitem", "events", "documents", "embeddings")
         .foreach(t => graft.sources.Tables.table(spark, sfDir, t))
+      // One untimed pass over a handful of structurally diverse
+      // queries at the TINY SF: warms the window/object-hash-agg/HOF/
+      // rank-select codegen+JIT paths the tiny scan-agg warmup above
+      // never touches. Without it the alphabetically-first ~20 timed
+      // queries pay the session's C2 ramp (measured ~+0.05 s median vs
+      // the rest of the suite).
+      Seq("q_window_rank", "q_join_inner", "q_percentile", "q_sim_cosine",
+        "q_text_tokens", "q_agg_moments")
+        .foreach { q =>
+          try SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").count()
+          catch { case _: Throwable => () }
+          Materialize.releaseAll()
+        }
     } catch { case _: Throwable => () }
 
     // Load control: a fixed CPU-bound probe (hash+sum over a generated
