@@ -92,11 +92,14 @@ object Bench {
     // each SAMPLE is min-of-2 back-to-back probes (a single GC pause or
     // scheduler hiccup must not flag the whole run as loaded)
     def loadControl(): Double = math.min(loadControlOnce(), loadControlOnce())
-    // 3 untimed warmups: one invocation is not enough for C2 to finish
-    // compiling the probe's codegen'd loop — a half-JITed first sample
-    // reads 2-3× slow and false-flags `loaded`
-    (1 to 3).foreach(_ => loadControlOnce())
-    val ctlStart = loadControl()
+    // Generous untimed warmup + min-of-3 for the START sample: the
+    // session's first minute reads ~2× slow even on a quiet host (C2
+    // ramp, page-cache fill, allocator growth) — with a thin start
+    // sample the ≥2×-spread flag fires on EVERY run and stops meaning
+    // "ambient load". Mid/end samples keep min-of-2; by then the JVM
+    // is steady and a 2× reading is real.
+    (1 to 5).foreach(_ => loadControlOnce())
+    val ctlStart = math.min(loadControl(), loadControlOnce())
 
     // A failing query must not masquerade as a fast one: any failing
     // rep marks the query -1 (excluded from the total, listed by name).
@@ -142,18 +145,30 @@ object Bench {
     // Rescue pass: a sustained load window inflates EVERY back-to-back
     // rep of the queries that ran under it (min-of-N can't save them —
     // r10's driver artifact had q_having at 17× its quiet cost). Queries
-    // whose recorded min is ≥ 0.5 s get ONE more rep at the very end of
+    // whose recorded min is ≥ 0.3 s get ONE more rep at the very end of
     // the suite — minutes later, a different noise sample — and keep
-    // the smaller value. Never inflates: min only goes down.
+    // the smaller value. Never inflates: min only goes down. The 0.3 s
+    // threshold covers both genuinely-slow queries and trivial ones a
+    // load window inflated past ~3× the suite median; the extra wall
+    // (~35 rescued queries × their own cost) is untimed.
     val results = firstPass.map { case (name, fn, v) =>
-      (name, if (v >= 0.5) {
+      (name, if (v >= 0.3) {
         val r2 = repOf(name, fn)(reps + 3)
         if (r2 >= 0) math.min(v, r2) else v
       } else v)
     }
     val ctlEnd = loadControl()
     val ctls = Seq(ctlStart, ctlMid, ctlEnd).filter(_ >= 0)
-    val loaded = ctls.max >= 2 * ctls.min
+    // `loaded` keys off the POST-RAMP samples only: the start probe
+    // reads ~2× slow on every run no matter how much it is warmed (C2
+    // background compilation + page-cache fill own the session's first
+    // minute), so including it made the flag fire on provably quiet
+    // runs. A spike confined to the suite's first third is still
+    // visible in the raw start value and recoverable via the rescue
+    // pass; mid/end catch sustained or late load.
+    val post = Seq(ctlMid, ctlEnd).filter(_ >= 0)
+    val loaded = post.nonEmpty && ctls.nonEmpty &&
+      post.max >= 2 * ctls.min
     val ctlJson = s""""load_control":{"start":$ctlStart,"mid":$ctlMid,""" +
       s""""end":$ctlEnd,"loaded":$loaded}"""
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
