@@ -428,6 +428,29 @@ object SimilarityExtras {
     // maximum, so a probe with 50 relevant docs can still score 1.0.
     // Same WindowGroupLimit shape: rn ≤ 10 keeps every task at local
     // top-10 state.
+    // Binned calibration curve — the reliability diagram an ML eval
+    // report pairs with its ranking metrics: does a higher similarity
+    // score actually mean a higher probability of same-label? Shares
+    // [[labeledProbePairs]] with ndcg/mrr (4-dp-rounded sims are
+    // engine-bit-identical, so the bin assignment floor((sim+1)·5) is
+    // too — both engines run the same IEEE ops on the same doubles).
+    // mean_sim sums ~1k 4-dp values per bin before one division (the
+    // q_agg_theil accumulation argument; 4 dp absorbs ~1e-13 spread).
+    // One partial-combined 10-group aggregate over the scored pairs —
+    // nothing but (bin, sim, rel) leaves the map side.
+    "q_ml_calibration" -> ((s, d) =>
+      labeledProbePairs(s, d)
+        .select(greatest(lit(0L), least(lit(9L),
+          floor((col("sim") + 1) * 5).cast("long"))).as("bin"),
+          col("sim"), col("rel"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_pairs"),
+          round(sum(col("sim")) / count(lit(1)), 4).as("mean_sim"),
+          sum(col("rel")).as("n_pos"),
+          round(sum(col("rel")).cast("double") / count(lit(1)), 4)
+            .as("pos_rate"))
+        .orderBy("bin")),
+
     // Per-vector symmetric int8 quantization — the storage/ANN step
     // that turns a float32 corpus into 4×-smaller int8 codes (scale =
     // max|x|/127 per vector, q = clamp(round(x/scale))). Output is the
@@ -717,6 +740,25 @@ object SimilarityExtras {
          |  ROUND(CAST(n_hit AS DOUBLE) / LEAST(n_rel, 10), 4) AS recall10
          |FROM rtot r JOIN top USING (pid)
          |WHERE n_rel >= 1 ORDER BY probe_id""".stripMargin,
+
+    "q_ml_calibration" ->
+      s"""WITH probes AS (
+         |  SELECT vec_id AS pid, embedding AS p, label AS pl
+         |  FROM embeddings WHERE vec_id < 5),
+         |pairs AS (
+         |  SELECT pid, r.vec_id,
+         |    ROUND(${cosPairDuck("r.embedding", "p")}, 4) AS sim,
+         |    CASE WHEN r.label = pl THEN 1 ELSE 0 END AS rel
+         |  FROM embeddings r, probes WHERE r.vec_id >= 5),
+         |binned AS (
+         |  SELECT GREATEST(0, LEAST(9,
+         |      CAST(FLOOR((sim + 1) * 5) AS BIGINT))) AS bin, sim, rel
+         |  FROM pairs)
+         |SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |  ROUND(SUM(sim) / COUNT(*), 4) AS mean_sim,
+         |  CAST(SUM(rel) AS BIGINT) AS n_pos,
+         |  ROUND(CAST(SUM(rel) AS DOUBLE) / COUNT(*), 4) AS pos_rate
+         |FROM binned GROUP BY bin ORDER BY bin""".stripMargin,
 
     "q_embed_quantize" ->
       """WITH s AS (

@@ -165,6 +165,16 @@ class GoldenValueSpec extends AnyFunSuite {
       ("P", 493L, 143L, 1L, 1L)))
   }
 
+  test("q_ml_calibration exact per-bin curve") {
+    val rows = SparkEntry.queries("q_ml_calibration")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(rows.toSeq === Seq(
+      (2L, 1L, -0.4671, 0L, 0.0), (3L, 127L, -0.2475, 9L, 0.0709),
+      (4L, 1087L, -0.0812, 127L, 0.1168), (5L, 1128L, 0.0828, 110L, 0.0975),
+      (6L, 132L, 0.2525, 11L, 0.0833)))
+  }
+
   test("q_embed_quantize exact int8 code checksums head rows") {
     val rows = SparkEntry.queries("q_embed_quantize")(spark, sf0001)
       .limit(3).collect()
