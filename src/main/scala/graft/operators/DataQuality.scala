@@ -115,11 +115,15 @@ object DataQuality {
           // targets p·(n−1) (0-indexed) while 0.5·n is the 1-indexed
           // median rank — a definitional convention gap of up to one
           // rank at even n (measured: rank 256 of 514 where 0.5·n =
-          // 257), not a sketch error.
+          // 257), not a sketch error. The returned value's rank straddle
+          // is [cnt_lt+1, cnt_le]: the low side checks cnt_le ≥
+          // (0.5−ε)n − 1, and the high side checks cnt_lt+1 ≤ (0.5+ε)n
+          // + 1, i.e. cnt_lt ≤ (0.5+ε)n — the same single definitional
+          // rank of slack on both sides.
           when(col("cnt_le").cast("double") >=
               (lit(0.5) - eps) * col("n_rows") - 1 &&
             col("cnt_lt").cast("double") <=
-              (lit(0.5) + eps) * col("n_rows") + 1, 1L)
+              (lit(0.5) + eps) * col("n_rows"), 1L)
             .otherwise(0L).as("pctl_ok"))
         .orderBy("st")
     })

@@ -230,35 +230,42 @@ object DedupExtras {
           .groupBy("doc_id").agg(min(col("bl")).as("lab"))
       // Hop 1 folded into initialization: under identity labels the
       // bucket minimum IS the minimum member doc_id, so the first
-      // propagation needs no label join; hop 2 chains straight onto it
-      // inside the SAME materialized frame. Each round's frame carries
-      // its own change flag (`__chg` = label strictly decreased), so ONE
-      // job — the convergence count, which scans every partition — both
-      // materializes the cache (checkpointLazy) and answers the driver's
-      // only question.
+      // propagation needs no label join. Each round's frame carries
+      // its own change flag (`__chg`), so ONE job — the convergence
+      // count, which scans every partition — both materializes the
+      // cache (checkpointLazy) and answers the driver's only question.
+      //
+      // TWO propagation hops per materialized frame: the intermediate
+      // hop's labels ride inside the cached lineage (no checkpoint, no
+      // driver round-trip), halving the fixpoint's driver-synchronized
+      // counts — at 100 TB each count is a full cluster barrier, so
+      // rounds, not hops, dominate wall time. `__chg` compares the
+      // double hop against the SINGLE-hop-ago labels h1 *inside the
+      // same lineage* — not against the frame from two hops ago — so a
+      // graph that converges on an odd hop exits without a whole extra
+      // round (the r11 `lab < doc_id` init flag fired whenever any
+      // cluster existed at all, always buying one dead round). The
+      // diff join's second read of h1 is served by AQE query-stage
+      // reuse (h1 ends in an aggregate exchange; both consumers share
+      // it), so detection costs no extra shuffle. Convergence stays
+      // sound: hops are pointwise monotone (hop(h1) ≤ h1), so
+      // `__chg` nowhere-true means h1 is a fixpoint and labels == h1.
       val init =
         m.join(m.groupBy(bcols.head, bcols.tail: _*)
             .agg(min(col("doc_id")).as("bl")), bcols)
           .groupBy("doc_id").agg(min(col("bl")).as("lab"))
-      var labels = graft.Materialize.checkpointLazy(
-        hop(hop(init)).withColumn("__chg", col("lab") < col("doc_id")))
+      def doubleHop(lab: DataFrame): DataFrame = {
+        val h1 = hop(lab)
+        hop(h1)
+          .join(h1.select(col("doc_id"), col("lab").as("__old")), "doc_id")
+          .withColumn("__chg", col("lab") < col("__old"))
+          .select("doc_id", "lab", "__chg")
+      }
+      var labels = graft.Materialize.checkpointLazy(doubleHop(init))
       var changed = labels.filter(col("__chg")).count()
       var rounds = 1
       while (changed > 0 && rounds < 20) {
-        // TWO propagation hops per materialized frame: the intermediate
-        // hop's labels ride inside the cached lineage (no checkpoint, no
-        // driver round-trip, no diff join), halving the fixpoint's
-        // driver-synchronized counts — at 100 TB each count is a full
-        // cluster barrier, so rounds, not hops, dominate wall time.
-        // Convergence stays sound: hops are pointwise monotone (nxt ≤
-        // hop1 ≤ labels), so a single-hop decrease anywhere implies the
-        // double-hop frame also strictly decreased there.
-        val nxt = graft.Materialize.checkpointLazy(
-          hop(hop(labels))
-            .join(labels.select(col("doc_id"), col("lab").as("__old")),
-              "doc_id")
-            .withColumn("__chg", col("lab") < col("__old"))
-            .select("doc_id", "lab", "__chg"))
+        val nxt = graft.Materialize.checkpointLazy(doubleHop(labels))
         changed = nxt.filter(col("__chg")).count()
         // the old frame's last consumer is nxt's materialization above —
         // release it NOW, not at query end, or a long fixpoint holds
