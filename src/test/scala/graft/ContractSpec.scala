@@ -138,6 +138,7 @@ class ContractSpec extends AnyFunSuite {
     "q_text_boilerplate" -> 5L,
     "q_agg_pareto" -> 1L,
     "q_events_interarrival" -> 5L,
+    "q_multimodal_decode" -> 500L,
     "q_multimodal_dedup" -> 3L,
     "q_dq_constraints" -> 5L,
     "q_agg_decay" -> 5L,
