@@ -44,7 +44,8 @@ object SparkEntry {
       StatsExtras.queries ++
       SourceQueries.queries ++
       CorpusExtras.queries ++
-      DataQuality.queries
+      DataQuality.queries ++
+      graft.streaming.StreamReplay.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -65,5 +66,6 @@ object SparkEntry {
       StatsExtras.oracle ++
       SourceQueries.oracle ++
       CorpusExtras.oracle ++
-      DataQuality.oracle
+      DataQuality.oracle ++
+      graft.streaming.StreamReplay.oracle
 }

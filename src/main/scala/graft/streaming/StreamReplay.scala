@@ -1,0 +1,221 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.file.attribute.FileTime
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Driver-visible Structured Streaming gate (SURVEY.md §2.9, round 12).
+  *
+  * The streaming twins in [[StreamingWindows]] are batch-equivalence-
+  * proven in StreamingSpec, but a spec is builder-side only — this
+  * module turns stream==batch-on-bounded-input into a CONTRACT row the
+  * driver hash-checks against DuckDB. `q_stream_replay` replays the
+  * events fixture through a real `readStream` file source as two
+  * event-time-ordered micro-batches (maxFilesPerTrigger=1) into
+  *
+  *  - the watermarked tumbling window aggregate (complete mode: the agg
+  *    state store folds partial counts across micro-batches), and
+  *  - the `flatMapGroupsWithState` sessionizer (append mode: per-user
+  *    session state must survive micro-batch boundaries — a session
+  *    spanning two replay slices is exactly what the state store is
+  *    for).
+  *
+  * The final in-memory sink contents, union-shaped and sorted, must
+  * hash-equal the PLAIN BATCH SQL DuckDB runs on the original fixture —
+  * no streaming-specific oracle exists or is needed, which is the whole
+  * point: on bounded input the streaming operators ARE the batch
+  * operators. Sessions emit only when CLOSED by a later event (the
+  * open tail lives in state forever on a bounded stream), so the oracle
+  * drops each user's final session.
+  *
+  * At 100 TB this is the ingestion path: the replay staging stands in
+  * for a partitioned landing zone, and determinism comes from slicing
+  * by EVENT TIME — each micro-batch holds a contiguous ts range, so
+  * per-key state folds see events in order no matter how the files
+  * were produced.
+  */
+object StreamReplay {
+
+  /** Replay slices staged once per (session, dir) — the landing-zone
+    * write is ingest, not the measured query (same policy as Tables'
+    * layout staging).
+    */
+  private val replayCache =
+    new scala.collection.concurrent.TrieMap[(SparkSession, String), String]
+
+  private val nameCounter = new java.util.concurrent.atomic.AtomicLong()
+
+  private val Slices = 2
+
+  /** Stage `events` as [[Slices]] single-file parquet slices of
+    * contiguous event-time ranges, mtimes ascending so the file stream
+    * source replays them oldest-range-first.
+    */
+  def replayDir(s: SparkSession, d: String): String =
+    replayCache.getOrElseUpdate((s, d), {
+      val out = "/tmp/graft_replay/p" + ProcessHandle.current().pid() +
+        "_" + d.replaceAll("[^A-Za-z0-9._-]", "_")
+      val outPath = Paths.get(out)
+      Files.createDirectories(outPath)
+      val ev = Tables.events(s, d)
+      val mm = ev.agg(min(unix_micros(col("ts"))).as("lo"),
+        max(unix_micros(col("ts"))).as("hi")).head()
+      val lo = mm.getLong(0)
+      val w = (mm.getLong(1) - lo) / Slices + 1
+      (0 until Slices).foreach { i =>
+        val tmp = out + s"/_slice$i"
+        ev.filter(unix_micros(col("ts")) >= lo + i * w &&
+            unix_micros(col("ts")) < lo + (i + 1) * w)
+          .coalesce(1)
+          .write.mode("overwrite").parquet(tmp)
+        val part = Files.list(Paths.get(tmp)).iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .toSeq.head
+        val dst = outPath.resolve(f"$i%03d.parquet")
+        Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
+        // fixed absolute mtimes: replay order must not depend on how
+        // fast the slices were written
+        Files.setLastModifiedTime(dst,
+          FileTime.fromMillis(1000000000000L + i * 60000L))
+      }
+      out
+    })
+
+  private implicit class IterOps[A](it: java.util.Iterator[A]) {
+    def asScala: Iterator[A] = new Iterator[A] {
+      def hasNext = it.hasNext
+      def next() = it.next()
+    }
+  }
+
+  /** Run one streaming query to completion into a uniquely-named memory
+    * sink and return the sink table.
+    *
+    * The state store materializes one store (and one checkpoint commit
+    * per micro-batch) PER shuffle partition, so the session's batch
+    * setting of 32 means 32 × n_batches store commits for a few
+    * thousand keys — pure fixed overhead at this fixture size. The
+    * streaming query captures `spark.sql.shuffle.partitions` at START
+    * and keeps it for life, so pinning it low here affects only the
+    * stream (the conf is restored before the returned batch frame is
+    * consumed). At production scale this knob is sized to the key
+    * cardinality exactly the same way — state partitions are a
+    * provisioning decision, not a semantics one.
+    */
+  private def runToMemory(s: SparkSession, dfs: Seq[(DataFrame, String)])
+      : Seq[DataFrame] = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    // Start ALL queries before waiting on any: per-micro-batch
+    // planning/commit overhead dominates job time at fixture scale, and
+    // concurrent streams interleave their batches on the same executors
+    // — wall ≈ max, not sum, exactly as a production ingest tier runs
+    // many concurrent queries. Default temp checkpoints land in
+    // java.io.tmpdir (slow disk); state-store deltas + offset/commit
+    // logs are the write-heavy part of every micro-batch, so put them
+    // on the same tmpfs as the shuffle dirs and reap the tree after.
+    val started = try {
+      dfs.map { case (df, mode) =>
+        val name = "graft_replay_sink_" + nameCounter.incrementAndGet()
+        val ckpt = sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR",
+          "/dev/shm/graft-local") + "/replay_ckpt_" + name
+        val q = df.writeStream.outputMode(mode).format("memory")
+          .option("checkpointLocation", ckpt)
+          .queryName(name).start()
+        (name, ckpt, q)
+      }
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    started.foreach { case (_, ckpt, q) =>
+      try q.processAllAvailable()
+      finally {
+        q.stop()
+        try {
+          import scala.reflect.io.Directory
+          new Directory(new java.io.File(ckpt)).deleteRecursively()
+        } catch { case _: Throwable => () }
+      }
+    }
+    started.map { case (name, _, _) => s.table(name) }
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_replay" -> ((s, d) => {
+      val dir = replayDir(s, d)
+      val schemaFrom = s"$dir/000.parquet"
+
+      // tumbling hour × type counts (the §2.9 headline, folded across
+      // three micro-batches by the aggregate state store) and 30-min-gap
+      // sessionization (custom per-user state crossing the same
+      // micro-batch boundaries; only CLOSED sessions emit) — started
+      // together, drained together
+      val Seq(tumRaw, sessRaw) = runToMemory(s, Seq(
+        (StreamingWindows.tumblingCounts(
+          StreamingWindows.eventsStream(s, dir, schemaFrom)), "complete"),
+        (StreamingWindows.sessionize(
+          StreamingWindows.typedEventsStream(s, dir, schemaFrom,
+            maxFilesPerTrigger = Some(1))).toDF(), "append")))
+
+      val tum = tumRaw
+        .select(lit("window").as("kind"),
+          date_format(col("hour_start"), "yyyy-MM-dd HH").as("k1"),
+          col("event_type").as("k2"), col("n"),
+          col("sum_value_c").as("v_c"))
+      val sess = sessRaw
+        .select(lit("session").as("kind"),
+          lpad(col("user_id").cast("string"), 8, "0").as("k1"),
+          lpad(col("session_id").cast("string"), 4, "0").as("k2"),
+          col("n_events").as("n"), lit(null).cast("long").as("v_c"))
+
+      tum.unionAll(sess).orderBy("kind", "k1", "k2")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    // Plain batch SQL over the ORIGINAL fixture — stream must equal
+    // batch on bounded input. Session ordinals are the running sum of
+    // 30-min-gap flags (1-based, same as the stateful fold); each
+    // user's max ordinal is the never-closed tail the stream cannot
+    // emit, so it is excluded.
+    "q_stream_replay" ->
+      """WITH tum AS (
+        |  SELECT 'window' AS kind,
+        |    strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS k1,
+        |    event_type AS k2, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      AS BIGINT) AS v_c
+        |  FROM events GROUP BY 2, 3),
+        |e AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |              > INTERVAL 30 MINUTE OR
+        |              LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS session_id
+        |  FROM e),
+        |g AS (
+        |  SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |    CAST(COUNT(*) AS BIGINT) AS n_events
+        |  FROM s GROUP BY user_id, session_id),
+        |closed AS (
+        |  SELECT * FROM (
+        |    SELECT g.*, MAX(session_id) OVER (PARTITION BY user_id) AS max_sid
+        |    FROM g) WHERE session_id < max_sid)
+        |SELECT kind, k1, k2, n, v_c FROM (
+        |  SELECT kind, k1, k2, n, v_c FROM tum
+        |  UNION ALL
+        |  SELECT 'session', lpad(CAST(user_id AS VARCHAR), 8, '0'),
+        |    lpad(CAST(session_id AS VARCHAR), 4, '0'), n_events,
+        |    CAST(NULL AS BIGINT)
+        |  FROM closed)
+        |ORDER BY kind, k1, k2""".stripMargin
+  )
+}

@@ -63,6 +63,7 @@ class ContractSpec extends AnyFunSuite {
     "q_except" -> 116L,
     "q_pivot" -> 15L,
     "q_percentile" -> 3L,
+    "q_stream_replay" -> 1799L,
     "q_stringagg" -> 5L,
     "q_subquery_corr" -> 144L,
     "q_text_ngrams" -> 20L,
