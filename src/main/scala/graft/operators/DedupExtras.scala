@@ -244,20 +244,33 @@ object DedupExtras {
       // same lineage* — not against the frame from two hops ago — so a
       // graph that converges on an odd hop exits without a whole extra
       // round (the r11 `lab < doc_id` init flag fired whenever any
-      // cluster existed at all, always buying one dead round). The
-      // diff join's second read of h1 is served by AQE query-stage
-      // reuse (h1 ends in an aggregate exchange; both consumers share
-      // it), so detection costs no extra shuffle. Convergence stays
-      // sound: hops are pointwise monotone (hop(h1) ≤ h1), so
-      // `__chg` nowhere-true means h1 is a fixpoint and labels == h1.
+      // cluster existed at all, always buying one dead round).
+      // Detection is threaded, not a diff join: h1's label is renamed
+      // `__old` and carried through the second hop's own
+      // joins/aggregates (every row of a doc carries the same `__old`,
+      // so min(__old) per doc is just __old) — one extra long column
+      // plus the withOld join evaluated for both consumers. Same-window
+      // jobWall A/B at sf0.1 (wall was ambient-confounded that day):
+      // blind r11 flag 1.14 s / this 1.31 s / separate hop(h1)⨝h1 diff
+      // join 1.61 s. The ~0.1 s/round detection price buys skipping an
+      // ENTIRE 10-job propagation round whenever the graph converges on
+      // an odd hop — at 100 TB a round is a cluster-wide barrier plus a
+      // full label shuffle, the one cost this fixpoint must minimize.
+      // Convergence stays sound: hops are pointwise monotone
+      // (hop(h1) ≤ h1), so `__chg` nowhere-true means h1 is a fixpoint
+      // and labels == h1.
       val init =
         m.join(m.groupBy(bcols.head, bcols.tail: _*)
             .agg(min(col("doc_id")).as("bl")), bcols)
           .groupBy("doc_id").agg(min(col("bl")).as("lab"))
       def doubleHop(lab: DataFrame): DataFrame = {
-        val h1 = hop(lab)
-        hop(h1)
-          .join(h1.select(col("doc_id"), col("lab").as("__old")), "doc_id")
+        val withOld = m.join(hop(lab).withColumnRenamed("lab", "__old"),
+          "doc_id")
+        withOld
+          .join(withOld.groupBy(bcols.head, bcols.tail: _*)
+            .agg(min(col("__old")).as("bl")), bcols)
+          .groupBy("doc_id")
+          .agg(min(col("bl")).as("lab"), min(col("__old")).as("__old"))
           .withColumn("__chg", col("lab") < col("__old"))
           .select("doc_id", "lab", "__chg")
       }
