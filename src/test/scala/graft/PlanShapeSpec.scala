@@ -65,6 +65,30 @@ class PlanShapeSpec extends AnyFunSuite {
       }
   }
 
+  // q_multimodal_decode's scale claim is "a pure map-side metadata
+  // pass": synth + parse are partition-local typed maps, so the ONLY
+  // exchange in the plan must be the presentation sort's range
+  // partitioning — any hash exchange, join, or aggregate appearing
+  // here means the decode stage started moving payload bytes.
+  test("q_multimodal_decode shuffles nothing but the presentation sort") {
+    val p = plan("q_multimodal_decode")
+    val exchanges = p.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.size <= 1, s"decode plans ${exchanges.size} exchanges")
+    exchanges.foreach { e =>
+      assert(e.outputPartitioning.isInstanceOf[
+        org.apache.spark.sql.catalyst.plans.physical.RangePartitioning],
+        s"decode's exchange is ${e.outputPartitioning}, not the sort's " +
+          "range partitioning")
+    }
+    assert(p.collectFirst { case a: BaseAggregateExec => a }.isEmpty &&
+      p.collectFirst {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+      }.isEmpty,
+      "decode plans an aggregate or join — it must stay a map pass")
+  }
+
   // q_quality_lm's model joins (c2 on (w1,w2), c1 on w1, the 1-row V)
   // must all stay broadcast hash joins: a sort-merge join there would
   // shuffle the corpus-scale bigram stream by token — exactly the
