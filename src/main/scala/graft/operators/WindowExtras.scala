@@ -51,16 +51,25 @@ object WindowExtras {
     // have zero duration and would pin every percentile to 0), then
     // global p50/p90 via the same two-phase RankSelect as
     // q_percentile — a single logical group ("all") ranked with
-    // buckets-wide parallelism, never a one-task global window. The
-    // thin per-session relation is CHECKPOINTED because both the rank
-    // selection and the totals aggregate consume it. Durations are
-    // exact epoch-µs integers; only the average divides → 4 dp. The
-    // tie key user_id·10⁵ + session_id is unique while any user has
-    // < 10⁵ sessions (session_id is a per-user counter).
+    // buckets-wide parallelism, never a one-task global window.
+    // Durations are exact epoch-µs integers; only the average divides
+    // → 4 dp. The tie key user_id·10⁵ + session_id is unique while any
+    // user has < 10⁵ sessions (session_id is a per-user counter).
+    //
+    // Fused-stats idiom (round 12, the mad/rfm shape): ONE checkpointed
+    // aggregate over the lazily-cached session relation carries the
+    // rank bounds (__lo/__hi/__n) AND the totals (n_sessions, Σdur) —
+    // its materializing action doubles as sess's cache fill, and
+    // selectRanksGivenStats never re-scans the sessions for min/max.
+    // Same-window A/B: 16 → 15 jobs, wall 1.82 → 1.74 s at sf0.1 — a
+    // MODEST win here (unlike mad/rfm, the re-scanned relation is the
+    // ~30k-row session table, not the facts; the dominant cost is the
+    // sessionizing window itself), kept because it removes a blocking
+    // action and a pass without adding any.
     "q_window_session_stats" -> ((s, d) => {
       val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
       val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val sess = graft.Materialize.checkpoint(
+      val sess = graft.Materialize.checkpointLazy(
         Tables.events(s, d)
           .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
           .withColumn("new_s",
@@ -75,13 +84,19 @@ object WindowExtras {
           .filter(col("n_ev") >= 2)
           .select(lit("all").as("g"), col("dur"),
             (col("user_id") * 100000L + col("session_id")).as("k")))
-      val pct = RankSelect.selectRanks(sess, "g", "dur", "k",
+      val st = graft.Materialize.checkpoint(
+        sess.groupBy("g")
+          .agg(count(lit(1)).as("__n"), sum("dur").as("sd"),
+            min(col("dur").cast("double")).as("__lo"),
+            max(col("dur").cast("double")).as("__hi")))
+      val pct = RankSelect.selectRanksGivenStats(sess, "g", "dur", "k",
           Seq("p50" -> 0.5, "p90" -> 0.9),
+          st.select("g", "__lo", "__hi", "__n"),
           RankSelect.bucketsFor(graft.sources.Stats.rowCount(s, d, "events")))
         .groupBy("g")
         .agg(max(when(col("__tag") === "p50", col("__v"))).as("p50_dur_us"),
           max(when(col("__tag") === "p90", col("__v"))).as("p90_dur_us"))
-      sess.agg(count(lit(1)).as("n_sessions"), sum("dur").as("sd"))
+      st.select(col("__n").as("n_sessions"), col("sd"))
         .crossJoin(broadcast(pct))
         .select(col("n_sessions"), col("p50_dur_us"), col("p90_dur_us"),
           round(col("sd").cast("double") / col("n_sessions"), 4)
