@@ -113,6 +113,33 @@ object MultimodalQueries {
       v
     }
 
+    /** Big-endian unsigned read of `n` bytes at `off` (PNG is network
+      * byte order — opposite of BMP/WAV, which is the point: the
+      * parser must get BOTH right).
+      */
+    def beUInt(b: Array[Byte], off: Int, n: Int): Long = {
+      var v = 0L
+      var i = 0
+      while (i < n) { v = (v << 8) | (b(off + i) & 0xffL); i += 1 }
+      v
+    }
+
+    private def putBe(b: Array[Byte], off: Int, v: Long, n: Int): Unit = {
+      var i = 0
+      while (i < n) { b(off + i) = ((v >> (8 * (n - 1 - i))) & 0xff).toByte
+        i += 1 }
+    }
+
+    /** CRC32 over b[from, until) — PNG chunk CRCs cover chunk type +
+      * data (java.util.zip.CRC32 is the same polynomial PNG
+      * specifies).
+      */
+    def crc32(b: Array[Byte], from: Int, until: Int): Long = {
+      val c = new java.util.zip.CRC32
+      c.update(b, from, until - from)
+      c.getValue
+    }
+
     /** Signed 32-bit little-endian read (BMP dims are signed; a
       * negative height means top-down row order).
       */
@@ -169,6 +196,28 @@ object MultimodalQueries {
       out
     }
 
+    /** Truecolor 8-bit PNG: the 8-byte signature plus a REAL IHDR
+      * chunk — length/width/height big-endian, and a genuine CRC32
+      * over type+data exactly as the PNG spec requires (the parser
+      * verifies it). `body` stands in for the IDAT/IEND tail.
+      */
+    def synthPng(width: Int, height: Int, body: Array[Byte]): Array[Byte] = {
+      val out = new Array[Byte](33 + body.length)
+      val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+      var i = 0
+      while (i < 8) { out(i) = sig(i).toByte; i += 1 }
+      putBe(out, 8, 13L, 4)              // IHDR data length
+      out(12) = 'I'; out(13) = 'H'; out(14) = 'D'; out(15) = 'R'
+      putBe(out, 16, width.toLong, 4)
+      putBe(out, 20, height.toLong, 4)
+      out(24) = 8                        // bit depth
+      out(25) = 2                        // color type: truecolor
+      // compression 0, filter 0, interlace 0 already zeroed
+      putBe(out, 29, crc32(out, 12, 29), 4)
+      System.arraycopy(body, 0, out, 33, body.length)
+      out
+    }
+
     /** Magic-sniff + fixed-offset field extraction. Every field flows
       * from the payload bytes; malformed input degrades to
       * ("unknown", nulls) rather than throwing — one bad asset must
@@ -180,6 +229,17 @@ object MultimodalQueries {
           leUInt(payload, 14, 4) == 40L && leUInt(payload, 26, 2) == 1L)
         ContainerMeta(docId, "image", n,
           Some(leInt32(payload, 18)), Some(leInt32(payload, 22)),
+          None, None, None)
+      else if (n >= 33 && (payload(0) & 0xff) == 0x89 &&
+          payload(1) == 'P' && payload(2) == 'N' && payload(3) == 'G' &&
+          payload(12) == 'I' && payload(13) == 'H' &&
+          payload(14) == 'D' && payload(15) == 'R' &&
+          beUInt(payload, 8, 4) == 13L &&
+          // a wrong-endian writer or a flipped byte anywhere in the
+          // header fails the REAL chunk CRC — integrity, not just magic
+          beUInt(payload, 29, 4) == crc32(payload, 12, 29))
+        ContainerMeta(docId, "image", n,
+          Some(beUInt(payload, 16, 4)), Some(beUInt(payload, 20, 4)),
           None, None, None)
       else if (n >= 44 && payload(0) == 'R' && payload(1) == 'I' &&
           payload(2) == 'F' && payload(3) == 'F' &&
@@ -276,18 +336,20 @@ object MultimodalQueries {
         .orderBy("media_type")
     }),
 
-    // REAL header decode (no stub): synthesize genuine BMP / WAV
-    // container bytes from fixture columns executor-side (even doc_id →
-    // 24-bit BMP, odd → 16-bit PCM WAV, body = first 16 UTF-8 bytes of
-    // the text), then recover every output field by parsing the BYTES —
-    // media_type from the magic sniff, dims / rate / channels /
-    // duration from fixed-offset little-endian reads. The oracle
-    // computes the same fields from the synthesis formulas, so
-    // parse∘synth must invert exactly: any wrong offset, byte order,
-    // or size formula in either direction breaks the hash. Both stages
-    // are partition-local maps over (doc_id, text) — at 100 TB this is
-    // a pure map-side metadata-extraction pass, no shuffle until the
-    // final presentation sort.
+    // REAL header decode (no stub): synthesize genuine BMP / WAV / PNG
+    // container bytes from fixture columns executor-side (doc_id%3 =
+    // 0 → 24-bit BMP, 1 → 16-bit PCM WAV, 2 → truecolor PNG with a
+    // REAL IHDR CRC32; body = first 16 UTF-8 bytes of the text), then
+    // recover every output field by parsing the BYTES — media_type
+    // from the magic sniff, dims / rate / channels / duration from
+    // fixed-offset reads in the format's OWN byte order (BMP/WAV
+    // little-endian, PNG big-endian), PNG additionally CRC-verified.
+    // The oracle computes the same fields from the synthesis formulas,
+    // so parse∘synth must invert exactly: any wrong offset, byte
+    // order, CRC, or size formula in either direction breaks the
+    // hash. Both stages are partition-local maps over (doc_id, text) —
+    // at 100 TB this is a pure map-side metadata-extraction pass, no
+    // shuffle until the final presentation sort.
     "q_multimodal_decode" -> ((s, d) => {
       import s.implicits._
       Tables.documents(s, d)
@@ -295,14 +357,18 @@ object MultimodalQueries {
         .map { case (id, text) =>
           val body = text
             .getBytes(java.nio.charset.StandardCharsets.UTF_8).take(16)
-          val payload =
-            if (id % 2 == 0)
+          val payload = (id % 3) match {
+            case 0 =>
               ContainerCodec.synthBmp((1 + id % 640).toInt,
                 (1 + (id * 7) % 480).toInt, body)
-            else
+            case 1 =>
               ContainerCodec.synthWav((1 + (id / 2) % 2).toInt,
                 Array(8000, 16000, 22050, 44100)(((id / 2) % 4).toInt),
                 (1 + id % 2000).toInt, body)
+            case _ =>
+              ContainerCodec.synthPng((1 + id % 1920).toInt,
+                (1 + (id * 11) % 1080).toInt, body)
+          }
           MediaRecord(id, "bin", payload)
         }
         .mapPartitions(_.map(r => ContainerCodec.parse(r.doc_id, r.payload)))
@@ -412,19 +478,19 @@ object MultimodalQueries {
         |  SELECT doc_id, LEAST(octet_length(encode(text)), 16) AS blen
         |  FROM documents)
         |SELECT doc_id,
-        |  CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS media_type,
-        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 54 ELSE 44 END + blen AS BIGINT)
-        |    AS n_bytes,
-        |  CASE WHEN doc_id % 2 = 0
-        |    THEN CAST(1 + doc_id % 640 AS BIGINT) END AS width,
-        |  CASE WHEN doc_id % 2 = 0
-        |    THEN CAST(1 + (doc_id * 7) % 480 AS BIGINT) END AS height,
-        |  CASE WHEN doc_id % 2 = 1
+        |  CASE WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'image' END AS media_type,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 54 WHEN 1 THEN 44 ELSE 33 END
+        |    + blen AS BIGINT) AS n_bytes,
+        |  CASE doc_id % 3 WHEN 0 THEN CAST(1 + doc_id % 640 AS BIGINT)
+        |    WHEN 2 THEN CAST(1 + doc_id % 1920 AS BIGINT) END AS width,
+        |  CASE doc_id % 3 WHEN 0 THEN CAST(1 + (doc_id * 7) % 480 AS BIGINT)
+        |    WHEN 2 THEN CAST(1 + (doc_id * 11) % 1080 AS BIGINT) END AS height,
+        |  CASE WHEN doc_id % 3 = 1
         |    THEN CAST([8000,16000,22050,44100][CAST((doc_id // 2) % 4 AS INT) + 1]
         |      AS BIGINT) END AS sample_rate,
-        |  CASE WHEN doc_id % 2 = 1
+        |  CASE WHEN doc_id % 3 = 1
         |    THEN CAST(1 + (doc_id // 2) % 2 AS BIGINT) END AS channels,
-        |  CASE WHEN doc_id % 2 = 1
+        |  CASE WHEN doc_id % 3 = 1
         |    THEN CAST((1 + doc_id % 2000) * 1000 //
         |      [8000,16000,22050,44100][CAST((doc_id // 2) % 4 AS INT) + 1]
         |      AS BIGINT) END AS duration_ms

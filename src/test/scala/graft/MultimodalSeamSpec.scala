@@ -104,6 +104,29 @@ class MultimodalSeamSpec extends AnyFunSuite {
     assert(m.width.isEmpty && m.height.isEmpty)
   }
 
+  test("ContainerCodec parses a hand-written literal PNG header (big-endian + CRC)") {
+    // 2×3 truecolor PNG: signature, IHDR length/width/height written
+    // big-endian BY HAND, CRC computed here over the literal type+data
+    // bytes — independent of the writer's putBe/crc32 helpers
+    val be = (v: Long, n: Int) =>
+      Array.tabulate(n)(i => ((v >> (8 * (n - 1 - i))) & 0xff).toByte)
+    val ihdr = Array.concat(
+      Array[Byte]('I', 'H', 'D', 'R'), be(2, 4), be(3, 4),
+      Array[Byte](8, 2, 0, 0, 0))
+    val crc = new java.util.zip.CRC32
+    crc.update(ihdr, 0, ihdr.length)
+    val b = Array.concat(
+      Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a),
+      be(13, 4), ihdr, be(crc.getValue, 4))
+    assert(b.length === 33)
+    val m = ContainerCodec.parse(9L, b)
+    assert(m.media_type === "image")
+    assert(m.width === Some(2L) && m.height === Some(3L))
+    // flipping ONE header byte must fail the CRC, not misparse
+    val bad = b.clone(); bad(17) = (bad(17) ^ 0x01).toByte
+    assert(ContainerCodec.parse(9L, bad).media_type === "unknown")
+  }
+
   test("ContainerCodec synth→parse roundtrips exactly") {
     for (w <- Seq(1, 17, 639); h <- Seq(1, 480)) {
       val m = ContainerCodec.parse(1L,
@@ -118,6 +141,13 @@ class MultimodalSeamSpec extends AnyFunSuite {
       assert(m.media_type === "audio")
       assert(m.sample_rate === Some(r.toLong) && m.channels === Some(c.toLong))
       assert(m.duration_ms === Some(ns.toLong * 1000 / r))
+    }
+    for (w <- Seq(1, 1920); h <- Seq(1, 777)) {
+      val m = ContainerCodec.parse(3L,
+        ContainerCodec.synthPng(w, h, Array[Byte](1)))
+      assert(m.media_type === "image")
+      assert(m.width === Some(w.toLong) && m.height === Some(h.toLong))
+      assert(m.n_bytes === 34L)
     }
   }
 
