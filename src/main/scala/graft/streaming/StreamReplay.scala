@@ -72,9 +72,12 @@ object StreamReplay {
             unix_micros(col("ts")) < lo + (i + 1) * w)
           .coalesce(1)
           .write.mode("overwrite").parquet(tmp)
-        val part = Files.list(Paths.get(tmp)).iterator().asScala
-          .filter(_.getFileName.toString.endsWith(".parquet"))
-          .toSeq.head
+        val listing = Files.list(Paths.get(tmp))
+        val part = try {
+          listing.iterator().asScala
+            .filter(_.getFileName.toString.endsWith(".parquet"))
+            .toSeq.head
+        } finally listing.close()
         val dst = outPath.resolve(f"$i%03d.parquet")
         Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
         // fixed absolute mtimes: replay order must not depend on how

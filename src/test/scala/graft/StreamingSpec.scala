@@ -272,6 +272,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("StreamReplay staging: slices cover events exactly, in time order") {
+    import graft.streaming.StreamReplay
+    val dir = StreamReplay.replayDir(spark, sf0001)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    assert(files.length === 2)
+    assert(files.map(_.getName).toSeq === Seq("000.parquet", "001.parquet"))
+    // mtimes strictly ascending — the file stream's replay order key
+    assert(files(0).lastModified < files(1).lastModified)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val slices = files.map(f => spark.read.parquet(f.getPath))
+    // disjoint exact cover of the fixture
+    val total = Tables.events(spark, sf0001).count()
+    assert(slices.map(_.count()).sum === total)
+    assert(slices.map(_.select("event_id")).reduce(_ union _)
+      .distinct().count() === total)
+    // contiguous event-time ranges: slice 0 ends before slice 1 begins
+    val hi0 = slices(0).agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val lo1 = slices(1).agg(min(unix_micros(col("ts")))).head().getLong(0)
+    assert(hi0 < lo1, s"slice boundary overlap: $hi0 >= $lo1")
+  }
+
   test("heavyHittersStream: bounded MG state covers every frequent token") {
     import spark.implicits._
     // two links to the same documents file = the token stream delivered
