@@ -13,6 +13,18 @@ class ExtensionGoldenSpec extends AnyFunSuite {
     SparkEntry.queries(name)(spark, sf0001)
       .limit(2).collect().toSeq.map(_.toSeq)
 
+  test("q_multimodal_decode head rows") {
+    assert(head2("q_multimodal_decode") ===
+      Seq(Seq(0L, "image", 70L, 1L, 1L, null, null, null),
+        Seq(1L, "audio", 60L, null, null, 8000L, 1L, 0L)))
+  }
+
+  test("q_stream_replay head rows") {
+    assert(head2("q_stream_replay") ===
+      Seq(Seq("session", "00000000", "0001", 1L, null),
+        Seq("session", "00000000", "0002", 1L, null)))
+  }
+
   test("q_dedup_minhash top pairs") {
     assert(head2("q_dedup_minhash") ===
       Seq(Seq(0L, 50L, 1.0), Seq(0L, 82L, 0.875)))
