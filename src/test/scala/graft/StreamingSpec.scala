@@ -272,6 +272,67 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("watermark drops late data in append mode across micro-batches") {
+    import spark.implicits._
+    // Batch 0 (two 00:xx events, one each at 01/02/03) advances the
+    // watermark to 03:10 − 1 h = 02:10. The LATE 00:20 event arrives
+    // in batch 2 — two batches later, deliberately: Spark's
+    // late-events filter uses a LAGGED watermark (batch N filters with
+    // the watermark as of batch N−2's end; eviction uses N−1's), so a
+    // late row arriving in the very next batch is still aggregated —
+    // the documented guarantee is one-sided ("never drop data newer
+    // than the watermark"), not "always drop older". Probed
+    // empirically on this Spark: the same row one batch earlier lands
+    // in the emitted window. By batch 2 the filter watermark is 02:10
+    // > the row's window end 01:00, so it must be dropped — and since
+    // the 00-window was already emitted at batch 1's end (eviction
+    // watermark 02:10), a leak would show up as a DUPLICATE 00-window
+    // row with count 1 in the append output. Final sink: 00→2, 01→1,
+    // 02→1, 03→1, exactly once each; the 04/05 windows never close on
+    // a bounded stream.
+    val dir = java.nio.file.Files.createTempDirectory("graft-late")
+    // stage each batch as a PLAIN FILE (the stream source does not
+    // recurse into write.parquet's output directories)
+    def write(name: String, mtime: Long, rows: Seq[(Long, String)]): Unit = {
+      val tmp = dir.resolve(s"_$name")
+      rows.toDF("event_id", "t")
+        .select(col("event_id"), to_timestamp(col("t")).as("ts"),
+          lit(7L).as("user_id"), lit("click").as("event_type"),
+          lit(1.0).as("value"), lit("{}").as("props"))
+        .coalesce(1).write.parquet(tmp.toString)
+      import scala.jdk.CollectionConverters._
+      val listing = java.nio.file.Files.list(tmp)
+      val part = try {
+        listing.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.head
+      } finally listing.close()
+      val f = dir.resolve(name)
+      java.nio.file.Files.move(part, f)
+      java.nio.file.Files.setLastModifiedTime(f,
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    write("b1.parquet", 1000000000000L, Seq(
+      (1L, "2024-01-01 00:10:00"), (2L, "2024-01-01 00:40:00"),
+      (3L, "2024-01-01 01:10:00"), (4L, "2024-01-01 02:10:00"),
+      (5L, "2024-01-01 03:10:00")))
+    write("b2.parquet", 1000000060000L, Seq(
+      (6L, "2024-01-01 04:10:00")))  // advances the watermark only
+    write("b3.parquet", 1000000120000L, Seq(
+      (7L, "2024-01-01 00:20:00"),   // LATE: two batches behind — drop
+      (8L, "2024-01-01 05:10:00")))  // on-time, window stays open
+    val q = StreamingWindows
+      .tumblingCounts(StreamingWindows.eventsStream(
+        spark, dir.toString, s"${dir.resolve("b1.parquet")}"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("stream_late").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("stream_late")
+      .select(date_format(col("hour_start"), "HH").as("h"), col("n"))
+      .orderBy("h").collect().toSeq.map(r => (r.getString(0), r.getLong(1)))
+    assert(got === Seq(("00", 2L), ("01", 1L), ("02", 1L), ("03", 1L)),
+      s"late row leaked or append discipline broke: $got")
+  }
+
   test("StreamReplay staging: slices cover events exactly, in time order") {
     import graft.streaming.StreamReplay
     val dir = StreamReplay.replayDir(spark, sf0001)
