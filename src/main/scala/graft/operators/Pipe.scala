@@ -37,7 +37,8 @@ object Pipe {
     val s = df.sparkSession
     import s.implicits._
     val lines = df.select(concat_ws("\t",
-      df.columns.map(c => coalesce(col(c).cast("string"), lit(""))): _*))
+      df.columns.toIndexedSeq
+        .map(c => coalesce(col(c).cast("string"), lit(""))): _*))
       .as[String]
     s.createDataset(lines.rdd.pipe(cmd)).toDF("line")
   }
