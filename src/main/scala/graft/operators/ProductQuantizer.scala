@@ -135,18 +135,29 @@ object ProductQuantizer {
     * lookup-sum over the codes column.
     */
   def searchAdc(spark: SparkSession, dir: String, model: PqModel,
-      probeVecId: Long, k: Int, m: Int = 8): DataFrame = {
+      probeVecId: Long, k: Int, m: Int = 8): DataFrame =
+    adcScores(spark, dir, model, model.codes, probeVecId, m)
+      .orderBy(col("approx_sim").desc, col("vec_id"))
+      .limit(k)
+
+  /** ADC scoring of (a subset of) the coded corpus against one probe:
+    * the probe's per-(subspace, code) partial dots collapse to one
+    * lookup ARRAY per subspace (m × ksub doubles — broadcastable at
+    * any corpus size), and each candidate costs m `element_at`s plus
+    * a sum.
+    */
+  private def adcScores(spark: SparkSession, dir: String, model: PqModel,
+      codes: DataFrame, probeVecId: Long, m: Int): DataFrame = {
     val probe = subvectors(spark, dir, m)
       .filter(col("vec_id") === probeVecId)
       .select(col("sub"), col("sv").as("qv"))
     val table = model.codebook.join(broadcast(probe), "sub")
       .select(col("sub"), col("code"),
         expr(dotSql.format("qv", "c")).as("pdot"))
-      // m × ksub rows → one lookup ARRAY per subspace, broadcastable
       .groupBy("sub")
       .agg(array_sort(collect_list(struct(col("code"), col("pdot")))).as("cp"))
       .select(col("sub"), expr("transform(cp, x -> x.pdot)").as("lut"))
-    model.codes
+    codes
       .filter(col("vec_id") =!= probeVecId)
       .select(col("vec_id"), posexplode(col("codes")).as(Seq("sub", "code")))
       .join(broadcast(table), "sub")
@@ -154,7 +165,42 @@ object ProductQuantizer {
         expr("element_at(lut, code + 1)").as("pdot"))
       .groupBy("vec_id")
       .agg(sum("pdot").as("approx_sim"))
+  }
+
+  /** IVFADC — [[IvfIndex]] composed with the quantizer, the FAISS
+    * architecture: the IVF coarse cells prune the candidate set to
+    * `nprobe` cells' members WITHOUT touching vectors or codes, ADC
+    * scores only those members' codes, and the exact rerank reads only
+    * the final `pool` full vectors. Per 100 TB query: nprobe/k of the
+    * codes scanned (codes already 32× smaller than vectors), `pool`
+    * full-vector reads, zero corpus shuffles.
+    */
+  def searchIvfAdc(spark: SparkSession, dir: String, model: PqModel,
+      ivf: IvfIndex.IvfModel, probeVecId: Long, k: Int, pool: Int = 50,
+      nprobe: Int = 4, m: Int = 8): DataFrame = {
+    graft.plans.CosineSimilarity.register(spark)
+    val probeE = ivf.assigned.filter(col("vec_id") === probeVecId)
+      .select(col("e").as("p"))
+    val probedCells = ivf.centroids.crossJoin(broadcast(probeE))
+      .withColumn("cell_sim", expr("cosine_sim(c, p)"))
+      .orderBy(col("cell_sim").desc, col("cell"))
+      .limit(nprobe)
+      .select("cell")
+    val candCodes = model.codes.join(
+      ivf.assigned.join(broadcast(probedCells), "cell").select("vec_id"),
+      "vec_id")
+    val shortlist = adcScores(spark, dir, model, candCodes, probeVecId, m)
       .orderBy(col("approx_sim").desc, col("vec_id"))
+      .limit(pool)
+      .select("vec_id")
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val probe = emb.filter(col("vec_id") === probeVecId)
+      .select(col("e").as("q"))
+    emb.join(broadcast(shortlist), "vec_id")
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"), round(expr("cosine_sim(e, q)"), 4).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
       .limit(k)
   }
 

@@ -76,4 +76,37 @@ class ProductQuantizerSpec extends AnyFunSuite {
     assert(reranked === bestOfPool)
     Materialize.releaseAll()
   }
+
+  test("IVFADC composition: cells prune, codes shortlist, rerank is exact") {
+    graft.plans.CosineSimilarity.register(spark)
+    val ivf = graft.operators.IvfIndex.build(spark, sf0001, 16, 2)
+    val got = ProductQuantizer
+      .searchIvfAdc(spark, sf0001, model, ivf, 0L, 10)
+      .collect()
+    assert(got.length === 10)
+    // every hit must belong to one of the nprobe=4 probed cells — the
+    // cell pruning really bounded the search
+    val probeE = ivf.assigned.filter(col("vec_id") === 0)
+      .select(col("e").as("p"))
+    val probedCells = ivf.centroids.crossJoin(broadcast(probeE))
+      .withColumn("cs", expr("cosine_sim(c, p)"))
+      .orderBy(col("cs").desc, col("cell"))
+      .limit(4).select("cell").collect().map(_.getInt(0)).toSet
+    val cellOf = ivf.assigned.select("vec_id", "cell")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    got.foreach { r =>
+      assert(probedCells.contains(cellOf(r.getLong(0))))
+      // rerank emits EXACT 4-dp cosines, not ADC approximations
+      val sim = r.getDouble(1)
+      assert(sim >= -1.0 && sim <= 1.0)
+    }
+    // and within the probed cells the result recalls most of the
+    // cell-restricted exact top-10 (IvfIndex.search is that truth)
+    val cellExact = graft.operators.IvfIndex
+      .search(spark, sf0001, 0L, 10, 16, 2, 4)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val overlap = (cellExact & got.map(_.getLong(0)).toSet).size / 10.0
+    assert(overlap >= 0.4, s"IVFADC vs cell-exact overlap = $overlap")
+    Materialize.releaseAll()
+  }
 }
