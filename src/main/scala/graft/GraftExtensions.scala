@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.plans.{CosineSimilarity, HyperplaneSignature, MinHashSignature, SimHashFingerprint}
+import graft.plans.{CosineSimilarity, HyperplaneSignature, InterleaveBits, MinHashSignature, SimHashFingerprint}
 
 /** Library installation point: `SparkSessionExtensions` injector that
   * registers every native graft expression at session build, so a user
@@ -41,5 +41,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => MinHashSignature(exprs.head)))
     ext.injectFunction((FunctionIdentifier("simhash_fp"), info("simhash_fp"),
       (exprs: Seq[Expression]) => SimHashFingerprint(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("interleave_bits"),
+      info("interleave_bits"),
+      (exprs: Seq[Expression]) => InterleaveBits(exprs.tail, exprs.head match {
+        case Literal(v: Int, IntegerType) => v
+        case other => throw new IllegalArgumentException(
+          s"interleave_bits bits must be an integer literal, got $other")
+      })))
   }
 }

@@ -32,13 +32,17 @@ class GraftExtensionsSpec extends AnyFunSuite {
           |  round(cosine_sim(array(1.0d, 2.0d), array(2.0d, 4.0d)), 4) AS cos,
           |  hyperplane_sig(array(1.0d, 1.0d, 1.0d, 1.0d), 8) AS hp,
           |  minhash_sig(array('a b c', 'b c d')) AS mh,
-          |  simhash_fp(array(md5(cast('x' as binary)))) AS sh""".stripMargin)
+          |  simhash_fp(array(md5(cast('x' as binary)))) AS sh,
+          |  interleave_bits(2, 3, 1) AS zv""".stripMargin)
         .head()
       assert(row.getDouble(0) === 1.0)
       assert(row.getString(1).length === 8 &&
         row.getString(1).forall(c => c == '0' || c == '1'))
       assert(row.getSeq[String](2).length === 8)
       assert(row.getString(3).length === 32)
+      // dims=2, bits=2: 3=0b11 and 1=0b01 interleave (dim 0 MSB-first)
+      // to 0b1011 = 11
+      assert(row.getLong(4) === 11L)
 
       // the injected functions survive newSession() clones, which
       // temp-function registration does not guarantee

@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.ZOrder
+import graft.plans.InterleaveBits
+
+/** Z-order layout: the interleave expression is checked against a
+  * reference scatter (codegen path included), and the layout's file
+  * statistics must show the property the whole feature exists for —
+  * a Z-ordered table prunes file reads for predicates on EVERY
+  * clustered dimension, where a linear sort prunes only its leading
+  * column. Thresholds carry wide margins over the measured values so
+  * range-partitioner sampling jitter cannot flake them.
+  */
+class ZOrderSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("interleave_bits matches the reference scatter through codegen") {
+    val rnd = new scala.util.Random(42)
+    val tuples = Seq.fill(200)((rnd.nextInt(16), rnd.nextInt(16), rnd.nextInt(16)))
+    InterleaveBits.register(spark)
+    val got = tuples.toDF("a", "b", "c")
+      .select(expr("interleave_bits(4, a, b, c)").as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    val want = tuples.map { case (a, b, c) => InterleaveBits.ref(Seq(a, b, c), 4) }
+    assert(got === want)
+
+    // any null input -> null z (layout callers coalesce to bucket 0 first)
+    val withNull = Seq((Some(1), Some(2)), (None, Some(3)))
+      .toDF("a", "b")
+      .select(expr("interleave_bits(4, a, b)").as("z"))
+      .collect()
+    assert(!withNull(0).isNullAt(0) && withNull(1).isNullAt(0))
+  }
+
+  test("interleave order: monotone per dimension, dim 0 most significant") {
+    // holding other dims fixed, growing any dim grows z
+    for (d <- 0 until 3; v <- 0 until 15) {
+      val lo = Seq(7, 7, 7).updated(d, v)
+      val hi = Seq(7, 7, 7).updated(d, v + 1)
+      assert(InterleaveBits.ref(lo, 4) < InterleaveBits.ref(hi, 4))
+    }
+    // a dim-0 top-bit step dominates any lower-dim value
+    assert(InterleaveBits.ref(Seq(8, 0), 4) > InterleaveBits.ref(Seq(7, 15), 4))
+  }
+
+  test("z-order layout prunes on both dimensions; linear sort only on its leading column") {
+    val li = spark.read.parquet(s"${SparkTestBase.sf0001}/lineitem.parquet")
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_extendedprice")
+    val dims = Seq("l_partkey", "l_extendedprice")
+    val zDir = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    val linDir = java.nio.file.Files.createTempDirectory("graft-linear").toString
+
+    ZOrder.write(li, dims, bits = 4, zDir, numFiles = 16)
+    // comparison layout: the classic single-column sort
+    li.repartitionByRange(16, col("l_partkey"))
+      .sortWithinPartitions("l_partkey")
+      .write.mode("overwrite").parquet(linDir)
+
+    val zStats = ZOrder.fileStats(spark, zDir, dims).cache()
+    val linStats = ZOrder.fileStats(spark, linDir, dims).cache()
+    assert(zStats.agg(sum("rows")).head().getLong(0) === 6000L)
+
+    val Row = li.agg(min("l_extendedprice"), max("l_extendedprice")).head()
+    val (pLo, pHi) = (Row.getDouble(0), Row.getDouble(1))
+    val priceMid = Seq(("l_extendedprice",
+      pLo + 0.40 * (pHi - pLo), pLo + 0.60 * (pHi - pLo)))
+    val partMid = Seq(("l_partkey", 80.0, 119.0))
+
+    // leading-column predicate: both layouts prune
+    assert(ZOrder.overlapFraction(linStats, partMid) <= 0.5)
+    assert(ZOrder.overlapFraction(zStats, partMid) <= 0.7)
+    // second-dimension predicate: the linear layout reads EVERY file,
+    // the z-order layout skips
+    assert(ZOrder.overlapFraction(linStats, priceMid) === 1.0)
+    assert(ZOrder.overlapFraction(zStats, priceMid) <= 0.7)
+    // conjunctive box: a ~20% x ~20% box reads a small fraction of the
+    // z-ordered files (measured 0.375 at 16 files; the linear layout
+    // can match this only while its LEADING column is constrained —
+    // the priceMid assertion above is the case it cannot serve)
+    val box = partMid ++ priceMid
+    assert(ZOrder.overlapFraction(zStats, box) <= 0.5)
+
+    // read-back correctness: the layout rewrite loses and alters nothing
+    val back = spark.read.parquet(zDir)
+      .filter(col("l_partkey").between(80, 119) &&
+        col("l_extendedprice").between(priceMid.head._2, priceMid.head._3))
+      .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_extendedprice")
+      .collect().toSeq
+    val direct = li
+      .filter(col("l_partkey").between(80, 119) &&
+        col("l_extendedprice").between(priceMid.head._2, priceMid.head._3))
+      .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_extendedprice")
+      .collect().toSeq
+    assert(back === direct && direct.nonEmpty)
+    zStats.unpersist(); linStats.unpersist()
+  }
+
+  test("nulls and constant columns land in bucket 0 and are never dropped") {
+    val df = Seq[(java.lang.Double, Int)]((1.0, 5), (null, 5), (9.0, 5))
+      .toDF("v", "k")
+    val b = ZOrder.equiWidthBucketized(df, Seq("v", "k"), bits = 3)
+      .select("v", "__zb0", "__zb1").collect()
+    assert(b.length === 3)
+    val byV = b.map(r => Option(r.get(0)) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(byV(None) === ((0, 0)))      // null v -> bucket 0; constant k -> 0
+    assert(byV(Some(1.0)) === ((0, 0)))
+    assert(byV(Some(9.0)) === ((7, 0))) // max clamps into the top bucket
+  }
+
+  test("rank-based buckets equalize a power-law column that equi-width crowds") {
+    val skewed = (0 until 1024).map(i => math.pow(i / 1024.0, 8)).toDF("v")
+    def spread(df: org.apache.spark.sql.DataFrame): (Long, Double) = {
+      val counts = df.groupBy("__zb0").count().collect().map(_.getLong(1))
+      (counts.max, 1024.0 / (1 << 3))
+    }
+    val (equiMax, mean) = spread(ZOrder.equiWidthBucketized(skewed, Seq("v"), 3))
+    val (rankMax, _) = spread(ZOrder.rankBucketized(skewed, Seq("v"), 3))
+    assert(equiMax >= 4 * mean) // the hot range crowds one equi-width bucket
+    assert(rankMax <= 2 * mean) // percentile boundaries equalize population
+  }
+}
