@@ -39,9 +39,13 @@ object Manifest {
     */
   def build(spark: SparkSession, path: String, rangeCols: Seq[String],
       equalityCols: Seq[String] = Nil,
-      expectedItemsPerFile: Long = 100000L): DataFrame = {
-    BloomFilterFns.register(spark)
-    val df = spark.read.parquet(path)
+      expectedItemsPerFile: Long = 100000L): DataFrame =
+    statsOf(spark.read.parquet(path), rangeCols, equalityCols,
+      expectedItemsPerFile)
+
+  private def statsOf(df: DataFrame, rangeCols: Seq[String],
+      equalityCols: Seq[String], expectedItemsPerFile: Long): DataFrame = {
+    BloomFilterFns.register(df.sparkSession)
     val aggs = count(lit(1)).as("rows") +:
       (rangeCols.flatMap(c => Seq(
         min(col(c).cast("double")).as(s"min_$c"),
@@ -51,6 +55,32 @@ object Manifest {
             .as(s"bloom_$c")))
     df.groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Incrementally extend a manifest for an append-only table: list the
+    * directory (a metadata operation), stat ONLY files the manifest
+    * doesn't cover yet, and union. Maintenance costs O(new data), never
+    * O(table) — the property that makes a manifest sustainable at
+    * 100 TB ingest rates. ManifestSpec proves the old files are never
+    * reopened by deleting one before extending.
+    */
+  def extend(existing: DataFrame, path: String, rangeCols: Seq[String],
+      equalityCols: Seq[String] = Nil,
+      expectedItemsPerFile: Long = 100000L): DataFrame = {
+    val spark = existing.sparkSession
+    // compare by URI path: input_file_name() and Hadoop listings render
+    // the scheme differently (file:/// vs file:/)
+    def norm(s: String) = new java.net.URI(s).getPath
+    val known = existing.select("file").collect().map(r => norm(r.getString(0))).toSet
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val newFiles = fs.listStatus(hPath).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toString)
+      .filterNot(f => known.contains(norm(f)))
+    if (newFiles.isEmpty) existing
+    else existing.unionByName(statsOf(spark.read.parquet(newFiles: _*),
+      rangeCols, equalityCols, expectedItemsPerFile))
   }
 
   /** Plan a scan: the file paths that can possibly satisfy the

@@ -50,6 +50,39 @@ class ManifestSpec extends AnyFunSuite {
     m.unpersist()
   }
 
+  test("extend stats only the appended files — proven by deleting an old one first") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-manifest-inc").toString
+    val old = li.filter(col("l_orderkey") < 800)
+    val app = li.filter(col("l_orderkey") >= 800)
+    old.repartition(4, col("l_orderkey")).write.mode("overwrite").parquet(dir)
+    val m0 = Manifest.build(spark, dir, rangeCols = Seq("l_orderkey"),
+      equalityCols = Seq("l_orderkey"), expectedItemsPerFile = 2000L)
+      .localCheckpoint() // pin the stats: the lazily-planned frame must
+                         // not re-scan files we are about to delete
+    assert(m0.count() === 4)
+
+    // append 4 more files, then DELETE one of the originals from disk:
+    // if extend ever reopened covered files, the next line would throw
+    app.repartition(4, col("l_orderkey")).write.mode("append").parquet(dir)
+    val victim = new java.net.URI(
+      m0.select("file").head().getString(0)).getPath
+    assert(new java.io.File(victim).delete())
+
+    val m1 = Manifest.extend(m0, dir, rangeCols = Seq("l_orderkey"),
+      equalityCols = Seq("l_orderkey"), expectedItemsPerFile = 2000L)
+    assert(m1.count() === 8)
+    // appended rows are covered: every appended orderkey's probe admits
+    // at least one NEW file, and new-file stats match a fresh build's
+    val probe = Manifest.filesFor(m1, Nil, Seq(("l_orderkey", 1102L)))
+    assert(probe.nonEmpty)
+    val freshRows = m1.join(m0.select("file"), Seq("file"), "left_anti")
+      .agg(sum("rows")).head().getLong(0)
+    assert(freshRows === app.count()) // the 4 fresh entries are exactly the appended rows
+    // extend with nothing new appended is a no-op frame
+    assert(Manifest.extend(m1, dir, Seq("l_orderkey"),
+      Seq("l_orderkey"), 2000L).count() === 8)
+  }
+
   test("range planning over a z-ordered layout skips files and loses no rows") {
     val dims = Seq("l_partkey", "l_extendedprice")
     val dir = java.nio.file.Files.createTempDirectory("graft-manifest-z").toString
