@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.plans.{CosineSimilarity, HyperplaneSignature, InterleaveBits, MinHashSignature, SimHashFingerprint}
+import graft.plans.{CosineSimilarity, HilbertIndex, HyperplaneSignature, InterleaveBits, MinHashSignature, SimHashFingerprint}
 
 /** Library installation point: `SparkSessionExtensions` injector that
   * registers every native graft expression at session build, so a user
@@ -47,6 +47,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Literal(v: Int, IntegerType) => v
         case other => throw new IllegalArgumentException(
           s"interleave_bits bits must be an integer literal, got $other")
+      })))
+    ext.injectFunction((FunctionIdentifier("hilbert_index"),
+      info("hilbert_index"),
+      (exprs: Seq[Expression]) => HilbertIndex(exprs.tail, exprs.head match {
+        case Literal(v: Int, IntegerType) => v
+        case other => throw new IllegalArgumentException(
+          s"hilbert_index bits must be an integer literal, got $other")
       })))
   }
 }

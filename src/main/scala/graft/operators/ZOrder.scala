@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.plans.InterleaveBits
+import graft.plans.{HilbertIndex, InterleaveBits}
 
 /** Multi-dimensional data layout: Z-order (Morton-curve) clustering.
   *
@@ -89,18 +89,29 @@ object ZOrder {
     }.drop(cols.map(c => s"__bnd_$c"): _*)
   }
 
-  /** Input plus a `__z` long column: the Morton code of the bucketized
-    * clustering columns. `rankBased` picks the bucketizer.
+  /** Input plus a `__z` long column: the space-filling-curve index of
+    * the bucketized clustering columns. `rankBased` picks the
+    * bucketizer; `curve` picks `"morton"` (Z-order, the default) or
+    * `"hilbert"` (tighter per-file bounding boxes — consecutive curve
+    * positions are always spatially adjacent — at a slightly costlier
+    * per-row encode).
     */
   def zvalued(df: DataFrame, cols: Seq[String], bits: Int,
-      rankBased: Boolean = false): DataFrame = {
-    InterleaveBits.register(df.sparkSession)
+      rankBased: Boolean = false, curve: String = "morton"): DataFrame = {
+    val fn = curve match {
+      case "morton" =>
+        InterleaveBits.register(df.sparkSession); "interleave_bits"
+      case "hilbert" =>
+        HilbertIndex.register(df.sparkSession); "hilbert_index"
+      case other =>
+        throw new IllegalArgumentException(s"unknown curve: $other")
+    }
     val bucketized =
       if (rankBased) rankBucketized(df, cols, bits)
       else equiWidthBucketized(df, cols, bits)
     val names = cols.indices.map(bcol)
     bucketized
-      .withColumn("__z", expr(s"interleave_bits($bits, ${names.mkString(", ")})"))
+      .withColumn("__z", expr(s"$fn($bits, ${names.mkString(", ")})"))
       .drop(names: _*)
   }
 
@@ -110,8 +121,9 @@ object ZOrder {
     * inherit the clustering too, then drop the helper column.
     */
   def write(df: DataFrame, cols: Seq[String], bits: Int, path: String,
-      numFiles: Int, rankBased: Boolean = false): Unit =
-    zvalued(df, cols, bits, rankBased)
+      numFiles: Int, rankBased: Boolean = false,
+      curve: String = "morton"): Unit =
+    zvalued(df, cols, bits, rankBased, curve)
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")

@@ -33,7 +33,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
           |  hyperplane_sig(array(1.0d, 1.0d, 1.0d, 1.0d), 8) AS hp,
           |  minhash_sig(array('a b c', 'b c d')) AS mh,
           |  simhash_fp(array(md5(cast('x' as binary)))) AS sh,
-          |  interleave_bits(2, 3, 1) AS zv""".stripMargin)
+          |  interleave_bits(2, 3, 1) AS zv,
+          |  hilbert_index(1, 1, 1) AS hv""".stripMargin)
         .head()
       assert(row.getDouble(0) === 1.0)
       assert(row.getString(1).length === 8 &&
@@ -43,6 +44,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
       // dims=2, bits=2: 3=0b11 and 1=0b01 interleave (dim 0 MSB-first)
       // to 0b1011 = 11
       assert(row.getLong(4) === 11L)
+      // 2-D 1-bit Hilbert: cell (1,1) is position 2 on the 4-cell curve
+      assert(row.getLong(5) === 2L)
 
       // the injected functions survive newSession() clones, which
       // temp-function registration does not guarantee

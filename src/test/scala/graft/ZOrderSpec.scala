@@ -99,6 +99,54 @@ class ZOrderSpec extends AnyFunSuite {
     zStats.unpersist(); linStats.unpersist()
   }
 
+  test("hilbert_index is a bijection whose consecutive cells are always adjacent") {
+    import graft.plans.HilbertIndex
+    // 2-D, 3 bits: the 8x8 grid must map 1:1 onto [0, 64), and walking
+    // the curve must move exactly ONE unit step in ONE dimension every
+    // time — the defining Hilbert property (Morton fails it: its jumps
+    // are what make Hilbert file bounding boxes tighter)
+    for ((n, bits) <- Seq((2, 3), (3, 2))) {
+      val side = 1 << bits
+      val cells = Seq.fill(n)(0 until side)
+        .foldLeft(Seq(Seq.empty[Int]))((acc, r) => acc.flatMap(p => r.map(p :+ _)))
+      val indexed = cells.map(c => HilbertIndex.encode(c.toArray, bits) -> c)
+      assert(indexed.map(_._1).toSet === (0L until (1L << (n * bits))).toSet)
+      val walk = indexed.sortBy(_._1).map(_._2)
+      walk.sliding(2).foreach { case Seq(a, b) =>
+        assert(a.zip(b).map { case (x, y) => math.abs(x - y) }.sum === 1)
+      }
+    }
+    // the expression (codegen path) agrees with the kernel
+    HilbertIndex.register(spark)
+    val rnd = new scala.util.Random(7)
+    val tuples = Seq.fill(100)((rnd.nextInt(16), rnd.nextInt(16)))
+    val got = tuples.toDF("a", "b")
+      .select(expr("hilbert_index(4, a, b)").as("h"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === tuples.map { case (a, b) => HilbertIndex.encode(Array(a, b), 4) })
+  }
+
+  test("hilbert layout prunes at least as tightly as morton on the box query") {
+    val li = spark.read.parquet(s"${SparkTestBase.sf0001}/lineitem.parquet")
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_extendedprice")
+    val dims = Seq("l_partkey", "l_extendedprice")
+    val dir = java.nio.file.Files.createTempDirectory("graft-hilbert").toString
+    ZOrder.write(li, dims, bits = 4, dir, numFiles = 16, curve = "hilbert")
+    val stats = ZOrder.fileStats(spark, dir, dims).cache()
+    assert(stats.agg(sum("rows")).head().getLong(0) === 6000L)
+    val Row = li.agg(min("l_extendedprice"), max("l_extendedprice")).head()
+    val (pLo, pHi) = (Row.getDouble(0), Row.getDouble(1))
+    val box = Seq(
+      ("l_partkey", 80.0, 119.0),
+      ("l_extendedprice", pLo + 0.40 * (pHi - pLo), pLo + 0.60 * (pHi - pLo)))
+    // same box the morton test measures at 0.375; hilbert's tighter
+    // boxes must do at least as well (measured equal-or-better)
+    assert(ZOrder.overlapFraction(stats, box) <= 0.5)
+    assert(ZOrder.overlapFraction(stats,
+      Seq(("l_extendedprice", box(1)._2, box(1)._3))) <= 0.7)
+    stats.unpersist()
+  }
+
   test("nulls and constant columns land in bucket 0 and are never dropped") {
     val df = Seq[(java.lang.Double, Int)]((1.0, 5), (null, 5), (9.0, 5))
       .toDF("v", "k")
