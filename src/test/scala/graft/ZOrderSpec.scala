@@ -159,6 +159,24 @@ class ZOrderSpec extends AnyFunSuite {
     assert(byV(Some(9.0)) === ((7, 0))) // max clamps into the top bucket
   }
 
+  test("zvalued shuffles no fact data: every exchange sits on the 1-row stats branch") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    val li = spark.read.parquet(s"${SparkTestBase.sf0001}/lineitem.parquet")
+    for (rank <- Seq(false, true)) {
+      val p = ZOrder.zvalued(li, Seq("l_partkey", "l_extendedprice"),
+        bits = 4, rankBased = rank).queryExecution.sparkPlan
+      val shuffles = p.collect { case e: ShuffleExchangeExec => e }
+      // at most the scalar stats agg's single-partition hop (zero when
+      // the input is already one partition, as this one-file fixture is)
+      assert(shuffles.size <= 1)
+      shuffles.foreach { e =>
+        assert(e.child.collectFirst { case agg: BaseAggregateExec => agg }.nonEmpty,
+          "an exchange without a partial aggregate below it would be shuffling facts")
+      }
+    }
+  }
+
   test("rank-based buckets equalize a power-law column that equi-width crowds") {
     val skewed = (0 until 1024).map(i => math.pow(i / 1024.0, 8)).toDF("v")
     def spread(df: org.apache.spark.sql.DataFrame): (Long, Double) = {
