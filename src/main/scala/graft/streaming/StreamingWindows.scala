@@ -349,6 +349,52 @@ object StreamingWindows {
       }
   }
 
+  /** Keyed value + KMV state/output for [[thetaSketchStream]]. */
+  final case class KeyedLong(key: String, value: Long)
+  final case class KmvState(processed: Long, hashes: List[Long])
+  final case class KmvOut(key: String, processed: Long, kmv: List[Long])
+
+  /** Streaming twin of [[graft.operators.ThetaSketch]]: a per-key KMV
+    * distinct-count sketch folded across micro-batches with BOUNDED
+    * state — at most k hashes per key no matter how many distinct
+    * values stream past, the property that keeps the state store
+    * finite on an endless stream. Values hash through the same
+    * `xxhash64` (XXH64, seed 42) the batch builder applies, and KMV
+    * insertion is order- and duplication-insensitive, so on a bounded
+    * replay the final per-key state is ARRAY-EQUAL to the batch
+    * sketch — even when the replay delivers the data twice
+    * (StreamingSpec pins exactly that). Each micro-batch emits the
+    * key's current snapshot (mergeable with any other theta sketch via
+    * `ThetaSketch.union`); the row with max `processed` per key is the
+    * final sketch.
+    */
+  def thetaSketchStream(rows: Dataset[KeyedLong], k: Int): Dataset[KmvOut] = {
+    import rows.sparkSession.implicits._
+    require(k > 0, s"capacity must be positive, got $k")
+    rows
+      .groupByKey(_.key)
+      .mapGroupsWithState[KmvState, KmvOut](
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[KeyedLong], state: GroupState[KmvState]) =>
+          val st = state.getOption.getOrElse(KmvState(0L, Nil))
+          val set = scala.collection.mutable.TreeSet.empty[Long]
+          set ++= st.hashes
+          var n = st.processed
+          it.foreach { r =>
+            n += 1L
+            val h = org.apache.spark.sql.catalyst.expressions.XXH64
+              .hashLong(r.value, 42L)
+            if (set.size < k) set += h
+            else if (h < set.last) {
+              set += h // TreeSet dedups: a re-seen hash changes nothing
+              if (set.size > k) set -= set.last
+            }
+          }
+          state.update(KmvState(n, set.toList))
+          KmvOut(key, n, set.toList)
+      }
+  }
+
   /** Stateful per-key operator: running event count per user via
     * `mapGroupsWithState` — the Spark-native form of the reference's
     * per-key juice fold, with state persisted across micro-batches.

@@ -417,4 +417,48 @@ class StreamingSpec extends AnyFunSuite {
     }
     assert(checked > 0, "no bucket had a frequent token — vacuous test")
   }
+
+  test("thetaSketchStream: bounded KMV state equals the batch sketch on a doubled replay") {
+    import spark.implicits._
+    // two links to the same events file = two micro-batches delivering
+    // the SAME data twice: KMV insertion is duplication-insensitive, so
+    // the final state must still equal the single-copy batch sketch
+    val dir = java.nio.file.Files.createTempDirectory("graft-kmvstream")
+    java.nio.file.Files.createSymbolicLink(
+      dir.resolve("e1.parquet"),
+      java.nio.file.Paths.get(s"$sf0001/events.parquet"))
+    java.nio.file.Files.createSymbolicLink(
+      dir.resolve("e2.parquet"),
+      java.nio.file.Paths.get(s"$sf0001/events.parquet"))
+    val k = 64
+    val rows = StreamingWindows
+      .tableStream(spark, dir.toString, s"$sf0001/events.parquet")
+      .select(col("event_type").as("key"), col("user_id").as("value"))
+      .as[StreamingWindows.KeyedLong]
+    val q = StreamingWindows.thetaSketchStream(rows, k)
+      .writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName("stream_kmv")
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+
+    val finals = spark.table("stream_kmv")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("key")
+          .orderBy(col("processed").desc)))
+      .filter(col("rn") === 1)
+      .select(col("key"), col("kmv"))
+      .as[(String, List[Long])].collect().toMap
+    assert(finals.nonEmpty && finals.values.forall(_.size <= k))
+
+    val batch = graft.operators.ThetaSketch
+      .sketch(spark.read.parquet(s"$sf0001/events.parquet")
+        .select("event_type", "user_id"),
+        Seq("event_type"), "user_id", k)
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1).toList).toMap
+    assert(finals === batch)
+  }
 }
