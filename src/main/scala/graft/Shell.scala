@@ -43,6 +43,14 @@ import graft.sources.Tables
   *                                        SDFS get analog)
   *   contract <query_name>                run any SparkEntry contract
   *                                        query by name
+  *   zorder <table> <c1,c2> <bits>        write the table Z-clustered on
+  *          <nfiles> <out> [curve]        the columns (curve = morton |
+  *                                        hilbert) and show the per-file
+  *                                        min/max layout audit
+  *   manifest <parquet_dir> <c1,c2>       one-pass per-file stats
+  *                                        manifest of any parquet dir
+  *   prune <parquet_dir> <col> <lo> <hi>  plan a scan: the files a
+  *                                        [lo, hi] range must read
   *
   * `join`, `wordcount`, and `export` accept a trailing
   * `partition=hash|range[:n]` — the reference's one physical-design
@@ -234,6 +242,35 @@ object Shell {
         SparkEntry.queries.getOrElse(name,
           throw new IllegalArgumentException(
             s"unknown contract query: $name"))(s, dir)
+      // physical design surface: Z-/Hilbert-cluster a table into files
+      // whose footer stats prune multi-dimensional scans, then audit
+      // the layout (the displayed frame IS the per-file min/max stats)
+      case List("zorder", table, cols, bits, nfiles, out) =>
+        noKnob()
+        val cs = cols.split(",").toSeq
+        graft.operators.ZOrder.write(load(s, dir, table), cs, bits.toInt,
+          out, nfiles.toInt)
+        graft.operators.ZOrder.fileStats(s, out, cs).orderBy("file")
+      case List("zorder", table, cols, bits, nfiles, out, curve) =>
+        noKnob()
+        val cs = cols.split(",").toSeq
+        graft.operators.ZOrder.write(load(s, dir, table), cs, bits.toInt,
+          out, nfiles.toInt, curve = curve)
+        graft.operators.ZOrder.fileStats(s, out, cs).orderBy("file")
+      // one-pass file manifest over any parquet dir (no Bloom columns
+      // in the display form — binary sketches don't print)
+      case List("manifest", path, rangeCols) =>
+        noKnob()
+        graft.sources.Manifest.build(s, path, rangeCols.split(",").toSeq)
+          .orderBy("file")
+      // plan a scan from the manifest: which files must a range read?
+      case List("prune", path, c, lo, hi) =>
+        noKnob()
+        import s.implicits._
+        val m = graft.sources.Manifest.build(s, path, Seq(c))
+        graft.sources.Manifest
+          .filesFor(m, Seq((c, lo.toDouble, hi.toDouble)))
+          .sorted.toDF("file")
       case other =>
         throw new IllegalArgumentException(
           s"unrecognized command: ${other.mkString(" ")} (see Shell scaladoc)")

@@ -163,4 +163,29 @@ class ShellSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getString(1))).toSeq
     assert(got.sortBy(_._1) === expected.sortBy(_._1))
   }
+
+  test("zorder command writes a clustered layout and audits it") {
+    val out = java.nio.file.Files.createTempDirectory("graft-shell-z").toString
+    val stats = Shell.run(spark, sf0001,
+      s"zorder lineitem l_partkey,l_extendedprice 4 8 $out")
+    assert(stats.count() === 8)
+    assert(stats.agg(sum("rows")).head().getLong(0) === 6000L)
+    assert(stats.columns.toSet ===
+      Set("file", "rows", "min_l_partkey", "max_l_partkey",
+        "min_l_extendedprice", "max_l_extendedprice"))
+
+    // hilbert variant lays out the same rows
+    val out2 = java.nio.file.Files.createTempDirectory("graft-shell-h").toString
+    val stats2 = Shell.run(spark, sf0001,
+      s"zorder lineitem l_partkey,l_extendedprice 4 8 $out2 hilbert")
+    assert(stats2.agg(sum("rows")).head().getLong(0) === 6000L)
+
+    // prune plans fewer files than the directory holds for a mid box
+    val pruned = Shell.run(spark, sf0001, s"prune $out l_partkey 80 119")
+    assert(pruned.count() > 0 && pruned.count() < 8)
+
+    // manifest shows one row per file
+    val m = Shell.run(spark, sf0001, s"manifest $out l_partkey")
+    assert(m.count() === 8)
+  }
 }
