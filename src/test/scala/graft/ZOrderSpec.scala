@@ -96,6 +96,28 @@ class ZOrderSpec extends AnyFunSuite {
       .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_extendedprice")
       .collect().toSeq
     assert(back === direct && direct.nonEmpty)
+
+    // the payoff is not just our manifest audit: Spark's OWN parquet
+    // reader must row-group-skip on the clustered layout. Each written
+    // file is one row group, so the scan's numOutputRows (rows in
+    // SURVIVING row groups — record-level filtering is off by default)
+    // must shrink to the overlapping files' rows on the z layout while
+    // the linear layout reads every row for the price-only predicate.
+    def scanRows(dir: String): Long = {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val q = spark.read.parquet(dir)
+          .filter(col("l_extendedprice")
+            .between(priceMid.head._2, priceMid.head._3))
+        q.collect()
+        q.queryExecution.executedPlan.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+        }.map(_.metrics("numOutputRows").value).sum
+      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+    val (zRead, linRead) = (scanRows(zDir), scanRows(linDir))
+    assert(linRead === 6000L, s"linear layout should read every row, got $linRead")
+    assert(zRead <= 4500L, s"z layout should row-group-skip, read $zRead")
     zStats.unpersist(); linStats.unpersist()
   }
 
