@@ -50,6 +50,54 @@ object ThetaSketch {
       .agg(sort_array(collect_list("__h")).as("kmv"))
   }
 
+  /** [[sketch]] with a strictly BOUNDED shuffle: each input partition
+    * folds its rows through per-group capped hash sets (the streaming
+    * twin's kernel — at most k longs per group per task, regardless of
+    * how many distinct values the partition holds), and the partials
+    * merge as arrays (KMV merge is exact, so flatten → distinct → k
+    * smallest of ≤ k·|tasks| candidate hashes per group). Identical
+    * output to [[sketch]] — ThetaSketchSpec pins the array equality —
+    * but the shuffle carries k·|tasks| rows per group instead of the
+    * full distinct set: the shape to prefer when |distinct| per group
+    * is huge (the regime sketches exist for). The declarative [[sketch]]
+    * remains the cleaner plan when distinct sets are modest. Group
+    * columns come back as strings here (the typed-Dataset fold needs a
+    * uniform key encoding); re-cast on the way out if the caller needs
+    * the original types.
+    */
+  def sketchBounded(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      k: Int): DataFrame = {
+    require(groupCols.nonEmpty && k > 0, "need group columns and k > 0")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val hashed = df
+      .select(groupCols.map(c => col(c).cast("string")) :+
+        xxhash64(col(valueCol)).as("__h"): _*)
+    val width = groupCols.size
+    val partials = hashed.map { row =>
+      (Seq.tabulate(width)(row.getString), row.getLong(width))
+    }.mapPartitions { it =>
+      val sets = scala.collection.mutable.LinkedHashMap
+        .empty[Seq[String], scala.collection.mutable.TreeSet[Long]]
+      it.foreach { case (g, h) =>
+        val set = sets.getOrElseUpdate(g, scala.collection.mutable.TreeSet.empty[Long])
+        if (set.size < k) set += h
+        else if (h < set.last) {
+          set += h
+          if (set.size > k) set -= set.last
+        }
+      }
+      sets.iterator.map { case (g, s) => (g, s.toArray) }
+    }.toDF("__g", "__partial")
+    partials
+      .groupBy(col("__g"))
+      .agg(slice(array_sort(array_distinct(flatten(collect_list(col("__partial"))))),
+        1, k).as("kmv"))
+      .select(groupCols.zipWithIndex.map { case (c, i) =>
+        element_at(col("__g"), i + 1).as(c)
+      } :+ col("kmv"): _*)
+  }
+
   /** Distinct-count estimate from a sketch column: exact below
     * capacity, (k-1)/u_k at capacity, where u_k is the kth smallest
     * hash mapped onto [0, 1).

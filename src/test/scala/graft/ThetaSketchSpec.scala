@@ -63,6 +63,20 @@ class ThetaSketchSpec extends AnyFunSuite {
     assert(exact === 40.0)
   }
 
+  test("sketchBounded: bounded-shuffle partial fold equals the declarative sketch") {
+    val grouped = spark.range(0, 30000)
+      .select(col("id"), (col("id") % 3).cast("string").as("g")).toDF()
+    val declarative = graft.operators.ThetaSketch
+      .sketch(grouped, Seq("g"), "id", K)
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toList).toMap
+    // partial per-partition folds (k longs per group per task) merged
+    // as arrays must land on the IDENTICAL sketch, from any layout
+    val bounded = graft.operators.ThetaSketch
+      .sketchBounded(grouped.repartition(7), Seq("g"), "id", K)
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toList).toMap
+    assert(bounded === declarative && declarative.values.forall(_.size === K))
+  }
+
   test("sketches are partition-invariant and correct per group") {
     val grouped = spark.range(0, 30000)
       .select(col("id"), (col("id") % 3).as("g")).toDF()
