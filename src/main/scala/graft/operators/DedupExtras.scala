@@ -34,7 +34,7 @@ object DedupExtras {
     * between the tokenize and this expression (CollapseProject would
     * otherwise substitute the split back in).
     */
-  private val shinglesSql =
+  private[operators] val shinglesSql =
     """array_distinct(transform(
       |  sequence(1, greatest(size(toks) - 2, 1)),
       |  i -> concat_ws(' ', slice(toks, i, 3))))""".stripMargin

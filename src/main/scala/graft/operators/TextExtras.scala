@@ -21,7 +21,7 @@ object TextExtras {
     * lexicon is a deterministic demonstration dictionary; swap in real
     * per-language stopword lists for natural text.
     */
-  private val langMarkers: Seq[(String, String, String)] = Seq(
+  private[operators] val langMarkers: Seq[(String, String, String)] = Seq(
     ("en", "the", "scan"), ("es", "table", "sort"), ("de", "merge", "window"),
     ("fr", "key", "order"), ("zh", "column", "part"))
 
