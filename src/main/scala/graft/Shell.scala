@@ -51,6 +51,11 @@ import graft.sources.Tables
   *                                        manifest of any parquet dir
   *   prune <parquet_dir> <col> <lo> <hi>  plan a scan: the files a
   *                                        [lo, hi] range must read
+  *   compact <parquet_dir> <bytes> <out>  bin-pack small files into
+  *                                        ~bytes outputs (the OPTIMIZE
+  *                                        pass); shows the executed plan
+  *   redact <table> <column>              corpus PII audit: matches +
+  *                                        affected docs per PII type
   *
   * `join`, `wordcount`, and `export` accept a trailing
   * `partition=hash|range[:n]` — the reference's one physical-design
@@ -271,6 +276,21 @@ object Shell {
         graft.sources.Manifest
           .filesFor(m, Seq((c, lo.toDouble, hi.toDouble)))
           .sorted.toDF("file")
+      // bin-pack small files into ~targetBytes outputs; the displayed
+      // frame is the executed plan (one row per output file)
+      case List("compact", path, targetBytes, outPath) =>
+        noKnob()
+        import s.implicits._
+        graft.sources.Compact
+          .rewrite(s, path, outPath, targetBytes.toLong)
+          .zipWithIndex
+          .map { case (b, i) => (i, b.files.size, b.bytes) }
+          .toDF("bin", "n_input_files", "input_bytes")
+      // corpus PII audit: total matches + affected docs per type
+      case List("redact", table, column) =>
+        noKnob()
+        graft.operators.Redact.report(
+          load(s, dir, table).select(col(column)), column)
       case other =>
         throw new IllegalArgumentException(
           s"unrecognized command: ${other.mkString(" ")} (see Shell scaladoc)")

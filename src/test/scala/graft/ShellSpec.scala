@@ -188,4 +188,27 @@ class ShellSpec extends AnyFunSuite {
     val m = Shell.run(spark, sf0001, s"manifest $out l_partkey")
     assert(m.count() === 8)
   }
+
+  test("compact command bin-packs a fragmented dir, preserving rows") {
+    val in = java.nio.file.Files.createTempDirectory("graft-shell-ci").toString
+    spark.read.parquet(s"$sf0001/documents.parquet")
+      .repartition(12).write.mode("overwrite").parquet(in)
+    val target = new java.io.File(in).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length).sum / 3 + 1
+    val out = java.nio.file.Files.createTempDirectory("graft-shell-co")
+      .toString + "/t"
+    val plan = Shell.run(spark, sf0001, s"compact $in $target $out")
+    val bins = plan.count()
+    assert(bins > 0 && bins < 12)
+    assert(plan.agg(sum("n_input_files")).head().getLong(0) === 12L)
+    assert(spark.read.parquet(out).count() === 500L)
+  }
+
+  test("redact command audits the corpus per PII type") {
+    val rep = Shell.run(spark, sf0001, "redact documents text")
+    val rows = rep.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.keySet === Set("email", "ip", "ssn", "phone", "card"))
+    // the synthetic fixture corpus carries no PII
+    assert(rows.values.forall(_ === 0L))
+  }
 }
