@@ -56,6 +56,8 @@ import graft.sources.Tables
   *                                        pass); shows the executed plan
   *   redact <table> <column>              corpus PII audit: matches +
   *                                        affected docs per PII type
+  *   audit contract <query_name>          scale-discipline lint of a
+  *                                        contract query's plan
   *
   * `join`, `wordcount`, and `export` accept a trailing
   * `partition=hash|range[:n]` — the reference's one physical-design
@@ -286,6 +288,13 @@ object Shell {
           .zipWithIndex
           .map { case (b, i) => (i, b.files.size, b.bytes) }
           .toDF("bin", "n_input_files", "input_bytes")
+      // scale-discipline lint of a contract query's physical plan
+      case List("audit", "contract", name) =>
+        noKnob()
+        graft.operators.PlanAudit.auditFrame(
+          SparkEntry.queries.getOrElse(name,
+            throw new IllegalArgumentException(
+              s"unknown contract query: $name"))(s, dir))
       // corpus PII audit: total matches + affected docs per type
       case List("redact", table, column) =>
         noKnob()

@@ -40,14 +40,18 @@ object InvertedIndex {
   def tokensCol(textCol: String) =
     filter(split(lower(col(textCol)), "[^a-z0-9]+"), t => t =!= "")
 
-  /** One corpus pass → (token, doc_id, tf, df) postings. */
+  /** One corpus pass → (token, doc_id, tf, dl, df) postings; `dl` is
+    * the document's token length, carried on the posting so length-
+    * normalized scorers (BM25) stay index-only at query time.
+    */
   def build(docs: DataFrame, idCol: String, textCol: String,
       maxDfRatio: Option[Double] = None): DataFrame = {
     val postings = docs
       .select(col(idCol).as("doc_id"), tokensCol(textCol).as("toks"))
-      .select(col("doc_id"), explode(col("toks")).as("token"))
+      .select(col("doc_id"), explode(col("toks")).as("token"),
+        size(col("toks")).cast("long").as("dl"))
       .groupBy("token", "doc_id")
-      .agg(count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
       .withColumn("df", count(lit(1)).over(Window.partitionBy("token")))
     maxDfRatio match {
       case None => postings
@@ -88,6 +92,28 @@ object InvertedIndex {
       .groupBy("doc_id")
       .agg(sum(col("tf") * log(lit(nDocs.toDouble) / col("df")))
         .as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Top-k docs by BM25 (Robertson/Spärck Jones, the standard lexical
+    * ranker): idf = ln(1 + (N − df + 0.5)/(df + 0.5)), tf saturation
+    * k1, length normalization b against `avgDl` (the corpus mean
+    * token length — one number, computed once at index time and passed
+    * in, so the query stays a pure posting-list pass). Same
+    * `TakeOrderedAndProject` partial top-k as [[rankedQuery]].
+    */
+  def bm25Query(index: DataFrame, nDocs: Long, avgDl: Double,
+      terms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty && k > 0)
+    val idf = log(lit(1.0) +
+      (lit(nDocs.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfNorm = (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgDl)))
+    index.filter(col("token").isin(terms.distinct: _*))
+      .groupBy("doc_id")
+      .agg(sum(idf * tfNorm).as("score"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
   }

@@ -89,6 +89,36 @@ class InvertedIndexSpec extends AnyFunSuite {
       bruteForceAnd(Seq("merge", "window")))
   }
 
+  test("bm25Query equals brute-force BM25 top-k") {
+    val terms = Seq("merge", "window", "scan")
+    val (k1, b, k) = (1.2, 0.75, 10)
+    val toks = docs.select(col("doc_id"),
+      InvertedIndex.tokensCol("text").as("toks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1))
+    val avgDl = toks.map(_._2.size).sum.toDouble / toks.length
+    val df = terms.map(t =>
+      t -> toks.count(_._2.contains(t)).toDouble).toMap
+
+    val got = InvertedIndex
+      .bm25Query(index, nDocs, avgDl, terms, k, k1, b)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val expected = toks.map { case (id, ts) =>
+        val dl = ts.size.toDouble
+        id -> terms.map { t =>
+          val tf = ts.count(_ == t).toDouble
+          if (tf == 0) 0.0
+          else math.log(1.0 + (nDocs - df(t) + 0.5) / (df(t) + 0.5)) *
+            tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgDl))
+        }.sum
+      }.filter(_._2 > 0)
+      .sortBy { case (id, s) => (-s, id) }.take(k)
+
+    assert(got.map(_._1).toSeq === expected.map(_._1).toSeq)
+    got.map(_._2).zip(expected.map(_._2)).foreach { case (a, e) =>
+      assert(math.abs(a - e) < 1e-9)
+    }
+  }
+
   test("rankedQuery plans a partial top-k, not a global sort") {
     val explained = InvertedIndex
       .rankedQuery(index, nDocs, Seq("merge"), 5)

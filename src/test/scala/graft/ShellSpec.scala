@@ -204,6 +204,13 @@ class ShellSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() === 500L)
   }
 
+  test("audit contract command lints a contract plan clean") {
+    val f = Shell.run(spark, sf0001, "audit contract q_groupby_agg")
+    assert(f.columns.toSeq === Seq("rule", "operator", "detail"))
+    assert(f.count() === 0L)
+    Materialize.releaseAll()
+  }
+
   test("redact command audits the corpus per PII type") {
     val rep = Shell.run(spark, sf0001, "redact documents text")
     val rows = rep.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
