@@ -54,11 +54,23 @@ class ZOrderSpec extends AnyFunSuite {
     val zDir = java.nio.file.Files.createTempDirectory("graft-zorder").toString
     val linDir = java.nio.file.Files.createTempDirectory("graft-linear").toString
 
-    ZOrder.write(li, dims, bits = 4, zDir, numFiles = 16)
-    // comparison layout: the classic single-column sort
-    li.repartitionByRange(16, col("l_partkey"))
-      .sortWithinPartitions("l_partkey")
-      .write.mode("overwrite").parquet(linDir)
+    // RangePartitioner's reservoir sample is seeded by the RDD id, so
+    // repartitionByRange boundaries wobble by ±1 file across runs (this
+    // test once read 12/16 files where the pin expected ≤11/16). Raise
+    // the per-partition sample above the fixture partition size for the
+    // two layout writes: the "sample" is then the full partition, the
+    // boundaries are exact quantiles, and the overlap fractions below
+    // are deterministic.
+    val sampleKey = "spark.sql.execution.rangeExchange.sampleSizePerPartition"
+    val prevSample = spark.conf.get(sampleKey)
+    spark.conf.set(sampleKey, "8192")
+    try {
+      ZOrder.write(li, dims, bits = 4, zDir, numFiles = 16)
+      // comparison layout: the classic single-column sort
+      li.repartitionByRange(16, col("l_partkey"))
+        .sortWithinPartitions("l_partkey")
+        .write.mode("overwrite").parquet(linDir)
+    } finally spark.conf.set(sampleKey, prevSample)
 
     val zStats = ZOrder.fileStats(spark, zDir, dims).cache()
     val linStats = ZOrder.fileStats(spark, linDir, dims).cache()
