@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.execution.exchange.Exchange
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Bpe
+
+/** BPE tokenizer invariants the hash gate cannot see: the exact
+  * Sennrich merge sequence on the paper's own example (hand-computed
+  * literals — writer and learner cannot collude), greedy-argmax
+  * agreement with an independently Spark-computed pair count,
+  * encode/decode inversion, vocabulary closure, determinism, and the
+  * map-side (exchange-free) encode plan.
+  */
+class BpeSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import SparkTestBase.sf0001
+
+  // Sennrich et al. (2016) running example: {low:5, lower:2, newest:6,
+  // widest:3}. The first six merges, hand-derived (tie-break = max
+  // count then lexicographically smallest pair): the 9-count tie
+  // (e,s)/(s,t)/(t,</w>) resolves left-to-right by first element;
+  // after (est,</w>) the 7-count tie (l,o)/(o,w) picks (l,o); after
+  // (lo,w) the 6-count three-way tie (e,w)/(n,e)/(w,est</w>) resolves
+  // to (e,w) because "e" < "n" < "w".
+  private val sennrich = Seq(
+    ("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+
+  test("hand-computed Sennrich merge sequence") {
+    val model = Bpe.trainFromHistogram(sennrich, 6)
+    assert(model.merges.toSeq === Seq(
+      ("e", "s"), ("es", "t"), ("est", "</w>"),
+      ("l", "o"), ("lo", "w"), ("e", "w")))
+  }
+
+  test("training is deterministic and exhausts gracefully") {
+    val a = Bpe.trainFromHistogram(sennrich, 100)
+    val b = Bpe.trainFromHistogram(sennrich.reverse, 100)
+    assert(a.merges.toSeq === b.merges.toSeq,
+      "input order must not change the learned merges")
+    // 100 requested but the corpus runs out of pairs first: every word
+    // must have collapsed to a single symbol.
+    val m = a
+    val enc = Bpe.encode(
+      spark.createDataFrame(sennrich).toDF("text", "f"), "text", m)
+    assert(enc.select(max(size(col("tokens")))).head.getInt(0) === 1,
+      "fully-trained BPE encodes every training word as one token")
+  }
+
+  test("first merge equals the independently computed best pair") {
+    // Argmax recomputed through an independent path: a one-shot local
+    // pair count over the collected histogram (no inverted index, no
+    // incremental maintenance), weighted by word frequency.
+    val hist = Bpe.wordHistogram(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val pairCounts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    hist.foreach { case (w, f) =>
+      val syms = w.map(String.valueOf(_)) :+ "</w>"
+      syms.zip(syms.tail).foreach { p =>
+        pairCounts(p) = pairCounts.getOrElse(p, 0L) + f
+      }
+    }
+    val expected = pairCounts.toSeq
+      .sortBy { case ((a, b), c) => (-c, a, b) }.head._1
+    val model = Bpe.train(spark, sf0001, 1)
+    assert(model.merges.head === expected)
+    assert(model.coverage === 1.0,
+      "fixture vocabulary is far below the cap — nothing truncated")
+  }
+
+  test("histogram matches an exact recount") {
+    val viaModule = Bpe.wordHistogram(spark, sf0001)
+      .orderBy(col("cnt").desc, col("word")).limit(5)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val exact = sources.Tables.documents(spark, sf0001)
+      .select(explode(split(lower(col("text")), "[^a-z]+")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word")).limit(5)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(viaModule === exact)
+  }
+
+  test("encode/decode round-trips to the pre-tokenized normal form") {
+    val model = Bpe.train(spark, sf0001, 50)
+    val docs = sources.Tables.documents(spark, sf0001).limit(50)
+    val bad = Bpe.encode(docs, "text", model)
+      .select(
+        Bpe.decodeCol(col("tokens")).as("back"),
+        trim(regexp_replace(lower(col("text")), "[^a-z]+", " ")).as("norm"))
+      .filter(col("back") =!= col("norm"))
+      .count()
+    assert(bad === 0L)
+  }
+
+  test("every emitted token is in the merge-implied vocabulary") {
+    val model = Bpe.train(spark, sf0001, 50)
+    val legal = model.vocab ++ ('a' to 'z').map(String.valueOf(_)) + "</w>"
+    val toks = Bpe.encode(
+      sources.Tables.documents(spark, sf0001).limit(100), "text", model)
+      .select(explode(col("tokens")).as("t")).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(toks.subsetOf(legal), s"illegal tokens: ${toks -- legal}")
+    // And merges actually fire: some multi-char token must appear.
+    assert(toks.exists(t => t != "</w>" && t.length > 1))
+  }
+
+  test("encode is map-side: no exchange in the plan") {
+    val model = Bpe.train(spark, sf0001, 20)
+    val plan = Bpe.encode(
+      sources.Tables.documents(spark, sf0001), "text", model)
+      .select(col("doc_id"), col("tokens"))
+      .queryExecution.executedPlan
+    assert(plan.collect { case e: Exchange => e }.isEmpty,
+      s"BPE encode must not shuffle:\n$plan")
+  }
+
+  test("encodeStats: fertility and compression are coherent") {
+    val model = Bpe.train(spark, sf0001, 100)
+    val rows = Bpe.encodeStats(spark, sf0001, model).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val fert = r.getAs[Double]("fertility")
+      val cpt = r.getAs[Double]("chars_per_token")
+      // ≥1 token per word by construction; trained merges must beat
+      // character-level (< chars+1 per word ⇒ > 1 char per token).
+      assert(fert >= 1.0, s"fertility $fert < 1")
+      assert(cpt > 1.0, s"chars/token $cpt: merges never fired")
+    }
+  }
+}
