@@ -300,6 +300,20 @@ object Shell {
         noKnob()
         graft.operators.Redact.report(
           load(s, dir, table).select(col(column)), column)
+      // train a BPE tokenizer on the documents table: `bpe N` displays
+      // the learned merge table (rank order), `bpe stats N` the
+      // per-source fertility / compression report it buys
+      case List("bpe", nMerges) =>
+        noKnob()
+        import s.implicits._
+        graft.operators.Bpe.train(s, dir, nMerges.toInt)
+          .merges.zipWithIndex
+          .map { case ((a, b), r) => (r, a, b, a + b) }.toSeq
+          .toDF("rank", "left", "right", "token")
+      case List("bpe", "stats", nMerges) =>
+        noKnob()
+        graft.operators.Bpe.encodeStats(s, dir,
+          graft.operators.Bpe.train(s, dir, nMerges.toInt))
       case other =>
         throw new IllegalArgumentException(
           s"unrecognized command: ${other.mkString(" ")} (see Shell scaladoc)")

@@ -53,6 +53,20 @@ object Bpe {
       * the `</w>` sentinel are always implicitly present).
       */
     def vocab: Set[String] = merges.map { case (a, b) => a + b }.toSet
+
+    /** token → id: 0–25 = 'a'–'z', 26 = `</w>`, then merge products in
+      * rank order, deduplicated (two rules can build the same string;
+      * the token keeps its first id). Mirrors the id scheme inside
+      * [[graft.plans.BpeEncode]] — BpeSpec pins the two equal.
+      */
+    def vocabIds: Map[String, Int] = {
+      val base = ('a' to 'z').map(c => String.valueOf(c) -> (c - 'a')).toMap +
+        ("</w>" -> 26)
+      merges.foldLeft((base, 27)) { case ((m, next), (a, b)) =>
+        val tok = a + b
+        if (m.contains(tok)) (m, next) else (m + (tok -> next), next + 1)
+      }._1
+    }
   }
 
   /** Corpus word histogram — the one corpus-proportional job. Output is
@@ -182,11 +196,44 @@ object Bpe {
     df.withColumn("tokens", expr(s"bpe_encode($textCol)"))
   }
 
+  /** Like [[encode]] but emits vocabulary IDS (`token_ids`:
+    * array<int>) — the column a training pipeline actually
+    * materializes to its shard files. Same map-side plan.
+    */
+  def encodeIds(df: DataFrame, textCol: String, model: BpeModel): DataFrame = {
+    BpeEncode.register(df.sparkSession, model.merges)
+    df.withColumn("token_ids", expr(s"bpe_encode_ids($textCol)"))
+  }
+
   /** Invert [[encode]] back to the pre-tokenized normal form (words
     * joined by single spaces) — built-ins only.
     */
   def decodeCol(tokens: Column): Column =
     trim(regexp_replace(array_join(tokens, ""), "</w>", " "))
+
+  /** Persist the model as a tiny parquet artifact (rank, left, right,
+    * coverage) — the tokenizer file every downstream job loads. One
+    * file: the table is merge-table-sized, never data-sized.
+    */
+  def save(spark: SparkSession, model: BpeModel, path: String): Unit = {
+    import spark.implicits._
+    model.merges.zipWithIndex
+      .map { case ((a, b), r) => (r, a, b, model.coverage) }.toSeq
+      .toDF("rank", "left", "right", "coverage")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a model saved by [[save]] — exact roundtrip (BpeSpec). */
+  def load(spark: SparkSession, path: String): BpeModel = {
+    val rows = spark.read.parquet(path)
+      .orderBy("rank")
+      .select("left", "right", "coverage")
+      .collect()
+    BpeModel(
+      rows.map(r => (r.getString(0), r.getString(1))),
+      if (rows.isEmpty) 1.0 else rows.head.getDouble(2))
+  }
 
   /** Per-source tokenizer report over the corpus: BPE token count vs
     * the regex pre-token count (fertility = BPE tokens per word) and

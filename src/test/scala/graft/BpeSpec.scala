@@ -116,6 +116,35 @@ class BpeSpec extends AnyFunSuite {
       s"BPE encode must not shuffle:\n$plan")
   }
 
+  test("encodeIds mirrors encode through the model's vocab id map") {
+    val model = Bpe.train(spark, sf0001, 40)
+    val ids = model.vocabIds
+    val docs = sources.Tables.documents(spark, sf0001).limit(40)
+    val both = Bpe.encodeIds(Bpe.encode(docs, "text", model), "text", model)
+      .select(col("tokens"), col("token_ids"))
+      .collect()
+    both.foreach { r =>
+      val toks = r.getSeq[String](0)
+      val got = r.getSeq[Int](1)
+      assert(got === toks.map(ids), s"id mismatch for $toks")
+    }
+    // the id space is dense: 27 primitives + deduped merge products
+    assert(ids.values.toSeq.sorted === (0 until ids.size))
+  }
+
+  test("save/load roundtrips the model exactly") {
+    val model = Bpe.train(spark, sf0001, 30)
+    val path = java.nio.file.Files.createTempDirectory("graft-bpe").toString
+    Bpe.save(spark, model, path)
+    val back = Bpe.load(spark, path)
+    assert(back.merges.toSeq === model.merges.toSeq)
+    assert(back.coverage === model.coverage)
+    // and the artifact is the intended single tiny file
+    val files = new java.io.File(path).listFiles
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.length === 1)
+  }
+
   test("encodeStats: fertility and compression are coherent") {
     val model = Bpe.train(spark, sf0001, 100)
     val rows = Bpe.encodeStats(spark, sf0001, model).collect()

@@ -218,4 +218,14 @@ class ShellSpec extends AnyFunSuite {
     // the synthetic fixture corpus carries no PII
     assert(rows.values.forall(_ === 0L))
   }
+
+  test("bpe command trains and reports the merge table and stats") {
+    val merges = Shell.run(spark, sf0001, "bpe 15").collect()
+    assert(merges.length === 15)
+    assert(merges.map(_.getInt(0)).toSeq === (0 until 15))
+    merges.foreach(r =>
+      assert(r.getString(3) === r.getString(1) + r.getString(2)))
+    val stats = Shell.run(spark, sf0001, "bpe stats 15").collect()
+    assert(stats.nonEmpty && stats.forall(_.getAs[Double]("fertility") >= 1.0))
+  }
 }
