@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** GPT-style training-sequence packing: the tokenized corpus becomes
+  * ONE logical token stream (each document followed by an EOS id, in
+  * ascending-id order) cut into fixed-length chunks — documents cross
+  * chunk boundaries, every token lands in exactly one chunk, and all
+  * chunks except the stream tail are exactly `seqLen` long. This is
+  * the step that turns a tokenized corpus into the shard rows a
+  * trainer consumes, and the exactness properties (no token lost, no
+  * token duplicated, deterministic layout) are what make checkpointed
+  * training reproducible.
+  *
+  * Scale shape: each document's absolute offset in the stream comes
+  * from [[PrefixSum.globalCumsum]] over (id, len) — the two-phase
+  * bucket decomposition, never a single-task global window over the
+  * corpus. Tokens then move STRAIGHT to their chunk: posexplode →
+  * (chunk = abs div seqLen) → one hash-aggregate shuffle keyed by
+  * chunk. That single corpus-sized exchange is inherent to packing
+  * (tokens from different documents must meet in one output row);
+  * everything else is bounded or map-side. Chunk reassembly sorts
+  * `seqLen`-bounded in-memory arrays (`array_sort` of collected
+  * (pos, id) structs), never a global sort.
+  *
+  * Ordering: the stream follows ascending `idCol`, which must be
+  * unique — corpus order in, corpus order out, identical under any
+  * partitioning. For a shuffled epoch, permute FIRST with
+  * [[Sampling.epochShuffle]] semantics (re-key by xxhash64(id, epoch)
+  * and pack on the new key); packing itself stays order-faithful.
+  */
+object Packing {
+
+  /** Pack `tokensCol` (array<int>) rows into fixed `seqLen` chunks.
+    * Output: (seq_id, token_ids, n_tokens), seq_id counting chunks
+    * from 0 in stream order; every row but the last has
+    * n_tokens == seqLen. `eosId` is appended after each document.
+    */
+  def packTokens(df: DataFrame, idCol: String, tokensCol: String,
+      seqLen: Int, eosId: Int): DataFrame = {
+    require(seqLen > 0, s"seqLen=$seqLen")
+    val withLen = df.select(col(idCol).as("__id"),
+      concat(col(tokensCol), array(lit(eosId))).as("__ids"))
+      .withColumn("__len", size(col("__ids")).cast("long"))
+    // Inclusive global cumsum of lengths under ascending id → each
+    // document's absolute START offset in the stream.
+    val offsets = PrefixSum.globalCumsum(withLen, "__id", Seq("__len"))
+      .withColumn("__start", col("__cw___len") - col("__len"))
+    offsets
+      .select(col("__start"), posexplode(col("__ids")).as(Seq("__p", "__tok")))
+      .select((col("__start") + col("__p")).as("__abs"), col("__tok"))
+      // integer div/mod: absolute offsets are longs that can exceed
+      // 2^53 at stream scale — double math would corrupt them
+      .select(expr(s"__abs div $seqLen").as("seq_id"),
+        (col("__abs") % seqLen).cast("int").as("__pos"), col("__tok"))
+      .groupBy("seq_id")
+      .agg(transform(
+        array_sort(collect_list(struct(col("__pos"), col("__tok")))),
+        x => x("__tok")).as("token_ids"))
+      .withColumn("n_tokens", size(col("token_ids")))
+      .orderBy("seq_id")
+  }
+
+  /** Tokenize the documents table with a trained BPE model and pack it:
+    * corpus → encodeIds (map-side) → packTokens. EOS defaults to the
+    * first id past the model's vocabulary.
+    */
+  def packCorpus(spark: SparkSession, dir: String, model: Bpe.BpeModel,
+      seqLen: Int): DataFrame = {
+    val eos = model.vocabIds.size
+    packTokens(
+      Bpe.encodeIds(Tables.documents(spark, dir), "text", model),
+      "doc_id", "token_ids", seqLen, eos)
+  }
+}
