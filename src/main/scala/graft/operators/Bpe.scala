@@ -74,19 +74,30 @@ object Bpe {
     * maximal `[a-z]+` regex as `q_text_tokens` / [[graft.plans.BpeEncode]].
     */
   def wordHistogram(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    wordHistogram(Tables.documents(spark, dir), "text")
+
+  /** Histogram over any frame's text column (e.g. a CURATED corpus —
+    * train the tokenizer on what survives curation, not the raw dump).
+    */
+  def wordHistogram(docs: DataFrame, textCol: String): DataFrame =
+    docs
       .select(explode(
-        regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)))
+        regexp_extract_all(lower(col(textCol)), lit("[a-z]+"), lit(0)))
         .as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
 
   /** Learn `numMerges` merges from the corpus under `dir`. */
   def train(spark: SparkSession, dir: String, numMerges: Int,
+      maxVocab: Int = 1 << 16): BpeModel =
+    trainOnDocs(Tables.documents(spark, dir), "text", numMerges, maxVocab)
+
+  /** Learn `numMerges` merges from any document frame. */
+  def trainOnDocs(docs: DataFrame, textCol: String, numMerges: Int,
       maxVocab: Int = 1 << 16): BpeModel = {
     require(maxVocab <= (1 << 20),
       s"BPE maxVocab=$maxVocab: the driver-side merge loop is bounded by " +
         "the histogram cap; raise deliberately, not by accident")
-    val hist = wordHistogram(spark, dir)
+    val hist = wordHistogram(docs, textCol)
     // One scalar total + the top-maxVocab slice (TakeOrdered — never a
     // global sort). Deterministic order: count desc, then word.
     val total = hist.agg(sum(col("cnt"))).head.getLong(0)

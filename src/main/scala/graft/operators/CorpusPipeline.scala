@@ -116,4 +116,41 @@ object CorpusPipeline {
       ("04_quality_filter", c.getLong(4), c.getLong(3) - c.getLong(4)))
     (corpus, stages.toDF("stage", "docs_remaining", "docs_dropped"))
   }
+
+  /** The pipeline's last mile: curate → train a BPE tokenizer on the
+    * curated TRAIN split (never on raw or held-out text — the standard
+    * leakage discipline) → encode the whole curated corpus to token
+    * ids → pack each split into exact `seqLen` training sequences.
+    *
+    * Returns (shards, model): shards = (split, seq_id, token_ids,
+    * n_tokens) with every chunk but each split's tail exactly seqLen;
+    * EOS id = first id past the model vocabulary. Deterministic end to
+    * end — curation verdicts, merges, ids and layout are all pure
+    * functions of the corpus, so a re-run ships byte-identical shards
+    * (CorpusPipelineSpec pins it).
+    *
+    * Scale: adds to [[curate]]'s cost one vocabulary-sized histogram
+    * shuffle (training), a map-side encode, and packing's single
+    * inherent token shuffle per split ([[Packing.packTokens]]).
+    */
+  def tokenizeAndShard(s: SparkSession, dir: String, numMerges: Int,
+      seqLen: Int): (DataFrame, Bpe.BpeModel) = {
+    val (corpus, _) = curate(s, dir)
+    // survivors carry no text (curation shuffles digests, not text) —
+    // re-join text by id for the two text-consuming stages
+    val withText = corpus.select("doc_id", "split")
+      .join(Tables.documents(s, dir).select("doc_id", "text"), Seq("doc_id"))
+    val model = Bpe.trainOnDocs(
+      withText.filter(col("split") === "train"), "text", numMerges)
+    val eos = model.vocabIds.size
+    val encoded = Bpe.encodeIds(withText, "text", model)
+      .select(col("split"), col("doc_id"), col("token_ids"))
+    val shards = Seq("train", "val", "test").map { sp =>
+      Packing.packTokens(encoded.filter(col("split") === sp),
+        "doc_id", "token_ids", seqLen, eos)
+        .select(lit(sp).as("split"), col("seq_id"), col("token_ids"),
+          col("n_tokens"))
+    }.reduce(_ unionAll _)
+    (shards, model)
+  }
 }

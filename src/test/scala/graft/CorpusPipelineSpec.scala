@@ -76,4 +76,39 @@ class CorpusPipelineSpec extends AnyFunSuite {
     }
     assert(run() === run())
   }
+
+  test("tokenizeAndShard: curated corpus to exact training shards") {
+    val (shards, model) = CorpusPipeline.tokenizeAndShard(
+      spark, sf0001, numMerges = 40, seqLen = 256)
+    val rows = shards.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getSeq[Int](2)))
+    Materialize.releaseAll()
+    assert(model.merges.length === 40)
+    val eos = model.vocabIds.size
+
+    val bySplit = rows.groupBy(_._1)
+    assert(bySplit.keySet === Set("train", "val", "test"))
+    bySplit.foreach { case (sp, chunks) =>
+      // per split: consecutive seq_ids, every chunk but the tail full
+      val ordered = chunks.sortBy(_._2)
+      assert(ordered.map(_._2).toSeq === (0L until ordered.length),
+        s"$sp seq_ids")
+      ordered.init.foreach { case (_, _, ids) =>
+        assert(ids.length === 256, s"$sp has a short non-tail chunk")
+      }
+      // every id is in-vocabulary or the EOS sentinel
+      assert(ordered.flatMap(_._3).forall(id => id >= 0 && id <= eos))
+    }
+
+    // EOS count == surviving doc count, split by split (no doc lost
+    // between curation and sharding)
+    val (corpus, _) = CorpusPipeline.curate(spark, sf0001)
+    val docCounts = corpus.collect()
+      .groupBy(_.getString(4)).view.mapValues(_.length.toLong).toMap
+    Materialize.releaseAll()
+    bySplit.foreach { case (sp, chunks) =>
+      assert(chunks.flatMap(_._3).count(_ === eos) ===
+        docCounts.getOrElse(sp, 0L), s"$sp EOS count")
+    }
+  }
 }
