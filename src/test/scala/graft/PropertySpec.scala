@@ -122,4 +122,51 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  // random (word, freq) histograms over a small alphabet — adversarial
+  // for BPE: heavy repeat structure, ties everywhere
+  private val histGen: Gen[List[(String, Long)]] = Gen.listOf(
+    for {
+      w <- Gen.nonEmptyListOf(Gen.oneOf('a', 'b', 'c')).map(_.mkString)
+      f <- Gen.chooseNum(1L, 9L)
+    } yield (w.take(8), f)).map(_.groupBy(_._1).view
+      .mapValues(_.map(_._2).sum).toList.sortBy(_._1))
+
+  test("bpe learning is greedy-incremental: fewer merges = a prefix") {
+    check("bpe prefix") {
+      Prop.forAll(histGen, Gen.chooseNum(0, 12)) { (h, n) =>
+        val full = operators.Bpe.trainFromHistogram(h, 12).merges.toSeq
+        val part = operators.Bpe.trainFromHistogram(h, n).merges.toSeq
+        part == full.take(part.length) && part.length <= n
+      }
+    }
+  }
+
+  test("bpe learning is histogram-permutation invariant") {
+    check("bpe permutation") {
+      Prop.forAll(histGen) { h =>
+        operators.Bpe.trainFromHistogram(h, 10).merges.toSeq ==
+          operators.Bpe.trainFromHistogram(h.reverse, 10).merges.toSeq
+      }
+    }
+  }
+
+  test("packTokens reproduces the concatenated stream at any seqLen") {
+    import spark.implicits._
+    val docsGen = Gen.nonEmptyListOf(
+      Gen.listOf(Gen.chooseNum(0, 50))).map(_.take(8))
+    check("packing stream") {
+      Prop.forAll(docsGen, Gen.chooseNum(1, 7)) { (docs, seqLen) =>
+        val df = docs.zipWithIndex
+          .map { case (ids, i) => (i.toLong, ids) }.toDF("id", "ids")
+        val packed = operators.Packing
+          .packTokens(df, "id", "ids", seqLen, 99)
+          .collect().map(r => (r.getLong(0), r.getSeq[Int](1)))
+        val stream = packed.sortBy(_._1).flatMap(_._2).toList
+        val ref = docs.flatMap(_ :+ 99)
+        stream == ref &&
+          packed.sortBy(_._1).init.forall(_._2.length == seqLen)
+      }
+    }
+  }
 }
