@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.HybridSearch
+
+/** RRF fusion invariants: hand-computed fusion arithmetic, in-list tie
+  * determinism, partitioning invariance, and the end-to-end hybrid
+  * document search sanity (bounded, probe excluded, fused ordering).
+  */
+class HybridSearchSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("hand-computed RRF: two lists, c=60") {
+    val lex = Seq(("d1", 9.0), ("d2", 8.0), ("d3", 7.0)).toDF("id", "score")
+    val sem = Seq(("d2", 0.5), ("d4", 0.4)).toDF("id", "score")
+    val got = HybridSearch.rrf(Seq(lex, sem), "id", 10)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    val exp = Seq(
+      ("d2", 1.0 / 62 + 1.0 / 61, 2L),
+      ("d1", 1.0 / 61, 1L),
+      ("d4", 1.0 / 62, 1L),
+      ("d3", 1.0 / 63, 1L))
+    assert(got.length === 4)
+    got.zip(exp).foreach { case ((gi, gs, gn), (ei, es, en)) =>
+      assert(gi === ei)
+      assert(math.abs(gs - es) < 1e-12, s"$gi: $gs vs $es")
+      assert(gn === en)
+    }
+  }
+
+  test("in-list score ties rank deterministically by id") {
+    val tied = Seq(("z", 1.0), ("a", 1.0), ("m", 1.0)).toDF("id", "score")
+    val got = HybridSearch.rrf(Seq(tied), "id", 3)
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    // ranks: a=1, m=2, z=3 → rrf descending follows id order
+    assert(got.map(_._1).toSeq === Seq("a", "m", "z"))
+    assert(math.abs(got.head._2 - 1.0 / 61) < 1e-12)
+  }
+
+  test("fusion is partitioning-invariant and k-capped") {
+    val a = Seq(("d1", 3.0), ("d2", 2.0), ("d3", 1.0)).toDF("id", "score")
+    val b = Seq(("d3", 5.0), ("d1", 4.0)).toDF("id", "score")
+    val x = HybridSearch.rrf(Seq(a.repartition(5), b.repartition(2)), "id", 2)
+      .collect().map(_.toString).toSeq
+    val y = HybridSearch.rrf(Seq(a.repartition(1), b.repartition(7)), "id", 2)
+      .collect().map(_.toString).toSeq
+    assert(x === y)
+    assert(x.length === 2)
+    intercept[IllegalArgumentException] {
+      HybridSearch.rrf(Seq(a), "id", 5000)
+    }
+  }
+
+  test("hybrid document search: bounded, probe-free, rrf-ordered") {
+    val got = HybridSearch.searchDocuments(spark, SparkTestBase.sf0001,
+      Seq("filter", "window"), probeDocId = 0L, k = 15)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(got.length === 15)
+    assert(!got.map(_._1).contains(0L), "probe doc must not rank")
+    assert(got.map(_._2).toSeq === got.map(_._2).sortBy(-_).toSeq)
+    // every score is a sum over ≤2 lists of 1/(60+rank) terms
+    got.foreach { case (_, s, n) =>
+      assert(n >= 1L && n <= 2L)
+      assert(s > 0.0 && s <= 2.0 / 61)
+    }
+    // fusion invents nothing: every fused doc came from one of the two
+    // retrievers' top-k lists (15 + 15 candidates → top 15)
+    assert(got.map(_._1).toSet.size === 15)
+  }
+}
