@@ -55,10 +55,12 @@ object HybridSearch {
   }
 
   /** End-to-end hybrid search over the documents table: BM25 over the
-    * inverted index for `terms`, cosine over a text-overlap "semantic"
-    * scorer seeded by `probeDocId`'s token set (the fixture corpus has
-    * no doc-aligned embeddings; any (doc_id, score) ranking drops in —
-    * the fusion is retriever-agnostic), fused by RRF.
+    * inverted index for `terms` (lexical leg), embedding cosine against
+    * `probeDocId`'s vector (semantic leg — the embeddings table is
+    * doc-aligned; one broadcast probe row, map-side native `cosine_sim`
+    * scoring, partial top-k), fused by RRF. Any other (doc_id, score)
+    * ranking drops into [[rrf]] the same way — the fusion is
+    * retriever-agnostic.
     */
   def searchDocuments(spark: SparkSession, dir: String, terms: Seq[String],
       probeDocId: Long, k: Int): DataFrame = {
@@ -69,18 +71,15 @@ object HybridSearch {
       .agg(avg(col("dl"))).head.getDouble(0)
     val lexical = InvertedIndex.bm25Query(index, nDocs, avgDl, terms, k)
 
-    // "semantic" stand-in: token-set Jaccard against the probe doc
-    // (broadcast one row; map-side scoring; partial top-k)
-    val tok = InvertedIndex.tokensCol("text")
-    val probe = docs.filter(col("doc_id") === probeDocId)
-      .select(array_distinct(tok).as("ptoks"))
-    val semantic = docs
+    graft.plans.CosineSimilarity.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("doc_id"),
+        col("embedding").cast("array<double>").as("e"))
+    val probe = emb.filter(col("doc_id") === probeDocId)
+      .select(col("e").as("p"))
+    val semantic = emb
       .crossJoin(broadcast(probe))
-      .select(col("doc_id"),
-        (size(array_intersect(array_distinct(tok), col("ptoks")))
-          .cast("double") /
-          size(array_union(array_distinct(tok), col("ptoks"))))
-          .as("score"))
+      .select(col("doc_id"), expr("cosine_sim(e, p)").as("score"))
       .filter(col("doc_id") =!= probeDocId)
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
