@@ -314,6 +314,12 @@ object Shell {
         noKnob()
         graft.operators.Bpe.encodeStats(s, dir,
           graft.operators.Bpe.train(s, dir, nMerges.toInt))
+      // hybrid retrieval over documents: BM25 for the comma-separated
+      // terms fused (RRF) with embedding cosine against probeDocId
+      case List("search", terms, probeDocId, k) =>
+        noKnob()
+        graft.operators.HybridSearch.searchDocuments(
+          s, dir, terms.split(",").toSeq, probeDocId.toLong, k.toInt)
       case other =>
         throw new IllegalArgumentException(
           s"unrecognized command: ${other.mkString(" ")} (see Shell scaladoc)")

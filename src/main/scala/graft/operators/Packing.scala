@@ -61,6 +61,10 @@ object Packing {
         array_sort(collect_list(struct(col("__pos"), col("__tok")))),
         x => x("__tok")).as("token_ids"))
       .withColumn("n_tokens", size(col("token_ids")))
+      // presentation order only (chunk-count rows, tokens/seqLen of
+      // them). A shard WRITER should replace this global sort with
+      // repartitionByRange(seq_id) + sortWithinPartitions — same
+      // layout, no single-ordered-collect pressure at stream scale.
       .orderBy("seq_id")
   }
 

@@ -219,6 +219,14 @@ class ShellSpec extends AnyFunSuite {
     assert(rows.values.forall(_ === 0L))
   }
 
+  test("search command fuses BM25 and embedding-cosine rankings") {
+    val hits = Shell.run(spark, sf0001, "search filter,window 3 10").collect()
+    assert(hits.length === 10)
+    assert(!hits.map(_.getLong(0)).contains(3L))
+    val scores = hits.map(_.getDouble(1)).toSeq
+    assert(scores === scores.sortBy(-_))
+  }
+
   test("bpe command trains and reports the merge table and stats") {
     val merges = Shell.run(spark, sf0001, "bpe 15").collect()
     assert(merges.length === 15)
