@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Exact-substring (span-level) duplication analysis — the
+  * "deduplicating training data" discipline of Lee et al. (2022):
+  * find every w-token span that occurs more than once ACROSS OR WITHIN
+  * documents, and report per document how much of its token stream is
+  * covered by duplicated spans. Paragraph- and doc-level dedup miss
+  * exactly this (boilerplate sentences, quoted passages, templated
+  * fragments inside otherwise-unique documents); span coverage is the
+  * signal a curation pass thresholds on.
+  *
+  * Scale shape:
+  *  - span hashing is MAP-SIDE: each doc emits its (offset, hash)
+  *    windows via HOFs (`transform`/`slice`/`xxhash64`) — corpus-token-
+  *    sized output is inherent (every token participates in w spans);
+  *  - duplicate detection is one partial-combining `groupBy(hash)` —
+  *    NEVER a window over hash partitions, because a boilerplate span
+  *    repeated a billion times is precisely the hot key the partial
+  *    combine absorbs and a window would funnel into one task;
+  *  - the duplicated-hash set joins back to the span stream on the
+  *    same key (one co-hashed shuffle pair), and per-doc coverage is
+  *    an interval-union fold over each doc's OWN sorted offsets — an
+  *    `aggregate` HOF over a doc-length-bounded array, no shuffle.
+  *
+  * Hash collisions: spans compare by xxhash64 of the joined window, so
+  * two different spans can collide (rate ~2^-64 per pair) — the
+  * standard trade every suffix-array/minhash pipeline makes; the spec
+  * pins exactness on crafted corpora.
+  */
+object SpanDedup {
+
+  /** Tokenization shared with the wordcount/text-stats family. */
+  private def toks(textCol: String) =
+    expr(s"filter(split($textCol, ' '), t -> t <> '')")
+
+  /** (doc_id, off, h): every w-token window's offset and hash. Docs
+    * shorter than `w` emit nothing (guarded — `sequence(0, n)` runs
+    * DESCENDING for negative n, so the bound must never go below 0).
+    */
+  def spanHashes(docs: DataFrame, idCol: String, textCol: String,
+      w: Int): DataFrame = {
+    require(w >= 2, s"span width $w: single-token spans are just tokens")
+    docs
+      .select(col(idCol).as("doc_id"), toks(textCol).as("__t"))
+      .filter(size(col("__t")) >= w)
+      .select(col("doc_id"),
+        expr(s"""transform(sequence(0, size(__t) - $w),
+                 i -> named_struct(
+                   'off', i,
+                   'h', xxhash64(concat_ws(' ', slice(__t, i + 1, $w)))))""")
+          .as("__spans"))
+      .select(col("doc_id"), explode(col("__spans")).as("__s"))
+      .select(col("doc_id"), col("__s.off").as("off"), col("__s.h").as("h"))
+  }
+
+  /** Span hashes occurring more than once corpus-wide: (h, n_occ). */
+  def duplicatedSpans(spans: DataFrame): DataFrame =
+    spans.groupBy("h").agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") > 1)
+
+  /** Per-document duplication report: token count, duplicated-span
+    * occurrence count, tokens covered by ≥1 duplicated span (exact
+    * interval union of the doc's own sorted dup offsets), and the
+    * covered fraction. Docs with no duplicated span report zeros.
+    */
+  def coverageReport(spark: SparkSession, dir: String, w: Int): DataFrame =
+    coverageReport(Tables.documents(spark, dir), "doc_id", "text", w)
+
+  def coverageReport(docs: DataFrame, idCol: String, textCol: String,
+      w: Int): DataFrame = {
+    val spans = spanHashes(docs, idCol, textCol, w)
+    val dups = duplicatedSpans(spans)
+    val perDoc = spans.join(dups, Seq("h"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_dup_spans"),
+        array_sort(collect_list(col("off"))).as("__offs"))
+      // interval union of [off, off+w) over ascending offsets: each
+      // span adds max(0, off + w − max(prevEnd, off)) covered tokens
+      .select(col("doc_id"), col("n_dup_spans"),
+        expr(s"""aggregate(__offs,
+                  named_struct('e', -1, 't', cast(0 as long)),
+                  (a, o) -> named_struct(
+                    'e', greatest(a.e, o + $w),
+                    't', a.t + greatest(0, o + $w - greatest(a.e, o))),
+                  a -> a.t)""").as("dup_tokens"))
+    docs
+      .select(col(idCol).as("doc_id"),
+        size(toks(textCol)).cast("long").as("n_toks"))
+      .join(perDoc, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_toks"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        round(coalesce(col("dup_tokens"), lit(0L)) * lit(1.0) /
+          greatest(col("n_toks"), lit(1L)), 4).as("dup_fraction"))
+      .orderBy("doc_id")
+  }
+}

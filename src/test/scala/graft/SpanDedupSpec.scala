@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.SpanDedup
+
+/** Exact-substring dedup invariants on crafted corpora (where the
+  * duplicated spans are known by construction) plus fixture-scale
+  * sanity: cross-doc spans, within-doc self-repeats, interval-union
+  * coverage vs an independent brute-force recompute, short-doc
+  * handling, and partitioning invariance.
+  */
+class SpanDedupSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("cross-document shared span: exactly the shared window flags") {
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "x y c d e z")).toDF("doc_id", "text")
+    val rep = SpanDedup.coverageReport(docs, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    // only "c d e" (offset 2 in both) repeats → 1 dup span, 3 covered
+    // tokens, fraction 3/6
+    assert(rep.toSeq === Seq(
+      (1L, 6L, 1L, 3L, 0.5),
+      (2L, 6L, 1L, 3L, 0.5)))
+  }
+
+  test("within-document self-repetition counts and unions correctly") {
+    val docs = Seq((1L, "p q r s p q r s")).toDF("doc_id", "text")
+    val rep = SpanDedup.coverageReport(docs, "doc_id", "text", 4)
+      .head()
+    // spans: offs 0..4; (p q r s) occurs at 0 and 4 → both occurrences
+    // are dup spans; union [0,4)∪[4,8) covers all 8 tokens
+    assert(rep.getLong(1) === 8L)
+    assert(rep.getLong(2) === 2L)
+    assert(rep.getLong(3) === 8L)
+    assert(rep.getDouble(4) === 1.0)
+  }
+
+  test("overlapping dup spans union, never double-count") {
+    // "a b a b a b": w=2 spans (a b),(b a),(a b),(b a),(a b) — ALL
+    // five offsets are duplicated; union covers the whole doc (6), not
+    // 5×2 = 10
+    val docs = Seq((7L, "a b a b a b")).toDF("doc_id", "text")
+    val rep = SpanDedup.coverageReport(docs, "doc_id", "text", 2).head()
+    assert(rep.getLong(2) === 5L)
+    assert(rep.getLong(3) === 6L)
+    assert(rep.getDouble(4) === 1.0)
+  }
+
+  test("unique corpus reports zero; short docs survive with zeros") {
+    val docs = Seq(
+      (1L, "one two three four"),
+      (2L, "five six seven eight"),
+      (3L, "tiny")).toDF("doc_id", "text")
+    val rep = SpanDedup.coverageReport(docs, "doc_id", "text", 3)
+      .collect()
+    assert(rep.length === 3)
+    rep.foreach { r =>
+      assert(r.getLong(2) === 0L && r.getLong(3) === 0L &&
+        r.getDouble(4) === 0.0)
+    }
+  }
+
+  test("fixture: coverage matches a brute-force recompute, any partitioning") {
+    val docs = sources.Tables.documents(spark, SparkTestBase.sf0001).limit(120)
+    val w = 6
+    val got = SpanDedup.coverageReport(docs, "doc_id", "text", w)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+
+    // independent recompute: local maps over collected text
+    val local = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0),
+        r.getString(1).split(" ").filter(_.nonEmpty).toSeq))
+    val counts = scala.collection.mutable.HashMap.empty[Seq[String], Int]
+    local.foreach { case (_, t) =>
+      t.sliding(w).filter(_.size == w).foreach(s =>
+        counts(s) = counts.getOrElse(s, 0) + 1)
+    }
+    local.foreach { case (id, t) =>
+      val offs = t.sliding(w).zipWithIndex
+        .filter { case (s, _) => s.size == w && counts(s) > 1 }
+        .map(_._2).toSeq
+      var end = -1
+      var tot = 0L
+      offs.foreach { o =>
+        tot += math.max(0, o + w - math.max(end, o)); end = math.max(end, o + w)
+      }
+      assert(got.getOrElse(id, 0L) === tot, s"doc $id")
+    }
+
+    val alt = SpanDedup.coverageReport(docs.repartition(13), "doc_id",
+      "text", w).collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(alt === got)
+  }
+}
