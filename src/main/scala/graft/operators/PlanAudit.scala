@@ -40,14 +40,25 @@ object PlanAudit {
     */
   final case class Finding(rule: String, operator: String, detail: String)
 
-  /** Is this subtree's row count already bounded by an aggregation or
-    * a partial rank limit (so a one-task stage above it is a bounded
-    * reduction, not a data funnel)?
+  /** Is this subtree's row count already bounded by an aggregation, a
+    * partial rank limit, or a constant LIMIT (so a one-task stage above
+    * it is a bounded reduction, not a data funnel)? LIMIT counts by
+    * definition: the subtree forwards at most a plan-time constant
+    * number of rows no matter the input size — the top-k-fusion shape
+    * (HybridSearch.rrf ranks ≤4096-row frames in one task).
     */
   private def boundedBelow(p: SparkPlan): Boolean =
     p.exists {
       case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => true
       case _: org.apache.spark.sql.execution.window.WindowGroupLimitExec => true
+      case _: org.apache.spark.sql.execution.GlobalLimitExec => true
+      case _: org.apache.spark.sql.execution.LocalLimitExec => true
+      case _: org.apache.spark.sql.execution.CollectLimitExec => true
+      case _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => true
+      // driver-literal relations are plan-time bounded too (and the
+      // optimizer FOLDS a LIMIT over a LocalRelation away, so the
+      // limit node a caller wrote may not survive to this plan)
+      case _: org.apache.spark.sql.execution.LocalTableScanExec => true
       case _ => false
     }
 

@@ -55,6 +55,39 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!PlanAudit.audit(withDim).map(_.rule).contains("cartesian-product"))
   }
 
+  test("round-12 pipeline modules audit clean") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf0001)
+
+    // span dedup: the corpus-sized shuffles are partial-combined aggs
+    // and a co-hashed join — nothing single-partition, no UDFs
+    assert(PlanAudit.audit(operators.SpanDedup
+      .coverageReport(docs, "doc_id", "text", 6)).isEmpty)
+
+    // packing: prefix-sum offsets + one chunk hash agg
+    val model = operators.Bpe.train(spark, sf0001, 20)
+    val encoded = operators.Bpe.encodeIds(docs, "text", model)
+      .select("doc_id", "token_ids")
+    assert(PlanAudit.audit(operators.Packing
+      .packTokens(encoded, "doc_id", "token_ids", 256, 999)).isEmpty)
+
+    // weighted sampling / epoch shuffle: top-k and one range exchange
+    val weighted = docs.select(col("doc_id"),
+      (length(col("text")) + 1).cast("double").as("w"))
+    assert(PlanAudit.audit(operators.Sampling
+      .weightedSample(weighted, "doc_id", "w", 25, 42L)).isEmpty)
+    assert(PlanAudit.audit(operators.Sampling
+      .epochShuffle(docs.select("doc_id"), "doc_id", 1L, 4)).isEmpty)
+
+    // RRF fusion consumes only bounded top-k frames: its
+    // single-partition rank windows must still audit clean because
+    // each sits above a LIMIT (a bounded reduction, PlanAudit's own
+    // structural judgment — not a by-name exemption)
+    val lex = Seq(("d1", 2.0), ("d2", 1.0)).toDF("id", "score")
+    assert(PlanAudit.audit(operators.HybridSearch
+      .rrf(Seq(lex, lex), "id", 5)).isEmpty)
+  }
+
   test("contract-wide audit: the exemption set is pinned") {
     val findings = SparkEntry.queries.keys.toSeq.sorted.flatMap { n =>
       val fs = PlanAudit.audit(SparkEntry.queries(n)(spark, sf0001))
