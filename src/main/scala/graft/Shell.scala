@@ -314,6 +314,24 @@ object Shell {
         noKnob()
         graft.operators.Bpe.encodeStats(s, dir,
           graft.operators.Bpe.train(s, dir, nMerges.toInt))
+      // tokenize-and-pack summary: train nMerges BPE merges, encode the
+      // documents table, pack into seqLen sequences; display the shard
+      // accounting (the token arrays themselves stay distributed)
+      case List("pack", seqLen, nMerges) =>
+        noKnob()
+        val model = graft.operators.Bpe.train(s, dir, nMerges.toInt)
+        graft.operators.Packing.packCorpus(s, dir, model, seqLen.toInt)
+          .agg(count(lit(1)).as("n_sequences"),
+            sum(col("n_tokens")).as("total_tokens"),
+            sum(when(col("n_tokens") === seqLen.toInt, 1L).otherwise(0L))
+              .as("full_sequences"))
+      // exact-substring duplication: top-20 docs by duplicated w-token
+      // span coverage (the Lee et al. exact-substring dedup signal)
+      case List("spans", w) =>
+        noKnob()
+        graft.operators.SpanDedup.coverageReport(s, dir, w.toInt)
+          .orderBy(col("dup_fraction").desc, col("doc_id"))
+          .limit(20)
       // hybrid retrieval over documents: BM25 for the comma-separated
       // terms fused (RRF) with embedding cosine against probeDocId
       case List("search", terms, probeDocId, k) =>

@@ -219,6 +219,23 @@ class ShellSpec extends AnyFunSuite {
     assert(rows.values.forall(_ === 0L))
   }
 
+  test("pack command reports exact shard accounting") {
+    val row = Shell.run(spark, sf0001, "pack 512 30").head()
+    val (n, total, full) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    assert(n > 0 && total > 0)
+    // every sequence but (at most) the stream tail is full
+    assert(full >= n - 1)
+    assert(total > (n - 1) * 512 && total <= n * 512)
+  }
+
+  test("spans command reports top duplicated-span coverage") {
+    val rep = Shell.run(spark, sf0001, "spans 6").collect()
+    assert(rep.length <= 20 && rep.nonEmpty)
+    val fr = rep.map(_.getDouble(4)).toSeq
+    assert(fr === fr.sortBy(-(_: Double)))
+    assert(fr.forall(f => f >= 0.0 && f <= 1.0))
+  }
+
   test("search command fuses BM25 and embedding-cosine rankings") {
     val hits = Shell.run(spark, sf0001, "search filter,window 3 10").collect()
     assert(hits.length === 10)
