@@ -40,6 +40,13 @@ object Packing {
     * n_tokens == seqLen. `eosId` is appended after each document.
     */
   def packTokens(df: DataFrame, idCol: String, tokensCol: String,
+      seqLen: Int, eosId: Int): DataFrame =
+    // presentation order only (chunk-count rows, tokens/seqLen of
+    // them); [[writeShards]] is the scale path — range partitions +
+    // local sorts, no single global ordering
+    packCore(df, idCol, tokensCol, seqLen, eosId).orderBy("seq_id")
+
+  private def packCore(df: DataFrame, idCol: String, tokensCol: String,
       seqLen: Int, eosId: Int): DataFrame = {
     require(seqLen > 0, s"seqLen=$seqLen")
     val withLen = df.select(col(idCol).as("__id"),
@@ -61,11 +68,28 @@ object Packing {
         array_sort(collect_list(struct(col("__pos"), col("__tok")))),
         x => x("__tok")).as("token_ids"))
       .withColumn("n_tokens", size(col("token_ids")))
-      // presentation order only (chunk-count rows, tokens/seqLen of
-      // them). A shard WRITER should replace this global sort with
-      // repartitionByRange(seq_id) + sortWithinPartitions — same
-      // layout, no single-ordered-collect pressure at stream scale.
-      .orderBy("seq_id")
+  }
+
+  /** Land packed sequences as shard files: `seqsPerFile` consecutive
+    * sequences per parquet file, in stream order WITHOUT any global
+    * sort — one range exchange on seq_id plus per-file local sorts
+    * (the writer shape the packTokens scaladoc promises). Returns the
+    * file count.
+    */
+  def writeShards(df: DataFrame, idCol: String, tokensCol: String,
+      seqLen: Int, eosId: Int, path: String, seqsPerFile: Int): Int = {
+    require(seqsPerFile > 0, s"seqsPerFile=$seqsPerFile")
+    val packed = packCore(df, idCol, tokensCol, seqLen, eosId)
+    val nSeqs = packed.agg(max(col("seq_id"))).head() match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0) + 1
+    }
+    val nFiles = math.max(1, ((nSeqs + seqsPerFile - 1) / seqsPerFile).toInt)
+    packed
+      .repartitionByRange(nFiles, col("seq_id"))
+      .sortWithinPartitions("seq_id")
+      .write.mode("overwrite").parquet(path)
+    nFiles
   }
 
   /** Tokenize the documents table with a trained BPE model and pack it:

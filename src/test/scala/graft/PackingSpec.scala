@@ -64,6 +64,39 @@ class PackingSpec extends AnyFunSuite {
     assert(alt.toSeq === packed.toSeq)
   }
 
+  test("writeShards: stream-ordered files, no global sort, exact read-back") {
+    val model = Bpe.train(spark, SparkTestBase.sf0001, 30)
+    val eos = model.vocabIds.size
+    val encoded = Bpe.encodeIds(
+      sources.Tables.documents(spark, SparkTestBase.sf0001), "text", model)
+      .select("doc_id", "token_ids")
+    val dir = java.nio.file.Files.createTempDirectory("graft-shards").toString
+    val nFiles = Packing.writeShards(encoded, "doc_id", "token_ids",
+      256, eos, dir, seqsPerFile = 10)
+
+    val back = spark.read.parquet(dir)
+    // read-back equals the sorted pack exactly
+    val expect = Packing.packTokens(encoded, "doc_id", "token_ids", 256, eos)
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1)))
+    val got = back.orderBy("seq_id")
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1)))
+    assert(got.toSeq === expect.toSeq)
+    assert(nFiles === (expect.length + 9) / 10)
+
+    // files are stream-ordered: per-file seq_id ranges never overlap
+    val ranges = back
+      .groupBy(input_file_name().as("f"))
+      .agg(min("seq_id").as("lo"), max("seq_id").as("hi"),
+        count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(ranges.map(_._3).sum === expect.length)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1, _), (lo2, _, _)) => assert(hi1 < lo2)
+      case _ =>
+    }
+  }
+
   test("no global sort in the packing plan (chunks reassemble locally)") {
     val explained = Packing.packTokens(crafted, "doc_id", "token_ids", 4, 99)
       .queryExecution.explainString(
