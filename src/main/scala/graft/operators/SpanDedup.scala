@@ -71,6 +71,56 @@ object SpanDedup {
   def coverageReport(spark: SparkSession, dir: String, w: Int): DataFrame =
     coverageReport(Tables.documents(spark, dir), "doc_id", "text", w)
 
+  /** The ACTION half of exact-substring dedup: rewrite the corpus with
+    * every repeat occurrence of a duplicated w-token span removed,
+    * keeping the globally-first occurrence (minimum (doc_id, off) per
+    * span hash — deterministic, partitioning-independent). A token is
+    * cut iff some NON-KEEPER duplicated span covers it; the keeper
+    * document keeps its text. Output: (doc_id, text, n_toks,
+    * n_removed) with `text` rebuilt from the kept tokens.
+    *
+    * Same scale shape as [[coverageReport]] plus one |dup hashes|-row
+    * argmin aggregate (partial-combining, hot-key safe) — the cut
+    * positions fold per doc over its own bounded offset array, and the
+    * token filter is a per-row HOF (O(len · cuts) worst case, the
+    * standard exact-substring rewrite cost).
+    *
+    * NOT idempotent by design: removing a span can make previously
+    * separated tokens adjacent, forming new w-grams — rerun to a
+    * fixpoint if the corpus demands it (the Lee et al. pipeline runs
+    * one pass).
+    */
+  def removeDuplicatedSpans(docs: DataFrame, idCol: String,
+      textCol: String, w: Int): DataFrame = {
+    val spans = spanHashes(docs, idCol, textCol, w)
+    val dups = duplicatedSpans(spans)
+    // keeper per duplicated hash: global argmin over (doc_id, off)
+    val keepers = spans.join(dups, Seq("h"))
+      .groupBy("h")
+      .agg(min(struct(col("doc_id"), col("off"))).as("__k"))
+      .select(col("h"), col("__k.doc_id").as("__kdoc"),
+        col("__k.off").as("__koff"))
+    val cuts = spans.join(dups, Seq("h"))
+      .join(keepers, Seq("h"))
+      .filter(!(col("doc_id") === col("__kdoc") && col("off") === col("__koff")))
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(col("off"))).as("__cuts"))
+    docs
+      .select(col(idCol).as("doc_id"), toks(textCol).as("__t"))
+      .join(cuts, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        when(col("__cuts").isNull, col("__t"))
+          .otherwise(expr(s"""filter(__t, (t, i) ->
+              NOT exists(__cuts, o -> o <= i AND i < o + $w))"""))
+          .as("__kept"),
+        size(col("__t")).cast("long").as("n_toks"))
+      .select(col("doc_id"),
+        array_join(col("__kept"), " ").as("text"),
+        col("n_toks"),
+        (col("n_toks") - size(col("__kept"))).cast("long").as("n_removed"))
+      .orderBy("doc_id")
+  }
+
   def coverageReport(docs: DataFrame, idCol: String, textCol: String,
       w: Int): DataFrame = {
     val spans = spanHashes(docs, idCol, textCol, w)

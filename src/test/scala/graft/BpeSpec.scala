@@ -69,6 +69,17 @@ class BpeSpec extends AnyFunSuite {
       "fixture vocabulary is far below the cap — nothing truncated")
   }
 
+  test("vocab cap: coverage reports exactly the kept mass") {
+    val hist = Bpe.wordHistogram(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val capped = Bpe.train(spark, sf0001, 5, maxVocab = 10)
+    val total = hist.map(_._2).sum.toDouble
+    val kept = hist.sortBy { case (w, c) => (-c, w) }.take(10).map(_._2).sum
+    assert(math.abs(capped.coverage - kept / total) < 1e-12)
+    assert(capped.coverage < 1.0,
+      "the fixture vocabulary exceeds 10 words, so the cap must bite")
+  }
+
   test("histogram matches an exact recount") {
     val viaModule = Bpe.wordHistogram(spark, sf0001)
       .orderBy(col("cnt").desc, col("word")).limit(5)

@@ -66,6 +66,49 @@ class SpanDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("removeDuplicatedSpans keeps the first occurrence, cuts the rest") {
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "x y c d e z")).toDF("doc_id", "text")
+    val out = SpanDedup.removeDuplicatedSpans(docs, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
+    // "c d e" keeps its doc-1 occurrence; doc 2 loses those 3 tokens
+    assert(out.toSeq === Seq(
+      (1L, "a b c d e f", 0L),
+      (2L, "x y z", 3L)))
+  }
+
+  test("removal conserves tokens: kept + removed == original, all docs") {
+    val docs = sources.Tables.documents(spark, SparkTestBase.sf0001).limit(80)
+    val w = 6
+    val out = SpanDedup.removeDuplicatedSpans(docs, "doc_id", "text", w)
+    val bad = out.filter(
+      size(split(col("text"), " ")) + col("n_removed") =!= col("n_toks") &&
+        // empty kept text splits to one empty token — normalize
+        !(col("text") === "" && col("n_removed") === col("n_toks")))
+      .count()
+    assert(bad === 0L)
+    assert(out.count() === 80L)
+
+    // every removed occurrence had a surviving keeper: re-running the
+    // DETECTOR on the w-grams that were duplicated must still find each
+    // hash at least once in the rewritten corpus... the cheap sound
+    // check: total dup occurrences == removals + keepers
+    val spans = SpanDedup.spanHashes(docs, "doc_id", "text", w)
+    val dups = SpanDedup.duplicatedSpans(spans)
+    val occ = dups.agg(sum(col("n_occ"))).head.getLong(0)
+    val keepers = dups.count()
+    // removals measured in spans ≠ tokens (overlaps), so compare docs'
+    // removed occurrence count from the cut side instead:
+    val cutOcc = spans.join(dups, Seq("h")).count() - keepers
+    assert(occ - keepers === cutOcc)
+
+    // determinism across partitionings
+    val alt = SpanDedup.removeDuplicatedSpans(docs.repartition(9),
+      "doc_id", "text", w).collect().map(_.toString).toSeq
+    assert(alt === out.collect().map(_.toString).toSeq)
+  }
+
   test("fixture: coverage matches a brute-force recompute, any partitioning") {
     val docs = sources.Tables.documents(spark, SparkTestBase.sf0001).limit(120)
     val w = 6
