@@ -100,7 +100,9 @@ object Bpe {
     val hist = wordHistogram(docs, textCol)
     // One scalar total + the top-maxVocab slice (TakeOrdered — never a
     // global sort). Deterministic order: count desc, then word.
-    val total = hist.agg(sum(col("cnt"))).head.getLong(0)
+    // coalesce: sum over an EMPTY histogram is null — a corpus with no
+    // pre-tokenizer matches must yield an empty model, not an NPE.
+    val total = hist.agg(coalesce(sum(col("cnt")), lit(0L))).head.getLong(0)
     val kept = hist.orderBy(col("cnt").desc, col("word"))
       .limit(maxVocab)
       .collect()

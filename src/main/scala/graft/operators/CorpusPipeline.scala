@@ -143,8 +143,12 @@ object CorpusPipeline {
     val model = Bpe.trainOnDocs(
       withText.filter(col("split") === "train"), "text", numMerges)
     val eos = model.vocabIds.size
-    val encoded = Bpe.encodeIds(withText, "text", model)
-      .select(col("split"), col("doc_id"), col("token_ids"))
+    // Materialize once: three per-split packTokens consumers below
+    // would otherwise each re-run the curation join + map-side encode
+    // over the whole corpus (and re-fire PrefixSum's stats action).
+    val encoded = graft.Materialize.checkpoint(
+      Bpe.encodeIds(withText, "text", model)
+        .select(col("split"), col("doc_id"), col("token_ids")))
     val shards = Seq("train", "val", "test").map { sp =>
       Packing.packTokens(encoded.filter(col("split") === sp),
         "doc_id", "token_ids", seqLen, eos)

@@ -41,7 +41,11 @@ object HybridSearch {
     val ranked = rankings.map { r =>
       // GUARD: a no-partition window collapses to one partition —
       // acceptable ONLY on a ≤MaxFuse-row top-k frame (see scaladoc).
-      r.limit(MaxFuse)
+      // The cap is an ORDERED top-MaxFuse (TakeOrdered — distributed
+      // per-partition top-k, never a global sort), so an oversized
+      // caller gets the true best MaxFuse by (score, id), not an
+      // arbitrary partitioning-dependent truncation.
+      r.orderBy(col("score").desc, col(idCol)).limit(MaxFuse)
         .select(col(idCol),
           row_number().over(
             Window.orderBy(col("score").desc, col(idCol))).as("__rank"))
@@ -66,10 +70,15 @@ object HybridSearch {
       probeDocId: Long, k: Int): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val index = InvertedIndex.build(docs, "doc_id", "text")
-    val nDocs = docs.count()
-    val avgDl = index.select(col("doc_id"), col("dl")).distinct()
-      .agg(avg(col("dl"))).head.getDouble(0)
-    val lexical = InvertedIndex.bm25Query(index, nDocs, avgDl, terms, k)
+    // ONE stats job for (N, avgdl) — a single agg over the docs scan,
+    // not a count() plus a separate distinct+avg re-derivation of the
+    // index (two extra corpus-scale jobs per search call).
+    val stats = docs
+      .select(size(InvertedIndex.tokensCol("text")).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl")).head
+    val lexical =
+      InvertedIndex.bm25Query(index, stats.getLong(0), stats.getDouble(1),
+        terms, k)
 
     graft.plans.CosineSimilarity.register(spark)
     val emb = Tables.embeddings(spark, dir)

@@ -80,10 +80,13 @@ object Packing {
       seqLen: Int, eosId: Int, path: String, seqsPerFile: Int): Int = {
     require(seqsPerFile > 0, s"seqsPerFile=$seqsPerFile")
     val packed = packCore(df, idCol, tokensCol, seqLen, eosId)
-    val nSeqs = packed.agg(max(col("seq_id"))).head() match {
-      case r if r.isNullAt(0) => 0L
-      case r => r.getLong(0) + 1
-    }
+    // Sequence count from a CHEAP scalar over per-doc lengths — never
+    // by materializing the corpus-sized pack twice: the stream is
+    // sum(len(tokens)+1) tokens cut into ceil(total/seqLen) chunks.
+    val total = df
+      .agg(coalesce(sum(size(col(tokensCol)) + 1).cast("long"), lit(0L)))
+      .head.getLong(0)
+    val nSeqs = (total + seqLen - 1) / seqLen
     val nFiles = math.max(1, ((nSeqs + seqsPerFile - 1) / seqsPerFile).toInt)
     packed
       .repartitionByRange(nFiles, col("seq_id"))
