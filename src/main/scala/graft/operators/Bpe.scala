@@ -43,61 +43,115 @@ import graft.sources.Tables
   */
 object Bpe {
 
+  /** Pre-tokenizer modes. `Ascii` (the default everywhere) is the
+    * original maximal-`[a-z]+` pre-tokenizer shared with
+    * `q_text_tokens`: digits, punctuation, and non-Latin scripts are
+    * DROPPED before the histogram, which is fine for ASCII prose but
+    * silently lossy on a real corpus. `Unicode` pre-tokenizes the
+    * lowercased text into maximal same-category runs — letters
+    * (`\p{L}+`), digits (`\p{N}+`), and other non-whitespace
+    * (`[^\s\p{L}\p{N}]+`) — so EVERY non-whitespace code point of the
+    * input lands in exactly one unit and only whitespace (the decode
+    * normal form's separator) is elided. Symbols are single code
+    * points (surrogate pairs stay whole), the model carries its
+    * observed alphabet, and ids gain a trailing `<unk>` slot for
+    * encode-time characters the training corpus never saw.
+    */
+  val ModeAscii = "ascii"
+  val ModeUnicode = "unicode"
+  private val UnicodeUnits = "\\p{L}+|\\p{N}+|[^\\s\\p{L}\\p{N}]+"
+
+  private[graft] def preTokenPattern(mode: String): String = mode match {
+    case ModeAscii => "[a-z]+"
+    case ModeUnicode => UnicodeUnits
+    case m => throw new IllegalArgumentException(s"unknown BPE mode: $m")
+  }
+
+  /** Split into single-code-point strings (surrogate-pair-safe). */
+  private[graft] def codePoints(w: String): Array[String] = {
+    val out = new mutable.ArrayBuffer[String](w.length)
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      val n = Character.charCount(cp)
+      out += w.substring(i, i + n)
+      i += n
+    }
+    out.toArray
+  }
+
   /** A trained tokenizer: merge i was learned at rank i (lower rank =
     * merged earlier = higher priority at encode time); `coverage` is
     * the fraction of total word mass the (possibly capped) training
-    * histogram retained.
+    * histogram retained. `alphabet` is the model's single-code-point
+    * base vocabulary in lexicographic order (always a–z in ascii mode;
+    * the characters observed in the kept histogram in unicode mode).
     */
-  final case class BpeModel(merges: Array[(String, String)], coverage: Double) {
+  final case class BpeModel(merges: Array[(String, String)], coverage: Double,
+      alphabet: Array[String] = ('a' to 'z').map(String.valueOf(_)).toArray,
+      mode: String = ModeAscii) {
     /** Subword vocabulary implied by the merges (single characters and
       * the `</w>` sentinel are always implicitly present).
       */
     def vocab: Set[String] = merges.map { case (a, b) => a + b }.toSet
 
-    /** token → id: 0–25 = 'a'–'z', 26 = `</w>`, then merge products in
-      * rank order, deduplicated (two rules can build the same string;
-      * the token keeps its first id). Mirrors the id scheme inside
+    /** token → id: alphabet chars in order (ascii: 0–25 = 'a'–'z'),
+      * then `</w>`, then merge products in rank order, deduplicated
+      * (two rules can build the same string; the token keeps its first
+      * id); unicode mode appends a final `<unk>` id for encode-time
+      * characters outside the alphabet. Mirrors the id scheme inside
       * [[graft.plans.BpeEncode]] — BpeSpec pins the two equal.
       */
     def vocabIds: Map[String, Int] = {
-      val base = ('a' to 'z').map(c => String.valueOf(c) -> (c - 'a')).toMap +
-        ("</w>" -> 26)
-      merges.foldLeft((base, 27)) { case ((m, next), (a, b)) =>
-        val tok = a + b
-        if (m.contains(tok)) (m, next) else (m + (tok -> next), next + 1)
-      }._1
+      val base = alphabet.zipWithIndex.toMap + ("</w>" -> alphabet.length)
+      val withMerges =
+        merges.foldLeft((base, alphabet.length + 1)) {
+          case ((m, next), (a, b)) =>
+            val tok = a + b
+            if (m.contains(tok)) (m, next) else (m + (tok -> next), next + 1)
+        }
+      if (mode == ModeUnicode) withMerges._1 + ("<unk>" -> withMerges._2)
+      else withMerges._1
     }
   }
 
   /** Corpus word histogram — the one corpus-proportional job. Output is
-    * (word, cnt), distinct-word-sized. Pre-tokenization is the same
-    * maximal `[a-z]+` regex as `q_text_tokens` / [[graft.plans.BpeEncode]].
+    * (word, cnt), distinct-word-sized. Pre-tokenization matches
+    * [[graft.plans.BpeEncode]] for the same mode (ascii = the same
+    * maximal `[a-z]+` regex as `q_text_tokens`).
     */
-  def wordHistogram(spark: SparkSession, dir: String): DataFrame =
-    wordHistogram(Tables.documents(spark, dir), "text")
+  def wordHistogram(spark: SparkSession, dir: String,
+      mode: String = ModeAscii): DataFrame =
+    wordHistogram(Tables.documents(spark, dir), "text", mode)
 
   /** Histogram over any frame's text column (e.g. a CURATED corpus —
     * train the tokenizer on what survives curation, not the raw dump).
     */
   def wordHistogram(docs: DataFrame, textCol: String): DataFrame =
+    wordHistogram(docs, textCol, ModeAscii)
+
+  def wordHistogram(docs: DataFrame, textCol: String,
+      mode: String): DataFrame =
     docs
       .select(explode(
-        regexp_extract_all(lower(col(textCol)), lit("[a-z]+"), lit(0)))
+        regexp_extract_all(lower(col(textCol)), lit(preTokenPattern(mode)),
+          lit(0)))
         .as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
 
   /** Learn `numMerges` merges from the corpus under `dir`. */
   def train(spark: SparkSession, dir: String, numMerges: Int,
-      maxVocab: Int = 1 << 16): BpeModel =
-    trainOnDocs(Tables.documents(spark, dir), "text", numMerges, maxVocab)
+      maxVocab: Int = 1 << 16, mode: String = ModeAscii): BpeModel =
+    trainOnDocs(Tables.documents(spark, dir), "text", numMerges, maxVocab,
+      mode)
 
   /** Learn `numMerges` merges from any document frame. */
   def trainOnDocs(docs: DataFrame, textCol: String, numMerges: Int,
-      maxVocab: Int = 1 << 16): BpeModel = {
+      maxVocab: Int = 1 << 16, mode: String = ModeAscii): BpeModel = {
     require(maxVocab <= (1 << 20),
       s"BPE maxVocab=$maxVocab: the driver-side merge loop is bounded by " +
         "the histogram cap; raise deliberately, not by accident")
-    val hist = wordHistogram(docs, textCol)
+    val hist = wordHistogram(docs, textCol, mode)
     // One scalar total + the top-maxVocab slice (TakeOrdered — never a
     // global sort). Deterministic order: count desc, then word.
     // coalesce: sum over an EMPTY histogram is null — a corpus with no
@@ -109,7 +163,12 @@ object Bpe {
       .map(r => (r.getString(0), r.getLong(1)))
     val coverage =
       if (total == 0L) 1.0 else kept.map(_._2).sum.toDouble / total
-    trainFromHistogram(kept, numMerges).copy(coverage = coverage)
+    val alphabet =
+      if (mode == ModeAscii) ('a' to 'z').map(String.valueOf(_)).toArray
+      else kept.iterator.flatMap(kv => codePoints(kv._1))
+        .toArray.distinct.sorted
+    trainFromHistogram(kept, numMerges)
+      .copy(coverage = coverage, alphabet = alphabet, mode = mode)
   }
 
   /** Exact greedy BPE over an in-memory (word, freq) histogram — the
@@ -120,11 +179,8 @@ object Bpe {
   def trainFromHistogram(histogram: Seq[(String, Long)],
       numMerges: Int): BpeModel = {
     val words: Array[Array[String]] = histogram.map { case (w, _) =>
-      val a = new Array[String](w.length + 1)
-      var i = 0
-      while (i < w.length) { a(i) = String.valueOf(w.charAt(i)); i += 1 }
-      a(w.length) = "</w>"
-      a
+      // single-code-point symbols (surrogate-pair-safe) + the sentinel
+      codePoints(w) :+ "</w>"
     }.toArray
     val freqs: Array[Long] = histogram.map(_._2).toArray
 
@@ -205,7 +261,7 @@ object Bpe {
     * effect (same registry discipline as `minhash_sig`/`cosine_sim`).
     */
   def encode(df: DataFrame, textCol: String, model: BpeModel): DataFrame = {
-    BpeEncode.register(df.sparkSession, model.merges)
+    BpeEncode.register(df.sparkSession, model)
     df.withColumn("tokens", expr(s"bpe_encode($textCol)"))
   }
 
@@ -214,7 +270,7 @@ object Bpe {
     * materializes to its shard files. Same map-side plan.
     */
   def encodeIds(df: DataFrame, textCol: String, model: BpeModel): DataFrame = {
-    BpeEncode.register(df.sparkSession, model.merges)
+    BpeEncode.register(df.sparkSession, model)
     df.withColumn("token_ids", expr(s"bpe_encode_ids($textCol)"))
   }
 
@@ -230,9 +286,15 @@ object Bpe {
     */
   def save(spark: SparkSession, model: BpeModel, path: String): Unit = {
     import spark.implicits._
+    // alphabet rides as one concatenated string (entries are single
+    // code points, so splitting back by code point is exact); model
+    // metadata repeats per row — the table is merge-table-sized.
+    val alpha = model.alphabet.mkString
     model.merges.zipWithIndex
-      .map { case ((a, b), r) => (r, a, b, model.coverage) }.toSeq
-      .toDF("rank", "left", "right", "coverage")
+      .map { case ((a, b), r) =>
+        (r, a, b, model.coverage, alpha, model.mode)
+      }.toSeq
+      .toDF("rank", "left", "right", "coverage", "alphabet", "mode")
       .coalesce(1)
       .write.mode("overwrite").parquet(path)
   }
@@ -241,11 +303,14 @@ object Bpe {
   def load(spark: SparkSession, path: String): BpeModel = {
     val rows = spark.read.parquet(path)
       .orderBy("rank")
-      .select("left", "right", "coverage")
+      .select("left", "right", "coverage", "alphabet", "mode")
       .collect()
-    BpeModel(
+    if (rows.isEmpty) BpeModel(Array.empty, 1.0)
+    else BpeModel(
       rows.map(r => (r.getString(0), r.getString(1))),
-      if (rows.isEmpty) 1.0 else rows.head.getDouble(2))
+      rows.head.getDouble(2),
+      codePoints(rows.head.getString(3)),
+      rows.head.getString(4))
   }
 
   /** Per-source tokenizer report over the corpus: BPE token count vs
@@ -256,10 +321,12 @@ object Bpe {
       model: BpeModel): DataFrame =
     encode(Tables.documents(spark, dir), "text", model)
       .select(col("source"), size(col("tokens")).as("n_bpe"),
-        size(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)))
-          .as("n_words"),
-        length(regexp_replace(lower(col("text")), "[^a-z]", ""))
-          .as("n_chars"))
+        size(regexp_extract_all(lower(col("text")),
+          lit(preTokenPattern(model.mode)), lit(0))).as("n_words"),
+        aggregate(
+          regexp_extract_all(lower(col("text")),
+            lit(preTokenPattern(model.mode)), lit(0)),
+          lit(0L), (acc, w) => acc + length(w)).as("n_chars"))
       .groupBy("source")
       .agg(sum(col("n_bpe")).as("bpe_tokens"),
         sum(col("n_words")).as("words"),

@@ -11,9 +11,13 @@ import org.apache.spark.unsafe.types.UTF8String
 /** Native BPE encoder expression: `bpe_encode(text)` → array of subword
   * tokens under a trained merge table (see [[graft.operators.Bpe]]).
   *
-  * Pre-tokenization matches `q_text_tokens`' regex pre-tokenizer
-  * exactly (maximal `[a-z]+` runs of the lowercased text); each word is
-  * then split into characters plus the standard `</w>` end-of-word
+  * Pre-tokenization matches the model's mode: ascii is
+  * `q_text_tokens`' regex pre-tokenizer exactly (maximal `[a-z]+` runs
+  * of the lowercased text); unicode is maximal same-category runs —
+  * `\p{L}+` | `\p{N}+` | other-non-whitespace — so every
+  * non-whitespace code point of the input lands in a unit (see
+  * [[graft.operators.Bpe]]). Each unit is then split into
+  * single-code-point symbols plus the standard `</w>` end-of-word
   * sentinel and greedily merged: the adjacent pair with the LOWEST
   * learned rank merges first, left-to-right within the word, until no
   * adjacent pair is in the table — the classic Sennrich (2016)
@@ -32,7 +36,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * itself, which is compiled JVM code either way.
   */
 case class BpeEncode(child: Expression, merges: Array[(String, String)],
-    emitIds: Boolean = false)
+    emitIds: Boolean = false,
+    mode: String = graft.operators.Bpe.ModeAscii,
+    alphabet: Array[String] =
+      ('a' to 'z').map(String.valueOf(_)).toArray)
     extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType =
@@ -48,12 +55,17 @@ case class BpeEncode(child: Expression, merges: Array[(String, String)],
   }
 
   // Rank lookup rebuilt lazily per deserialized (= per-task) instance;
-  // only the compact pair array crosses the wire.
+  // only the compact pair array crosses the wire. The key is
+  // length-prefixed ("<|a|>:ab") so it stays unambiguous even when
+  // unicode-mode symbols contain ANY character (a separator char could
+  // itself appear inside a symbol).
+  private def pairKey(a: String, b: String): String =
+    a.length + ":" + a + b
   @transient private lazy val rank: java.util.HashMap[String, Integer] = {
     val m = new java.util.HashMap[String, Integer](merges.length * 2)
     var i = 0
     while (i < merges.length) {
-      m.put(merges(i)._1 + "\u0000" + merges(i)._2, Integer.valueOf(i))
+      m.put(pairKey(merges(i)._1, merges(i)._2), Integer.valueOf(i))
       i += 1
     }
     m
@@ -71,17 +83,14 @@ case class BpeEncode(child: Expression, merges: Array[(String, String)],
   private def encodeWord(w: String): Array[String] = {
     val hit = memo.get(w)
     if (hit != null) return hit
-    var syms = new Array[String](w.length + 1)
-    var i = 0
-    while (i < w.length) { syms(i) = String.valueOf(w.charAt(i)); i += 1 }
-    syms(w.length) = "</w>"
+    var syms = graft.operators.Bpe.codePoints(w) :+ "</w>"
     var done = false
     while (!done && syms.length > 1) {
       // Lowest-rank adjacent pair in the current symbol sequence.
       var bestRank = Int.MaxValue
       var j = 0
       while (j < syms.length - 1) {
-        val r = rank.get(syms(j) + "\u0000" + syms(j + 1))
+        val r = rank.get(pairKey(syms(j), syms(j + 1)))
         if (r != null && r.intValue() < bestRank) bestRank = r.intValue()
         j += 1
       }
@@ -104,18 +113,23 @@ case class BpeEncode(child: Expression, merges: Array[(String, String)],
     syms
   }
 
-  // Token-id vocabulary: ids 0–25 = 'a'–'z', 26 = `</w>`, then merge
-  // PRODUCTS in rank order (deduplicated: two rules can build the same
-  // string — e.g. a+bc and ab+c — and the TOKEN gets one id, its first).
+  // Token-id vocabulary: alphabet chars in order (ascii: 0–25 =
+  // 'a'–'z'), then `</w>`, then merge PRODUCTS in rank order
+  // (deduplicated: two rules can build the same string — e.g. a+bc and
+  // ab+c — and the TOKEN gets one id, its first); unicode mode gets a
+  // final `<unk>` id for characters outside the trained alphabet.
   // This is exactly [[graft.operators.Bpe.BpeModel.vocabIds]]; BpeSpec
   // pins the two stay equal.
   @transient private lazy val tokenId: java.util.HashMap[String, Integer] = {
-    val m = new java.util.HashMap[String, Integer](merges.length * 2)
-    var c = 'a'
-    while (c <= 'z') { m.put(String.valueOf(c), Integer.valueOf(c - 'a')); c = (c + 1).toChar }
-    m.put("</w>", Integer.valueOf(26))
+    val m = new java.util.HashMap[String, Integer](
+      (alphabet.length + merges.length) * 2)
+    var a = 0
+    while (a < alphabet.length) {
+      m.put(alphabet(a), Integer.valueOf(a)); a += 1
+    }
+    m.put("</w>", Integer.valueOf(alphabet.length))
     var i = 0
-    var next = 27
+    var next = alphabet.length + 1
     while (i < merges.length) {
       val tok = merges(i)._1 + merges(i)._2
       if (!m.containsKey(tok)) { m.put(tok, Integer.valueOf(next)); next += 1 }
@@ -123,26 +137,72 @@ case class BpeEncode(child: Expression, merges: Array[(String, String)],
     }
     m
   }
+  @transient private lazy val unkId: Integer =
+    Integer.valueOf(tokenId.size)
+
+  private def emit(toks: Array[String],
+      out: scala.collection.mutable.ArrayBuffer[Any]): Unit = {
+    var k = 0
+    while (k < toks.length) {
+      if (emitIds) {
+        val id = tokenId.get(toks(k))
+        // ascii mode cannot miss (pre-tokenizer emits a–z only);
+        // unicode maps out-of-alphabet chars to the trailing <unk> id
+        out += (if (id == null) unkId.intValue() else id.intValue())
+      } else out += UTF8String.fromString(toks(k))
+      k += 1
+    }
+  }
 
   override def nullSafeEval(v: Any): Any = {
     val text = v.asInstanceOf[UTF8String].toString.toLowerCase(java.util.Locale.ROOT)
     val out = new scala.collection.mutable.ArrayBuffer[Any](64)
     var i = 0
     val n = text.length
-    while (i < n) {
-      val c = text.charAt(i)
-      if (c >= 'a' && c <= 'z') {
-        var j = i + 1
-        while (j < n && text.charAt(j) >= 'a' && text.charAt(j) <= 'z') j += 1
-        val toks = encodeWord(text.substring(i, j))
-        var k = 0
-        while (k < toks.length) {
-          out += (if (emitIds) tokenId.get(toks(k)).intValue()
-                  else UTF8String.fromString(toks(k)))
-          k += 1
+    if (mode == graft.operators.Bpe.ModeAscii) {
+      while (i < n) {
+        val c = text.charAt(i)
+        if (c >= 'a' && c <= 'z') {
+          var j = i + 1
+          while (j < n && text.charAt(j) >= 'a' && text.charAt(j) <= 'z') j += 1
+          emit(encodeWord(text.substring(i, j)), out)
+          i = j
+        } else i += 1
+      }
+    } else {
+      // unicode units: maximal same-category runs — letters, numbers,
+      // other-non-whitespace — over CODE POINTS (category switches end
+      // a unit; only whitespace is elided). MUST mirror the Java-regex
+      // semantics of Bpe.UnicodeUnits exactly: `\s` without (?U) is
+      // ASCII [ \t\n\x0B\f\r] only; `\p{L}` is general category L*
+      // (= Character.isLetter); `\p{N}` is N* = Nd|Nl|No (wider than
+      // Character.isDigit, which is Nd alone).
+      def cat(cp: Int): Int =
+        if (cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0B ||
+            cp == '\f' || cp == '\r') 0
+        else if (Character.isLetter(cp)) 1
+        else {
+          val t = Character.getType(cp)
+          if (t == Character.DECIMAL_DIGIT_NUMBER ||
+              t == Character.LETTER_NUMBER ||
+              t == Character.OTHER_NUMBER) 2
+          else 3
         }
-        i = j
-      } else i += 1
+      while (i < n) {
+        val cp = text.codePointAt(i)
+        val c = cat(cp)
+        if (c == 0) i += Character.charCount(cp)
+        else {
+          var j = i + Character.charCount(cp)
+          var more = true
+          while (more && j < n) {
+            val cp2 = text.codePointAt(j)
+            if (cat(cp2) == c) j += Character.charCount(cp2) else more = false
+          }
+          emit(encodeWord(text.substring(i, j)), out)
+          i = j
+        }
+      }
     }
     new GenericArrayData(out.toArray)
   }
@@ -157,14 +217,23 @@ object BpeEncode {
     * materializes) bound to one trained merge table. Idempotent;
     * re-registering rebinds to the new table.
     */
-  def register(spark: SparkSession, merges: Array[(String, String)]): Unit = {
+  def register(spark: SparkSession, merges: Array[(String, String)]): Unit =
+    register(spark, graft.operators.Bpe.BpeModel(merges, 1.0))
+
+  /** Model-carrying registration: binds the functions to the model's
+    * merge table, pre-tokenizer mode, and alphabet (id space).
+    */
+  def register(spark: SparkSession,
+      model: graft.operators.Bpe.BpeModel): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bpe_encode",
-      exprs => BpeEncode(exprs.head, merges),
+      exprs => BpeEncode(exprs.head, model.merges,
+        mode = model.mode, alphabet = model.alphabet),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bpe_encode_ids",
-      exprs => BpeEncode(exprs.head, merges, emitIds = true),
+      exprs => BpeEncode(exprs.head, model.merges, emitIds = true,
+        mode = model.mode, alphabet = model.alphabet),
       "built-in")
   }
 }

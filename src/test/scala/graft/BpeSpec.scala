@@ -156,6 +156,107 @@ class BpeSpec extends AnyFunSuite {
     assert(files.length === 1)
   }
 
+  // ---- unicode mode: digits, punctuation, CJK ----------------------
+
+  /** Mixed-script corpus: ASCII prose, digits, punctuation, accented
+    * Latin, and CJK — everything the ascii pre-tokenizer silently
+    * drops. Lowercase already (encode lowercases; keeping the fixture
+    * pre-lowered sidesteps locale-mapping edge cases that are not the
+    * point of these tests).
+    */
+  private def unicodeDocs = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val texts = Seq(
+      "the cafe sold 42 croissants, 42 more tomorrow!",
+      "price: 1,234.56 (up 7%) — see page 42",
+      "日本語のテキストと漢字 2024 年",
+      "résumé naïve café — déjà vu, déjà vu",
+      "mixed 日本語 and english with 123 numbers!!!",
+      "the the the 42 42 日本語 café café café")
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        texts.zipWithIndex.map { case (t, i) => Row(i.toLong, t) }, 2),
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))))
+  }
+
+  test("unicode mode: every non-whitespace character reaches the histogram") {
+    // The pre-tokenizer's three unit classes partition non-whitespace:
+    // unit lengths must sum to the non-whitespace char count, doc by doc
+    // (the ascii mode drops digits/punct/CJK; unicode must drop NOTHING).
+    val bad = unicodeDocs.select(
+      aggregate(
+        regexp_extract_all(lower(col("text")),
+          lit("\\p{L}+|\\p{N}+|[^\\s\\p{L}\\p{N}]+"), lit(0)),
+        lit(0), (acc, w) => acc + length(w)).as("unit_chars"),
+      length(regexp_replace(lower(col("text")), "\\s", "")).as("content_chars"))
+      .filter(col("unit_chars") =!= col("content_chars"))
+      .count()
+    assert(bad === 0L)
+  }
+
+  test("unicode mode: encode/decode round-trips digits, punct, and CJK") {
+    val model = Bpe.trainOnDocs(unicodeDocs, "text", 30, mode = Bpe.ModeUnicode)
+    // merges must actually fire on non-ascii material: the corpus
+    // repeats 日本語, 42, and café enough for them to win merges.
+    assert(model.vocab.exists(t => t.exists(_ > 'z')),
+      s"no non-ascii merge product in ${model.vocab}")
+    val bad = Bpe.encode(unicodeDocs, "text", model)
+      .select(
+        Bpe.decodeCol(col("tokens")).as("back"),
+        array_join(regexp_extract_all(lower(col("text")),
+          lit("\\p{L}+|\\p{N}+|[^\\s\\p{L}\\p{N}]+"), lit(0)), " ").as("norm"))
+      .filter(col("back") =!= col("norm"))
+      .count()
+    assert(bad === 0L)
+  }
+
+  test("unicode mode: dense id space with <unk> last; OOV maps to <unk>") {
+    val model = Bpe.trainOnDocs(unicodeDocs, "text", 20, mode = Bpe.ModeUnicode)
+    val ids = model.vocabIds
+    assert(ids.values.toSeq.sorted === (0 until ids.size),
+      "id space must be dense")
+    assert(ids("<unk>") === ids.size - 1, "<unk> takes the last id")
+    assert(ids("</w>") === model.alphabet.length)
+    // ids mirror tokens through the map, with OOV (ω — absent from the
+    // corpus) hitting <unk>
+    val oov = spark.createDataFrame(
+      unicodeDocs.sparkSession.sparkContext.parallelize(
+        Seq(org.apache.spark.sql.Row(99L, "café ωmega 42")), 1),
+      unicodeDocs.schema)
+    val r = Bpe.encodeIds(Bpe.encode(oov, "text", model), "text", model)
+      .select(col("tokens"), col("token_ids")).head
+    val toks = r.getSeq[String](0)
+    val got = r.getSeq[Int](1)
+    assert(got === toks.map(t => ids.getOrElse(t, ids("<unk>"))))
+    assert(got.contains(ids("<unk>")), s"ω must map to <unk> in $toks → $got")
+    assert(toks.contains("ω"), "string mode keeps the OOV char itself")
+  }
+
+  test("unicode mode: model save/load round-trips alphabet and mode") {
+    val model = Bpe.trainOnDocs(unicodeDocs, "text", 15, mode = Bpe.ModeUnicode)
+    val path = java.nio.file.Files.createTempDirectory("graft-bpe-u").toString
+    Bpe.save(spark, model, path)
+    val back = Bpe.load(spark, path)
+    assert(back.merges.toSeq === model.merges.toSeq)
+    assert(back.alphabet.toSeq === model.alphabet.toSeq)
+    assert(back.mode === Bpe.ModeUnicode)
+    assert(back.vocabIds === model.vocabIds)
+  }
+
+  test("unicode mode: ascii-only corpora still train ascii-compatible merges") {
+    // On text the ascii pre-tokenizer fully covers, the two modes see
+    // the same words except unicode also units digits/punct — so the
+    // LETTER-only merge sequences must agree when the corpus is pure
+    // [a-z ] (the regression guard for defaulting everything to ascii).
+    val az = Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+    val a = Bpe.trainFromHistogram(az, 6)
+    assert(a.merges.toSeq === Seq(
+      ("e", "s"), ("es", "t"), ("est", "</w>"),
+      ("l", "o"), ("lo", "w"), ("e", "w")))
+  }
+
   test("encodeStats: fertility and compression are coherent") {
     val model = Bpe.train(spark, sf0001, 100)
     val rows = Bpe.encodeStats(spark, sf0001, model).collect()
