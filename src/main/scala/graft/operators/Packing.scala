@@ -56,6 +56,33 @@ object Packing {
     // document's absolute START offset in the stream.
     val offsets = PrefixSum.globalCumsum(withLen, "__id", Seq("__len"))
       .withColumn("__start", col("__cw___len") - col("__len"))
+    assemble(offsets, seqLen)
+  }
+
+  /** [[packCore]] under the EPOCH-SHUFFLED stream order: documents are
+    * re-keyed by xxhash64(id, epoch) — [[Sampling.epochShuffle]]'s
+    * permutation — with hash collisions broken by the original id
+    * (the cumsum runs under the total order (hash, id)), then packed
+    * exactly as packCore. Same single corpus-sized exchange; the
+    * permutation costs nothing extra because the offsets pass orders
+    * by the new key instead of the id.
+    */
+  private def packShuffledCore(df: DataFrame, idCol: String,
+      tokensCol: String, seqLen: Int, eosId: Int, epoch: Long): DataFrame = {
+    require(seqLen > 0, s"seqLen=$seqLen")
+    val withLen = df.select(col(idCol).as("__id"),
+      concat(col(tokensCol), array(lit(eosId))).as("__ids"))
+      .withColumn("__shuf", xxhash64(col("__id"), lit(epoch)))
+      .withColumn("__len", size(col("__ids")).cast("long"))
+    val offsets = PrefixSum.globalCumsum(withLen, "__shuf", "__id", Seq("__len"))
+      .withColumn("__start", col("__cw___len") - col("__len"))
+    assemble(offsets, seqLen)
+  }
+
+  /** Shared tail of both pack variants: token → absolute stream slot →
+    * one hash-aggregate shuffle keyed by chunk.
+    */
+  private def assemble(offsets: DataFrame, seqLen: Int): DataFrame =
     offsets
       .select(col("__start"), posexplode(col("__ids")).as(Seq("__p", "__tok")))
       .select((col("__start") + col("__p")).as("__abs"), col("__tok"))
@@ -68,7 +95,20 @@ object Packing {
         array_sort(collect_list(struct(col("__pos"), col("__tok")))),
         x => x("__tok")).as("token_ids"))
       .withColumn("n_tokens", size(col("token_ids")))
-  }
+
+  /** Pack one training EPOCH: the corpus is globally permuted by
+    * xxhash64(`idCol`, `epoch`) — the [[Sampling.epochShuffle]]
+    * permutation, hash collisions broken by the original id — and the
+    * PERMUTED stream is cut into `seqLen` chunks. Different epochs
+    * yield different document orders over the same token multiset;
+    * the same epoch is deterministic under any partitioning
+    * (PackingSpec pins all three). Same plan shape as [[packTokens]]:
+    * the permutation rides the offsets pass for free.
+    */
+  def packShuffled(df: DataFrame, idCol: String, tokensCol: String,
+      seqLen: Int, eosId: Int, epoch: Long): DataFrame =
+    packShuffledCore(df, idCol, tokensCol, seqLen, eosId, epoch)
+      .orderBy("seq_id")
 
   /** Land packed sequences as shard files: `seqsPerFile` consecutive
     * sequences per parquet file, in stream order WITHOUT any global
@@ -77,12 +117,26 @@ object Packing {
     * file count.
     */
   def writeShards(df: DataFrame, idCol: String, tokensCol: String,
-      seqLen: Int, eosId: Int, path: String, seqsPerFile: Int): Int = {
+      seqLen: Int, eosId: Int, path: String, seqsPerFile: Int): Int =
+    shardWriter(df, tokensCol, seqLen, seqsPerFile,
+      packCore(df, idCol, tokensCol, seqLen, eosId), path)
+
+  /** [[writeShards]] over the epoch-shuffled pack — the shard files a
+    * trainer actually reads for epoch `epoch`.
+    */
+  def writeShardsShuffled(df: DataFrame, idCol: String, tokensCol: String,
+      seqLen: Int, eosId: Int, epoch: Long, path: String,
+      seqsPerFile: Int): Int =
+    shardWriter(df, tokensCol, seqLen, seqsPerFile,
+      packShuffledCore(df, idCol, tokensCol, seqLen, eosId, epoch), path)
+
+  private def shardWriter(df: DataFrame, tokensCol: String, seqLen: Int,
+      seqsPerFile: Int, packed: DataFrame, path: String): Int = {
     require(seqsPerFile > 0, s"seqsPerFile=$seqsPerFile")
-    val packed = packCore(df, idCol, tokensCol, seqLen, eosId)
     // Sequence count from a CHEAP scalar over per-doc lengths — never
     // by materializing the corpus-sized pack twice: the stream is
-    // sum(len(tokens)+1) tokens cut into ceil(total/seqLen) chunks.
+    // sum(len(tokens)+1) tokens cut into ceil(total/seqLen) chunks
+    // (a permutation never changes the count).
     val total = df
       .agg(coalesce(sum(size(col(tokensCol)) + 1).cast("long"), lit(0L)))
       .head.getLong(0)

@@ -36,7 +36,23 @@ object PrefixSum {
     * have one row per distinct `v` with non-null long columns.
     */
   def globalCumsum(df: DataFrame, v: String, cols: Seq[String],
-      buckets: Int = 1024): DataFrame = {
+      buckets: Int = 1024): DataFrame =
+    globalCumsumOrdered(df, v, None, cols, buckets)
+
+  /** [[globalCumsum]] under the total order (`v`, `tie`): ties on the
+    * bucketing value `v` are broken by `tie` inside each bucket window.
+    * Input must have one row per distinct (`v`, `tie`) pair — the
+    * relaxation that lets a HASH key (collisions possible) order the
+    * stream, e.g. epoch-shuffled packing's xxhash64(id, epoch) keys.
+    * Bucketing by `v` alone stays sound because tie rows share a
+    * bucket by construction (equal v ⇒ equal bucket).
+    */
+  def globalCumsum(df: DataFrame, v: String, tie: String,
+      cols: Seq[String]): DataFrame =
+    globalCumsumOrdered(df, v, Some(tie), cols, 1024)
+
+  private def globalCumsumOrdered(df: DataFrame, v: String,
+      tie: Option[String], cols: Seq[String], buckets: Int): DataFrame = {
     val stats = df.agg(min(col(v).cast("double")).as("__lo"),
       max(col(v).cast("double")).as("__hi"))
     val bucketed = df.crossJoin(broadcast(stats))
@@ -57,7 +73,8 @@ object PrefixSum {
     val offsets = perBucket.select(
       col("__b") +: cols.map(c =>
         coalesce(sum(col("__t_" + c)).over(wB), lit(0L)).as("__off_" + c)): _*)
-    val wIn = Window.partitionBy("__b").orderBy(v)
+    val wIn = Window.partitionBy("__b")
+      .orderBy(col(v) +: tie.map(col).toSeq: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     cols.foldLeft(bucketed.join(broadcast(offsets), "__b")) { (acc, c) =>
       acc.withColumn("__cw_" + c, col("__off_" + c) + sum(col(c)).over(wIn))

@@ -97,21 +97,81 @@ class PackingSpec extends AnyFunSuite {
     }
   }
 
+  test("packShuffled: per-epoch determinism, permutation, conservation") {
+    val model = Bpe.train(spark, SparkTestBase.sf0001, 40)
+    val eos = model.vocabIds.size
+    val encoded = Bpe.encodeIds(
+      sources.Tables.documents(spark, SparkTestBase.sf0001), "text", model)
+      .select("doc_id", "token_ids")
+
+    def run(epoch: Long, parts: Int) =
+      Packing.packShuffled(
+        if (parts == 0) encoded else encoded.repartition(parts),
+        "doc_id", "token_ids", 512, eos, epoch)
+        .collect().map(r => (r.getLong(0), r.getSeq[Int](1)))
+
+    val e0 = run(0, 0)
+    // per-epoch determinism under ANY partitioning
+    assert(run(0, 7).toSeq === e0.toSeq)
+    // chunk ids consecutive; all but the tail exactly seqLen
+    assert(e0.map(_._1).toSeq === (0L until e0.length))
+    e0.init.foreach { case (i, ids) => assert(ids.length === 512, s"chunk $i") }
+
+    // epoch 1 is a DIFFERENT permutation of the SAME token multiset
+    // (and the same per-document runs — documents move whole)
+    val e1 = run(1, 0)
+    val s0 = e0.flatMap(_._2).toSeq
+    val s1 = e1.flatMap(_._2).toSeq
+    assert(s0 !== s1, "epoch 0 and 1 must order documents differently")
+    assert(s0.sorted === s1.sorted, "permutation must conserve tokens")
+    assert(s0.count(_ === eos) === s1.count(_ === eos))
+
+    // the shuffled stream is the documents concatenated in ascending
+    // (xxhash64(doc_id, epoch), doc_id) order — the epochShuffle key
+    val ref = encoded
+      .withColumn("k", xxhash64(col("doc_id"), lit(0L)))
+      .orderBy("k", "doc_id")
+      .collect().flatMap(r => r.getSeq[Int](1) :+ eos).toSeq
+    assert(s0 === ref)
+  }
+
+  test("writeShardsShuffled: epoch files read back as the shuffled pack") {
+    val model = Bpe.train(spark, SparkTestBase.sf0001, 30)
+    val eos = model.vocabIds.size
+    val encoded = Bpe.encodeIds(
+      sources.Tables.documents(spark, SparkTestBase.sf0001), "text", model)
+      .select("doc_id", "token_ids")
+    val dir = java.nio.file.Files.createTempDirectory("graft-eshards").toString
+    val nFiles = Packing.writeShardsShuffled(encoded, "doc_id", "token_ids",
+      256, eos, epoch = 3L, dir, seqsPerFile = 10)
+    val got = spark.read.parquet(dir).orderBy("seq_id")
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1)))
+    val expect = Packing.packShuffled(encoded, "doc_id", "token_ids",
+      256, eos, epoch = 3L)
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1)))
+    assert(got.toSeq === expect.toSeq)
+    assert(nFiles === (expect.length + 9) / 10)
+  }
+
   test("no global sort in the packing plan (chunks reassemble locally)") {
-    val explained = Packing.packTokens(crafted, "doc_id", "token_ids", 4, 99)
-      .queryExecution.explainString(
-        org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
     // the only Sort allowed is the bounded presentation orderBy(seq_id)
     // and PrefixSum's in-bucket windows — no Sort may sit above the
     // corpus-sized exploded token relation, which is everything under
     // the chunk hash aggregate. Assert structurally: the explode feeds
-    // an aggregate, not a sort.
-    val idx = explained.indexOf("Generate posexplode")
-    assert(idx >= 0, s"expected posexplode in:\n$explained")
-    val above = explained.substring(0, idx)
-    val lastAgg = above.lastIndexOf("HashAggregate")
-    val lastSort = above.lastIndexOf("Sort ")
-    assert(lastAgg > lastSort || lastSort < 0,
-      s"a Sort sits between the token explode and its aggregate:\n$explained")
+    // an aggregate, not a sort. Both pack variants share the shape.
+    Seq(
+      Packing.packTokens(crafted, "doc_id", "token_ids", 4, 99),
+      Packing.packShuffled(crafted, "doc_id", "token_ids", 4, 99, epoch = 2L)
+    ).foreach { packed =>
+      val explained = packed.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+      val idx = explained.indexOf("Generate posexplode")
+      assert(idx >= 0, s"expected posexplode in:\n$explained")
+      val above = explained.substring(0, idx)
+      val lastAgg = above.lastIndexOf("HashAggregate")
+      val lastSort = above.lastIndexOf("Sort ")
+      assert(lastAgg > lastSort || lastSort < 0,
+        s"a Sort sits between the token explode and its aggregate:\n$explained")
+    }
   }
 }
