@@ -500,10 +500,53 @@ object CorpusExtras {
             col("sum_freq").cast("double"), 4).as("score"))
         .orderBy(col("score").desc, col("phrase"))
         .limit(20)
-    })
+    }),
+
+    // End-to-end curation accounting: CorpusPipeline.curate's
+    // per-stage (remaining, dropped) report — exact dedup → canonical
+    // (sorted-distinct-tokens) dedup → MinHash-signature dedup →
+    // quality filter, every verdict from ONE materialized flags pass
+    // (the rank-1-among-prior-survivors window trick; see
+    // operators/CorpusPipeline.scala). This puts the flagship composed
+    // pipeline itself — not just its constituent operators — under the
+    // DuckDB hash gate: the oracle recomputes all four stages as a CTE
+    // chain and must land on identical integers.
+    "q_pipeline_curate" -> ((s, d) => CorpusPipeline.curate(s, d)._2
+      .orderBy("stage"))
   )
 
   val oracle: Map[String, String] = Map(
+    "q_pipeline_curate" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    len(string_split(text, ' '))::BIGINT AS n_toks,
+        |    CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+        |      / length(text) AS alpha_ratio,
+        |    md5(text) AS digest,
+        |    md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS norm_sig,
+        |    array_to_string(list_transform(range(0,8), j -> list_min(list_transform(
+        |      list_distinct(list_transform(range(1, greatest(len(string_split(text,' '))-1, 2)),
+        |        i -> array_to_string(string_split(text,' ')[i:i+2], ' '))), s -> md5(j || ':' || s)))), '|') AS sg
+        |  FROM documents),
+        |f1 AS (SELECT *, (row_number() OVER (PARTITION BY digest ORDER BY doc_id) = 1) AS k_exact FROM base),
+        |f2 AS (SELECT *, (k_exact AND row_number() OVER (PARTITION BY norm_sig
+        |    ORDER BY (CASE WHEN k_exact THEN 0 ELSE 1 END), doc_id) = 1) AS k_norm FROM f1),
+        |f3 AS (SELECT *, (k_norm AND row_number() OVER (PARTITION BY sg
+        |    ORDER BY (CASE WHEN k_norm THEN 0 ELSE 1 END), doc_id) = 1) AS k_near FROM f2),
+        |f4 AS (SELECT *, (k_near AND n_toks BETWEEN 20 AND 90 AND alpha_ratio >= 0.81) AS quality_ok FROM f3),
+        |c AS (SELECT count(*)::BIGINT AS total,
+        |  CAST(sum(CASE WHEN k_exact THEN 1 ELSE 0 END) AS BIGINT) AS a1,
+        |  CAST(sum(CASE WHEN k_norm THEN 1 ELSE 0 END) AS BIGINT) AS a2,
+        |  CAST(sum(CASE WHEN k_near THEN 1 ELSE 0 END) AS BIGINT) AS a3,
+        |  CAST(sum(CASE WHEN quality_ok THEN 1 ELSE 0 END) AS BIGINT) AS a4 FROM f4)
+        |SELECT s.stage, s.docs_remaining, s.docs_dropped FROM (
+        |  SELECT '00_input' AS stage, total AS docs_remaining, 0::BIGINT AS docs_dropped FROM c
+        |  UNION ALL SELECT '01_exact_dedup', a1, total - a1 FROM c
+        |  UNION ALL SELECT '02_norm_dedup', a2, a1 - a2 FROM c
+        |  UNION ALL SELECT '03_minhash_dedup', a3, a2 - a3 FROM c
+        |  UNION ALL SELECT '04_quality_filter', a4, a3 - a4 FROM c) s
+        |ORDER BY s.stage""".stripMargin,
+
     "q_text_vocab" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(list_filter(string_split(text,' '), t -> t <> '')) AS token

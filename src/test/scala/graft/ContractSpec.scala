@@ -185,7 +185,8 @@ class ContractSpec extends AnyFunSuite {
     "q_quality_lm" -> 500L,
     "q_sketch_bounds" -> 3L,
     "q_embed_quantize" -> 500L,
-    "q_ml_calibration" -> 5L
+    "q_ml_calibration" -> 5L,
+    "q_pipeline_curate" -> 5L
   )
 
   test("every contract query has oracle SQL and vice versa") {
