@@ -39,8 +39,16 @@ object SpanDedup {
     expr(s"filter(split($textCol, ' '), t -> t <> '')")
 
   /** (doc_id, off, h): every w-token window's offset and hash. Docs
-    * shorter than `w` emit nothing (guarded — `sequence(0, n)` runs
-    * DESCENDING for negative n, so the bound must never go below 0).
+    * shorter than `w` emit nothing. The short-doc guard lives INSIDE
+    * the expression (`if(size >= w, transform(...), array())`), not
+    * only in the preceding filter: InferFiltersFromGenerate derives a
+    * `size(<generator input>) > 0` predicate from the explode and
+    * CollapseProject inlines the whole span expression into it, where
+    * it can evaluate on pre-filter rows — an unconditional
+    * `sequence(0, size - w)` then runs DESCENDING for short docs and
+    * `slice(_, 0, _)` throws (bit round 13's fixpoint over rewritten
+    * lineage). The total form is safe to evaluate on any row; the
+    * filter stays for row pruning.
     */
   def spanHashes(docs: DataFrame, idCol: String, textCol: String,
       w: Int): DataFrame = {
@@ -49,10 +57,12 @@ object SpanDedup {
       .select(col(idCol).as("doc_id"), toks(textCol).as("__t"))
       .filter(size(col("__t")) >= w)
       .select(col("doc_id"),
-        expr(s"""transform(sequence(0, size(__t) - $w),
-                 i -> named_struct(
-                   'off', i,
-                   'h', xxhash64(concat_ws(' ', slice(__t, i + 1, $w)))))""")
+        expr(s"""if(size(__t) >= $w,
+                 transform(sequence(0, size(__t) - $w),
+                   i -> named_struct(
+                     'off', i,
+                     'h', xxhash64(concat_ws(' ', slice(__t, i + 1, $w))))),
+                 array())""")
           .as("__spans"))
       .select(col("doc_id"), explode(col("__spans")).as("__s"))
       .select(col("doc_id"), col("__s.off").as("off"), col("__s.h").as("h"))
@@ -86,13 +96,31 @@ object SpanDedup {
     * standard exact-substring rewrite cost).
     *
     * NOT idempotent by design: removing a span can make previously
-    * separated tokens adjacent, forming new w-grams — rerun to a
-    * fixpoint if the corpus demands it (the Lee et al. pipeline runs
-    * one pass).
+    * separated tokens adjacent, forming new w-grams — use
+    * [[removeDuplicatedSpansFixpoint]] if the corpus demands full
+    * convergence (the Lee et al. pipeline runs one pass).
     */
   def removeDuplicatedSpans(docs: DataFrame, idCol: String,
-      textCol: String, w: Int): DataFrame = {
-    val spans = spanHashes(docs, idCol, textCol, w)
+      textCol: String, w: Int): DataFrame =
+    removeWithSpansHandle(docs, idCol, textCol, w)._1
+
+  /** [[removeDuplicatedSpans]] exposing the materialized span frame so
+    * iterative callers ([[removeDuplicatedSpansFixpoint]]) can release
+    * it round-by-round instead of letting rounds accumulate persisted
+    * span streams until the session's releaseAll.
+    */
+  private def removeWithSpansHandle(docs: DataFrame, idCol: String,
+      textCol: String, w: Int): (DataFrame, DataFrame) = {
+    // Materialized ONCE: three consumers below (the dup aggregate, the
+    // keeper argmin, the cut join) would otherwise each re-run the
+    // span-hash explode — plan inspection shows ReuseExchange dedupes
+    // only the scan UNDER the explode, not the explode itself (the
+    // aggregate's partial phase and the join sides wrap it in
+    // different exchange subtrees). The cache preserves map-side
+    // partial combining for the dup aggregate, so the hot-key
+    // discipline in the scaladoc above still holds.
+    val spans = graft.Materialize.checkpoint(
+      spanHashes(docs, idCol, textCol, w))
     val dups = duplicatedSpans(spans)
     // keeper per duplicated hash: global argmin over (doc_id, off)
     val keepers = spans.join(dups, Seq("h"))
@@ -105,7 +133,7 @@ object SpanDedup {
       .filter(!(col("doc_id") === col("__kdoc") && col("off") === col("__koff")))
       .groupBy("doc_id")
       .agg(array_sort(collect_list(col("off"))).as("__cuts"))
-    docs
+    val out = docs
       .select(col(idCol).as("doc_id"), toks(textCol).as("__t"))
       .join(cuts, Seq("doc_id"), "left_outer")
       .select(col("doc_id"),
@@ -119,11 +147,64 @@ object SpanDedup {
         col("n_toks"),
         (col("n_toks") - size(col("__kept"))).cast("long").as("n_removed"))
       .orderBy("doc_id")
+    (out, spans)
+  }
+
+  /** Rerun [[removeDuplicatedSpans]] to a FIXPOINT: a single pass is
+    * not idempotent (removing a span can make previously separated
+    * tokens adjacent, forming new duplicated w-grams), so iterate until
+    * a pass removes nothing or `maxRounds` is hit. Returns the final
+    * per-doc frame — (doc_id, text, n_toks, n_removed) with n_toks the
+    * ORIGINAL token count and n_removed the cumulative removal across
+    * all rounds — and the number of rewrite passes executed.
+    *
+    * Scale shape: each round is one [[removeDuplicatedSpans]] (its
+    * span frame released as soon as the round's output materializes);
+    * convergence is a 1-row sum over the round output, and rounds are
+    * bounded both by `maxRounds` and by the monotone shrink (every
+    * round strictly removes tokens or terminates).
+    */
+  def removeDuplicatedSpansFixpoint(docs: DataFrame, idCol: String,
+      textCol: String, w: Int, maxRounds: Int = 8): (DataFrame, Int) = {
+    require(maxRounds >= 1, s"maxRounds=$maxRounds")
+    var cur = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    var prev: DataFrame = null
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      val (roundOut, spansHandle) =
+        removeWithSpansHandle(cur, "doc_id", "text", w)
+      val next = graft.Materialize.checkpoint(roundOut)
+      graft.Materialize.release(spansHandle)
+      val removed =
+        next.agg(coalesce(sum(col("n_removed")), lit(0L))).head.getLong(0)
+      if (prev != null) graft.Materialize.release(prev)
+      prev = next
+      cur = next.select("doc_id", "text")
+      rounds += 1
+      converged = removed == 0L
+    }
+    // report against the ORIGINAL corpus: cumulative removals are the
+    // original token count minus what survived all rounds
+    val out = docs
+      .select(col(idCol).as("doc_id"),
+        size(toks(textCol)).cast("long").as("n_toks"))
+      .join(cur, Seq("doc_id"))
+      .select(col("doc_id"), col("text"), col("n_toks"),
+        (col("n_toks") -
+          when(col("text") === "", lit(0))
+            .otherwise(size(split(col("text"), " "))).cast("long"))
+          .as("n_removed"))
+      .orderBy("doc_id")
+    (out, rounds)
   }
 
   def coverageReport(docs: DataFrame, idCol: String, textCol: String,
       w: Int): DataFrame = {
-    val spans = spanHashes(docs, idCol, textCol, w)
+    // same 2-consumer shape as the removal path: materialize the span
+    // stream once (dup aggregate + the per-doc join both read it)
+    val spans = graft.Materialize.checkpoint(
+      spanHashes(docs, idCol, textCol, w))
     val dups = duplicatedSpans(spans)
     val perDoc = spans.join(dups, Seq("h"))
       .groupBy("doc_id")

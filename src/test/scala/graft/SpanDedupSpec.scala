@@ -109,6 +109,56 @@ class SpanDedupSpec extends AnyFunSuite {
     assert(alt === out.collect().map(_.toString).toSeq)
   }
 
+  test("fixpoint: cascading adjacency converges; single pass does not") {
+    // w=2: round 1 cuts "a b" out of doc 3 (keeper: doc 1), making
+    // "p q" adjacent there; round 2 discovers "p q" now duplicates
+    // doc 2 and empties doc 3; round 3 removes nothing and stops.
+    val docs = Seq(
+      (1L, "a b"),
+      (2L, "p q"),
+      (3L, "p a b q")).toDF("doc_id", "text")
+
+    // the single pass leaves the newly-formed duplicate in place...
+    val once = SpanDedup.removeDuplicatedSpans(docs, "doc_id", "text", 2)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(once(3L) === "p q", "one pass must expose the new adjacency")
+
+    // ...the fixpoint drains it
+    val (out, rounds) = SpanDedup.removeDuplicatedSpansFixpoint(
+      docs, "doc_id", "text", 2)
+    val rows = out.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq === Seq(
+      (1L, "a b", 2L, 0L),
+      (2L, "p q", 2L, 0L),
+      (3L, "", 4L, 4L)))
+    assert(rounds === 3, s"expected 2 removing rounds + 1 empty, got $rounds")
+
+    // fixpoint means idempotent: another pass removes nothing
+    val again = SpanDedup.removeDuplicatedSpans(
+      out.select("doc_id", "text"), "doc_id", "text", 2)
+      .agg(sum("n_removed")).head.getLong(0)
+    assert(again === 0L)
+  }
+
+  test("fixpoint: respects maxRounds and releases per-round frames") {
+    val docs = Seq(
+      (1L, "a b"),
+      (2L, "p q"),
+      (3L, "p a b q")).toDF("doc_id", "text")
+    val before = graft.Materialize.activeCount
+    val (out, rounds) = SpanDedup.removeDuplicatedSpansFixpoint(
+      docs, "doc_id", "text", 2, maxRounds = 1)
+    assert(rounds === 1)
+    assert(out.filter(col("doc_id") === 3L).head.getString(1) === "p q",
+      "maxRounds=1 must behave exactly like the single pass")
+    // only the LAST round's frame may stay registered (the output's
+    // lineage reads it); every span stream and superseded round frame
+    // must already be released
+    assert(graft.Materialize.activeCount <= before + 1)
+    graft.Materialize.releaseAll()
+  }
+
   test("fixture: coverage matches a brute-force recompute, any partitioning") {
     val docs = sources.Tables.documents(spark, SparkTestBase.sf0001).limit(120)
     val w = 6
