@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.ChangeDataCapture
+import graft.streaming.UpsertFileSink
+
+/** Exactly-once guarantees of the parquet upsert landing zone: batch
+  * apply semantics, double-delivery no-ops, torn-write recovery, a
+  * real foreachBatch stream equaling the one-shot batch apply, and
+  * vacuum safety.
+  */
+class UpsertFileSinkSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  private def tmpRoot(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-sink-$tag").toString
+
+  private def snapshot(root: String): Seq[(Long, String)] = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("key",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.StringType)))
+    UpsertFileSink.readSnapshot(spark, root, schema)
+      .orderBy("key").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+  }
+
+  test("upsert/delete semantics and double-delivery no-op") {
+    import spark.implicits._
+    val root = tmpRoot("b")
+    val b0 = Seq(
+      (1L, "a", "I", 10L), (2L, "b", "I", 11L),
+      (3L, "c", "I", 12L), (4L, "d", "I", 13L))
+      .toDF("key", "value", "op", "seq")
+    UpsertFileSink.upsertBatch(b0, 0L, root, Seq("key"))
+    assert(UpsertFileSink.lastCommitted(spark, root) === Some(0L))
+    assert(snapshot(root) === Seq(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d"))
+
+    // replayed delivery of a committed batch: bit-for-bit no-op
+    UpsertFileSink.upsertBatch(b0, 0L, root, Seq("key"))
+    assert(UpsertFileSink.lastCommitted(spark, root) === Some(0L))
+    assert(snapshot(root) === Seq(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d"))
+
+    val b1 = Seq(
+      (2L, "B2", "U", 20L), (3L, null.asInstanceOf[String], "D", 21L),
+      (5L, "e", "I", 22L))
+      .toDF("key", "value", "op", "seq")
+    UpsertFileSink.upsertBatch(b1, 1L, root, Seq("key"))
+    assert(UpsertFileSink.lastCommitted(spark, root) === Some(1L))
+    assert(snapshot(root) === Seq(1L -> "a", 2L -> "B2", 4L -> "d", 5L -> "e"))
+
+    // replay batch 1 too: still unchanged
+    UpsertFileSink.upsertBatch(b1, 1L, root, Seq("key"))
+    assert(snapshot(root) === Seq(1L -> "a", 2L -> "B2", 4L -> "d", 5L -> "e"))
+  }
+
+  test("torn write: an uncommitted version is invisible and overwritten") {
+    import spark.implicits._
+    val root = tmpRoot("torn")
+    UpsertFileSink.upsertBatch(
+      Seq((1L, "a", "I", 1L)).toDF("key", "value", "op", "seq"),
+      0L, root, Seq("key"))
+
+    // simulate a dead attempt: v=1 parquet exists with GARBAGE rows,
+    // but no marker — a reader must still see v=0, and the retried
+    // batch must overwrite the orphan
+    Seq((999L, "GARBAGE")).toDF("key", "value")
+      .write.mode("overwrite").parquet(s"$root/v=1")
+    assert(UpsertFileSink.lastCommitted(spark, root) === Some(0L))
+    assert(snapshot(root) === Seq(1L -> "a"))
+
+    val b1 = Seq((2L, "b", "I", 2L)).toDF("key", "value", "op", "seq")
+    UpsertFileSink.upsertBatch(b1, 1L, root, Seq("key"))
+    assert(snapshot(root) === Seq(1L -> "a", 2L -> "b"),
+      "retry must merge against v=0, not the torn v=1")
+  }
+
+  test("foreachBatch stream equals the one-shot batch apply; replay is a no-op") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = tmpRoot("e2e")
+    val mem = MemoryStream[(Long, String, String, Long)]
+
+    val q = mem.toDF().toDF("key", "value", "op", "seq")
+      .writeStream
+      .option("checkpointLocation", tmpRoot("ckpt"))
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        UpsertFileSink.upsertBatch(df, id, root, Seq("key"))
+      }
+      .start()
+    val batches = Seq(
+      Seq((1L, "a", "I", 1L), (2L, "b", "I", 2L)),
+      Seq((1L, "A", "U", 3L), (3L, "c", "I", 4L)),
+      Seq((2L, null.asInstanceOf[String], "D", 5L), (4L, "d", "I", 6L)))
+    try {
+      batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+
+    // final table == applying ALL changes at once to an empty base
+    val all = batches.flatten.toDF("key", "value", "op", "seq")
+    val expect = ChangeDataCapture.applyChangelog(
+      all.select("key", "value").limit(0), all, Seq("key"))
+      .orderBy("key").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(snapshot(root) === expect)
+    assert(snapshot(root) === Seq(1L -> "A", 3L -> "c", 4L -> "d"))
+
+    // engine-style replay of the LAST micro-batch (same id, same data):
+    // exactly-once means the table cannot move
+    val last = batches.last.toDF("key", "value", "op", "seq")
+    UpsertFileSink.upsertBatch(last,
+      UpsertFileSink.lastCommitted(spark, root).get, root, Seq("key"))
+    assert(snapshot(root) === expect)
+  }
+
+  test("upsertsOnly stamps op/seq for update-mode aggregates") {
+    import spark.implicits._
+    val root = tmpRoot("uo")
+    UpsertFileSink.upsertsOnly(
+      Seq((1L, "x"), (2L, "y")).toDF("key", "value"), 0L, root, Seq("key"))
+    UpsertFileSink.upsertsOnly(
+      Seq((2L, "Y2"), (3L, "z")).toDF("key", "value"), 1L, root, Seq("key"))
+    assert(snapshot(root) === Seq(1L -> "x", 2L -> "Y2", 3L -> "z"))
+  }
+
+  test("vacuum drops old versions and orphans, keeps the newest readable") {
+    import spark.implicits._
+    val root = tmpRoot("vac")
+    (0L to 4L).foreach { i =>
+      UpsertFileSink.upsertBatch(
+        Seq((i, s"v$i", "I", i)).toDF("key", "value", "op", "seq"),
+        i, root, Seq("key"))
+    }
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // turn v=3 into an uncommitted orphan (a dead attempt's leftovers):
+    // delete its marker — its data dir remains
+    f.delete(new org.apache.hadoop.fs.Path(s"$root/_commits/3"), false)
+
+    UpsertFileSink.vacuum(spark, root, keep = 2)
+    val left = f.listStatus(new org.apache.hadoop.fs.Path(root)).toSeq
+      .map(_.getPath.getName).filter(_.startsWith("v=")).sorted
+    assert(left === Seq("v=2", "v=4"),
+      s"keep=2 of committed {0,1,2,4} plus orphan 3 dropped, got $left")
+    assert(snapshot(root) ===
+      (0L to 4L).map(i => (i, s"v$i")))
+  }
+}
