@@ -212,7 +212,23 @@ object Bench {
     val failed = results.filter(_._2 < 0).map("\"" + _._1 + "\"")
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,$ctlJson,"sf":"$sfDir"}""")
+    // Probe-scaled normalized total: the committed quiet-host probe
+    // reference divided by this run's best post-ramp probe estimates
+    // how much of the raw total is ambient slowdown (a uniformly-1.7×
+    // host reads probes 1.7× slow and queries ~1.7× slow — r11/r12
+    // driver-vs-quiet twins). Clamped to ≤1 so a host FASTER than the
+    // stale reference never inflates the number, and degenerating to
+    // the raw total when no reference or probe exists. Round-over-round
+    // comparisons should read THIS beside the raw value instead of
+    // hunting for a quiet-run twin; it is an estimate, not a
+    // measurement — the raw total stays the value of record.
+    val normFactor =
+      if (probeRef > 0 && post.nonEmpty) math.min(1.0, probeRef / post.min)
+      else 1.0
+    val totalNorm = total * normFactor
+    val normJson =
+      s""""total_normalized":$totalNorm,"norm_factor":$normFactor"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,$normJson,$ctlJson,"sf":"$sfDir"}""")
     // The driver artifact keeps only the tail of stdout, so per-query
     // timings for most of the contract are unrecoverable from
     // BENCH_r{N}.json — write the full map to a file too (committed
@@ -227,7 +243,7 @@ object Bench {
         String.format(java.util.Locale.ROOT, "  \"%s\": %.3f", k,
           Double.box(v)) }.mkString(",\n")
       val json = s"""{"sf":"$sfDir","cpus":"$cpus","total":$total,""" +
-        s""""failed":$failed,$ctlJson,"queries":{\n$qLines\n}}\n"""
+        s"""$normJson,"failed":$failed,$ctlJson,"queries":{\n$qLines\n}}\n"""
       java.nio.file.Files.write(java.nio.file.Paths.get(out),
         json.getBytes("UTF-8"))
     } catch { case _: Throwable => () }
@@ -238,7 +254,7 @@ object Bench {
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
       .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total_tail","value":$total,"unit":"sec","failed":$failed,"slowest5":$slowest,$ctlJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_tail","value":$total,"unit":"sec","failed":$failed,$normJson,"slowest5":$slowest,$ctlJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
