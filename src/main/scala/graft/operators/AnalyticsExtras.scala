@@ -560,9 +560,45 @@ object AnalyticsExtras {
           col("resurrected"), coalesce(col("churned"), lit(0L)).as("churned"))
         .orderBy("mon")
     }),
+
+    // CDC changelog apply under the gate (round 13): the MERGE INTO
+    // surface — fold a keyed changelog (here derived deterministically
+    // from orders: seq = order key, every 19th a delete, value = the
+    // order's priority) into the customer snapshot, newest seq wins,
+    // D removes the key. Delegates to ChangeDataCapture.applyChangelog:
+    // union + ONE hash shuffle into a rank-1 window that plans as
+    // WindowGroupLimitExec (each map task forwards ≤1 candidate per
+    // key), deletes a post-window filter — never an anti-join pair of
+    // shuffles. CdcSpec pins the single-exchange plan; this row pins
+    // the semantics against an independent engine.
+    "q_cdc_apply" -> ((s, d) => {
+      val base = Tables.customer(s, d)
+        .select(col("c_custkey").cast("long").as("key"),
+          col("c_mktsegment").as("value"))
+      val ch = Tables.orders(s, d)
+        .select(col("o_custkey").cast("long").as("key"),
+          col("o_orderpriority").as("value"),
+          when(col("o_orderkey") % 19 === 0, "D").otherwise("U").as("op"),
+          col("o_orderkey").cast("long").as("seq"))
+      ChangeDataCapture.applyChangelog(base, ch, Seq("key"))
+        .orderBy("key")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
+    "q_cdc_apply" ->
+      """WITH base AS (SELECT CAST(c_custkey AS BIGINT) AS key, c_mktsegment AS value FROM customer),
+        |ch AS (SELECT CAST(o_custkey AS BIGINT) AS key, o_orderpriority AS value,
+        |  CASE WHEN o_orderkey % 19 = 0 THEN 'D' ELSE 'U' END AS op,
+        |  CAST(o_orderkey AS BIGINT) AS seq FROM orders),
+        |tagged AS (
+        |  SELECT key, value, NULL AS op, NULL::BIGINT AS seq FROM base
+        |  UNION ALL SELECT key, value, op, seq FROM ch),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY key
+        |    ORDER BY seq DESC NULLS LAST) AS rn FROM tagged)
+        |SELECT key, value FROM r WHERE rn = 1 AND (op IS NULL OR op <> 'D')
+        |ORDER BY key""".stripMargin,
+
     "q_events_interarrival" ->
       """WITH g AS (SELECT event_type,
         |    epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id

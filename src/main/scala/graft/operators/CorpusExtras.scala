@@ -512,10 +512,51 @@ object CorpusExtras {
     // DuckDB hash gate: the oracle recomputes all four stages as a CTE
     // chain and must land on identical integers.
     "q_pipeline_curate" -> ((s, d) => CorpusPipeline.curate(s, d)._2
-      .orderBy("stage"))
+      .orderBy("stage")),
+
+    // Sequence-packing layout under the gate (round 13): the corpus as
+    // ONE token stream (per-doc token ids + EOS, ascending doc_id) cut
+    // into exact 64-slot chunks — Packing.packTokens' PrefixSum-offset
+    // + single chunk-keyed hash-agg shuffle, no global sort. Token ids
+    // here are a DuckDB-expressible stand-in (token length, EOS 0) so
+    // the oracle can rebuild the identical stream; each chunk reports
+    // scalar layout invariants (count, sum, boundary tokens) instead
+    // of the array so the hash compare stays dtype-exact.
+    "q_pack_stream" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"),
+          expr("transform(filter(split(text,' '), t -> t <> '')," +
+            " t -> cast(length(t) as int))").as("tk"))
+      Packing.packTokens(toks, "doc_id", "tk", 64, 0)
+        .select(col("seq_id"), col("n_tokens"),
+          expr("aggregate(token_ids, cast(0 as bigint), (a, x) -> a + x)")
+            .as("sum_tok"),
+          expr("token_ids[0]").as("first_tok"),
+          expr("element_at(token_ids, -1)").as("last_tok"))
+        .orderBy("seq_id")
+    })
   )
 
   val oracle: Map[String, String] = Map(
+    "q_pack_stream" ->
+      """WITH ids AS (
+        |  SELECT doc_id,
+        |    list_append(list_transform(list_filter(string_split(text,' '), t -> t <> ''),
+        |      t -> CAST(length(t) AS INT)), 0) AS tk
+        |  FROM documents),
+        |off AS (
+        |  SELECT doc_id, tk,
+        |    sum(len(tk)) OVER (ORDER BY doc_id) - len(tk) AS start FROM ids),
+        |tok AS (
+        |  SELECT (start + u.i - 1) AS abs, tk[u.i] AS t
+        |  FROM off, unnest(range(1, len(tk) + 1)) AS u(i))
+        |SELECT CAST(abs // 64 AS BIGINT) AS seq_id,
+        |  CAST(count(*) AS INT) AS n_tokens,
+        |  CAST(sum(t) AS BIGINT) AS sum_tok,
+        |  CAST(arg_min(t, abs) AS INT) AS first_tok,
+        |  CAST(arg_max(t, abs) AS INT) AS last_tok
+        |FROM tok GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_pipeline_curate" ->
       """WITH base AS (
         |  SELECT doc_id,

@@ -426,10 +426,49 @@ object DedupExtras {
           round(col("n_dup_segs").cast("double") / col("n_segs"), 4)
             .as("dup_share"))
         .orderBy("doc_id")
-    })
+    }),
+
+    // Exact-substring SPAN coverage (Lee et al. 2022, round 13): how
+    // much of each doc's token stream is covered by 6-token spans that
+    // occur more than once corpus-wide — the signal span-level dedup
+    // thresholds on, finer than both doc- and paragraph-granularity.
+    // Delegates to SpanDedup.coverageReport: map-side HOF span hashing,
+    // ONE materialized span frame feeding the hot-key-safe
+    // groupBy(hash) dup aggregate and the per-doc join, interval-union
+    // fold over each doc's own bounded offset array. The oracle
+    // recomputes with span STRINGS as keys (DuckDB has no xxhash64) —
+    // hash-grouping must agree with string-grouping or the gate fails,
+    // which doubles as a standing collision check at fixture scale.
+    "q_span_coverage" -> ((s, d) =>
+      SpanDedup.coverageReport(Tables.documents(s, d), "doc_id", "text", 6))
   )
 
   val oracle: Map[String, String] = Map(
+    "q_span_coverage" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text,' '), t -> t <> '') AS tk FROM documents),
+        |spans AS (
+        |  SELECT doc_id, u.i - 1 AS off, array_to_string(tk[u.i : u.i + 5], ' ') AS s
+        |  FROM toks, unnest(range(1, greatest(len(tk) - 6 + 1, 0) + 1)) AS u(i)),
+        |dups AS (SELECT s FROM spans GROUP BY s HAVING count(*) > 1),
+        |dsp AS (SELECT doc_id, off FROM spans JOIN dups USING (s)),
+        |cov AS (
+        |  SELECT doc_id, off,
+        |    greatest(0, off + 6 - greatest(coalesce(max(off + 6) OVER (
+        |      PARTITION BY doc_id ORDER BY off
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0), off)) AS add
+        |  FROM dsp),
+        |per AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans,
+        |    CAST(sum(add) AS BIGINT) AS dup_tokens
+        |  FROM cov GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(t.tk) AS BIGINT) AS n_toks,
+        |  coalesce(p.n_dup_spans, 0)::BIGINT AS n_dup_spans,
+        |  coalesce(p.dup_tokens, 0)::BIGINT AS dup_tokens,
+        |  round(coalesce(p.dup_tokens, 0) * 1.0 / greatest(len(t.tk), 1), 4) AS dup_fraction
+        |FROM toks t LEFT JOIN per p USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
+
     "q_dedup_minhash" ->
       """WITH sh AS (
         |  SELECT doc_id,

@@ -186,7 +186,10 @@ class ContractSpec extends AnyFunSuite {
     "q_sketch_bounds" -> 3L,
     "q_embed_quantize" -> 500L,
     "q_ml_calibration" -> 5L,
-    "q_pipeline_curate" -> 5L
+    "q_pipeline_curate" -> 5L,
+    "q_span_coverage" -> 500L,
+    "q_pack_stream" -> 445L,
+    "q_cdc_apply" -> 140L
   )
 
   test("every contract query has oracle SQL and vice versa") {
