@@ -58,6 +58,20 @@ import graft.sources.Tables
   *                                        affected docs per PII type
   *   audit contract <query_name>          scale-discipline lint of a
   *                                        contract query's plan
+  *   bpe <N> | bpe stats <N>              learned merge table / per-
+  *                                        source fertility+compression
+  *   pack <seqLen> <N> [epoch]            tokenize-and-pack shard
+  *                                        accounting (epoch present =
+  *                                        that epoch's global shuffle
+  *                                        order)
+  *   curate                               end-to-end curation per-stage
+  *                                        accounting report
+  *   spans <w>                            top-20 docs by duplicated
+  *                                        w-token span coverage
+  *   despan <w> [fix]                     exact-substring span removal
+  *                                        accounting (fix = rerun to
+  *                                        the fixpoint)
+  *   search <t1,t2,...> <probeId> <k>     hybrid BM25 + embedding RRF
   *
   * `join`, `wordcount`, and `export` accept a trailing
   * `partition=hash|range[:n]` — the reference's one physical-design
@@ -325,6 +339,48 @@ object Shell {
             sum(col("n_tokens")).as("total_tokens"),
             sum(when(col("n_tokens") === seqLen.toInt, 1L).otherwise(0L))
               .as("full_sequences"))
+      // epoch-shuffled pack: same accounting over the epoch's global
+      // permutation (xxhash64(doc_id, epoch) order) — what a trainer
+      // reads for epoch e
+      case List("pack", seqLen, nMerges, epoch) =>
+        noKnob()
+        val model = graft.operators.Bpe.train(s, dir, nMerges.toInt)
+        val eos = model.vocabIds.size
+        graft.operators.Packing.packShuffled(
+          graft.operators.Bpe.encodeIds(Tables.documents(s, dir), "text",
+            model),
+          "doc_id", "token_ids", seqLen.toInt, eos, epoch.toLong)
+          .agg(count(lit(1)).as("n_sequences"),
+            sum(col("n_tokens")).as("total_tokens"),
+            sum(when(col("n_tokens") === seqLen.toInt, 1L).otherwise(0L))
+              .as("full_sequences"))
+      // end-to-end curation accounting (q_pipeline_curate's report)
+      case List("curate") =>
+        noKnob()
+        graft.operators.CorpusPipeline.curate(s, dir)._2.orderBy("stage")
+      // exact-substring span REMOVAL accounting: one pass, or to a
+      // fixpoint with `despan <w> fix`
+      case List("despan", w) =>
+        noKnob()
+        graft.operators.SpanDedup
+          .removeDuplicatedSpans(Tables.documents(s, dir), "doc_id",
+            "text", w.toInt)
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("n_removed") > 0, 1L).otherwise(0L))
+              .as("docs_touched"),
+            sum(col("n_toks")).as("tokens_in"),
+            sum(col("n_removed")).as("tokens_removed"))
+      case List("despan", w, "fix") =>
+        noKnob()
+        val (out, rounds) = graft.operators.SpanDedup
+          .removeDuplicatedSpansFixpoint(Tables.documents(s, dir),
+            "doc_id", "text", w.toInt)
+        out.agg(count(lit(1)).as("n_docs"),
+          sum(when(col("n_removed") > 0, 1L).otherwise(0L))
+            .as("docs_touched"),
+          sum(col("n_toks")).as("tokens_in"),
+          sum(col("n_removed")).as("tokens_removed"),
+          lit(rounds).as("rounds"))
       // exact-substring duplication: top-20 docs by duplicated w-token
       // span coverage (the Lee et al. exact-substring dedup signal)
       case List("spans", w) =>

@@ -228,6 +228,40 @@ class ShellSpec extends AnyFunSuite {
     assert(total > (n - 1) * 512 && total <= n * 512)
   }
 
+  test("pack command with an epoch packs the permuted stream exactly") {
+    val row0 = Shell.run(spark, sf0001, "pack 512 30").head()
+    val rowE = Shell.run(spark, sf0001, "pack 512 30 1").head()
+    // a permutation conserves the stream: same sequence count, same
+    // total tokens, same full-chunk invariant
+    assert(rowE.getLong(0) === row0.getLong(0))
+    assert(rowE.getLong(1) === row0.getLong(1))
+    assert(rowE.getLong(2) >= rowE.getLong(0) - 1)
+  }
+
+  test("curate command shows the monotone per-stage accounting") {
+    val rep = Shell.run(spark, sf0001, "curate").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rep.map(_._1).toSeq === Seq("00_input", "01_exact_dedup",
+      "02_norm_dedup", "03_minhash_dedup", "04_quality_filter"))
+    // remaining counts never increase; dropped always reconciles
+    rep.sliding(2).foreach {
+      case Array((_, r1, _), (_, r2, d2)) =>
+        assert(r2 <= r1 && r1 - r2 === d2)
+      case _ =>
+    }
+  }
+
+  test("despan command accounts removals; fix adds the round count") {
+    val one = Shell.run(spark, sf0001, "despan 6").head()
+    assert(one.getLong(0) === 500L)
+    assert(one.getLong(3) >= 0L && one.getLong(3) <= one.getLong(2))
+    val fix = Shell.run(spark, sf0001, "despan 6 fix").head()
+    assert(fix.getLong(0) === 500L)
+    // the fixpoint can only remove at least as much as one pass
+    assert(fix.getLong(3) >= one.getLong(3))
+    assert(fix.getInt(4) >= 1)
+  }
+
   test("spans command reports top duplicated-span coverage") {
     val rep = Shell.run(spark, sf0001, "spans 6").collect()
     assert(rep.length <= 20 && rep.nonEmpty)
