@@ -59,12 +59,75 @@ object Bpe {
     */
   val ModeAscii = "ascii"
   val ModeUnicode = "unicode"
+
+  /** GPT-2-style BYTE-LEVEL mode: pre-tokenize the RAW text (no
+    * lowercasing) with the GPT-2 pattern — whitespace included, so
+    * every byte of the input lands in exactly one unit — and represent
+    * each unit as its UTF-8 bytes mapped through the GPT-2
+    * byte→printable-char bijection. The alphabet is always all 256
+    * byte-chars (ids 0–255 in byte order), so encode can NEVER hit an
+    * out-of-vocabulary symbol and decode∘encode is the IDENTITY on
+    * arbitrary text (case, whitespace, emoji, any script) — the
+    * property production tokenizers (GPT-2/RoBERTa/Llama BPE) are
+    * built on. No `</w>` sentinel: word boundaries live in the
+    * leading-space bytes, as in GPT-2.
+    */
+  val ModeBytes = "bytes"
+
   private val UnicodeUnits = "\\p{L}+|\\p{N}+|[^\\s\\p{L}\\p{N}]+"
+
+  /** The GPT-2 pre-tokenizer regex (Radford et al. 2019, public
+    * encoder.py): contractions, optionally-space-led letter/number/
+    * punctuation runs, and whitespace runs (split so trailing
+    * whitespace before a token keeps its last char with the token).
+    */
+  private[graft] val Gpt2Units =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+(?!\\S)|\\s+"
 
   private[graft] def preTokenPattern(mode: String): String = mode match {
     case ModeAscii => "[a-z]+"
     case ModeUnicode => UnicodeUnits
+    case ModeBytes => Gpt2Units
     case m => throw new IllegalArgumentException(s"unknown BPE mode: $m")
+  }
+
+  /** Modes whose pre-tokenizer runs on lowercased text (bytes mode is
+    * case-faithful by construction).
+    */
+  private[graft] def lowercases(mode: String): Boolean = mode != ModeBytes
+
+  /** GPT-2 byte→char bijection: printable latin-1 bytes map to
+    * themselves, the other 68 bytes to U+0100+n in discovery order —
+    * every byte gets a PRINTABLE single-char spelling so merge tables
+    * and token strings stay text.
+    */
+  private[graft] val byteToChar: Array[Char] = {
+    val out = new Array[Char](256)
+    val keep = (('!' to '~') ++ ('¡' to '¬') ++
+      ('®' to 'ÿ')).map(_.toInt).toSet
+    var next = 256
+    (0 until 256).foreach { b =>
+      if (keep(b)) out(b) = b.toChar
+      else { out(b) = next.toChar; next += 1 }
+    }
+    out
+  }
+
+  private[graft] val charToByte: Map[Char, Byte] =
+    byteToChar.zipWithIndex.map { case (c, b) => c -> b.toByte }.toMap
+
+  /** A pre-token's byte-level symbol sequence (one byte-char each). */
+  private[graft] def byteSymbols(w: String): Array[String] =
+    w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      .map(b => String.valueOf(byteToChar(b & 0xff)))
+
+  /** Invert a byte-mode token stream back to the exact original text. */
+  private[graft] def decodeBytesLocal(tokens: Seq[String]): String = {
+    val chars = tokens.mkString
+    val bytes = new Array[Byte](chars.length)
+    var i = 0
+    while (i < chars.length) { bytes(i) = charToByte(chars.charAt(i)); i += 1 }
+    new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
   }
 
   /** Split into single-code-point strings (surrogate-pair-safe). */
@@ -103,9 +166,16 @@ object Bpe {
       * [[graft.plans.BpeEncode]] — BpeSpec pins the two equal.
       */
     def vocabIds: Map[String, Int] = {
-      val base = alphabet.zipWithIndex.toMap + ("</w>" -> alphabet.length)
+      // bytes mode: no </w> sentinel (boundaries are space bytes) and
+      // no <unk> (all 256 byte symbols are the alphabet — OOV cannot
+      // exist); word modes: </w> after the alphabet, unicode adds a
+      // trailing <unk> for out-of-alphabet encode-time characters.
+      val base =
+        if (mode == ModeBytes) alphabet.zipWithIndex.toMap
+        else alphabet.zipWithIndex.toMap + ("</w>" -> alphabet.length)
+      val start = if (mode == ModeBytes) alphabet.length else alphabet.length + 1
       val withMerges =
-        merges.foldLeft((base, alphabet.length + 1)) {
+        merges.foldLeft((base, start)) {
           case ((m, next), (a, b)) =>
             val tok = a + b
             if (m.contains(tok)) (m, next) else (m + (tok -> next), next + 1)
@@ -131,13 +201,14 @@ object Bpe {
     wordHistogram(docs, textCol, ModeAscii)
 
   def wordHistogram(docs: DataFrame, textCol: String,
-      mode: String): DataFrame =
+      mode: String): DataFrame = {
+    val src = if (lowercases(mode)) lower(col(textCol)) else col(textCol)
     docs
       .select(explode(
-        regexp_extract_all(lower(col(textCol)), lit(preTokenPattern(mode)),
-          lit(0)))
+        regexp_extract_all(src, lit(preTokenPattern(mode)), lit(0)))
         .as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
+  }
 
   /** Learn `numMerges` merges from the corpus under `dir`. */
   def train(spark: SparkSession, dir: String, numMerges: Int,
@@ -163,11 +234,16 @@ object Bpe {
       .map(r => (r.getString(0), r.getLong(1)))
     val coverage =
       if (total == 0L) 1.0 else kept.map(_._2).sum.toDouble / total
-    val alphabet =
-      if (mode == ModeAscii) ('a' to 'z').map(String.valueOf(_)).toArray
-      else kept.iterator.flatMap(kv => codePoints(kv._1))
+    val alphabet = mode match {
+      case ModeAscii => ('a' to 'z').map(String.valueOf(_)).toArray
+      case ModeBytes =>
+        // always ALL 256 byte-chars, in byte order (GPT-2 id layout) —
+        // independence from the corpus is what makes OOV impossible
+        byteToChar.map(String.valueOf(_))
+      case _ => kept.iterator.flatMap(kv => codePoints(kv._1))
         .toArray.distinct.sorted
-    trainFromHistogram(kept, numMerges)
+    }
+    trainFromHistogram(kept, numMerges, mode)
       .copy(coverage = coverage, alphabet = alphabet, mode = mode)
   }
 
@@ -177,10 +253,15 @@ object Bpe {
     * each merge touches only the words containing the winning pair.
     */
   def trainFromHistogram(histogram: Seq[(String, Long)],
-      numMerges: Int): BpeModel = {
+      numMerges: Int): BpeModel =
+    trainFromHistogram(histogram, numMerges, ModeAscii)
+
+  def trainFromHistogram(histogram: Seq[(String, Long)],
+      numMerges: Int, mode: String): BpeModel = {
     val words: Array[Array[String]] = histogram.map { case (w, _) =>
+      // byte mode: byte-char symbols, no sentinel (GPT-2); word modes:
       // single-code-point symbols (surrogate-pair-safe) + the sentinel
-      codePoints(w) :+ "</w>"
+      if (mode == ModeBytes) byteSymbols(w) else codePoints(w) :+ "</w>"
     }.toArray
     val freqs: Array[Long] = histogram.map(_._2).toArray
 
@@ -275,10 +356,22 @@ object Bpe {
   }
 
   /** Invert [[encode]] back to the pre-tokenized normal form (words
-    * joined by single spaces) — built-ins only.
+    * joined by single spaces) — built-ins only. Word modes only; byte
+    * mode decodes with [[decodeCol(tokens:Column,model:Bpe\.BpeModel)*]].
     */
   def decodeCol(tokens: Column): Column =
     trim(regexp_replace(array_join(tokens, ""), "</w>", " "))
+
+  /** Mode-aware decode: byte mode inverts the byte-char bijection back
+    * to the EXACT original text (decode∘encode = identity — no normal
+    * form involved) via the native `bpe_decode_bytes` expression; word
+    * modes fall back to the normal-form decode above.
+    */
+  def decodeCol(tokens: Column, model: BpeModel): Column =
+    if (model.mode == ModeBytes) {
+      // registered by encode()/encodeIds(); call_function resolves it
+      call_function("bpe_decode_bytes", tokens)
+    } else decodeCol(tokens)
 
   /** Persist the model as a tiny parquet artifact (rank, left, right,
     * coverage) — the tokenizer file every downstream job loads. One
@@ -321,10 +414,12 @@ object Bpe {
       model: BpeModel): DataFrame =
     encode(Tables.documents(spark, dir), "text", model)
       .select(col("source"), size(col("tokens")).as("n_bpe"),
-        size(regexp_extract_all(lower(col("text")),
+        size(regexp_extract_all(
+          if (lowercases(model.mode)) lower(col("text")) else col("text"),
           lit(preTokenPattern(model.mode)), lit(0))).as("n_words"),
         aggregate(
-          regexp_extract_all(lower(col("text")),
+          regexp_extract_all(
+            if (lowercases(model.mode)) lower(col("text")) else col("text"),
             lit(preTokenPattern(model.mode)), lit(0)),
           lit(0L), (acc, w) => acc + length(w)).as("n_chars"))
       .groupBy("source")

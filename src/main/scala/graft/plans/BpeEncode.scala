@@ -83,7 +83,12 @@ case class BpeEncode(child: Expression, merges: Array[(String, String)],
   private def encodeWord(w: String): Array[String] = {
     val hit = memo.get(w)
     if (hit != null) return hit
-    var syms = graft.operators.Bpe.codePoints(w) :+ "</w>"
+    // byte mode: GPT-2 byte-char symbols, no sentinel; word modes:
+    // code-point symbols + </w>
+    var syms =
+      if (mode == graft.operators.Bpe.ModeBytes)
+        graft.operators.Bpe.byteSymbols(w)
+      else graft.operators.Bpe.codePoints(w) :+ "</w>"
     var done = false
     while (!done && syms.length > 1) {
       // Lowest-rank adjacent pair in the current symbol sequence.
@@ -127,9 +132,13 @@ case class BpeEncode(child: Expression, merges: Array[(String, String)],
     while (a < alphabet.length) {
       m.put(alphabet(a), Integer.valueOf(a)); a += 1
     }
-    m.put("</w>", Integer.valueOf(alphabet.length))
+    // byte mode has no </w> sentinel (boundaries live in space bytes)
+    var next = alphabet.length
+    if (mode != graft.operators.Bpe.ModeBytes) {
+      m.put("</w>", Integer.valueOf(alphabet.length))
+      next += 1
+    }
     var i = 0
-    var next = alphabet.length + 1
     while (i < merges.length) {
       val tok = merges(i)._1 + merges(i)._2
       if (!m.containsKey(tok)) { m.put(tok, Integer.valueOf(next)); next += 1 }
@@ -154,7 +163,21 @@ case class BpeEncode(child: Expression, merges: Array[(String, String)],
     }
   }
 
+  // bytes mode pre-tokenizer — GPT-2 pattern compiled once per task
+  @transient private lazy val gpt2 =
+    java.util.regex.Pattern.compile(graft.operators.Bpe.Gpt2Units)
+
   override def nullSafeEval(v: Any): Any = {
+    if (mode == graft.operators.Bpe.ModeBytes) {
+      // byte mode is CASE- and WHITESPACE-FAITHFUL: raw text through
+      // the GPT-2 pattern (which covers every character), each unit
+      // merged over its byte-char symbols — decode∘encode = identity
+      val raw = v.asInstanceOf[UTF8String].toString
+      val out = new scala.collection.mutable.ArrayBuffer[Any](64)
+      val m = gpt2.matcher(raw)
+      while (m.find()) emit(encodeWord(m.group()), out)
+      return new GenericArrayData(out.toArray)
+    }
     val text = v.asInstanceOf[UTF8String].toString.toLowerCase(java.util.Locale.ROOT)
     val out = new scala.collection.mutable.ArrayBuffer[Any](64)
     var i = 0
@@ -211,6 +234,48 @@ case class BpeEncode(child: Expression, merges: Array[(String, String)],
     copy(child = c)
 }
 
+/** Inverse of byte-mode [[BpeEncode]]: concatenate the token strings
+  * and map each byte-char back through the GPT-2 bijection to the
+  * original UTF-8 bytes — `bpe_decode_bytes(tokens)` is the exact
+  * identity inverse of `bpe_encode(text)` under `mode = bytes`
+  * (BpeSpec pins it on mixed-case/whitespace/emoji text). Pure
+  * map-side, like the encoder.
+  */
+case class BpeDecodeBytes(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "bpe_decode_bytes"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val sb = new java.lang.StringBuilder(arr.numElements() * 4)
+    var i = 0
+    while (i < arr.numElements()) {
+      sb.append(arr.getUTF8String(i).toString)
+      i += 1
+    }
+    val chars = sb.toString
+    val bytes = new Array[Byte](chars.length)
+    var j = 0
+    while (j < chars.length) {
+      bytes(j) = graft.operators.Bpe.charToByte(chars.charAt(j))
+      j += 1
+    }
+    UTF8String.fromBytes(bytes)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object BpeEncode {
   /** Register `bpe_encode(text)` (subword strings) and
     * `bpe_encode_ids(text)` (vocabulary ids — what a training pipeline
@@ -234,6 +299,10 @@ object BpeEncode {
       "bpe_encode_ids",
       exprs => BpeEncode(exprs.head, model.merges, emitIds = true,
         mode = model.mode, alphabet = model.alphabet),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bpe_decode_bytes",
+      exprs => BpeDecodeBytes(exprs.head),
       "built-in")
   }
 }

@@ -257,6 +257,102 @@ class BpeSpec extends AnyFunSuite {
       ("l", "o"), ("lo", "w"), ("e", "w")))
   }
 
+  // ---- bytes mode: GPT-2 byte-level ---------------------------------
+
+  /** Case, punctuation, digits, unicode, emoji (astral plane), tabs,
+    * newlines, double spaces, and leading/trailing whitespace — byte
+    * mode must reproduce ALL of it exactly.
+    */
+  private def byteDocs = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val texts = Seq(
+      "The CAFE sold 42 croissants, 42 MORE tomorrow!",
+      "  leading spaces\tand\ttabs\nand newlines  ",
+      "emoji 😀😀 and 日本語 mixed",
+      "it's the tokenizer's job — don't lowercase",
+      "the the the cafe cafe cafe 42 42 42",
+      "repeat repeat repeat to force merges merges merges")
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        texts.zipWithIndex.map { case (t, i) => Row(i.toLong, t) }, 2),
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))))
+  }
+
+  test("bytes mode: decode∘encode is the IDENTITY on arbitrary text") {
+    val model = Bpe.trainOnDocs(byteDocs, "text", 30, mode = Bpe.ModeBytes)
+    assert(model.merges.nonEmpty, "merges must fire")
+    val bad = Bpe.encode(byteDocs, "text", model)
+      .select(col("text"), Bpe.decodeCol(col("tokens"), model).as("back"))
+      .filter(col("back") =!= col("text"))
+      .count()
+    assert(bad === 0L,
+      "byte-level BPE must reproduce case, whitespace, emoji, everything")
+  }
+
+  test("bytes mode: alphabet is all 256 byte-chars, ids dense, no unk") {
+    val model = Bpe.trainOnDocs(byteDocs, "text", 20, mode = Bpe.ModeBytes)
+    assert(model.alphabet.length === 256)
+    assert(model.alphabet.distinct.length === 256)
+    val ids = model.vocabIds
+    assert(!ids.contains("<unk>") && !ids.contains("</w>"))
+    assert(ids.values.toSeq.sorted === (0 until ids.size))
+    // GPT-2 layout: byte value IS the id for single-byte tokens
+    assert(ids(String.valueOf('A')) === 'A'.toInt)
+    assert(ids(String.valueOf('!')) === '!'.toInt)
+    // encodeIds mirrors encode through the map — and NEVER misses,
+    // even on bytes the training corpus never contained
+    import org.apache.spark.sql.Row
+    val oov = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        Seq(Row(99L, "ЖЗИ unseen script    odd spaces")), 1),
+      byteDocs.schema)
+    val r = Bpe.encodeIds(Bpe.encode(oov, "text", model), "text", model)
+      .select(col("tokens"), col("token_ids")).head
+    val toks = r.getSeq[String](0)
+    val got = r.getSeq[Int](1)
+    assert(got === toks.map(ids), "every byte token must have an id")
+    // and the identity round-trip holds for the unseen text too
+    assert(Bpe.decodeBytesLocal(toks) === "ЖЗИ unseen script    odd spaces")
+  }
+
+  test("bytes mode: GPT-2 pattern covers every character of the input") {
+    // units concatenated == the raw text, doc by doc (nothing elided,
+    // not even whitespace — unlike the word modes' normal form)
+    val bad = byteDocs.select(
+      array_join(regexp_extract_all(col("text"), lit(
+        "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+(?!\\S)|\\s+"),
+        lit(0)), "").as("units"),
+      col("text"))
+      .filter(col("units") =!= col("text"))
+      .count()
+    assert(bad === 0L)
+  }
+
+  test("bytes mode: model round-trips through save/load") {
+    val model = Bpe.trainOnDocs(byteDocs, "text", 15, mode = Bpe.ModeBytes)
+    val path = java.nio.file.Files.createTempDirectory("graft-bpe-b").toString
+    Bpe.save(spark, model, path)
+    val back = Bpe.load(spark, path)
+    assert(back.mode === Bpe.ModeBytes)
+    assert(back.alphabet.toSeq === model.alphabet.toSeq)
+    assert(back.merges.toSeq === model.merges.toSeq)
+    assert(back.vocabIds === model.vocabIds)
+  }
+
+  test("bytes mode: byte↔char bijection is exact and GPT-2-shaped") {
+    // bijective over all 256 byte values
+    assert(Bpe.charToByte.size === 256)
+    (0 until 256).foreach { b =>
+      assert((Bpe.charToByte(Bpe.byteToChar(b)) & 0xff) === b)
+    }
+    // printable latin-1 maps to itself; control bytes land at U+0100+
+    assert(Bpe.byteToChar('A'.toInt) === 'A')
+    assert(Bpe.byteToChar(' '.toInt).toInt >= 0x100)
+    assert(Bpe.byteToChar(0).toInt >= 0x100)
+  }
+
   test("encodeStats: fertility and compression are coherent") {
     val model = Bpe.train(spark, sf0001, 100)
     val rows = Bpe.encodeStats(spark, sf0001, model).collect()
