@@ -135,20 +135,8 @@ object CorpusPipeline {
     */
   def tokenizeAndShard(s: SparkSession, dir: String, numMerges: Int,
       seqLen: Int): (DataFrame, Bpe.BpeModel) = {
-    val (corpus, _) = curate(s, dir)
-    // survivors carry no text (curation shuffles digests, not text) —
-    // re-join text by id for the two text-consuming stages
-    val withText = corpus.select("doc_id", "split")
-      .join(Tables.documents(s, dir).select("doc_id", "text"), Seq("doc_id"))
-    val model = Bpe.trainOnDocs(
-      withText.filter(col("split") === "train"), "text", numMerges)
+    val (encoded, model) = encodedSplits(s, dir, numMerges)
     val eos = model.vocabIds.size
-    // Materialize once: three per-split packTokens consumers below
-    // would otherwise each re-run the curation join + map-side encode
-    // over the whole corpus (and re-fire PrefixSum's stats action).
-    val encoded = graft.Materialize.checkpoint(
-      Bpe.encodeIds(withText, "text", model)
-        .select(col("split"), col("doc_id"), col("token_ids")))
     val shards = Seq("train", "val", "test").map { sp =>
       Packing.packTokens(encoded.filter(col("split") === sp),
         "doc_id", "token_ids", seqLen, eos)
@@ -156,5 +144,56 @@ object CorpusPipeline {
           col("n_tokens"))
     }.reduce(_ unionAll _)
     (shards, model)
+  }
+
+  /** Shared front half of the shard writers: curate → train the BPE
+    * tokenizer on the curated TRAIN split → encode every surviving doc
+    * to token ids, materialized ONCE (the per-split packing loops below
+    * would otherwise each re-run the curation join + map-side encode
+    * over the whole corpus, and re-fire PrefixSum's stats action).
+    */
+  private def encodedSplits(s: SparkSession, dir: String,
+      numMerges: Int): (DataFrame, Bpe.BpeModel) = {
+    val (corpus, _) = curate(s, dir)
+    // survivors carry no text (curation shuffles digests, not text) —
+    // re-join text by id for the two text-consuming stages
+    val withText = corpus.select("doc_id", "split")
+      .join(Tables.documents(s, dir).select("doc_id", "text"), Seq("doc_id"))
+    val model = Bpe.trainOnDocs(
+      withText.filter(col("split") === "train"), "text", numMerges)
+    val encoded = graft.Materialize.checkpoint(
+      Bpe.encodeIds(withText, "text", model)
+        .select(col("split"), col("doc_id"), col("token_ids")))
+    (encoded, model)
+  }
+
+  /** The last mile a TRAINER actually consumes: one epoch's shard
+    * FILES per split — curate → train-split BPE → encode → per split,
+    * [[Packing.writeShardsShuffled]] under the epoch's global
+    * permutation (val/test read in the same permuted order; their
+    * evaluation metrics are order-invariant, and one code path beats
+    * two). Layout: `<outRoot>/<split>/` parquet shard files of
+    * `seqsPerFile` consecutive sequences, plus the tokenizer saved at
+    * `<outRoot>/tokenizer` so the consuming job decodes with the exact
+    * model that produced the ids. Returns (model, split → file count).
+    *
+    * Deterministic end to end for a given (corpus, numMerges, seqLen,
+    * epoch, seqsPerFile) — rerunning overwrites byte-identical shard
+    * files, so a failed epoch materialization is safely re-runnable
+    * (CorpusPipelineSpec pins read-back equality with packShuffled and
+    * cross-epoch token conservation).
+    */
+  def writeEpochShards(s: SparkSession, dir: String, numMerges: Int,
+      seqLen: Int, epoch: Long, outRoot: String,
+      seqsPerFile: Int): (Bpe.BpeModel, Map[String, Int]) = {
+    val (encoded, model) = encodedSplits(s, dir, numMerges)
+    val eos = model.vocabIds.size
+    val counts = Seq("train", "val", "test").map { sp =>
+      sp -> Packing.writeShardsShuffled(
+        encoded.filter(col("split") === sp), "doc_id", "token_ids",
+        seqLen, eos, epoch, s"$outRoot/$sp", seqsPerFile)
+    }.toMap
+    Bpe.save(s, model, s"$outRoot/tokenizer")
+    (model, counts)
   }
 }

@@ -111,4 +111,46 @@ class CorpusPipelineSpec extends AnyFunSuite {
         docCounts.getOrElse(sp, 0L), s"$sp EOS count")
     }
   }
+
+  test("writeEpochShards: trainer-ready epoch files, permuted + conserved") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-epoch-shards").toString
+    val (model, counts) = CorpusPipeline.writeEpochShards(
+      spark, sf0001, numMerges = 30, seqLen = 256, epoch = 1L,
+      root, seqsPerFile = 5)
+    Materialize.releaseAll()
+    assert(counts.keySet === Set("train", "val", "test"))
+    assert(counts.values.forall(_ >= 1))
+
+    // the tokenizer artifact decodes with the exact producing model
+    val loaded = graft.operators.Bpe.load(spark, s"$root/tokenizer")
+    assert(loaded.merges.toSeq === model.merges.toSeq)
+
+    // train split read-back == packShuffled of the same encoded frame
+    val (shards, _) = CorpusPipeline.tokenizeAndShard(
+      spark, sf0001, numMerges = 30, seqLen = 256)
+    val eos = model.vocabIds.size
+    val orderFaithful = shards.filter(col("split") === "train")
+      .orderBy("seq_id").collect()
+      .map(r => r.getSeq[Int](2)).flatten.toSeq
+    Materialize.releaseAll()
+    val back = spark.read.parquet(s"$root/train").orderBy("seq_id")
+      .collect().map(r => r.getSeq[Int](1)).flatten.toSeq
+    // same token multiset as the order-faithful pack (a permutation),
+    // same EOS count, but a DIFFERENT order (epoch 1 really shuffles)
+    assert(back.sorted === orderFaithful.sorted)
+    assert(back.count(_ === eos) === orderFaithful.count(_ === eos))
+    assert(back !== orderFaithful, "epoch 1 must permute the stream")
+
+    // rerunning the same epoch overwrites with identical bytes
+    val (_, counts2) = CorpusPipeline.writeEpochShards(
+      spark, sf0001, numMerges = 30, seqLen = 256, epoch = 1L,
+      root, seqsPerFile = 5)
+    Materialize.releaseAll()
+    assert(counts2 === counts)
+    val back2 = spark.read.parquet(s"$root/train").orderBy("seq_id")
+      .collect().map(r => r.getSeq[Int](1)).flatten.toSeq
+    assert(back2 === back)
+  }
 }
