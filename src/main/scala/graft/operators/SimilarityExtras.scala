@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -42,6 +42,16 @@ import graft.sources.{Stats, Tables}
   * split buckets.
   */
 object SimilarityExtras {
+
+  /** Left-to-right HOF dot/norm — same evaluation order as the
+    * oracle's list_sum(list_transform(...)) (q_sim_cosine's parity
+    * discipline, duplicated here for the hybrid leg).
+    */
+  private def vdot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def vnorm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
 
   /** Signature width for a corpus of `n` vectors: 2 more bits (4× the
     * buckets) per 4× rows, clamped to [8, 24]. Pure integer comparisons
@@ -495,6 +505,80 @@ object SimilarityExtras {
           round(col("n_hit").cast("double") /
             least(col("n_rel"), lit(10L)), 4).as("recall10"))
         .orderBy("probe_id")
+    }),
+
+    // Lexical retrieval under the gate (round 13): BM25 top-20 for a
+    // fixed 3-term query over the inverted index (k1=1.2, b=0.75).
+    // Engine-parity discipline: each term's contribution is aggregated
+    // SEPARATELY (max-of-one per (token, doc) — the index is unique on
+    // the pair) and the score adds the three in FIXED written order,
+    // so IEEE summation order cannot differ between engines; ranking
+    // and the top-k cut use the 4dp-ROUNDED score (ties to doc_id) so
+    // a last-ulp ln() difference cannot flip the boundary. Plan: one
+    // pushdown-pruned postings scan (3 tokens), one hash aggregate,
+    // TakeOrdered — the posting-list probe shape that scales.
+    "q_search_bm25" -> ((s, d) => {
+      val terms = Seq("filter", "window", "hash")
+      val docs = Tables.documents(s, d)
+      val stats = docs
+        .select(size(InvertedIndex.tokensCol("text")).cast("long").as("dl"))
+        .agg(count(lit(1)).cast("double").as("n"), avg(col("dl")).as("avgdl"))
+        .head
+      val (n, avgdl) = (stats.getDouble(0), stats.getDouble(1))
+      val contrib =
+        log(lit(1.0) + (lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / lit(avgdl)))
+      val termAggs = terms.map(t =>
+        max(when(col("token") === t, contrib)).as(s"__c_$t"))
+      val per = InvertedIndex.build(docs, "doc_id", "text")
+        .filter(col("token").isin(terms: _*) && col("doc_id") =!= 0)
+        .groupBy("doc_id")
+        .agg(termAggs.head, termAggs.tail: _*)
+      per
+        .select(col("doc_id"),
+          round(terms.map(t => coalesce(col(s"__c_$t"), lit(0.0)))
+            .reduceLeft(_ + _), 4).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(20)
+    }),
+
+    // Hybrid retrieval under the gate (round 13): reciprocal-rank
+    // fusion (c=60) of the BM25 ranking above with the embedding-
+    // cosine ranking against probe vec 0 — HybridSearch's RRF shape
+    // with both legs' ranks taken over 4dp-ROUNDED scores (ties to
+    // id) so rank assignment is engine-exact, and the fused score a
+    // fixed-order sum of exact small-integer reciprocals (bit-equal
+    // across engines by construction). Both legs are bounded top-20
+    // frames before any window — the MaxFuse discipline.
+    "q_hybrid_rrf" -> ((s, d) => {
+      val lex = queries("q_search_bm25")(s, d)
+        .withColumn("r", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id"))))
+        .select(col("doc_id"), col("r").as("r_lex"))
+      val emb = Tables.embeddings(s, d)
+        .withColumn("e", col("embedding").cast("array<double>"))
+      val probe = emb.filter(col("vec_id") === 0).select(col("e").as("p"))
+      val sem = emb.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(probe))
+        .select(col("vec_id").as("doc_id"),
+          round(vdot(col("e"), col("p")) /
+            (vnorm(col("e")) * vnorm(col("p"))), 4).as("sim"))
+        .orderBy(col("sim").desc, col("doc_id"))
+        .limit(20)
+        .withColumn("r", row_number().over(
+          Window.orderBy(col("sim").desc, col("doc_id"))))
+        .select(col("doc_id"), col("r").as("r_sem"))
+      lex.join(sem, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          round(
+            coalesce(lit(1.0) / (lit(60) + col("r_lex")), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(60) + col("r_sem")), lit(0.0)),
+            6).as("rrf"),
+          (col("r_lex").isNotNull.cast("int") +
+            col("r_sem").isNotNull.cast("int")).as("n_lists"))
+        .orderBy(col("rrf").desc, col("doc_id"))
+        .limit(10)
     })
   )
 
@@ -526,7 +610,63 @@ object SimilarityExtras {
        |(sqrt(list_sum(list_transform($u, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) *
        | sqrt(list_sum(list_transform($v, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))))""".stripMargin
 
+  /** Shared BM25 CTE chain (mirrors InvertedIndex.build + the fixed
+    * 3-term scorer in q_search_bm25 — identical literal structure so
+    * IEEE op order matches).
+    */
+  private val bm25Cte =
+    """toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS tk
+      |  FROM documents),
+      |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(len(tk)) AS avgdl FROM toks),
+      |post AS (
+      |  SELECT token, doc_id, CAST(count(*) AS BIGINT) AS tf, CAST(max(dl) AS BIGINT) AS dl
+      |  FROM (SELECT doc_id, unnest(tk) AS token, len(tk) AS dl FROM toks)
+      |  GROUP BY token, doc_id),
+      |postdf AS (SELECT *, count(*) OVER (PARTITION BY token) AS df FROM post),
+      |contrib AS (
+      |  SELECT doc_id, token,
+      |    ln(1.0 + (s.n - df + 0.5) / (df + 0.5)) * (tf * 2.2)
+      |      / (tf + 1.2 * (0.25 + 0.75 * dl / s.avgdl)) AS c
+      |  FROM postdf, stats s
+      |  WHERE token IN ('filter','window','hash') AND doc_id <> 0),
+      |per AS (
+      |  SELECT doc_id,
+      |    max(CASE WHEN token = 'filter' THEN c END) AS c1,
+      |    max(CASE WHEN token = 'window' THEN c END) AS c2,
+      |    max(CASE WHEN token = 'hash' THEN c END) AS c3
+      |  FROM contrib GROUP BY doc_id),
+      |bm25 AS (
+      |  SELECT doc_id, round(coalesce(c1, 0) + coalesce(c2, 0) + coalesce(c3, 0), 4) AS score
+      |  FROM per ORDER BY score DESC, doc_id LIMIT 20)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q_search_bm25" ->
+      s"""WITH $bm25Cte
+         |SELECT doc_id, score FROM bm25 ORDER BY score DESC, doc_id""".stripMargin,
+
+    "q_hybrid_rrf" ->
+      s"""WITH $bm25Cte,
+         |lex AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r_lex FROM bm25),
+         |probe AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+         |sem0 AS (
+         |  SELECT b.vec_id AS doc_id,
+         |    ROUND(list_sum(list_transform(range(1, 65),
+         |      i -> CAST(b.embedding[i] AS DOUBLE) * CAST(p.embedding[i] AS DOUBLE)))
+         |    / (sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         |       * sqrt(list_sum(list_transform(p.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS sim
+         |  FROM embeddings b, probe p WHERE b.vec_id <> 0
+         |  ORDER BY sim DESC, doc_id LIMIT 20),
+         |sem AS (SELECT doc_id, row_number() OVER (ORDER BY sim DESC, doc_id) AS r_sem FROM sem0),
+         |f AS (
+         |  SELECT coalesce(l.doc_id, s.doc_id) AS doc_id, l.r_lex, s.r_sem
+         |  FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id)
+         |SELECT doc_id,
+         |  round(coalesce(1.0 / (60 + r_lex), 0) + coalesce(1.0 / (60 + r_sem), 0), 6) AS rrf,
+         |  (CASE WHEN r_lex IS NOT NULL THEN 1 ELSE 0 END
+         |    + CASE WHEN r_sem IS NOT NULL THEN 1 ELSE 0 END) AS n_lists
+         |FROM f ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
+
     "q_sim_ann_batch" ->
       s"""WITH probes AS (
          |  SELECT vec_id AS probe_id, embedding AS p FROM embeddings WHERE vec_id < 8),

@@ -189,7 +189,9 @@ class ContractSpec extends AnyFunSuite {
     "q_pipeline_curate" -> 5L,
     "q_span_coverage" -> 500L,
     "q_pack_stream" -> 445L,
-    "q_cdc_apply" -> 140L
+    "q_cdc_apply" -> 140L,
+    "q_search_bm25" -> 20L,
+    "q_hybrid_rrf" -> 10L
   )
 
   test("every contract query has oracle SQL and vice versa") {
