@@ -126,6 +126,46 @@ class UpsertFileSinkSpec extends AnyFunSuite {
     assert(snapshot(root) === Seq(1L -> "x", 2L -> "Y2", 3L -> "z"))
   }
 
+  test("landing zone e2e: update-mode windowed aggregate -> exactly-once files") {
+    // the piece a production ingest runs end-to-end: the events fixture
+    // replayed as two event-time micro-batches through the watermarked
+    // windowed aggregate (update mode re-emits a window's row whenever
+    // a batch changes it) into the upsert sink keyed by the window —
+    // the final parquet table must equal the plain batch aggregate,
+    // with the re-emissions absorbed by seq=batchId newest-wins.
+    import graft.streaming.{StreamingWindows, StreamReplay}
+    val root = tmpRoot("land")
+    val sf = SparkTestBase.sf0001
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    val q = try {
+      StreamingWindows.windowedCounts(
+        StreamingWindows.eventsStream(spark,
+          StreamReplay.replayDir(spark, sf), s"$sf/events.parquet"))
+        .writeStream
+        .outputMode("update")
+        .option("checkpointLocation", tmpRoot("land-ckpt"))
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+          UpsertFileSink.upsertsOnly(df, id, root,
+            Seq("hour_start", "event_type"))
+        }
+        .start()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.read
+      .parquet(s"$root/v=${UpsertFileSink.lastCommitted(spark, root).get}")
+      .orderBy("hour_start", "event_type")
+      .collect().map(_.toString).toSeq
+    val expect = StreamingWindows.windowedCounts(
+      graft.sources.Tables.events(spark, sf))
+      .orderBy("hour_start", "event_type")
+      .collect().map(_.toString).toSeq
+    assert(got === expect,
+      "exactly-once landing table must equal the batch aggregate")
+    assert(got.nonEmpty)
+  }
+
   test("vacuum drops old versions and orphans, keeps the newest readable") {
     import spark.implicits._
     val root = tmpRoot("vac")
