@@ -58,8 +58,10 @@ import graft.sources.Tables
   *                                        affected docs per PII type
   *   audit contract <query_name>          scale-discipline lint of a
   *                                        contract query's plan
-  *   bpe <N> | bpe stats <N>              learned merge table / per-
+  *   bpe [stats] <N> [mode]               learned merge table / per-
   *                                        source fertility+compression
+  *                                        (mode = ascii | unicode |
+  *                                        bytes)
   *   pack <seqLen> <N> [epoch]            tokenize-and-pack shard
   *                                        accounting (epoch present =
   *                                        that epoch's global shuffle
@@ -317,6 +319,7 @@ object Shell {
       // train a BPE tokenizer on the documents table: `bpe N` displays
       // the learned merge table (rank order), `bpe stats N` the
       // per-source fertility / compression report it buys
+      // optional trailing mode = ascii (default) | unicode | bytes
       case List("bpe", nMerges) =>
         noKnob()
         import s.implicits._
@@ -328,6 +331,19 @@ object Shell {
         noKnob()
         graft.operators.Bpe.encodeStats(s, dir,
           graft.operators.Bpe.train(s, dir, nMerges.toInt))
+      case List("bpe", "stats", nMerges, mode) =>
+        noKnob()
+        graft.operators.Bpe.encodeStats(s, dir,
+          graft.operators.Bpe.train(s, dir, nMerges.toInt, mode = mode))
+      // the "stats" cases above MUST precede this one: a 3-element
+      // "bpe stats N" would otherwise bind nMerges="stats"
+      case List("bpe", nMerges, mode) =>
+        noKnob()
+        import s.implicits._
+        graft.operators.Bpe.train(s, dir, nMerges.toInt, mode = mode)
+          .merges.zipWithIndex
+          .map { case ((a, b), r) => (r, a, b, a + b) }.toSeq
+          .toDF("rank", "left", "right", "token")
       // tokenize-and-pack summary: train nMerges BPE merges, encode the
       // documents table, pack into seqLen sequences; display the shard
       // accounting (the token arrays themselves stay distributed)

@@ -286,5 +286,11 @@ class ShellSpec extends AnyFunSuite {
       assert(r.getString(3) === r.getString(1) + r.getString(2)))
     val stats = Shell.run(spark, sf0001, "bpe stats 15").collect()
     assert(stats.nonEmpty && stats.forall(_.getAs[Double]("fertility") >= 1.0))
+    // mode knob reaches the trainer (bytes-mode merge products are
+    // byte-char strings; the run must not be ascii's)
+    val bmerges = Shell.run(spark, sf0001, "bpe 15 bytes").collect()
+    assert(bmerges.length === 15)
+    val bstats = Shell.run(spark, sf0001, "bpe stats 10 unicode").collect()
+    assert(bstats.nonEmpty)
   }
 }
