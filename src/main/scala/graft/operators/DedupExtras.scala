@@ -440,10 +440,52 @@ object DedupExtras {
     // hash-grouping must agree with string-grouping or the gate fails,
     // which doubles as a standing collision check at fixture scale.
     "q_span_coverage" -> ((s, d) =>
-      SpanDedup.coverageReport(Tables.documents(s, d), "doc_id", "text", 6))
+      SpanDedup.coverageReport(Tables.documents(s, d), "doc_id", "text", 6)),
+
+    // The ACTION half (round 13): rewrite the corpus with every repeat
+    // occurrence of a duplicated 6-token span removed, keeping the
+    // globally-first (min (doc_id, off)) occurrence — SpanDedup.
+    // removeDuplicatedSpans' one materialized span frame + dup
+    // aggregate + keeper argmin + per-doc cut fold. The oracle rebuilds
+    // the kept text independently (span strings as keys, a window-rank
+    // keeper, position anti-join against cut intervals) and must match
+    // the rewritten text byte-for-byte.
+    "q_span_removal" -> ((s, d) =>
+      SpanDedup.removeDuplicatedSpans(Tables.documents(s, d), "doc_id",
+        "text", 6))
   )
 
   val oracle: Map[String, String] = Map(
+    "q_span_removal" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text,' '), t -> t <> '') AS tk FROM documents),
+        |spans AS (
+        |  SELECT doc_id, u.i - 1 AS off, array_to_string(tk[u.i : u.i + 5], ' ') AS s
+        |  FROM toks, unnest(range(1, greatest(len(tk) - 6 + 1, 0) + 1)) AS u(i)),
+        |dups AS (SELECT s FROM spans GROUP BY s HAVING count(*) > 1),
+        |dsp AS (SELECT sp.doc_id, sp.off, sp.s FROM spans sp JOIN dups USING (s)),
+        |cuts AS (
+        |  SELECT doc_id, off FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY s ORDER BY doc_id, off) AS rn
+        |    FROM dsp) WHERE rn > 1),
+        |pos AS (
+        |  SELECT t.doc_id, tk[u.i] AS tok, CAST(u.i - 1 AS BIGINT) AS p
+        |  FROM toks t, unnest(range(1, len(tk) + 1)) AS u(i)),
+        |keptpos AS (
+        |  SELECT p.doc_id, p.tok, p.p FROM pos p
+        |  WHERE NOT EXISTS (SELECT 1 FROM cuts c
+        |    WHERE c.doc_id = p.doc_id AND c.off <= p.p AND p.p < c.off + 6)),
+        |rebuilt AS (
+        |  SELECT doc_id, coalesce(string_agg(tok, ' ' ORDER BY p), '') AS text,
+        |    CAST(count(*) AS BIGINT) AS n_kept
+        |  FROM keptpos GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  coalesce(r.text, '') AS text,
+        |  CAST(len(t.tk) AS BIGINT) AS n_toks,
+        |  CAST(len(t.tk) - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed
+        |FROM toks t LEFT JOIN rebuilt r USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
+
     "q_span_coverage" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split(text,' '), t -> t <> '') AS tk FROM documents),
