@@ -174,10 +174,66 @@ object StreamReplay {
           col("n_events").as("n"), lit(null).cast("long").as("v_c"))
 
       tum.unionAll(sess).orderBy("kind", "k1", "k2")
+    }),
+
+    // The LANDING-ZONE gate (round 13): the same replay, but in UPDATE
+    // mode through the exactly-once parquet sink — each micro-batch's
+    // changed windows upsert into the versioned snapshot table keyed
+    // by (window, type), seq = batchId newest-wins — and the RESULT is
+    // the final committed snapshot read back from disk. The oracle is
+    // the plain batch aggregate: at-least-once re-emissions across
+    // micro-batches must collapse to exactly the batch answer, or the
+    // sink's idempotence story is broken where the driver can see it.
+    "q_stream_sink" -> ((s, d) => {
+      val dir = replayDir(s, d)
+      val schemaFrom = s"$dir/000.parquet"
+      val tag = nameCounter.incrementAndGet()
+      val base = sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR",
+        "/dev/shm/graft-local")
+      val root = s"$base/stream_sink_$tag"
+      val ckpt = s"$base/stream_sink_ckpt_$tag"
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val q = try {
+        StreamingWindows.windowedCounts(
+          StreamingWindows.eventsStream(s, dir, schemaFrom))
+          .writeStream
+          .outputMode("update")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (df: DataFrame, id: Long) =>
+            UpsertFileSink.upsertsOnly(df, id, root,
+              Seq("hour_start", "event_type"))
+          }
+          .start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      try q.processAllAvailable()
+      finally {
+        q.stop()
+        try {
+          import scala.reflect.io.Directory
+          new Directory(new java.io.File(ckpt)).deleteRecursively()
+        } catch { case _: Throwable => () }
+      }
+      val v = UpsertFileSink.lastCommitted(s, root).getOrElse(
+        sys.error(s"stream sink committed nothing under $root"))
+      s.read.parquet(s"$root/v=$v")
+        .select(date_format(col("hour_start"), "yyyy-MM-dd HH").as("k1"),
+          col("event_type"), col("n"), col("sum_value_c").as("v_c"))
+        .orderBy("k1", "event_type")
     })
   )
 
   val oracle: Map[String, String] = Map(
+    // Landing-zone gate: the sink's final committed snapshot must be
+    // the plain batch aggregate — update-mode re-emissions collapse to
+    // one row per (window, type) via seq=batchId newest-wins.
+    "q_stream_sink" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS k1,
+        |  event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |    AS BIGINT) AS v_c
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     // Plain batch SQL over the ORIGINAL fixture — stream must equal
     // batch on bounded input. Session ordinals are the running sum of
     // 30-min-gap flags (1-based, same as the stateful fold); each
