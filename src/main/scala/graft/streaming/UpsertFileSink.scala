@@ -89,17 +89,28 @@ object UpsertFileSink {
     val spark = batch.sparkSession
     val f = fs(spark, root)
     val marker = new Path(commitsDir(root), batchId.toString)
-    if (f.exists(marker)) return // replay of a committed batch: no-op
+    // Stage the micro-batch EAGERLY before anything else: Spark 4.x
+    // validates that a foreachBatch function processes EVERY partition
+    // of the batch (each state-store partition must commit during the
+    // batch — STATE_STORE_COMMIT_VALIDATION_FAILED otherwise), which
+    // both the no-op replay path and an AQE-replanned merge can
+    // violate. The count consumes all partitions exactly once — state
+    // commits happen here — and the merge then reads the cached batch.
+    val staged = batch.persist()
+    try {
+      staged.count()
+      if (f.exists(marker)) return // replay of a committed batch: no-op
 
-    val payload = StructType(
-      batch.schema.filterNot(c => c.name == seqCol || c.name == opCol))
-    val base = readSnapshot(spark, root, payload)
-    val merged = ChangeDataCapture.applyChangelog(
-      base, batch, keyCols, seqCol, opCol)
-    merged.write.mode("overwrite").parquet(s"$root/v=$batchId")
-    // commit point: marker creation is the atomic publish
-    f.mkdirs(commitsDir(root))
-    f.create(marker, true).close()
+      val payload = StructType(
+        batch.schema.filterNot(c => c.name == seqCol || c.name == opCol))
+      val base = readSnapshot(spark, root, payload)
+      val merged = ChangeDataCapture.applyChangelog(
+        base, staged, keyCols, seqCol, opCol)
+      merged.write.mode("overwrite").parquet(s"$root/v=$batchId")
+      // commit point: marker creation is the atomic publish
+      f.mkdirs(commitsDir(root))
+      f.create(marker, true).close()
+    } finally staged.unpersist(blocking = false)
   }
 
   /** [[upsertBatch]] for pure upsert streams (no op/seq columns in the
