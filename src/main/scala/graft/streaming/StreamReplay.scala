@@ -187,11 +187,21 @@ object StreamReplay {
     "q_stream_sink" -> ((s, d) => {
       val dir = replayDir(s, d)
       val schemaFrom = s"$dir/000.parquet"
-      val tag = nameCounter.incrementAndGet()
+      // pid-qualified like replayDir: /dev/shm persists across JVMs
+      // and a fresh JVM's counter restarts — a bare counter root would
+      // collide with a PREVIOUS run's committed snapshots, whose
+      // markers make every upsert a no-op (round-13 lesson: the
+      // idempotence machinery faithfully no-ops against stale state)
+      val tag = ProcessHandle.current().pid() + "_" +
+        nameCounter.incrementAndGet()
       val base = sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR",
         "/dev/shm/graft-local")
       val root = s"$base/stream_sink_$tag"
       val ckpt = s"$base/stream_sink_ckpt_$tag"
+      try {
+        import scala.reflect.io.Directory
+        new Directory(new java.io.File(root)).deleteRecursively()
+      } catch { case _: Throwable => () }
       val prev = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "4")
       val q = try {

@@ -192,7 +192,8 @@ class ContractSpec extends AnyFunSuite {
     "q_cdc_apply" -> 140L,
     "q_search_bm25" -> 20L,
     "q_hybrid_rrf" -> 10L,
-    "q_span_removal" -> 500L
+    "q_span_removal" -> 500L,
+    "q_stream_sink" -> 868L
   )
 
   test("every contract query has oracle SQL and vice versa") {
