@@ -123,9 +123,153 @@ object UpsertFileSink {
       batch.withColumn("op", lit("U")).withColumn("seq", lit(batchId)),
       batchId, root, keyCols)
 
+  // ---- bucketed (partition-level) variant ---------------------------
+  //
+  // The scale path the full-snapshot recipe's scaladoc promises: keys
+  // hash into `nBuckets` fixed buckets and a micro-batch rewrites ONLY
+  // the buckets it touches — an idle bucket's newest version simply
+  // stays older. Layout:
+  //
+  //   root/buckets/<b>/v=<batchId>/   bucket b's snapshot as of batch
+  //   root/_commits/<batchId>         global marker, written LAST
+  //
+  // A bucket version is visible iff its batch's marker exists, so the
+  // commit point stays a single atomic marker creation no matter how
+  // many buckets the batch rewrote: readers see either none or all of
+  // a batch's bucket versions, torn multi-bucket writes stay invisible,
+  // and a replay (marker present) is a no-op. Reads take, per bucket,
+  // the newest COMMITTED version — one multi-path parquet scan.
+
+  private def bucketsDir(root: String) = new Path(root, "buckets")
+
+  /** Stable bucket id for the key columns (murmur3 `hash` — identical
+    * across runs and partitionings, and between the write and read
+    * sides).
+    */
+  def bucketCol(keyCols: Seq[String], nBuckets: Int) =
+    pmod(hash(keyCols.map(col): _*), lit(nBuckets))
+
+  private def committedSet(spark: SparkSession, root: String): Set[Long] = {
+    val f = fs(spark, root)
+    val dir = commitsDir(root)
+    if (!f.exists(dir)) Set.empty
+    else f.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(_.forall(_.isDigit)).map(_.toLong).toSet
+  }
+
+  /** Per existing bucket, the newest committed version's path. */
+  private def latestBucketVersions(spark: SparkSession,
+      root: String): Seq[(Int, Long, String)] = {
+    val f = fs(spark, root)
+    val committed = committedSet(spark, root)
+    val bdir = bucketsDir(root)
+    if (!f.exists(bdir) || committed.isEmpty) Seq.empty
+    else f.listStatus(bdir).toSeq.flatMap { st =>
+      val name = st.getPath.getName
+      if (!name.forall(_.isDigit)) None
+      else {
+        val vs = f.listStatus(st.getPath).toSeq
+          .map(_.getPath.getName)
+          .filter(_.startsWith("v="))
+          .map(_.stripPrefix("v=").toLong)
+          .filter(committed.contains)
+        if (vs.isEmpty) None
+        else Some((name.toInt, vs.max,
+          s"$root/buckets/$name/v=${vs.max}"))
+      }
+    }
+  }
+
+  /** The newest committed state of the bucketed table (all buckets,
+    * each at its own newest committed version); empty frame of
+    * `schema` before any commit.
+    */
+  def readSnapshotBucketed(spark: SparkSession, root: String,
+      schema: StructType): DataFrame = {
+    val paths = latestBucketVersions(spark, root).map(_._3)
+    if (paths.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(paths: _*)
+  }
+
+  /** [[upsertBatch]] at bucket granularity: the batch rewrites ONLY
+    * the buckets its keys hash into; all other buckets keep their
+    * older versions untouched — the shape that survives a 100 TB table
+    * taking small streaming batches. Same exactly-once protocol: the
+    * single marker publishes every bucket version this batch wrote.
+    */
+  def upsertBatchBucketed(batch: DataFrame, batchId: Long, root: String,
+      keyCols: Seq[String], nBuckets: Int, seqCol: String = "seq",
+      opCol: String = "op"): Unit = {
+    require(nBuckets > 0, s"nBuckets=$nBuckets")
+    val spark = batch.sparkSession
+    val f = fs(spark, root)
+    val marker = new Path(commitsDir(root), batchId.toString)
+    val staged = batch.persist()
+    try {
+      staged.count() // full consumption (state-store commit validation)
+      if (f.exists(marker)) return
+
+      val payload = StructType(
+        batch.schema.filterNot(c => c.name == seqCol || c.name == opCol))
+      val bucket = bucketCol(keyCols, nBuckets)
+      // touched-bucket manifest: ≤ nBuckets rows, driver-side by design
+      val touched = staged.select(bucket.as("__b")).distinct()
+        .collect().map(_.getInt(0)).sorted
+      val latest = latestBucketVersions(spark, root)
+        .map { case (b, _, p) => b -> p }.toMap
+      touched.foreach { b =>
+        val base = latest.get(b) match {
+          case Some(p) => spark.read.schema(payload).parquet(p)
+          case None => spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], payload)
+        }
+        ChangeDataCapture.applyChangelog(
+            base, staged.filter(bucket === b), keyCols, seqCol, opCol)
+          .write.mode("overwrite")
+          .parquet(s"$root/buckets/$b/v=$batchId")
+      }
+      // ONE atomic publish for every bucket version written above
+      f.mkdirs(commitsDir(root))
+      f.create(marker, true).close()
+    } finally staged.unpersist(blocking = false)
+  }
+
+  /** Vacuum for the BUCKETED layout: per bucket, drop every version
+    * except its newest committed one (superseded versions and dead
+    * uncommitted orphans below the global committed head alike), then
+    * drop the markers no surviving bucket version references — except
+    * the global newest marker, which must survive for replay
+    * idempotence of the most recent batch. An idle bucket's old
+    * version and ITS marker are both retained: visibility never
+    * regresses.
+    */
+  def vacuumBucketed(spark: SparkSession, root: String): Unit = {
+    val f = fs(spark, root)
+    val committed = committedSet(spark, root)
+    if (committed.isEmpty) return
+    val head = committed.max
+    val latest = latestBucketVersions(spark, root)
+    val keepVersions = latest.map(_._2).toSet + head
+    latest.foreach { case (b, newest, _) =>
+      val bdir = new Path(bucketsDir(root), b.toString)
+      f.listStatus(bdir).toSeq
+        .map(_.getPath.getName)
+        .filter(_.startsWith("v="))
+        .map(_.stripPrefix("v=").toLong)
+        .filter(v => v != newest && v < head)
+        .foreach(v => f.delete(new Path(bdir, s"v=$v"), true))
+    }
+    committed.filterNot(keepVersions.contains)
+      .foreach(v => f.delete(new Path(commitsDir(root), v.toString), false))
+  }
+
   /** Drop committed versions older than the newest `keep` (markers and
     * data both) plus any uncommitted orphan older than the newest
     * committed id. Never touches the newest committed snapshot.
+    * For the FLAT layout only — bucketed tables use [[vacuumBucketed]]
+    * (old markers here may still be referenced by idle buckets there).
     */
   def vacuum(spark: SparkSession, root: String, keep: Int = 2): Unit = {
     require(keep >= 1, s"keep=$keep")

@@ -166,6 +166,120 @@ class UpsertFileSinkSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  // ---- bucketed (partition-level) variant ---------------------------
+
+  private def bucketedSnapshot(root: String): Seq[(Long, String)] = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("key",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.StringType)))
+    UpsertFileSink.readSnapshotBucketed(spark, root, schema)
+      .orderBy("key").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+  }
+
+  private def bucketVersions(root: String): Map[Int, Set[Long]] = {
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bdir = new org.apache.hadoop.fs.Path(root, "buckets")
+    if (!f.exists(bdir)) Map.empty
+    else f.listStatus(bdir).toSeq.map { st =>
+      st.getPath.getName.toInt ->
+        f.listStatus(st.getPath).toSeq.map(_.getPath.getName)
+          .filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong).toSet
+    }.toMap
+  }
+
+  test("bucketed upsert rewrites ONLY touched buckets; idle ones keep old versions") {
+    import spark.implicits._
+    val root = tmpRoot("bk")
+    val nB = 8
+    // batch 0: keys spread over many buckets
+    val keys0 = (0L until 64L)
+    UpsertFileSink.upsertBatchBucketed(
+      keys0.map(k => (k, s"v$k", "I", 1L)).toDF("key", "value", "op", "seq"),
+      0L, root, Seq("key"), nB)
+    val v0 = bucketVersions(root)
+    assert(v0.nonEmpty && v0.values.forall(_ === Set(0L)))
+
+    // batch 1: ONE key → exactly one bucket gains v=1
+    UpsertFileSink.upsertBatchBucketed(
+      Seq((5L, "V5b", "U", 2L)).toDF("key", "value", "op", "seq"),
+      1L, root, Seq("key"), nB)
+    val v1 = bucketVersions(root)
+    val gained = v1.filter(_._2.contains(1L)).keys.toSeq
+    assert(gained.size === 1, s"exactly one bucket rewritten, got $v1")
+    assert(v1.filterNot(_._2.contains(1L)).values.forall(_ === Set(0L)),
+      "idle buckets must keep only their old version")
+
+    // read-back equals the flat-apply reference
+    val expect = keys0.map(k => (k, if (k == 5L) "V5b" else s"v$k")).sorted
+    assert(bucketedSnapshot(root) === expect)
+
+    // replay of batch 1 (marker present): bit-for-bit no-op
+    UpsertFileSink.upsertBatchBucketed(
+      Seq((5L, "GARBAGE", "U", 99L)).toDF("key", "value", "op", "seq"),
+      1L, root, Seq("key"), nB)
+    assert(bucketedSnapshot(root) === expect)
+    assert(bucketVersions(root) === v1)
+  }
+
+  test("bucketed torn write: a multi-bucket batch is all-or-nothing") {
+    import spark.implicits._
+    val root = tmpRoot("bk-torn")
+    val nB = 4
+    UpsertFileSink.upsertBatchBucketed(
+      (0L until 16L).map(k => (k, s"v$k", "I", 1L))
+        .toDF("key", "value", "op", "seq"),
+      0L, root, Seq("key"), nB)
+    // simulate a dead attempt that wrote SOME bucket versions for
+    // batch 1 but died before the marker
+    Seq((0L, "TORN")).toDF("key", "value")
+      .write.mode("overwrite").parquet(s"$root/buckets/0/v=1")
+    Seq((1L, "TORN")).toDF("key", "value")
+      .write.mode("overwrite").parquet(s"$root/buckets/1/v=1")
+    val before = bucketedSnapshot(root)
+    assert(!before.exists(_._2 == "TORN"),
+      "uncommitted bucket versions must be invisible")
+    // the retried batch overwrites the orphans and commits atomically
+    UpsertFileSink.upsertBatchBucketed(
+      Seq((0L, "A", "U", 2L), (1L, "B", "U", 2L), (2L, "C", "U", 2L))
+        .toDF("key", "value", "op", "seq"),
+      1L, root, Seq("key"), nB)
+    val after = bucketedSnapshot(root).toMap
+    assert(after(0L) === "A" && after(1L) === "B" && after(2L) === "C")
+    assert(!after.values.exists(_ == "TORN"))
+  }
+
+  test("bucketed deletes remove keys; vacuumBucketed keeps idle buckets visible") {
+    import spark.implicits._
+    val root = tmpRoot("bk-vac")
+    val nB = 4
+    UpsertFileSink.upsertBatchBucketed(
+      (0L until 16L).map(k => (k, s"v$k", "I", 1L))
+        .toDF("key", "value", "op", "seq"),
+      0L, root, Seq("key"), nB)
+    // several batches touching overlapping buckets, incl. a delete
+    UpsertFileSink.upsertBatchBucketed(
+      Seq((3L, null.asInstanceOf[String], "D", 2L), (4L, "V4", "U", 3L))
+        .toDF("key", "value", "op", "seq"),
+      1L, root, Seq("key"), nB)
+    UpsertFileSink.upsertBatchBucketed(
+      Seq((4L, "V4c", "U", 4L)).toDF("key", "value", "op", "seq"),
+      2L, root, Seq("key"), nB)
+    val expect = (0L until 16L).filter(_ != 3L)
+      .map(k => (k, if (k == 4L) "V4c" else s"v$k")).sorted
+    assert(bucketedSnapshot(root) === expect)
+
+    UpsertFileSink.vacuumBucketed(spark, root)
+    // still readable, identical content — idle buckets' old versions
+    // and their markers survived
+    assert(bucketedSnapshot(root) === expect)
+    // per bucket only ONE version remains
+    assert(bucketVersions(root).values.forall(_.size === 1))
+  }
+
   test("vacuum drops old versions and orphans, keeps the newest readable") {
     import spark.implicits._
     val root = tmpRoot("vac")
