@@ -76,6 +76,21 @@ object UpsertFileSink {
           .emptyRDD[org.apache.spark.sql.Row], schema)
     }
 
+  /** TIME TRAVEL: the table as of committed version `v` (the flat
+    * layout keeps full snapshots, so any retained version reads
+    * directly). Fails fast on an uncommitted or vacuumed version
+    * rather than returning a torn or missing snapshot.
+    */
+  def readVersion(spark: SparkSession, root: String, v: Long,
+      schema: StructType): DataFrame = {
+    val f = fs(spark, root)
+    require(f.exists(new Path(commitsDir(root), v.toString)),
+      s"version $v of $root is not committed (or was vacuumed)")
+    require(f.exists(new Path(root, s"v=$v")),
+      s"version $v of $root was vacuumed")
+    spark.read.schema(schema).parquet(s"$root/v=$v")
+  }
+
   /** Idempotent micro-batch upsert — the `foreachBatch` body.
     *
     * `batch` must carry the table's payload columns plus `opCol`

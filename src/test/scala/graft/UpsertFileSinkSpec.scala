@@ -166,6 +166,50 @@ class UpsertFileSinkSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("time travel reads any retained committed version; rejects others") {
+    import spark.implicits._
+    val root = tmpRoot("tt")
+    val schema = Seq((1L, "a")).toDF("key", "value").schema
+    UpsertFileSink.upsertBatch(
+      Seq((1L, "a", "I", 1L)).toDF("key", "value", "op", "seq"),
+      0L, root, Seq("key"))
+    UpsertFileSink.upsertBatch(
+      Seq((1L, "A2", "U", 2L), (2L, "b", "I", 3L))
+        .toDF("key", "value", "op", "seq"),
+      1L, root, Seq("key"))
+    val v0 = UpsertFileSink.readVersion(spark, root, 0L, schema)
+      .orderBy("key").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(v0.toSeq === Seq(1L -> "a"))
+    val v1 = UpsertFileSink.readVersion(spark, root, 1L, schema)
+      .orderBy("key").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(v1.toSeq === Seq(1L -> "A2", 2L -> "b"))
+    intercept[IllegalArgumentException] {
+      UpsertFileSink.readVersion(spark, root, 7L, schema)
+    }
+  }
+
+  test("schema evolution: a later batch may ADD payload columns") {
+    import spark.implicits._
+    val root = tmpRoot("evo")
+    UpsertFileSink.upsertBatch(
+      Seq((1L, "a", "I", 1L), (2L, "b", "I", 2L))
+        .toDF("key", "value", "op", "seq"),
+      0L, root, Seq("key"))
+    // batch 1 carries an extra column; the old snapshot's missing
+    // column reads back as NULL for untouched keys (parquet schema
+    // superset), the new rows carry it
+    UpsertFileSink.upsertBatch(
+      Seq((2L, "B2", "en", "U", 3L), (3L, "c", "fr", "I", 4L))
+        .toDF("key", "value", "lang", "op", "seq"),
+      1L, root, Seq("key"))
+    val schema = Seq((1L, "a", "x")).toDF("key", "value", "lang").schema
+    val rows = UpsertFileSink.readSnapshot(spark, root, schema)
+      .orderBy("key").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(rows.toSeq === Seq(
+      (1L, "a", null), (2L, "B2", "en"), (3L, "c", "fr")))
+  }
+
   // ---- bucketed (partition-level) variant ---------------------------
 
   private def bucketedSnapshot(root: String): Seq[(Long, String)] = {
