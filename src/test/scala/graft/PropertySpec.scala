@@ -169,4 +169,87 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("packShuffled permutes whole documents: epoch stream = docs in (hash, id) order") {
+    import spark.implicits._
+    val docsGen = Gen.nonEmptyListOf(
+      Gen.listOf(Gen.chooseNum(0, 50))).map(_.take(8))
+    check("packShuffled permutation") {
+      Prop.forAll(docsGen, Gen.chooseNum(1, 7), Gen.chooseNum(0L, 5L)) {
+        (docs, seqLen, epoch) =>
+          val df = docs.zipWithIndex
+            .map { case (ids, i) => (i.toLong, ids) }.toDF("id", "ids")
+          val stream = operators.Packing
+            .packShuffled(df, "id", "ids", seqLen, 99, epoch)
+            .collect().sortBy(_.getLong(0))
+            .flatMap(_.getSeq[Int](1)).toList
+          // reference: documents reordered by the epoch key via Spark's
+          // own xxhash64 (collisions broken by id), then concatenated
+          val order = df.select(col("id"),
+              xxhash64(col("id"), lit(epoch)).as("k"))
+            .collect().map(r => (r.getLong(1), r.getLong(0)))
+            .sorted.map(_._2.toInt)
+          stream == order.toList.flatMap(i => docs(i) :+ 99)
+      }
+    }
+  }
+
+  test("globalCumsum with tie-break equals the sequential scan under (v, tie)") {
+    import spark.implicits._
+    // heavy tie pressure: v drawn from a tiny domain so buckets and the
+    // in-bucket tie ordering both get exercised; (v, tie) unique by
+    // construction (tie = index)
+    val rowsGen = Gen.nonEmptyListOf(
+      Gen.zip(Gen.chooseNum(-3L, 3L), Gen.chooseNum(0L, 20L))).map(_.take(40))
+    check("cumsum tie-break") {
+      Prop.forAll(rowsGen) { rows =>
+        val df = rows.zipWithIndex
+          .map { case ((v, c), i) => (v, i.toLong, c) }
+          .toDF("v", "tie", "c")
+          .repartition(3)
+        val got = operators.PrefixSum
+          .globalCumsum(df, "v", "tie", Seq("c"))
+          .collect()
+          .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(3)))
+          .toMap
+        val seq = rows.zipWithIndex
+          .map { case ((v, c), i) => (v, i.toLong, c) }
+          .sortBy { case (v, t, _) => (v, t) }
+        var acc = 0L
+        seq.forall { case (v, t, c) =>
+          acc += c
+          got((v, t)) == acc
+        }
+      }
+    }
+  }
+
+  test("byte-level BPE decode∘encode is the identity on arbitrary valid text") {
+    import spark.implicits._
+    // valid code points only (unpaired surrogates are not UTF-8 and the
+    // JVM replaces them — identity legitimately cannot hold there)
+    val cpGen = Gen.frequency(
+      6 -> Gen.chooseNum(0x20, 0x7e),
+      2 -> Gen.chooseNum(0xa1, 0x2ff),
+      1 -> Gen.chooseNum(0x4e00, 0x4eff), // CJK
+      1 -> Gen.oneOf(0x9, 0xa, 0x1F600)) // tab, newline, emoji
+    val textGen = Gen.listOf(cpGen)
+      .map(_.take(60).flatMap(Character.toChars(_)).mkString)
+    val corpusGen = Gen.listOf(textGen).map(_.take(6))
+    check("byte identity") {
+      Prop.forAll(corpusGen, textGen) { (corpus, probe) =>
+        // train on ONE corpus, encode a DIFFERENT string: identity must
+        // hold for any merge table, not just in-distribution text
+        val model = operators.Bpe.trainOnDocs(
+          corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+            .toDF("id", "text"),
+          "text", 12, mode = operators.Bpe.ModeBytes)
+        val out = operators.Bpe.encode(
+          Seq((0L, probe)).toDF("id", "text"), "text", model)
+          .select(operators.Bpe.decodeCol(col("tokens"), model).as("back"))
+          .head.getString(0)
+        out == probe
+      }
+    }
+  }
 }
