@@ -24,6 +24,39 @@ class StreamingSpec extends AnyFunSuite {
     dir.toString
   }
 
+  test("RocksDB state store: stream equals batch on the at-scale provider") {
+    // HDFSBackedStateStore (the default here) keeps state on the
+    // executor heap — the 100 TB provider is RocksDB, where state
+    // lives off-heap/on-disk per partition. The aggregate twin must
+    // produce identical results under it; the provider is captured at
+    // query start, so scoping the conf around start() is enough.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val q = try {
+      StreamingWindows
+        .tumblingCounts(StreamingWindows.eventsStream(
+          spark, stagedDir, s"$sf0001/events.parquet"))
+        .writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName("stream_tumbling_rocks")
+        .start()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+    try q.processAllAvailable()
+    finally q.stop()
+    val streamed = spark.table("stream_tumbling_rocks")
+      .orderBy("hour_start", "event_type").collect().toSeq.map(_.toString)
+    val batch = StreamingWindows.tumblingCounts(Tables.events(spark, sf0001))
+      .orderBy("hour_start", "event_type").collect().toSeq.map(_.toString)
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+  }
+
   test("tumblingCounts: streaming result equals batch result") {
     val q = StreamingWindows
       .tumblingCounts(StreamingWindows.eventsStream(
