@@ -79,43 +79,84 @@ case class BpeEncode(child: Expression, merges: Array[(String, String)],
     new java.util.HashMap[String, Array[String]](1 << 12)
   private val memoCap = 1 << 16
 
-  /** Greedy lowest-rank-first merge of one pre-tokenized word. */
+  /** Greedy lowest-rank-first merge of one pre-tokenized word —
+    * linked-list + min-heap, O(L log L) per word instead of the naive
+    * O(L²) rescan (which bites hard on unicode/byte modes, where an
+    * unsegmented CJK sentence or a long punctuation run is ONE unit).
+    *
+    * Semantics are EXACTLY the classic sweep ("repeat: lowest-rank
+    * pair present merges, occurrences left-to-right"): heap entries
+    * order by (rank, left-slot), slots are stable original positions
+    * so same-rank occurrences pop left-to-right, stale entries (a
+    * neighbor already merged away) re-validate on pop, and merging the
+    * leftmost occurrence of a pair can never create a new occurrence
+    * of the SAME pair to its left (the merged symbol a+b differs from
+    * both a and b), so one-at-a-time equals the sweep. BpeSpec's
+    * Sennrich sequence + a PropertySpec differential against the naive
+    * rescan pin the equivalence.
+    */
   private def encodeWord(w: String): Array[String] = {
     val hit = memo.get(w)
     if (hit != null) return hit
-    // byte mode: GPT-2 byte-char symbols, no sentinel; word modes:
-    // code-point symbols + </w>
-    var syms =
+    val init: Array[String] =
       if (mode == graft.operators.Bpe.ModeBytes)
         graft.operators.Bpe.byteSymbols(w)
       else graft.operators.Bpe.codePoints(w) :+ "</w>"
-    var done = false
-    while (!done && syms.length > 1) {
-      // Lowest-rank adjacent pair in the current symbol sequence.
-      var bestRank = Int.MaxValue
-      var j = 0
-      while (j < syms.length - 1) {
-        val r = rank.get(pairKey(syms(j), syms(j + 1)))
-        if (r != null && r.intValue() < bestRank) bestRank = r.intValue()
-        j += 1
-      }
-      if (bestRank == Int.MaxValue) done = true
-      else {
-        val (a, b) = merges(bestRank)
-        val out = new Array[String](syms.length)
-        var src = 0
-        var dst = 0
-        while (src < syms.length) {
-          if (src < syms.length - 1 && syms(src) == a && syms(src + 1) == b) {
-            out(dst) = a + b; src += 2
-          } else { out(dst) = syms(src); src += 1 }
-          dst += 1
+    val out = if (init.length < 2 || merges.isEmpty) init else {
+      val n = init.length
+      val sym = java.util.Arrays.copyOf(init, n)
+      val nxt = new Array[Int](n)
+      val prv = new Array[Int](n)
+      val dead = new Array[Boolean](n)
+      var i = 0
+      while (i < n) { nxt(i) = i + 1; prv(i) = i - 1; i += 1 }
+      nxt(n - 1) = -1
+      // (rank, slot) packed into one long: rank and slot are both
+      // non-negative ints, so natural long order = (rank, slot) order
+      val heap = new java.util.PriorityQueue[java.lang.Long](n)
+      def offer(slot: Int): Unit = {
+        val j = nxt(slot)
+        if (j >= 0) {
+          val r = rank.get(pairKey(sym(slot), sym(j)))
+          if (r != null)
+            heap.offer((r.longValue() << 32) | slot.toLong)
         }
-        syms = java.util.Arrays.copyOf(out, dst)
       }
+      i = 0
+      while (i < n - 1) { offer(i); i += 1 }
+      while (!heap.isEmpty) {
+        val e = heap.poll().longValue()
+        val r = (e >>> 32).toInt
+        val s = (e & 0xffffffffL).toInt
+        if (!dead(s)) {
+          val j = nxt(s)
+          if (j >= 0) {
+            // stale guard: the pair at this slot must still be the one
+            // this entry was queued for
+            val rr = rank.get(pairKey(sym(s), sym(j)))
+            if (rr != null && rr.intValue() == r) {
+              sym(s) = sym(s) + sym(j)
+              dead(j) = true
+              val k = nxt(j)
+              nxt(s) = k
+              if (k >= 0) prv(k) = s
+              if (prv(s) >= 0) offer(prv(s))
+              offer(s)
+            }
+          }
+        }
+      }
+      var cnt = 0
+      i = 0
+      while (i >= 0) { cnt += 1; i = nxt(i) }
+      val res = new Array[String](cnt)
+      var d = 0
+      i = 0
+      while (i >= 0) { res(d) = sym(i); d += 1; i = nxt(i) }
+      res
     }
-    if (memo.size < memoCap) memo.put(w, syms)
-    syms
+    if (memo.size < memoCap) memo.put(w, out)
+    out
   }
 
   // Token-id vocabulary: alphabet chars in order (ascii: 0–25 =

@@ -224,6 +224,55 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("heap-merge BPE encode equals the naive lowest-rank sweep") {
+    import spark.implicits._
+    // Differential oracle for the O(L log L) linked-list+heap encoder:
+    // the naive reference re-finds the lowest-rank adjacent pair and
+    // replaces ALL its occurrences left-to-right until none is in the
+    // table — the textbook sweep the fast path must reproduce exactly.
+    def naiveAscii(w: String, merges: Array[(String, String)]): List[String] = {
+      val rank = merges.zipWithIndex.toMap
+      var syms = (operators.Bpe.codePoints(w) :+ "</w>").toList
+      var done = false
+      while (!done && syms.length > 1) {
+        val present = syms.zip(syms.tail).flatMap(p => rank.get(p).map(p -> _))
+        if (present.isEmpty) done = true
+        else {
+          val (a, b) = present.minBy(_._2)._1
+          val out = scala.collection.mutable.ListBuffer.empty[String]
+          var rest = syms
+          while (rest.nonEmpty) rest match {
+            case x :: y :: t if x == a && y == b => out += (a + b); rest = t
+            case x :: t => out += x; rest = t
+            case Nil =>
+          }
+          syms = out.toList
+        }
+      }
+      syms
+    }
+    // words over a tiny alphabet so merges collide and cascade hard;
+    // include LONG words (the regime the heap rewrite exists for)
+    val wordGen = for {
+      n <- Gen.frequency(4 -> Gen.chooseNum(0, 12), 1 -> Gen.chooseNum(60, 200))
+      cs <- Gen.listOfN(n, Gen.oneOf('a', 'b', 'c'))
+    } yield cs.mkString
+    val histGen2 = Gen.nonEmptyListOf(
+      Gen.zip(wordGen.suchThat(_.nonEmpty), Gen.chooseNum(1L, 9L)))
+      .map(_.take(8))
+    check("heap vs sweep") {
+      Prop.forAll(histGen2, wordGen, Gen.chooseNum(1, 25)) { (h, probe, nm) =>
+        val model = operators.Bpe.trainFromHistogram(h, nm)
+        val got =
+          if (probe.isEmpty) Nil
+          else operators.Bpe.encode(
+            Seq((0L, probe)).toDF("id", "text"), "text", model)
+            .select(col("tokens")).head.getSeq[String](0).toList
+        got == (if (probe.isEmpty) Nil else naiveAscii(probe, model.merges))
+      }
+    }
+  }
+
   test("byte-level BPE decode∘encode is the identity on arbitrary valid text") {
     import spark.implicits._
     // valid code points only (unpaired surrogates are not UTF-8 and the
