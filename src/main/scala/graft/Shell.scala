@@ -68,6 +68,9 @@ import graft.sources.Tables
   *                                        order)
   *   curate                               end-to-end curation per-stage
   *                                        accounting report
+  *   shards <seqLen> <N> <epoch> <out>    curate + BPE + pack: write
+  *                                        one epoch's trainer shard
+  *                                        files per split under <out>
   *   spans <w>                            top-20 docs by duplicated
   *                                        w-token span coverage
   *   despan <w> [fix]                     exact-substring span removal
@@ -374,6 +377,18 @@ object Shell {
       case List("curate") =>
         noKnob()
         graft.operators.CorpusPipeline.curate(s, dir)._2.orderBy("stage")
+      // the full trainer flow: curate -> train-split BPE -> encode ->
+      // one epoch's shard FILES per split under <out>, tokenizer saved
+      // beside them; displays the per-split file accounting
+      case List("shards", seqLen, nMerges, epoch, out) =>
+        noKnob()
+        import s.implicits._
+        val (model, counts) = graft.operators.CorpusPipeline
+          .writeEpochShards(s, dir, nMerges.toInt, seqLen.toInt,
+            epoch.toLong, out, seqsPerFile = 16)
+        counts.toSeq.sortBy(_._1)
+          .map { case (sp, n) => (sp, n, model.merges.length) }
+          .toDF("split", "n_files", "n_merges")
       // exact-substring span REMOVAL accounting: one pass, or to a
       // fixpoint with `despan <w> fix`
       case List("despan", w) =>

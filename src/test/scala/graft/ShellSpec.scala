@@ -251,6 +251,21 @@ class ShellSpec extends AnyFunSuite {
     }
   }
 
+  test("shards command writes per-split epoch files plus the tokenizer") {
+    val out = java.nio.file.Files.createTempDirectory("graft-shcmd").toString
+    val rep = Shell.run(spark, sf0001, s"shards 256 20 1 $out").collect()
+      .map(r => (r.getString(0), r.getInt(1))).toMap
+    graft.Materialize.releaseAll()
+    assert(rep.keySet === Set("train", "val", "test"))
+    assert(rep.values.forall(_ >= 1))
+    Seq("train", "val", "test", "tokenizer").foreach { d =>
+      assert(new java.io.File(s"$out/$d").exists(), s"$d missing")
+    }
+    // the shards really read back as token sequences
+    val n = spark.read.parquet(s"$out/train").count()
+    assert(n > 0)
+  }
+
   test("despan command accounts removals; fix adds the round count") {
     val one = Shell.run(spark, sf0001, "despan 6").head()
     assert(one.getLong(0) === 500L)
