@@ -96,6 +96,41 @@ object Packing {
         x => x("__tok")).as("token_ids"))
       .withColumn("n_tokens", size(col("token_ids")))
 
+  /** [[packTokens]] plus per-chunk DOCUMENT BOUNDARIES: `doc_starts`
+    * lists the in-chunk positions (0-based, ascending) where a
+    * document's FIRST token lands — exactly what a trainer needs to
+    * mask cross-document attention inside packed sequences (tokens
+    * before the first start continue the previous chunk's tail
+    * document). Same plan as packTokens: the start flag rides the
+    * posexplode row and folds in the SAME chunk aggregate — zero extra
+    * shuffles (`collect_list` drops the nulls of non-start tokens).
+    */
+  def packTokensWithBoundaries(df: DataFrame, idCol: String,
+      tokensCol: String, seqLen: Int, eosId: Int): DataFrame = {
+    require(seqLen > 0, s"seqLen=$seqLen")
+    val withLen = df.select(col(idCol).as("__id"),
+      concat(col(tokensCol), array(lit(eosId))).as("__ids"))
+      .withColumn("__len", size(col("__ids")).cast("long"))
+    val offsets = PrefixSum.globalCumsum(withLen, "__id", Seq("__len"))
+      .withColumn("__start", col("__cw___len") - col("__len"))
+    offsets
+      .select(col("__start"), posexplode(col("__ids")).as(Seq("__p", "__tok")))
+      .select((col("__start") + col("__p")).as("__abs"), col("__tok"),
+        (col("__p") === 0).as("__s0"))
+      .select(expr(s"__abs div $seqLen").as("seq_id"),
+        (col("__abs") % seqLen).cast("int").as("__pos"), col("__tok"),
+        col("__s0"))
+      .groupBy("seq_id")
+      .agg(
+        transform(
+          array_sort(collect_list(struct(col("__pos"), col("__tok")))),
+          x => x("__tok")).as("token_ids"),
+        array_sort(collect_list(when(col("__s0"), col("__pos"))))
+          .as("doc_starts"))
+      .withColumn("n_tokens", size(col("token_ids")))
+      .orderBy("seq_id")
+  }
+
   /** Pack one training EPOCH: the corpus is globally permuted by
     * xxhash64(`idCol`, `epoch`) — the [[Sampling.epochShuffle]]
     * permutation, hash collisions broken by the original id — and the

@@ -109,6 +109,37 @@ object StreamingWindows {
   /** 1-hour tumbling window × event_type (the q_window_tumbling twin). */
   def tumblingCounts(events: DataFrame): DataFrame = windowedCounts(events)
 
+  /** STREAM-STREAM interval join: each view pairs with the same user's
+    * purchases landing within `window` after it — the attribution
+    * primitive (q_events_attribution's streaming twin), and the one
+    * join class only Structured Streaming state can express: BOTH
+    * sides are unbounded, so each buffers in the state store and the
+    * event-time bound + watermarks are what let state evict (without
+    * the interval condition the state would grow forever — Spark
+    * rejects the plan). Works identically on batch frames (the
+    * interval condition is just a θ-join there), which is exactly what
+    * StreamingSpec exploits to prove stream == batch on bounded input.
+    */
+  def viewPurchaseJoin(events: DataFrame,
+      window: String = "30 minutes"): DataFrame = {
+    val views = events
+      .filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("v_event"))
+      .withWatermark("v_ts", "1 hour")
+    val purchases = events
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_event"), col("value"))
+      .withWatermark("p_ts", "1 hour")
+    views.join(purchases,
+      col("v_user") === col("p_user") &&
+        col("p_ts") >= col("v_ts") &&
+        col("p_ts") <= col("v_ts") + expr(s"INTERVAL $window"))
+      .select(col("v_user").as("user_id"), col("v_event"), col("p_event"),
+        col("v_ts"), col("p_ts"), col("value"))
+  }
+
   /** Exactly-once stream dedup on event_id: watermark-bounded
     * `dropDuplicates` — the streaming form of exact dedup, state
     * evicted once the watermark passes.

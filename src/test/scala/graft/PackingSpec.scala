@@ -97,6 +97,49 @@ class PackingSpec extends AnyFunSuite {
     }
   }
 
+  test("packTokensWithBoundaries: doc starts mark exactly each doc's first token") {
+    // stream (EOS=99): 10 11 12 99 | 20 99 30 31 | 32 33 34 99 | 40 41 99
+    //   chunk 0: doc1 starts at 0
+    //   chunk 1: doc2 starts at 0, doc3 starts at 2 (doc3 spans into 2)
+    //   chunk 2: NO start (all doc3's tail) -> empty doc_starts
+    //   chunk 3: doc4 starts at 0
+    val rows = Packing
+      .packTokensWithBoundaries(crafted, "doc_id", "token_ids", 4, 99)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1).toList, r.getSeq[Int](2).toList))
+    assert(rows.toList === List(
+      (0L, List(10, 11, 12, 99), List(0)),
+      (1L, List(20, 99, 30, 31), List(0, 2)),
+      (2L, List(32, 33, 34, 99), List()),
+      (3L, List(40, 41, 99), List(0))))
+
+    // fixture-scale invariants: token stream identical to packTokens,
+    // starts count == doc count, every start position's token begins a
+    // document (cross-checked against cumulative offsets)
+    val model = Bpe.train(spark, SparkTestBase.sf0001, 30)
+    val eos = model.vocabIds.size
+    val encoded = Bpe.encodeIds(
+      sources.Tables.documents(spark, SparkTestBase.sf0001), "text", model)
+      .select("doc_id", "token_ids")
+    val withB = Packing
+      .packTokensWithBoundaries(encoded, "doc_id", "token_ids", 512, eos)
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1), r.getSeq[Int](2)))
+    val plain = Packing.packTokens(encoded, "doc_id", "token_ids", 512, eos)
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1)))
+    assert(withB.map(t => (t._1, t._2)).toSeq === plain.toSeq)
+    val nDocs = encoded.count()
+    assert(withB.map(_._3.size).sum === nDocs,
+      "every document starts exactly once across the chunks")
+    // reconstruct global start offsets from (seq_id, in-chunk pos) and
+    // compare with the prefix-sum reference
+    val gotStarts = withB.flatMap { case (sid, _, ss) =>
+      ss.map(p => sid * 512 + p) }.sorted.toSeq
+    val lens = encoded.orderBy("doc_id").collect()
+      .map(_.getSeq[Int](1).length + 1)
+    val refStarts = lens.scanLeft(0L)(_ + _).init.toSeq
+    assert(gotStarts === refStarts)
+  }
+
   test("packShuffled: per-epoch determinism, permutation, conservation") {
     val model = Bpe.train(spark, SparkTestBase.sf0001, 40)
     val eos = model.vocabIds.size

@@ -57,6 +57,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("stream-stream interval join equals the batch θ-join across micro-batches") {
+    // BOTH sides unbounded: views and purchases each buffer in the
+    // state store and pair across micro-batch boundaries (a view in
+    // slice 1 must still catch a purchase arriving in slice 2) — the
+    // join class neither a window nor mapGroupsWithState covers. The
+    // replay dir stages TWO event-time slices, one file per batch.
+    import graft.streaming.StreamReplay
+    val dir = StreamReplay.replayDir(spark, sf0001)
+    val q = StreamingWindows
+      .viewPurchaseJoin(StreamingWindows.eventsStream(
+        spark, dir, s"$dir/000.parquet"), window = "24 hours")
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("stream_ss_join")
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+
+    val streamed = spark.table("stream_ss_join")
+      .orderBy("v_event", "p_event").collect().toSeq.map(_.toString)
+    val batch = StreamingWindows
+      .viewPurchaseJoin(Tables.events(spark, sf0001), window = "24 hours")
+      .orderBy("v_event", "p_event").collect().toSeq.map(_.toString)
+    assert(streamed.nonEmpty, "fixture must produce view->purchase pairs")
+    assert(streamed === batch)
+
+    // pairs really cross the micro-batch boundary: the slices are cut
+    // by event time, so a pair with v_ts before the second slice's
+    // start and p_ts after it had its two sides in different batches
+    val bound = spark.read.parquet(s"$dir/001.parquet")
+      .agg(min(col("ts"))).head.getTimestamp(0)
+    val crossing = spark.table("stream_ss_join")
+      .filter(col("v_ts") < lit(bound) && col("p_ts") >= lit(bound))
+      .count()
+    assert(crossing > 0,
+      "at least one joined pair must straddle the micro-batch boundary")
+  }
+
   test("tumblingCounts: streaming result equals batch result") {
     val q = StreamingWindows
       .tumblingCounts(StreamingWindows.eventsStream(
