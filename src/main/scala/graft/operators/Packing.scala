@@ -68,7 +68,8 @@ object Packing {
     * by the new key instead of the id.
     */
   private def packShuffledCore(df: DataFrame, idCol: String,
-      tokensCol: String, seqLen: Int, eosId: Int, epoch: Long): DataFrame = {
+      tokensCol: String, seqLen: Int, eosId: Int, epoch: Long,
+      withBounds: Boolean = false): DataFrame = {
     require(seqLen > 0, s"seqLen=$seqLen")
     val withLen = df.select(col(idCol).as("__id"),
       concat(col(tokensCol), array(lit(eosId))).as("__ids"))
@@ -76,25 +77,39 @@ object Packing {
       .withColumn("__len", size(col("__ids")).cast("long"))
     val offsets = PrefixSum.globalCumsum(withLen, "__shuf", "__id", Seq("__len"))
       .withColumn("__start", col("__cw___len") - col("__len"))
-    assemble(offsets, seqLen)
+    assemble(offsets, seqLen, withBounds)
   }
 
-  /** Shared tail of both pack variants: token → absolute stream slot →
-    * one hash-aggregate shuffle keyed by chunk.
+  /** Shared tail of every pack variant: token → absolute stream slot →
+    * one hash-aggregate shuffle keyed by chunk. With `withBounds` the
+    * chunk aggregate ALSO folds `doc_starts` — the in-chunk positions
+    * where a document's first token lands (cross-document
+    * attention-mask metadata) — from a start flag riding the same
+    * posexplode row: zero extra shuffles, `collect_list` drops the
+    * nulls of non-start tokens.
     */
-  private def assemble(offsets: DataFrame, seqLen: Int): DataFrame =
-    offsets
+  private def assemble(offsets: DataFrame, seqLen: Int,
+      withBounds: Boolean = false): DataFrame = {
+    val packed = offsets
       .select(col("__start"), posexplode(col("__ids")).as(Seq("__p", "__tok")))
-      .select((col("__start") + col("__p")).as("__abs"), col("__tok"))
+      .select((col("__start") + col("__p")).as("__abs"), col("__tok"),
+        (col("__p") === 0).as("__s0"))
       // integer div/mod: absolute offsets are longs that can exceed
       // 2^53 at stream scale — double math would corrupt them
       .select(expr(s"__abs div $seqLen").as("seq_id"),
-        (col("__abs") % seqLen).cast("int").as("__pos"), col("__tok"))
-      .groupBy("seq_id")
-      .agg(transform(
-        array_sort(collect_list(struct(col("__pos"), col("__tok")))),
-        x => x("__tok")).as("token_ids"))
-      .withColumn("n_tokens", size(col("token_ids")))
+        (col("__abs") % seqLen).cast("int").as("__pos"), col("__tok"),
+        col("__s0"))
+    val toks = transform(
+      array_sort(collect_list(struct(col("__pos"), col("__tok")))),
+      x => x("__tok")).as("token_ids")
+    val grouped =
+      if (withBounds)
+        packed.groupBy("seq_id").agg(toks,
+          array_sort(collect_list(when(col("__s0"), col("__pos"))))
+            .as("doc_starts"))
+      else packed.groupBy("seq_id").agg(toks)
+    grouped.withColumn("n_tokens", size(col("token_ids")))
+  }
 
   /** [[packTokens]] plus per-chunk DOCUMENT BOUNDARIES: `doc_starts`
     * lists the in-chunk positions (0-based, ascending) where a
@@ -113,22 +128,7 @@ object Packing {
       .withColumn("__len", size(col("__ids")).cast("long"))
     val offsets = PrefixSum.globalCumsum(withLen, "__id", Seq("__len"))
       .withColumn("__start", col("__cw___len") - col("__len"))
-    offsets
-      .select(col("__start"), posexplode(col("__ids")).as(Seq("__p", "__tok")))
-      .select((col("__start") + col("__p")).as("__abs"), col("__tok"),
-        (col("__p") === 0).as("__s0"))
-      .select(expr(s"__abs div $seqLen").as("seq_id"),
-        (col("__abs") % seqLen).cast("int").as("__pos"), col("__tok"),
-        col("__s0"))
-      .groupBy("seq_id")
-      .agg(
-        transform(
-          array_sort(collect_list(struct(col("__pos"), col("__tok")))),
-          x => x("__tok")).as("token_ids"),
-        array_sort(collect_list(when(col("__s0"), col("__pos"))))
-          .as("doc_starts"))
-      .withColumn("n_tokens", size(col("token_ids")))
-      .orderBy("seq_id")
+    assemble(offsets, seqLen, withBounds = true).orderBy("seq_id")
   }
 
   /** Pack one training EPOCH: the corpus is globally permuted by
@@ -162,8 +162,12 @@ object Packing {
   def writeShardsShuffled(df: DataFrame, idCol: String, tokensCol: String,
       seqLen: Int, eosId: Int, epoch: Long, path: String,
       seqsPerFile: Int): Int =
+    // trainer shard files carry doc_starts: the attention-mask
+    // metadata has to land WITH the tokens or the trainer cannot
+    // reconstruct it (the permuted doc order exists only here)
     shardWriter(df, tokensCol, seqLen, seqsPerFile,
-      packShuffledCore(df, idCol, tokensCol, seqLen, eosId, epoch), path)
+      packShuffledCore(df, idCol, tokensCol, seqLen, eosId, epoch,
+        withBounds = true), path)
 
   private def shardWriter(df: DataFrame, tokensCol: String, seqLen: Int,
       seqsPerFile: Int, packed: DataFrame, path: String): Int = {

@@ -194,6 +194,15 @@ class PackingSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getSeq[Int](1)))
     assert(got.toSeq === expect.toSeq)
     assert(nFiles === (expect.length + 9) / 10)
+
+    // trainer shards carry the attention-mask metadata: doc_starts
+    // lands with the tokens, one start per document across the files,
+    // every start slot holding that document's first token
+    val back = spark.read.parquet(dir)
+    assert(back.columns.contains("doc_starts"))
+    val nStarts = back
+      .select(explode(col("doc_starts"))).count()
+    assert(nStarts === encoded.count())
   }
 
   test("no global sort in the packing plan (chunks reassemble locally)") {
