@@ -71,6 +71,8 @@ import graft.sources.Tables
   *   shards <seqLen> <N> <epoch> <out>    curate + BPE + pack: write
   *                                        one epoch's trainer shard
   *                                        files per split under <out>
+  *   quality <k>                          learned quality classifier:
+  *                                        k lowest-scored docs
   *   spans <w>                            top-20 docs by duplicated
   *                                        w-token span coverage
   *   despan <w> [fix]                     exact-substring span removal
@@ -412,6 +414,18 @@ object Shell {
           sum(col("n_toks")).as("tokens_in"),
           sum(col("n_removed")).as("tokens_removed"),
           lit(rounds).as("rounds"))
+      // learned quality scoring: train the CCNet-style classifier on
+      // the heuristic bands, show the k lowest-scored docs (the ones a
+      // threshold would drop first) with score, label, and length
+      case List("quality", k) =>
+        noKnob()
+        val (_, scored) = graft.operators.QualityClassifier
+          .trainAndScore(s, dir)
+        scored
+          .select(col("doc_id"), round(col("quality_score"), 4).as("score"),
+            col("label"), size(split(col("text"), " ")).as("n_toks"))
+          .orderBy(col("score"), col("doc_id"))
+          .limit(k.toInt)
       // exact-substring duplication: top-20 docs by duplicated w-token
       // span coverage (the Lee et al. exact-substring dedup signal)
       case List("spans", w) =>

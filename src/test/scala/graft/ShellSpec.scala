@@ -277,6 +277,18 @@ class ShellSpec extends AnyFunSuite {
     assert(fix.getInt(4) >= 1)
   }
 
+  test("quality command surfaces the lowest-scored docs") {
+    val rows = Shell.run(spark, sf0001, "quality 10").collect()
+    graft.Materialize.releaseAll()
+    assert(rows.length === 10)
+    val scores = rows.map(_.getDouble(1)).toSeq
+    assert(scores === scores.sorted, "ascending by score")
+    assert(scores.forall(s => s >= 0.0 && s <= 1.0))
+    // the lowest-scored docs should be mostly heuristic negatives
+    assert(rows.map(_.getDouble(2)).sum <= 3.0,
+      "bottom-10 by learned score must be mostly label-0 docs")
+  }
+
   test("spans command reports top duplicated-span coverage") {
     val rep = Shell.run(spark, sf0001, "spans 6").collect()
     assert(rep.length <= 20 && rep.nonEmpty)
