@@ -221,9 +221,14 @@ object Bench {
     // the raw total when no reference or probe exists. Round-over-round
     // comparisons should read THIS beside the raw value instead of
     // hunting for a quiet-run twin; it is an estimate, not a
-    // measurement — the raw total stays the value of record.
+    // measurement — the raw total stays the value of record. Floored
+    // at 0.7: a heavily-loaded run must not discount itself below a
+    // ~1.4× credit — past that, a human has to find the quiet twin,
+    // and a deeply-discounted estimate would invite reading a failed
+    // gate as passing (round-13 advice).
     val normFactor =
-      if (probeRef > 0 && post.nonEmpty) math.min(1.0, probeRef / post.min)
+      if (probeRef > 0 && post.nonEmpty)
+        math.max(0.7, math.min(1.0, probeRef / post.min))
       else 1.0
     val totalNorm = total * normFactor
     val normJson =

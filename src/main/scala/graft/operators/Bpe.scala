@@ -392,18 +392,26 @@ object Bpe {
       .write.mode("overwrite").parquet(path)
   }
 
-  /** Load a model saved by [[save]] — exact roundtrip (BpeSpec). */
+  /** Load a model saved by [[save]] — exact roundtrip (BpeSpec).
+    * Artifacts written before the alphabet/mode columns existed
+    * (v1: rank,left,right,coverage only) load with the historical
+    * defaults (a–z alphabet, ascii mode) instead of throwing.
+    */
   def load(spark: SparkSession, path: String): BpeModel = {
-    val rows = spark.read.parquet(path)
-      .orderBy("rank")
-      .select("left", "right", "coverage", "alphabet", "mode")
-      .collect()
+    val df = spark.read.parquet(path)
+    val v2 = df.columns.contains("alphabet") && df.columns.contains("mode")
+    val rows =
+      if (v2) df.orderBy("rank").select("left", "right", "coverage", "alphabet", "mode").collect()
+      else df.orderBy("rank").select("left", "right", "coverage").collect()
     if (rows.isEmpty) BpeModel(Array.empty, 1.0)
-    else BpeModel(
+    else if (v2) BpeModel(
       rows.map(r => (r.getString(0), r.getString(1))),
       rows.head.getDouble(2),
       codePoints(rows.head.getString(3)),
       rows.head.getString(4))
+    else BpeModel(
+      rows.map(r => (r.getString(0), r.getString(1))),
+      rows.head.getDouble(2))
   }
 
   /** Per-source tokenizer report over the corpus: BPE token count vs

@@ -72,8 +72,11 @@ object QualityClassifier {
     */
   def heuristicLabel(textCol: String) =
     (size(toks(textCol)).between(20, 90) &&
-      (length(regexp_replace(col(textCol), "[^a-z]", "")).cast("double") /
-        length(col(textCol))) >= 0.81).cast("double")
+      // coalesce mirrors featurize's __alpha: an empty text makes the
+      // division NULL → NULL label → LogisticRegression.fit throws.
+      coalesce(
+        length(regexp_replace(col(textCol), "[^a-z]", "")).cast("double") /
+          length(col(textCol)), lit(0.0)) >= 0.81).cast("double")
 
   /** Train on `docs` with a 0/1 double `labelCol`. */
   def train(docs: DataFrame, textCol: String, labelCol: String,

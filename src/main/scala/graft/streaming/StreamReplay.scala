@@ -226,10 +226,22 @@ object StreamReplay {
       }
       val v = UpsertFileSink.lastCommitted(s, root).getOrElse(
         sys.error(s"stream sink committed nothing under $root"))
-      s.read.parquet(s"$root/v=$v")
+      val snap = s.read.parquet(s"$root/v=$v")
         .select(date_format(col("hour_start"), "yyyy-MM-dd HH").as("k1"),
           col("event_type"), col("n"), col("sum_value_c").as("v_c"))
         .orderBy("k1", "event_type")
+      // Materialize the (tiny: one row per hour×type) snapshot into a
+      // local frame so the landing root can be deleted NOW — a lazy
+      // read would pin the root on /dev/shm forever (it persists
+      // across JVMs, so bench reps would otherwise accumulate one
+      // committed snapshot tree per rep on the same tmpfs that hosts
+      // spark.local.dir).
+      val rows = snap.collect()
+      try {
+        import scala.reflect.io.Directory
+        new Directory(new java.io.File(root)).deleteRecursively()
+      } catch { case _: Throwable => () }
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), snap.schema)
     })
   )
 

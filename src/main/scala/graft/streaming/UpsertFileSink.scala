@@ -97,6 +97,19 @@ object UpsertFileSink {
     * (I/U/D) and `seqCol` (newest wins). An update-mode aggregate
     * stream without natural op/seq columns can pass constants:
     * `lit("U")` and the batch id (see [[upsertsOnly]]).
+    *
+    * PRECONDITION (aggregate streams stamped seq=batchId): every
+    * update for a key must arrive while its state is still live —
+    * i.e. append-within-watermark. If the engine EVICTS a window's
+    * state and a straggler row later re-creates it, the new partial
+    * aggregate carries a NEWER seq and newest-wins would overwrite
+    * the previously committed full row with the partial one. Spark's
+    * watermark makes this impossible for rows later than the
+    * watermark by ≥ 2 micro-batches (they are dropped, never
+    * re-aggregated), so ordered replays and watermarked production
+    * streams are safe; a source that can resurrect evicted windows
+    * must instead merge additively (read-modify-write the snapshot
+    * row) rather than stamp seq=batchId.
     */
   def upsertBatch(batch: DataFrame, batchId: Long, root: String,
       keyCols: Seq[String], seqCol: String = "seq",
@@ -213,6 +226,8 @@ object UpsertFileSink {
     * older versions untouched — the shape that survives a 100 TB table
     * taking small streaming batches. Same exactly-once protocol: the
     * single marker publishes every bucket version this batch wrote.
+    * The same append-within-watermark precondition as [[upsertBatch]]
+    * applies to seq=batchId aggregate streams.
     */
   def upsertBatchBucketed(batch: DataFrame, batchId: Long, root: String,
       keyCols: Seq[String], nBuckets: Int, seqCol: String = "seq",
