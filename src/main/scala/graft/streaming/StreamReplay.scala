@@ -173,7 +173,11 @@ object StreamReplay {
           lpad(col("session_id").cast("string"), 4, "0").as("k2"),
           col("n_events").as("n"), lit(null).cast("long").as("v_c"))
 
-      tum.unionAll(sess).orderBy("kind", "k1", "k2")
+      // The union is window rows + closed sessions (a few thousand at
+      // sf0.1) already sitting in two driver-local memory-sink tables
+      // — one task sorts it; a global orderBy would pay a 32-partition
+      // range exchange (sampling pass + 32 scheduled tasks).
+      tum.unionAll(sess).coalesce(1).sortWithinPartitions("kind", "k1", "k2")
     }),
 
     // The LANDING-ZONE gate (round 13): the same replay, but in UPDATE
@@ -226,10 +230,15 @@ object StreamReplay {
       }
       val v = UpsertFileSink.lastCommitted(s, root).getOrElse(
         sys.error(s"stream sink committed nothing under $root"))
+      // coalesce(1) + sortWithinPartitions: the snapshot is one row
+      // per hour×type (~170 rows) — a global orderBy would pay a
+      // 32-partition range exchange (sampling pass + 32 scheduled
+      // tasks) to sort what one task sorts instantly.
       val snap = s.read.parquet(s"$root/v=$v")
         .select(date_format(col("hour_start"), "yyyy-MM-dd HH").as("k1"),
           col("event_type"), col("n"), col("sum_value_c").as("v_c"))
-        .orderBy("k1", "event_type")
+        .coalesce(1)
+        .sortWithinPartitions("k1", "event_type")
       // Materialize the (tiny: one row per hour×type) snapshot into a
       // local frame so the landing root can be deleted NOW — a lazy
       // read would pin the root on /dev/shm forever (it persists
