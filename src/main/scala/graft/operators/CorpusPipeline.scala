@@ -40,25 +40,23 @@ object CorpusPipeline {
   private val MaxToks = 90
   private val MinAlpha = 0.81
 
-  /** Curate the documents table at `dir`: returns (corpus, report).
-    * Corpus: (doc_id, lang, pred_lang, n_toks, split) for every
-    * surviving doc. Report: one row per pipeline stage with docs
-    * remaining and docs dropped at that stage.
+  /** The one materialized flags pass shared by [[curate]] and
+    * [[curateLearned]]: all three dedup keeper verdicts plus the
+    * per-row quality inputs and the heuristic quality verdict.
+    *
+    * rank-1-among-survivors trick: partition by the stage's digest,
+    * order PRIOR-stage survivors first then doc_id; the top row is the
+    * group's keeper iff it survived the prior stage (a group whose
+    * docs were all dropped earlier keeps nothing).
     */
-  def curate(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  private def dedupFlags(s: SparkSession, dir: String): DataFrame = {
     graft.plans.MinHashSignature.register(s)
-    import s.implicits._
 
-    // ---- one flags frame: all three dedup verdicts + quality --------
-    // rank-1-among-survivors trick: partition by the stage's digest,
-    // order PRIOR-stage survivors first then doc_id; the top row is the
-    // group's keeper iff it survived the prior stage (a group whose
-    // docs were all dropped earlier keeps nothing).
     def keeper(part: String, prior: org.apache.spark.sql.Column) =
       row_number().over(Window.partitionBy(col(part))
         .orderBy(when(prior, 0).otherwise(1), col("doc_id"))) === 1 && prior
 
-    val flags = graft.Materialize.checkpoint(
+    graft.Materialize.checkpoint(
       Tables.documents(s, dir)
         .select(col("doc_id"), col("lang"), col("text"),
           split(col("text"), " ").as("toks"))
@@ -80,26 +78,49 @@ object CorpusPipeline {
         .withColumn("quality_ok", col("k_near") &&
           col("n_toks").between(MinToks, MaxToks) &&
           col("alpha_ratio") >= MinAlpha))
+  }
 
-    // ---- curated corpus: langid argmax + split tag on survivors -----
+  /** Survivor tagging shared by both curation variants: broadcast-dict
+    * language argmax + deterministic md5 split tag (q_sample_split's
+    * exact thresholds), all map-side after one tiny dict join. Input
+    * must carry (doc_id, lang, toks, n_toks) plus any `extra` columns
+    * to pass through.
+    */
+  private def tagSurvivors(s: SparkSession, survivors: DataFrame,
+      extra: Seq[String] = Nil): DataFrame = {
+    import s.implicits._
     val dict = TextExtras.langMarkers.toDF("cand", "w1", "w2")
     val lw = Window.partitionBy("doc_id")
       .orderBy(col("score").desc, col("cand"))
-    val corpus = flags.filter(col("quality_ok"))
-      .select(col("doc_id"), col("lang"), col("toks"), col("n_toks"))
+    survivors
       .crossJoin(broadcast(dict))
-      .select(col("doc_id"), col("lang"), col("n_toks"), col("cand"),
-        expr("size(filter(toks, t -> t = w1 OR t = w2))").as("score"))
+      .select((Seq(col("doc_id"), col("lang"), col("n_toks"), col("cand"),
+        expr("size(filter(toks, t -> t = w1 OR t = w2))").as("score")) ++
+        extra.map(col)): _*)
       .withColumn("rn", row_number().over(lw))
       .filter(col("rn") === 1)
-      .select(col("doc_id"), col("lang"), col("cand").as("pred_lang"),
+      .select((Seq(col("doc_id"), col("lang"), col("cand").as("pred_lang"),
         col("n_toks"),
         // deterministic ~80/10/10 by doc_id digest — q_sample_split's
         // exact tag expression (lexicographic hex thresholds)
         when(md5(col("doc_id").cast("string").cast("binary")) < "cc", "train")
           .when(md5(col("doc_id").cast("string").cast("binary")) < "e6", "val")
-          .otherwise("test").as("split"))
+          .otherwise("test").as("split")) ++ extra.map(col)): _*)
       .orderBy("doc_id")
+  }
+
+  /** Curate the documents table at `dir`: returns (corpus, report).
+    * Corpus: (doc_id, lang, pred_lang, n_toks, split) for every
+    * surviving doc. Report: one row per pipeline stage with docs
+    * remaining and docs dropped at that stage.
+    */
+  def curate(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    import s.implicits._
+    val flags = dedupFlags(s, dir)
+
+    // ---- curated corpus: langid argmax + split tag on survivors -----
+    val corpus = tagSurvivors(s, flags.filter(col("quality_ok"))
+      .select(col("doc_id"), col("lang"), col("toks"), col("n_toks")))
 
     // ---- per-stage accounting from the same flags pass --------------
     val c = flags.agg(
@@ -115,6 +136,89 @@ object CorpusPipeline {
       ("03_minhash_dedup", c.getLong(3), c.getLong(2) - c.getLong(3)),
       ("04_quality_filter", c.getLong(4), c.getLong(3) - c.getLong(4)))
     (corpus, stages.toDF("stage", "docs_remaining", "docs_dropped"))
+  }
+
+  /** [[curate]] with the LEARNED quality stage composed in — the
+    * GPT-3/CCNet data-refresh recipe the heuristic bands approximate:
+    * the dedup cascade is unchanged, but the final filter keeps a
+    * dedup survivor iff the [[QualityClassifier]] (weak-labeled by the
+    * heuristic bands, trained on the train split only — the same
+    * leakage discipline as the tokenizer) scores it ≥ `tau`.
+    *
+    * Returns (corpus, report, model). Corpus rows carry the same
+    * columns as [[curate]]'s plus `quality_score`, so a downstream
+    * Pareto importance-sampler ([[paretoKeep]], the GPT-3 paper's
+    * trick) can resample without rescoring.
+    *
+    * Scale shape: training sees only train-split docs (one bounded
+    * L-BFGS job over hashed features — no vocabulary build); scoring
+    * is map-side over the documents scan; composing scores with the
+    * dedup verdicts is ONE doc_id join between two frames that both
+    * already exist — no extra corpus pass. Deterministic end to end:
+    * fixed maxIter, hash features, no RNG (CorpusPipelineSpec pins
+    * run-to-run equality), and the heuristic path ([[curate]],
+    * contract row q_pipeline_curate) is untouched.
+    */
+  def curateLearned(s: SparkSession, dir: String, tau: Double = 0.5,
+      numFeatures: Int = 1 << 9, maxIter: Int = 100)
+      : (DataFrame, DataFrame, QualityClassifier.Model) = {
+    import s.implicits._
+    val flags = dedupFlags(s, dir)
+
+    // weak-label + train on the train split of the RAW docs (the crawl
+    // side of the GPT-3 recipe), then score every doc map-side
+    val docs = Tables.documents(s, dir)
+      .withColumn("label", QualityClassifier.heuristicLabel("text"))
+      .withColumn("__split",
+        when(md5(col("doc_id").cast("string").cast("binary")) < "cc",
+          "train").otherwise("heldout"))
+    val model = QualityClassifier.train(
+      docs.filter(col("__split") === "train"), "text", "label",
+      numFeatures, maxIter)
+    val scores = QualityClassifier.score(docs, "text", model)
+      .select(col("doc_id"), col("quality_score"))
+
+    val joined = graft.Materialize.checkpoint(
+      flags.join(scores, Seq("doc_id"))
+        .withColumn("learned_ok",
+          col("k_near") && col("quality_score") >= lit(tau)))
+
+    val corpus = tagSurvivors(s, joined.filter(col("learned_ok"))
+      .select(col("doc_id"), col("lang"), col("toks"), col("n_toks"),
+        col("quality_score")), extra = Seq("quality_score"))
+
+    val c = joined.agg(
+      count(lit(1)).as("total"),
+      sum(col("k_exact").cast("long")).as("after_exact"),
+      sum(col("k_norm").cast("long")).as("after_norm"),
+      sum(col("k_near").cast("long")).as("after_near"),
+      sum(col("learned_ok").cast("long")).as("after_learned")).head()
+    val stages = Seq(
+      ("00_input", c.getLong(0), 0L),
+      ("01_exact_dedup", c.getLong(1), c.getLong(0) - c.getLong(1)),
+      ("02_norm_dedup", c.getLong(2), c.getLong(1) - c.getLong(2)),
+      ("03_minhash_dedup", c.getLong(3), c.getLong(2) - c.getLong(3)),
+      (f"04_learned_quality_tau$tau%.2f", c.getLong(4),
+        c.getLong(3) - c.getLong(4)))
+    (corpus, stages.toDF("stage", "docs_remaining", "docs_dropped"), model)
+  }
+
+  /** The GPT-3 paper's Pareto importance-keep, made deterministic:
+    * keep a scored doc iff `paretoDraw(u) > 1 − quality_score` where
+    * the Lomax(α) draw `(1−u)^(−1/α) − 1` uses a hash-uniform u keyed
+    * by (doc_id, seed) — reproducible under any partitioning/retry,
+    * unlike `rand()`. Keep probability is monotone in the score and
+    * every doc retains a nonzero chance, which is the recipe's point:
+    * a hard threshold deterministically excises whole regions of the
+    * distribution; the Pareto keep only TILTS toward high scores.
+    */
+  def paretoKeep(scored: DataFrame, idCol: String, scoreCol: String,
+      alpha: Double = 9.0, seed: Long = 0L): DataFrame = {
+    require(alpha > 0.0, s"alpha=$alpha")
+    val u = (pmod(xxhash64(col(idCol), lit(seed)), lit(1L << 53))
+      .cast("double") + 1.0) / lit((1L << 53).toDouble + 2.0)
+    val draw = pow(lit(1.0) - u, lit(-1.0 / alpha)) - lit(1.0)
+    scored.filter(draw > lit(1.0) - col(scoreCol))
   }
 
   /** The pipeline's last mile: curate → train a BPE tokenizer on the

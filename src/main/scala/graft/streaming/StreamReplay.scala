@@ -112,7 +112,7 @@ object StreamReplay {
   private def runToMemory(s: SparkSession, dfs: Seq[(DataFrame, String)])
       : Seq[DataFrame] = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
+    s.conf.set("spark.sql.shuffle.partitions", "2")
     // Start ALL queries before waiting on any: per-micro-batch
     // planning/commit overhead dominates job time at fixture scale, and
     // concurrent streams interleave their batches on the same executors
@@ -207,7 +207,7 @@ object StreamReplay {
         new Directory(new java.io.File(root)).deleteRecursively()
       } catch { case _: Throwable => () }
       val prev = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
+      s.conf.set("spark.sql.shuffle.partitions", "2")
       val q = try {
         StreamingWindows.windowedCounts(
           StreamingWindows.eventsStream(s, dir, schemaFrom))
@@ -215,8 +215,11 @@ object StreamReplay {
           .outputMode("update")
           .option("checkpointLocation", ckpt)
           .foreachBatch { (df: DataFrame, id: Long) =>
+            // outFiles=1: the snapshot is one row per hour×type (~170
+            // rows) — one file per version keeps every base read and
+            // the final read-back a single-split scan.
             UpsertFileSink.upsertsOnly(df, id, root,
-              Seq("hour_start", "event_type"))
+              Seq("hour_start", "event_type"), outFiles = 1)
           }
           .start()
       } finally s.conf.set("spark.sql.shuffle.partitions", prev)

@@ -113,7 +113,7 @@ object UpsertFileSink {
     */
   def upsertBatch(batch: DataFrame, batchId: Long, root: String,
       keyCols: Seq[String], seqCol: String = "seq",
-      opCol: String = "op"): Unit = {
+      opCol: String = "op", outFiles: Int = 0): Unit = {
     val spark = batch.sparkSession
     val f = fs(spark, root)
     val marker = new Path(commitsDir(root), batchId.toString)
@@ -134,7 +134,14 @@ object UpsertFileSink {
       val base = readSnapshot(spark, root, payload)
       val merged = ChangeDataCapture.applyChangelog(
         base, staged, keyCols, seqCol, opCol)
-      merged.write.mode("overwrite").parquet(s"$root/v=$batchId")
+      // outFiles > 0: caller knows the snapshot is small (e.g. an
+      // aggregate table) — land it in that many files instead of one
+      // per merge shuffle partition, so the next batch's base read and
+      // the final read-back list/open fewer files. 0 = natural layout
+      // (the at-scale default: a big snapshot keeps the merge's
+      // parallelism).
+      val laid = if (outFiles > 0) merged.coalesce(outFiles) else merged
+      laid.write.mode("overwrite").parquet(s"$root/v=$batchId")
       // commit point: marker creation is the atomic publish
       f.mkdirs(commitsDir(root))
       f.create(marker, true).close()
@@ -146,10 +153,10 @@ object UpsertFileSink {
     * the new truth for its key): stamps op=U and seq=batchId.
     */
   def upsertsOnly(batch: DataFrame, batchId: Long, root: String,
-      keyCols: Seq[String]): Unit =
+      keyCols: Seq[String], outFiles: Int = 0): Unit =
     upsertBatch(
       batch.withColumn("op", lit("U")).withColumn("seq", lit(batchId)),
-      batchId, root, keyCols)
+      batchId, root, keyCols, outFiles = outFiles)
 
   // ---- bucketed (partition-level) variant ---------------------------
   //

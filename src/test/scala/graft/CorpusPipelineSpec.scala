@@ -77,6 +77,73 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(run() === run())
   }
 
+  test("curateLearned: learned stage composes onto the same dedup cascade") {
+    val (corpusDf, reportDf, _) = graft.operators.CorpusPipeline
+      .curateLearned(spark, sf0001, tau = 0.5)
+    val corpus = corpusDf.collect().toSeq
+    val report = reportDf.collect().toSeq.map(x =>
+      (x.getString(0), x.getLong(1), x.getLong(2)))
+    Materialize.releaseAll()
+
+    // the dedup prefix (stages 00-03) is BYTE-identical to the
+    // heuristic pipeline's — only the final quality stage differs
+    val (_, heuristicReport) = curated
+    assert(report.take(4) === heuristicReport.take(4),
+      "learned curation must not perturb the dedup cascade")
+    assert(report(4)._1.startsWith("04_learned_quality"))
+
+    // same accounting invariants as the heuristic report
+    val remaining = report.map(_._2)
+    assert(remaining === remaining.sorted.reverse)
+    assert(report.head._2 === remaining.last + report.map(_._3).sum)
+    assert(corpus.size.toLong === remaining.last && corpus.nonEmpty)
+
+    // every survivor really clears the threshold, carries the score
+    corpus.foreach { r =>
+      val sc = r.getDouble(r.fieldIndex("quality_score"))
+      assert(sc >= 0.5 && sc <= 1.0, s"doc ${r.getLong(0)} score $sc")
+    }
+
+    // deterministic end to end: fixed maxIter, hash features, no RNG
+    val (c2, r2, _) = graft.operators.CorpusPipeline
+      .curateLearned(spark, sf0001, tau = 0.5)
+    val again = (c2.collect().toSeq.map(_.toString),
+      r2.collect().toSeq.map(x =>
+        (x.getString(0), x.getLong(1), x.getLong(2))))
+    Materialize.releaseAll()
+    assert(again._1 === corpus.map(_.toString))
+    assert(again._2 === report)
+  }
+
+  test("paretoKeep: deterministic, score-monotone importance keep") {
+    import spark.implicits._
+    // scores spread over (0,1); ids fixed → draws fixed
+    val scored = (1L to 2000L).map(i => (i, (i % 100) / 100.0 + 0.005))
+      .toDF("doc_id", "quality_score")
+    // alpha=2 (not the GPT-3 default 9) so the low-score keep
+    // probability (2−s)^(−α) ≈ 0.28 is large enough for a 500-doc
+    // fixture to realize some keeps — at α=9 it is ~0.3% and a zero
+    // draw is the EXPECTED outcome, not a bug
+    val kept = graft.operators.CorpusPipeline
+      .paretoKeep(scored, "doc_id", "quality_score", alpha = 2.0, seed = 7L)
+    val ids = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = graft.operators.CorpusPipeline
+      .paretoKeep(scored.repartition(13), "doc_id", "quality_score",
+        alpha = 2.0, seed = 7L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids === ids2, "keep set must not depend on partitioning")
+    // keep rate is monotone in score: top-score quartile keeps far more
+    // than the bottom quartile (the recipe TILTS, never excises)
+    val byScore = scored.collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val hi = byScore.filter(_._2 > 0.75).map(_._1)
+    val lo = byScore.filter(_._2 < 0.25).map(_._1)
+    val hiRate = hi.count(ids).toDouble / hi.length
+    val loRate = lo.count(ids).toDouble / lo.length
+    assert(hiRate > loRate + 0.2, s"hi=$hiRate lo=$loRate")
+    assert(loRate > 0.0, "low scores must retain a nonzero chance")
+  }
+
   test("tokenizeAndShard: curated corpus to exact training shards") {
     val (shards, model) = CorpusPipeline.tokenizeAndShard(
       spark, sf0001, numMerges = 40, seqLen = 256)
