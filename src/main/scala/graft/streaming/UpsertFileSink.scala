@@ -167,6 +167,7 @@ object UpsertFileSink {
   //
   //   root/buckets/<b>/v=<batchId>/   bucket b's snapshot as of batch
   //   root/_commits/<batchId>         global marker, written LAST
+  //   root/_commits/checkpoint.<id>   compacted manifest (see below)
   //
   // A bucket version is visible iff its batch's marker exists, so the
   // commit point stays a single atomic marker creation no matter how
@@ -174,8 +175,32 @@ object UpsertFileSink {
   // a batch's bucket versions, torn multi-bucket writes stay invisible,
   // and a replay (marker present) is a no-op. Reads take, per bucket,
   // the newest COMMITTED version — one multi-path parquet scan.
+  //
+  // MANIFEST COMPACTION (the piece Delta's log checkpoint solves): the
+  // naive read lists `_commits` plus every bucket directory — after N
+  // batches over B buckets that is O(N + B·versions) filesystem calls
+  // per read, linear in stream lifetime. Two fixes compose:
+  //
+  //  - each bucketed marker RECORDS the bucket versions its batch
+  //    wrote (`v2` header + one bucket id per line, staged to a temp
+  //    name and renamed so readers never see a torn marker) — a marker
+  //    is now an add-file action, not just a flag;
+  //  - [[writeBucketedCheckpoint]] rolls the whole manifest up into
+  //    `_commits/checkpoint.<headId>`: every batch id ≤ headId is
+  //    committed BY DEFINITION (so their markers become deletable) and
+  //    the file carries the per-bucket newest committed version map.
+  //
+  // A reader then resolves the table from the newest checkpoint plus
+  // only the markers NEWER than it — O(K) filesystem reads when a
+  // checkpoint is written every K batches — and never lists a bucket
+  // directory. Crash safety: the checkpoint is written AFTER its
+  // covered markers, staged + renamed, and a crash between a marker
+  // and its checkpoint merely leaves the marker to be read directly.
 
   private def bucketsDir(root: String) = new Path(root, "buckets")
+
+  private val CkptPrefix = "checkpoint."
+  private val MarkerHeader = "v2"
 
   /** Stable bucket id for the key columns (murmur3 `hash` — identical
     * across runs and partitionings, and between the write and read
@@ -184,35 +209,160 @@ object UpsertFileSink {
   def bucketCol(keyCols: Seq[String], nBuckets: Int) =
     pmod(hash(keyCols.map(col): _*), lit(nBuckets))
 
-  private def committedSet(spark: SparkSession, root: String): Set[Long] = {
-    val f = fs(spark, root)
+  /** Write `content` to a dot-prefixed temp name and rename into
+    * place — readers listing `_commits` never observe a torn file
+    * (dot-names are excluded by every listing filter here).
+    */
+  private def atomicWrite(f: org.apache.hadoop.fs.FileSystem, dst: Path,
+      content: String): Unit = {
+    val tmp = new Path(dst.getParent, "." + dst.getName + ".tmp")
+    val out = f.create(tmp, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+    if (f.exists(dst)) f.delete(dst, false)
+    require(f.rename(tmp, dst), s"rename $tmp -> $dst failed")
+  }
+
+  private def readSmallFile(f: org.apache.hadoop.fs.FileSystem,
+      p: Path): String = {
+    val in = f.open(p)
+    try {
+      val bytes = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+      bytes.toString("UTF-8")
+    } finally in.close()
+  }
+
+  /** Newest checkpoint under `_commits`, as (coveredHeadId,
+    * bucket → newest committed version as of that head).
+    */
+  private def newestCheckpoint(f: org.apache.hadoop.fs.FileSystem,
+      root: String): Option[(Long, Map[Int, Long])] = {
+    val dir = commitsDir(root)
+    if (!f.exists(dir)) return None
+    val ids = f.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith(CkptPrefix) &&
+        n.stripPrefix(CkptPrefix).forall(_.isDigit))
+      .map(_.stripPrefix(CkptPrefix).toLong)
+    if (ids.isEmpty) None
+    else {
+      val id = ids.max
+      val body = readSmallFile(f, new Path(dir, CkptPrefix + id))
+      val map = body.linesIterator.filter(_.nonEmpty).map { line =>
+        val Array(b, v) = line.split(' ')
+        b.toInt -> v.toLong
+      }.toMap
+      Some((id, map))
+    }
+  }
+
+  /** Marker ids present as files (excludes ids only covered by a
+    * checkpoint).
+    */
+  private def markerIds(f: org.apache.hadoop.fs.FileSystem,
+      root: String): Set[Long] = {
     val dir = commitsDir(root)
     if (!f.exists(dir)) Set.empty
     else f.listStatus(dir).toSeq.map(_.getPath.getName)
       .filter(_.forall(_.isDigit)).map(_.toLong).toSet
   }
 
-  /** Per existing bucket, the newest committed version's path. */
+  /** Per existing bucket, the newest committed version's path.
+    *
+    * Fast path (checkpoint + v2 markers): merge the checkpoint's
+    * bucket map with the touched-bucket lists of the markers newer
+    * than it — no bucket-directory listing at all. Fallback (no
+    * checkpoint, or a legacy content-less marker newer than it): list
+    * bucket directories and keep versions committed by marker or by
+    * checkpoint coverage (id ≤ checkpoint head).
+    */
   private def latestBucketVersions(spark: SparkSession,
       root: String): Seq[(Int, Long, String)] = {
     val f = fs(spark, root)
-    val committed = committedSet(spark, root)
-    val bdir = bucketsDir(root)
-    if (!f.exists(bdir) || committed.isEmpty) Seq.empty
-    else f.listStatus(bdir).toSeq.flatMap { st =>
-      val name = st.getPath.getName
-      if (!name.forall(_.isDigit)) None
-      else {
-        val vs = f.listStatus(st.getPath).toSeq
-          .map(_.getPath.getName)
-          .filter(_.startsWith("v="))
-          .map(_.stripPrefix("v=").toLong)
-          .filter(committed.contains)
-        if (vs.isEmpty) None
-        else Some((name.toInt, vs.max,
-          s"$root/buckets/$name/v=${vs.max}"))
+    val ckpt = newestCheckpoint(f, root)
+    val ckptId = ckpt.map(_._1).getOrElse(-1L)
+    val markers = markerIds(f, root)
+    val fresh = markers.filter(_ > ckptId).toSeq.sorted
+
+    // try the manifest-only path: every post-checkpoint marker must
+    // carry the v2 touched-bucket payload
+    val freshTouched: Option[Seq[(Long, Seq[Int])]] = {
+      val parsed = fresh.map { id =>
+        val body = readSmallFile(f, new Path(commitsDir(root), id.toString))
+        val lines = body.linesIterator.toSeq
+        if (lines.headOption.contains(MarkerHeader))
+          Some(id -> lines.tail.filter(_.nonEmpty).map(_.toInt))
+        else None
       }
+      if (parsed.forall(_.isDefined)) Some(parsed.flatten) else None
     }
+
+    (ckpt, freshTouched) match {
+      case (Some((_, map)), Some(touched)) =>
+        val merged = scala.collection.mutable.Map[Int, Long](map.toSeq: _*)
+        touched.foreach { case (id, bs) =>
+          bs.foreach { b =>
+            if (merged.getOrElse(b, -1L) < id) merged(b) = id
+          }
+        }
+        merged.toSeq.sortBy(_._1)
+          .map { case (b, v) => (b, v, s"$root/buckets/$b/v=$v") }
+      case (None, Some(touched)) if touched.nonEmpty &&
+          touched.size == markers.size =>
+        // no checkpoint yet but every marker is v2: same merge, empty base
+        val merged = scala.collection.mutable.Map.empty[Int, Long]
+        touched.foreach { case (id, bs) =>
+          bs.foreach { b =>
+            if (merged.getOrElse(b, -1L) < id) merged(b) = id
+          }
+        }
+        merged.toSeq.sortBy(_._1)
+          .map { case (b, v) => (b, v, s"$root/buckets/$b/v=$v") }
+      case _ =>
+        // legacy fallback: list bucket dirs; committed = marker file
+        // present OR covered by the checkpoint head
+        def isCommitted(v: Long) = v <= ckptId || markers.contains(v)
+        val bdir = bucketsDir(root)
+        if (!f.exists(bdir) || (markers.isEmpty && ckpt.isEmpty)) Seq.empty
+        else f.listStatus(bdir).toSeq.flatMap { st =>
+          val name = st.getPath.getName
+          if (!name.forall(_.isDigit)) None
+          else {
+            val vs = f.listStatus(st.getPath).toSeq
+              .map(_.getPath.getName)
+              .filter(_.startsWith("v="))
+              .map(_.stripPrefix("v=").toLong)
+              .filter(isCommitted)
+            if (vs.isEmpty) None
+            else Some((name.toInt, vs.max,
+              s"$root/buckets/$name/v=${vs.max}"))
+          }
+        }
+    }
+  }
+
+  /** Roll the bucketed manifest up into `_commits/checkpoint.<head>`:
+    * the per-bucket newest committed version map as of the newest
+    * committed batch. After this, readers consult only markers newer
+    * than the checkpoint, and [[vacuumBucketed]] may delete every
+    * covered marker. Idempotent; staged + renamed (never torn); a
+    * no-op before any commit.
+    */
+  def writeBucketedCheckpoint(spark: SparkSession, root: String): Unit = {
+    val f = fs(spark, root)
+    val latest = latestBucketVersions(spark, root)
+    val ckptId = newestCheckpoint(f, root).map(_._1).getOrElse(-1L)
+    val head = (markerIds(f, root) + ckptId).max
+    if (head < 0) return
+    val body = latest.map { case (b, v, _) => s"$b $v" }.mkString("\n")
+    atomicWrite(f, new Path(commitsDir(root), CkptPrefix + head), body)
+    // retire superseded checkpoint files (the newest alone suffices)
+    f.listStatus(commitsDir(root)).toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith(CkptPrefix) &&
+        n.stripPrefix(CkptPrefix).forall(_.isDigit) &&
+        n.stripPrefix(CkptPrefix).toLong < head)
+      .foreach(n => f.delete(new Path(commitsDir(root), n), false))
   }
 
   /** The newest committed state of the bucketed table (all buckets,
@@ -238,7 +388,7 @@ object UpsertFileSink {
     */
   def upsertBatchBucketed(batch: DataFrame, batchId: Long, root: String,
       keyCols: Seq[String], nBuckets: Int, seqCol: String = "seq",
-      opCol: String = "op"): Unit = {
+      opCol: String = "op", checkpointEvery: Int = 0): Unit = {
     require(nBuckets > 0, s"nBuckets=$nBuckets")
     val spark = batch.sparkSession
     val f = fs(spark, root)
@@ -246,7 +396,10 @@ object UpsertFileSink {
     val staged = batch.persist()
     try {
       staged.count() // full consumption (state-store commit validation)
-      if (f.exists(marker)) return
+      // replay of a committed batch: marker present, OR the marker was
+      // compacted away — every id ≤ the checkpoint head is committed
+      if (f.exists(marker) ||
+          newestCheckpoint(f, root).exists(_._1 >= batchId)) return
 
       val payload = StructType(
         batch.schema.filterNot(c => c.name == seqCol || c.name == opCol))
@@ -267,9 +420,15 @@ object UpsertFileSink {
           .write.mode("overwrite")
           .parquet(s"$root/buckets/$b/v=$batchId")
       }
-      // ONE atomic publish for every bucket version written above
+      // ONE atomic publish for every bucket version written above; the
+      // marker body (v2 + touched buckets) is the add-file record that
+      // lets readers skip bucket-directory listings entirely
       f.mkdirs(commitsDir(root))
-      f.create(marker, true).close()
+      atomicWrite(f, marker,
+        (MarkerHeader +: touched.map(_.toString)).mkString("\n"))
+      // roll the manifest up every K commits so reader cost stays O(K)
+      if (checkpointEvery > 0 && (batchId + 1) % checkpointEvery == 0)
+        writeBucketedCheckpoint(spark, root)
     } finally staged.unpersist(blocking = false)
   }
 
@@ -284,11 +443,11 @@ object UpsertFileSink {
     */
   def vacuumBucketed(spark: SparkSession, root: String): Unit = {
     val f = fs(spark, root)
-    val committed = committedSet(spark, root)
-    if (committed.isEmpty) return
-    val head = committed.max
+    val ckptId = newestCheckpoint(f, root).map(_._1).getOrElse(-1L)
+    val markers = markerIds(f, root)
+    if (markers.isEmpty && ckptId < 0) return
+    val head = (markers + ckptId).max
     val latest = latestBucketVersions(spark, root)
-    val keepVersions = latest.map(_._2).toSet + head
     latest.foreach { case (b, newest, _) =>
       val bdir = new Path(bucketsDir(root), b.toString)
       f.listStatus(bdir).toSeq
@@ -298,7 +457,14 @@ object UpsertFileSink {
         .filter(v => v != newest && v < head)
         .foreach(v => f.delete(new Path(bdir, s"v=$v"), true))
     }
-    committed.filterNot(keepVersions.contains)
+    // a marker is deletable once superseded: not the global head, not
+    // the newest version of any bucket, OR compacted into a checkpoint
+    // (every id ≤ the checkpoint head is committed by definition, so
+    // even an idle bucket's marker may go once a checkpoint covers it)
+    val keepVersions = latest.map(_._2).toSet + head
+    markers.filter(v => v <= ckptId && v != head)
+      .foreach(v => f.delete(new Path(commitsDir(root), v.toString), false))
+    markers.filter(v => v > ckptId && !keepVersions.contains(v))
       .foreach(v => f.delete(new Path(commitsDir(root), v.toString), false))
   }
 

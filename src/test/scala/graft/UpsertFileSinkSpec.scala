@@ -324,6 +324,111 @@ class UpsertFileSinkSpec extends AnyFunSuite {
     assert(bucketVersions(root).values.forall(_.size === 1))
   }
 
+  private def commitFiles(root: String): Seq[String] = {
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = new org.apache.hadoop.fs.Path(root, "_commits")
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).toSeq.map(_.getPath.getName).sorted
+  }
+
+  test("compacted manifest: checkpoint + fresh markers resolve the table") {
+    import spark.implicits._
+    val root = tmpRoot("bk-ckpt")
+    val nB = 4
+    // 6 batches, checkpoint every 3 → checkpoints at batch ids 2 and 5
+    (0L to 5L).foreach { i =>
+      UpsertFileSink.upsertBatchBucketed(
+        Seq((i % 8, s"v$i", "U", i)).toDF("key", "value", "op", "seq"),
+        i, root, Seq("key"), nB, checkpointEvery = 3)
+    }
+    val expect = (0L to 5L).map(i => (i % 8, s"v$i")).groupBy(_._1)
+      .map { case (k, vs) => (k, vs.last._2) }.toSeq.sorted
+    assert(bucketedSnapshot(root) === expect)
+    assert(commitFiles(root).contains("checkpoint.5"))
+    assert(!commitFiles(root).contains("checkpoint.2"),
+      "a newer checkpoint must retire the older one")
+
+    // read-after-checkpoint equality: delete every covered marker —
+    // the checkpoint alone must still resolve the table
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (0L to 5L).foreach(i => f.delete(
+      new org.apache.hadoop.fs.Path(s"$root/_commits/$i"), false))
+    assert(bucketedSnapshot(root) === expect,
+      "checkpoint must stand in for all compacted markers")
+
+    // replay of a compacted batch (marker gone, id ≤ checkpoint head):
+    // must be a no-op, not a re-merge
+    UpsertFileSink.upsertBatchBucketed(
+      Seq((3L, "GARBAGE", "U", 99L)).toDF("key", "value", "op", "seq"),
+      3L, root, Seq("key"), nB)
+    assert(bucketedSnapshot(root) === expect)
+
+    // post-checkpoint batches land on top of the checkpointed base
+    UpsertFileSink.upsertBatchBucketed(
+      Seq((2L, "NEW", "U", 60L)).toDF("key", "value", "op", "seq"),
+      6L, root, Seq("key"), nB)
+    val expect2 = expect.map { case (k, v) => (k, if (k == 2L) "NEW" else v) }
+    assert(bucketedSnapshot(root) === expect2)
+  }
+
+  test("compacted manifest: crash between marker and checkpoint is safe") {
+    import spark.implicits._
+    val root = tmpRoot("bk-crash")
+    val nB = 4
+    (0L to 2L).foreach { i =>
+      UpsertFileSink.upsertBatchBucketed(
+        Seq((i, s"v$i", "I", i)).toDF("key", "value", "op", "seq"),
+        i, root, Seq("key"), nB)
+    }
+    UpsertFileSink.writeBucketedCheckpoint(spark, root)
+    // batch 3 commits its marker, then the process dies BEFORE its
+    // writer would have checkpointed — readers must see the marker
+    UpsertFileSink.upsertBatchBucketed(
+      Seq((3L, "v3", "I", 3L)).toDF("key", "value", "op", "seq"),
+      3L, root, Seq("key"), nB)
+    assert(bucketedSnapshot(root) ===
+      (0L to 3L).map(i => (i, s"v$i")).sorted)
+    // a later checkpoint absorbs it; rewriting is idempotent
+    UpsertFileSink.writeBucketedCheckpoint(spark, root)
+    UpsertFileSink.writeBucketedCheckpoint(spark, root)
+    assert(commitFiles(root).contains("checkpoint.3"))
+    assert(bucketedSnapshot(root) ===
+      (0L to 3L).map(i => (i, s"v$i")).sorted)
+  }
+
+  test("compacted manifest: vacuum deletes covered markers, listing stays O(K)") {
+    import spark.implicits._
+    val root = tmpRoot("bk-okn")
+    val nB = 4
+    val K = 4
+    // a long stream: 20 batches, checkpoint every K, vacuum after each
+    // checkpoint — the _commits listing must stay bounded by ~K, never
+    // grow with total batch count
+    (0L until 20L).foreach { i =>
+      UpsertFileSink.upsertBatchBucketed(
+        Seq((i % 8, s"v$i", "U", i)).toDF("key", "value", "op", "seq"),
+        i, root, Seq("key"), nB, checkpointEvery = K)
+      if ((i + 1) % K == 0) UpsertFileSink.vacuumBucketed(spark, root)
+    }
+    val expect = (0L until 20L).map(i => (i % 8, s"v$i")).groupBy(_._1)
+      .map { case (k, vs) => (k, vs.last._2) }.toSeq.sorted
+    assert(bucketedSnapshot(root) === expect)
+    val files = commitFiles(root)
+    assert(files.count(_.forall(_.isDigit)) <= K + 1,
+      s"markers must not accumulate past one checkpoint window: $files")
+    assert(files.count(_.startsWith("checkpoint.")) === 1,
+      s"exactly one live checkpoint: $files")
+    // per bucket, exactly one surviving version after the final vacuum
+    assert(bucketVersions(root).values.forall(_.size === 1))
+    // and the whole table still time-consistent after one more batch
+    UpsertFileSink.upsertBatchBucketed(
+      Seq((0L, "FINAL", "U", 100L)).toDF("key", "value", "op", "seq"),
+      20L, root, Seq("key"), nB)
+    assert(bucketedSnapshot(root).toMap.apply(0L) === "FINAL")
+  }
+
   test("vacuum drops old versions and orphans, keeps the newest readable") {
     import spark.implicits._
     val root = tmpRoot("vac")
