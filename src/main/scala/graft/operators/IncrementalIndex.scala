@@ -1,0 +1,171 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Incremental maintenance of the [[InvertedIndex]] postings against a
+  * CDC document feed — the retrieval-side twin of the landing zone's
+  * snapshot story. [[InvertedIndex.build]] rebuilds the index with one
+  * full corpus pass; at a production refresh cadence the corpus is
+  * 100 TB and the daily delta is a few GB, so the index must absorb
+  * doc upserts/deletes WITHOUT the corpus pass. The classic recipe
+  * (Lucene segments, reduced to its parquet core):
+  *
+  *  - each batch appends a SEGMENT `postings/seq=<batch>/db=<bucket>/`
+  *    holding the postings of the docs that batch (re)wrote — never a
+  *    rewrite of existing segments;
+  *  - a thin doc changelog `docs/seq=<batch>/` records (doc_id, op);
+  *    a doc's LIVE postings are the segment matching its newest seq —
+  *    an update's older segments and a delete's every segment become
+  *    TOMBSTONED, folded out at read time by one rank-1 window over
+  *    the changelog joined back on (doc_id, seq);
+  *  - document frequency cannot be read off live postings without a
+  *    token-wide pass, so each batch also appends ADDITIVE df deltas
+  *    `df/seq=<batch>/`: +1 per distinct (token) in a doc's new
+  *    version, −1 per distinct token in the version it replaced; the
+  *    current df of a token is the sum of its deltas.
+  *
+  * Scale shape: a batch's work is bounded by the batch, never the
+  * corpus — the only state read is the previous postings of the
+  * updated docs themselves, pruned by hash-bucketed partition dirs
+  * (`db=pmod(hash(doc_id), nBuckets)`, the same discipline as the
+  * bucketed landing zone: the parquet scan lists only touched
+  * buckets). Read-time folding costs one thin changelog window plus
+  * one df aggregation, both over logs that compact naturally (rewrite
+  * segments below a chosen seq into one — the landing zone's
+  * checkpoint recipe applies verbatim and is not duplicated here).
+  *
+  * IncrementalIndexSpec pins the contract that matters: after any
+  * batch sequence, [[currentPostings]] row-for-row equals
+  * [[InvertedIndex.build]] over the corpus state those batches
+  * produce — so every query in [[InvertedIndex]] (and the BM25/RRF
+  * stack above it) runs unchanged on the incrementally-maintained
+  * index.
+  */
+object IncrementalIndex {
+
+  /** Bucket count for the postings partition dirs. Fixed at index
+    * creation (like the landing zone's nBuckets): changing it would
+    * send a doc's next version to a different bucket dir, which is
+    * harmless for correctness (pruning keys on doc_id hash are
+    * computed the same way on write and read) but defeats pruning of
+    * the OLD version, so keep it stable per index root.
+    */
+  private def bucketCol(nBuckets: Int) =
+    pmod(hash(col("doc_id")), lit(nBuckets))
+
+  /** Tokenize + count — [[InvertedIndex.build]]'s postings shape minus
+    * the df window: (token, doc_id, tf, dl).
+    */
+  private def postingsOf(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"),
+        InvertedIndex.tokensCol(textCol).as("toks"))
+      .select(col("doc_id"), explode(col("toks")).as("token"),
+        size(col("toks")).cast("long").as("dl"))
+      .groupBy("token", "doc_id")
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+
+  /** The doc changelog resolved to each doc's newest (seq, op). */
+  private def latestDocVersions(spark: SparkSession,
+      root: String): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy(col("seq").desc)
+    spark.read.parquet(s"$root/docs")
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select("doc_id", "seq", "op")
+  }
+
+  /** Apply one CDC batch of documents to the index at `root`.
+    * `batch` carries (doc_id, text, op): op `I`/`U` upserts the doc's
+    * text, `D` deletes it (text ignored). `batchId` must be strictly
+    * greater than every previously applied batch's (the CDC feed's
+    * own ordering); delivery idempotence, if the feed can replay,
+    * composes with a marker check exactly like
+    * [[graft.streaming.UpsertFileSink.upsertBatch]]'s.
+    */
+  def applyBatch(spark: SparkSession, root: String, batch: DataFrame,
+      batchId: Long, nBuckets: Int = 16): Unit = {
+    require(nBuckets > 0, s"nBuckets=$nBuckets")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasState = fs.exists(new org.apache.hadoop.fs.Path(s"$root/docs"))
+
+    val staged = batch.select(col("doc_id"), col("text"), col("op"))
+      .persist()
+    try {
+      // previous live postings of ONLY the docs this batch touches:
+      // prune the postings scan to the touched bucket dirs (driver-side
+      // manifest, ≤ nBuckets ints — the landing zone's discipline),
+      // then keep each doc's newest pre-batch version
+      val oldTokens: DataFrame = if (!hasState) {
+        import spark.implicits._
+        Seq.empty[(String, Long)].toDF("token", "doc_id")
+      } else {
+        val touched = staged.select(bucketCol(nBuckets).as("__b"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        val prev = spark.read.parquet(s"$root/postings")
+          .filter(col("db").isin(touched: _*))
+        val live = latestDocVersions(spark, root)
+          .filter(col("op") =!= "D")
+          .join(staged.select("doc_id"), Seq("doc_id"), "left_semi")
+        prev.join(live.select("doc_id", "seq"), Seq("doc_id", "seq"))
+          .select("token", "doc_id")
+      }
+
+      val newPostings = postingsOf(
+        staged.filter(col("op") =!= "D"), "doc_id", "text")
+
+      // additive df deltas: +1 per distinct token of the new version,
+      // −1 per distinct token of the replaced one (an unchanged token
+      // nets 0; a delete contributes only the −1 side)
+      val dfDelta = newPostings.select(col("token"), lit(1L).as("delta"))
+        .unionAll(oldTokens.select(col("token"), lit(-1L).as("delta")))
+        .groupBy("token").agg(sum("delta").as("delta"))
+        .filter(col("delta") =!= 0L)
+
+      newPostings.withColumn("db", bucketCol(nBuckets))
+        .write.mode("overwrite").partitionBy("db")
+        .parquet(s"$root/postings/seq=$batchId")
+      dfDelta.write.mode("overwrite").parquet(s"$root/df/seq=$batchId")
+      // the docs changelog commits LAST: readers resolve liveness from
+      // it, so a crash before this write leaves the new segment
+      // invisible (the torn-write discipline again)
+      staged.select("doc_id", "op").write.mode("overwrite")
+        .parquet(s"$root/docs/seq=$batchId")
+    } finally staged.unpersist(blocking = false)
+  }
+
+  /** The index's current postings — (token, doc_id, tf, dl, df), the
+    * exact shape [[InvertedIndex.build]] returns, so
+    * `andQuery`/`rankedQuery`/`bm25Query` run on it unchanged.
+    */
+  def currentPostings(spark: SparkSession, root: String): DataFrame = {
+    val live = latestDocVersions(spark, root)
+      .filter(col("op") =!= "D").select("doc_id", "seq")
+    val cur = spark.read.parquet(s"$root/postings")
+      .join(live, Seq("doc_id", "seq"))
+      .select("token", "doc_id", "tf", "dl")
+    val dfNow = spark.read.parquet(s"$root/df")
+      .groupBy("token").agg(sum("delta").as("df"))
+      .filter(col("df") > 0L)
+    cur.join(dfNow, Seq("token"))
+      .select("token", "doc_id", "tf", "dl", "df")
+  }
+
+  /** Corpus stats for [[InvertedIndex.bm25Query]] from the index state
+    * alone: (live doc count, mean live doc length) in ONE aggregate
+    * over the thin changelog-resolved doc set.
+    */
+  def stats(spark: SparkSession, root: String): (Long, Double) = {
+    val live = latestDocVersions(spark, root)
+      .filter(col("op") =!= "D").select("doc_id", "seq")
+    val dls = spark.read.parquet(s"$root/postings")
+      .join(live, Seq("doc_id", "seq"))
+      .groupBy("doc_id").agg(first("dl").as("dl"))
+    val r = dls.agg(count(lit(1)), avg("dl")).head
+    (r.getLong(0), r.getDouble(1))
+  }
+}

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{IncrementalIndex, InvertedIndex}
+
+/** The incremental index's single load-bearing contract: after ANY
+  * sequence of CDC batches, currentPostings equals a from-scratch
+  * InvertedIndex.build over the corpus state those batches produce —
+  * inserts, updates that change a doc's token set, deletes, and
+  * re-inserts after delete. If that holds, every query in
+  * InvertedIndex (and the BM25/RRF stack) runs unchanged on the
+  * incrementally maintained index.
+  */
+class IncrementalIndexSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.select("token", "doc_id", "tf", "dl", "df")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+      .sorted.toSeq
+
+  test("incremental apply equals full rebuild after every batch") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-incidx").toString
+
+    // live corpus state tracked alongside, as (doc_id -> text)
+    var corpus = Map.empty[Long, String]
+    def check(): Unit = {
+      val full = InvertedIndex.build(
+        corpus.toSeq.toDF("doc_id", "text"), "doc_id", "text")
+      val inc = IncrementalIndex.currentPostings(spark, root)
+      assert(rows(inc) === rows(full))
+      // stats agree with the live corpus too
+      val (n, avgDl) = IncrementalIndex.stats(spark, root)
+      assert(n === corpus.size.toLong)
+      val dls = corpus.values.map(t =>
+        t.toLowerCase.split("[^a-z0-9]+").count(_.nonEmpty))
+      assert(math.abs(avgDl - dls.sum.toDouble / dls.size) < 1e-9)
+    }
+
+    // batch 0: inserts — incl. shared vocabulary so df > 1 somewhere
+    val b0 = Seq(
+      (1L, "the quick brown fox", "I"),
+      (2L, "the lazy dog sleeps", "I"),
+      (3L, "quick dog runs fast", "I"),
+      (4L, "a solitary unique document", "I"))
+    IncrementalIndex.applyBatch(spark, root,
+      b0.toDF("doc_id", "text", "op"), 0L)
+    corpus = b0.map(r => r._1 -> r._2).toMap
+    check()
+
+    // batch 1: update doc 2 with a CHANGED token set (loses lazy/dog/
+    // sleeps, keeps the, gains cat/purrs), delete doc 3, insert doc 5
+    val b1 = Seq(
+      (2L, "the cat purrs", "U"),
+      (3L, "", "D"),
+      (5L, "brown cat naps", "I"))
+    IncrementalIndex.applyBatch(spark, root,
+      b1.toDF("doc_id", "text", "op"), 1L)
+    corpus = corpus - 3L + (2L -> "the cat purrs") + (5L -> "brown cat naps")
+    check()
+
+    // batch 2: update doc 2 AGAIN (second supersession), delete doc 5,
+    // and RE-insert doc 3 with new text after its delete
+    val b2 = Seq(
+      (2L, "quick cat purrs loudly", "U"),
+      (5L, "", "D"),
+      (3L, "fox returns home", "I"))
+    IncrementalIndex.applyBatch(spark, root,
+      b2.toDF("doc_id", "text", "op"), 2L)
+    corpus = corpus - 5L +
+      (2L -> "quick cat purrs loudly") + (3L -> "fox returns home")
+    check()
+
+    // a token whose every carrier is gone must have df folded to 0 —
+    // currentPostings drops it entirely ("dog" lived in docs 2 and 3,
+    // both superseded/deleted)
+    val toks = IncrementalIndex.currentPostings(spark, root)
+      .select("token").distinct().as[String].collect().toSet
+    assert(!toks.contains("dog"))
+    assert(!toks.contains("lazy"))
+
+    // queries run unchanged on the maintained index
+    val idx = IncrementalIndex.currentPostings(spark, root)
+    val (n, avgDl) = IncrementalIndex.stats(spark, root)
+    val hits = InvertedIndex.bm25Query(idx, n, avgDl,
+      Seq("cat", "fox"), k = 3)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(hits.nonEmpty && hits.toSet.subsetOf(corpus.keySet))
+
+    // segment layout really is bucketed per batch (pruning surface)
+    val seg = new java.io.File(s"$root/postings/seq=0")
+    assert(seg.isDirectory &&
+      seg.listFiles().exists(_.getName.startsWith("db=")))
+  }
+}

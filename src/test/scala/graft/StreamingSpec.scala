@@ -96,6 +96,65 @@ class StreamingSpec extends AnyFunSuite {
       "at least one joined pair must straddle the micro-batch boundary")
   }
 
+  test("stream-stream join on BOTH providers: equality + watermark state eviction") {
+    // The interval join buffers BOTH sides in the state store; this is
+    // the one streaming family previously proven only on the default
+    // HDFSBacked provider. Re-prove it under RocksDB (the 100 TB
+    // provider) AND pin the property that makes unbounded streams
+    // viable at all: once the watermark passes, join state is actually
+    // REMOVED — numRowsTotal shrinks — not merely ignored. The replay
+    // dir's two event-time slices span far more than the 1 h watermark
+    // + 24 h join window... the watermark after slice 0 therefore
+    // evicts most of slice 0's buffered rows during/after slice 1, and
+    // the trailing no-data micro-batch flushes the rest.
+    import graft.streaming.StreamReplay
+    val dir = StreamReplay.replayDir(spark, sf0001)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val batch = StreamingWindows
+      .viewPurchaseJoin(Tables.events(spark, sf0001), window = "24 hours")
+      .orderBy("v_event", "p_event").collect().toSeq.map(_.toString)
+    assert(batch.nonEmpty)
+
+    Seq(
+      ("default", None),
+      ("rocksdb", Some("org.apache.spark.sql.execution.streaming.state" +
+        ".RocksDBStateStoreProvider"))
+    ).foreach { case (tag, providerOpt) =>
+      val prev = spark.conf.getOption(key)
+      providerOpt.foreach(spark.conf.set(key, _))
+      val q = try {
+        StreamingWindows
+          .viewPurchaseJoin(StreamingWindows.eventsStream(
+            spark, dir, s"$dir/000.parquet"), window = "24 hours")
+          .writeStream
+          .outputMode("append")
+          .format("memory")
+          .queryName(s"stream_ss_join_$tag")
+          .start()
+      } finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+      try q.processAllAvailable()
+      finally q.stop()
+
+      val streamed = spark.table(s"stream_ss_join_$tag")
+        .orderBy("v_event", "p_event").collect().toSeq.map(_.toString)
+      assert(streamed === batch, s"provider $tag diverged from batch")
+
+      // watermark-driven eviction: state grew while both slices
+      // buffered, then shrank once the watermark passed slice 0
+      val st = q.recentProgress.toSeq
+        .flatMap(p => Option(p.stateOperators).toSeq.flatten)
+      val totals = st.map(_.numRowsTotal)
+      assert(totals.nonEmpty && totals.max > 0, s"$tag: no state recorded")
+      assert(st.map(_.numRowsRemoved).sum > 0,
+        s"$tag: watermark never removed any join state rows")
+      assert(totals.last < totals.max,
+        s"$tag: state must shrink after the watermark passes: $totals")
+    }
+  }
+
   test("tumblingCounts: streaming result equals batch result") {
     val q = StreamingWindows
       .tumblingCounts(StreamingWindows.eventsStream(
