@@ -49,35 +49,49 @@ object CorpusPipeline {
     * group's keeper iff it survived the prior stage (a group whose
     * docs were all dropped earlier keeps nothing).
     */
-  private def dedupFlags(s: SparkSession, dir: String): DataFrame = {
+  /** The per-doc MAP-SIDE flag inputs every dedup verdict is computed
+    * from: (doc_id, lang, toks, n_toks, alpha_ratio, digest, norm_sig,
+    * sg). Shared with [[CorpusRefresh]], whose delta path must stamp
+    * arrivals with byte-identical keys or refresh ≢ full curate.
+    */
+  private[operators] def flagInputs(s: SparkSession,
+      docs: DataFrame): DataFrame = {
     graft.plans.MinHashSignature.register(s)
+    docs
+      .select(col("doc_id"), col("lang"), col("text"),
+        split(col("text"), " ").as("toks"))
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), col("lang"), col("toks"),
+        size(col("toks")).cast("long").as("n_toks"),
+        (length(regexp_replace(col("text"), "[^a-z]", "")).cast("double") /
+          length(col("text"))).as("alpha_ratio"),
+        md5(col("text").cast("binary")).as("digest"),
+        md5(array_join(array_sort(array_distinct(col("toks"))), " ")
+          .cast("binary")).as("norm_sig"))
+      .select(col("*"), expr(DedupExtras.shinglesSql).as("sh"))
+      .select(col("doc_id"), col("lang"), col("toks"), col("n_toks"),
+        col("alpha_ratio"), col("digest"), col("norm_sig"),
+        expr("minhash_sig(sh)").as("sg"))
+  }
 
+  /** The heuristic quality band verdict as a column — shared with the
+    * refresh path (per-row, so a refresh recomputes it locally).
+    */
+  private[operators] def qualityBand =
+    col("n_toks").between(MinToks, MaxToks) &&
+      col("alpha_ratio") >= MinAlpha
+
+  private def dedupFlags(s: SparkSession, dir: String): DataFrame = {
     def keeper(part: String, prior: org.apache.spark.sql.Column) =
       row_number().over(Window.partitionBy(col(part))
         .orderBy(when(prior, 0).otherwise(1), col("doc_id"))) === 1 && prior
 
     graft.Materialize.checkpoint(
-      Tables.documents(s, dir)
-        .select(col("doc_id"), col("lang"), col("text"),
-          split(col("text"), " ").as("toks"))
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-        .select(col("doc_id"), col("lang"), col("toks"),
-          size(col("toks")).cast("long").as("n_toks"),
-          (length(regexp_replace(col("text"), "[^a-z]", "")).cast("double") /
-            length(col("text"))).as("alpha_ratio"),
-          md5(col("text").cast("binary")).as("digest"),
-          md5(array_join(array_sort(array_distinct(col("toks"))), " ")
-            .cast("binary")).as("norm_sig"))
-        .select(col("*"), expr(DedupExtras.shinglesSql).as("sh"))
-        .select(col("doc_id"), col("lang"), col("toks"), col("n_toks"),
-          col("alpha_ratio"), col("digest"), col("norm_sig"),
-          expr("minhash_sig(sh)").as("sg"))
+      flagInputs(s, Tables.documents(s, dir))
         .withColumn("k_exact", keeper("digest", lit(true)))
         .withColumn("k_norm", keeper("norm_sig", col("k_exact")))
         .withColumn("k_near", keeper("sg", col("k_norm")))
-        .withColumn("quality_ok", col("k_near") &&
-          col("n_toks").between(MinToks, MaxToks) &&
-          col("alpha_ratio") >= MinAlpha))
+        .withColumn("quality_ok", col("k_near") && qualityBand))
   }
 
   /** Survivor tagging shared by both curation variants: broadcast-dict

@@ -1,0 +1,234 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.streaming.UpsertFileSink
+
+/** INCREMENTAL corpus refresh — the operation a production corpus
+  * actually runs daily: new documents arrive (a crawl delta, a CDC
+  * batch from the landing zone) and the curation verdicts must update
+  * WITHOUT re-scanning the 100 TB corpus. [[CorpusPipeline.curate]]'s
+  * verdicts are pure functions of the corpus, so the refresh problem
+  * is precisely "which verdicts can an arrival change, and where do
+  * their inputs live":
+  *
+  *  - the three dedup keeper verdicts are rank-1 windows over the
+  *    doc's digest / norm_sig / minhash-signature group — an arrival
+  *    can only perturb the GROUPS it joins, plus the one-directional
+  *    cascade those perturbations feed (exact → norm → near: a doc
+  *    demoted at the exact stage re-orders its norm group, which can
+  *    re-order sg groups — never backwards);
+  *  - the quality verdict is per-row arithmetic.
+  *
+  * So the refresh state is the thin per-doc flags row (keys +
+  * verdicts, ~100 bytes — never text), persisted THREE ways in
+  * [[graft.streaming.UpsertFileSink]] bucketed landing zones — one
+  * projection bucketed by each group key — so each cascade expansion
+  * is a PRUNED read of only the buckets the delta's keys hash into
+  * (`readBucketsBucketed`; with the compacted manifest the lookup
+  * cost is independent of corpus size). The space-for-locality
+  * trade (3× thin rows) is the standard secondary-index recipe.
+  *
+  * Refresh then recomputes verdicts over the bounded AFFECTED frame
+  * only, with a group-level "recompute?" mark per stage: a group is
+  * recomputed iff it contains a delta doc or a doc whose prior-stage
+  * verdict may have changed — and because each expansion pulled WHOLE
+  * groups for exactly those keys, a group marked for recompute is
+  * always complete in the frame, while an incomplete group is
+  * provably unmarked (its members' stored verdicts are reused).
+  * CorpusRefreshSpec pins refresh ≡ full-curate equivalence per doc
+  * after every arrival batch, including keeper-steal demotions,
+  * and that unaffected docs' rows are untouched.
+  *
+  * Scope: arrivals are ADDS with fresh doc_ids (the corpus-refresh
+  * reality — a re-crawled page is a new doc that the dedup stages
+  * themselves reconcile). In-place doc mutation would need digest
+  * tombstones (the [[IncrementalIndex]] changelog recipe) on top.
+  *
+  * Scale audit: per refresh, driver-side work is three ≤ nBuckets
+  * bucket-id manifests (the landing zone's own discipline); every
+  * shuffle (windows over the affected frame, semi-joins, per-bucket
+  * merges) is bounded by |delta| + |touched groups| + |touched
+  * buckets|, never |corpus|. [[initialize]] is the one-time bulk
+  * load and IS corpus-sized by definition.
+  */
+object CorpusRefresh {
+
+  /** The persisted flags row. `sg_key` is the minhash signature
+    * joined to one string (bijective — 8 fixed-width hex components)
+    * so it can key a bucket hash and a semi-join directly.
+    */
+  val stateSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("lang", StringType),
+    StructField("n_toks", LongType),
+    StructField("alpha_ratio", DoubleType),
+    StructField("digest", StringType),
+    StructField("norm_sig", StringType),
+    StructField("sg_key", StringType),
+    StructField("k_exact", BooleanType),
+    StructField("k_norm", BooleanType),
+    StructField("k_near", BooleanType),
+    StructField("quality_ok", BooleanType)))
+
+  private val stateCols = stateSchema.fieldNames.toSeq
+
+  private def byDigest(root: String) = s"$root/by_digest"
+  private def byNorm(root: String) = s"$root/by_norm"
+  private def bySg(root: String) = s"$root/by_sg"
+
+  private def rank1(part: String, prior: Column) =
+    row_number().over(Window.partitionBy(col(part))
+      .orderBy(when(prior, 0).otherwise(1), col("doc_id"))) === 1 && prior
+
+  /** Thin flag inputs (no toks) for any docs frame — byte-identical
+    * key derivation to [[CorpusPipeline.flagInputs]].
+    */
+  private def thinInputs(s: SparkSession, docs: DataFrame): DataFrame =
+    CorpusPipeline.flagInputs(s, docs)
+      .select(col("doc_id"), col("lang"), col("n_toks"),
+        col("alpha_ratio"), col("digest"), col("norm_sig"),
+        array_join(col("sg"), ",").as("sg_key"))
+
+  /** Full-corpus flags in the state schema — [[CorpusPipeline]]'s
+    * dedup cascade over an arbitrary docs frame. Used by
+    * [[initialize]] and by the spec as the from-scratch oracle.
+    */
+  def fullFlags(s: SparkSession, docs: DataFrame): DataFrame =
+    thinInputs(s, docs)
+      .withColumn("k_exact", rank1("digest", lit(true)))
+      .withColumn("k_norm", rank1("norm_sig", col("k_exact")))
+      .withColumn("k_near", rank1("sg_key", col("k_norm")))
+      .withColumn("quality_ok",
+        col("k_near") && CorpusPipeline.qualityBand)
+      .select(stateCols.map(col): _*)
+
+  private def upsertAll(flags: DataFrame, batchId: Long, root: String,
+      nBuckets: Int): Unit = {
+    val batch = flags
+      .withColumn("op", lit("U")).withColumn("seq", lit(batchId))
+    UpsertFileSink.upsertBatchBucketed(batch, batchId, byDigest(root),
+      Seq("doc_id"), nBuckets, bucketCols = Seq("digest"))
+    UpsertFileSink.upsertBatchBucketed(batch, batchId, byNorm(root),
+      Seq("doc_id"), nBuckets, bucketCols = Seq("norm_sig"))
+    UpsertFileSink.upsertBatchBucketed(batch, batchId, bySg(root),
+      Seq("doc_id"), nBuckets, bucketCols = Seq("sg_key"))
+  }
+
+  /** One-time bulk load: full-curate `docs` and land the flags as
+    * state batch 0. Corpus-sized by definition (and the per-bucket
+    * merge loop is the landing zone's, sequenced on the driver — at
+    * real scale a bulk load would land the initial bucket files with
+    * one partitioned write and synthesize the manifest; the refresh
+    * path is the part that must stay delta-bounded).
+    */
+  def initialize(s: SparkSession, docs: DataFrame, stateRoot: String,
+      nBuckets: Int = 64): Unit =
+    upsertAll(fullFlags(s, docs), 0L, stateRoot, nBuckets)
+
+  /** The whole current verdict state (one projection suffices — all
+    * three hold identical rows).
+    */
+  def currentFlags(s: SparkSession, stateRoot: String): DataFrame =
+    UpsertFileSink.readSnapshotBucketed(s, byDigest(stateRoot), stateSchema)
+
+  /** Apply one arrival batch (documents-table schema, fresh doc_ids)
+    * as state batch `batchId` (strictly greater than every prior).
+    * Returns the curated DELTA: every doc whose verdict this refresh
+    * touched — arrivals (was_kept null) and pre-existing docs whose
+    * keeper verdict a new duplicate stole (was_kept true, now_kept
+    * false) or restored — with the full new flags row attached.
+    * Unaffected docs are neither read (beyond their bucket files) nor
+    * rewritten.
+    */
+  def refresh(s: SparkSession, stateRoot: String, arrivals: DataFrame,
+      batchId: Long, nBuckets: Int = 64): DataFrame = {
+    def bk(c: Column) = pmod(hash(c), lit(nBuckets))
+
+    val delta = thinInputs(s, arrivals)
+      .withColumn("k_exact", lit(null).cast("boolean"))
+      .withColumn("k_norm", lit(null).cast("boolean"))
+      .withColumn("k_near", lit(null).cast("boolean"))
+      .withColumn("quality_ok", lit(null).cast("boolean"))
+      .select(stateCols.map(col): _*)
+      .persist()
+
+    try {
+      // ---- cascade expansion: three pruned whole-group pulls --------
+      // (bucket-id manifests are ≤ nBuckets ints, driver-side by
+      // design — the landing zone's own touched-bucket discipline)
+      val dB = delta.select(bk(col("digest")).as("b")).distinct()
+        .collect().map(_.getInt(0)).toSeq
+      val e = UpsertFileSink
+        .readBucketsBucketed(s, byDigest(stateRoot), stateSchema, dB)
+        .join(delta.select("digest").distinct(), Seq("digest"), "left_semi")
+        .select(stateCols.map(col): _*)
+
+      val normKeys = delta.select("norm_sig")
+        .unionAll(e.select("norm_sig")).distinct().persist()
+      val nB = normKeys.select(bk(col("norm_sig")).as("b")).distinct()
+        .collect().map(_.getInt(0)).toSeq
+      val n = UpsertFileSink
+        .readBucketsBucketed(s, byNorm(stateRoot), stateSchema, nB)
+        .join(normKeys, Seq("norm_sig"), "left_semi")
+        .select(stateCols.map(col): _*)
+
+      val sgKeys = delta.select("sg_key").unionAll(e.select("sg_key"))
+        .unionAll(n.select("sg_key")).distinct().persist()
+      val sB = sgKeys.select(bk(col("sg_key")).as("b")).distinct()
+        .collect().map(_.getInt(0)).toSeq
+      val sRows = UpsertFileSink
+        .readBucketsBucketed(s, bySg(stateRoot), stateSchema, sB)
+        .join(sgKeys, Seq("sg_key"), "left_semi")
+        .select(stateCols.map(col): _*)
+
+      val affectedState = e.unionAll(n).unionAll(sRows)
+        .dropDuplicates(Seq("doc_id"))
+
+      // ---- bounded recompute with group-level recompute marks -------
+      // a group recomputes iff it holds a delta doc or a doc whose
+      // prior-stage verdict may have changed; expansion guaranteed
+      // those groups are COMPLETE in the frame, and an incomplete
+      // group is provably unmarked (all-false mark → stored verdicts)
+      val aff = affectedState.withColumn("is_delta", lit(false))
+        .unionByName(delta.withColumn("is_delta", lit(true)))
+      val result = graft.Materialize.checkpoint(aff
+        .withColumn("r_e",
+          max(col("is_delta").cast("int"))
+            .over(Window.partitionBy("digest")) === 1)
+        .withColumn("k_exact2",
+          when(col("r_e"), rank1("digest", lit(true)))
+            .otherwise(col("k_exact")))
+        .withColumn("r_n",
+          max(col("r_e").cast("int"))
+            .over(Window.partitionBy("norm_sig")) === 1)
+        .withColumn("k_norm2",
+          when(col("r_n"), rank1("norm_sig", col("k_exact2")))
+            .otherwise(col("k_norm")))
+        .withColumn("r_s",
+          max(col("r_n").cast("int"))
+            .over(Window.partitionBy("sg_key")) === 1)
+        .withColumn("k_near2",
+          when(col("r_s"), rank1("sg_key", col("k_norm2")))
+            .otherwise(col("k_near")))
+        .withColumn("quality_ok2",
+          col("k_near2") && CorpusPipeline.qualityBand)
+        .select(col("doc_id"), col("lang"), col("n_toks"),
+          col("alpha_ratio"), col("digest"), col("norm_sig"),
+          col("sg_key"),
+          col("k_exact2").as("k_exact"), col("k_norm2").as("k_norm"),
+          col("k_near2").as("k_near"),
+          col("quality_ok2").as("quality_ok"),
+          col("quality_ok").as("was_kept"), col("is_delta")))
+
+      upsertAll(result.select(stateCols.map(col): _*), batchId,
+        stateRoot, nBuckets)
+
+      result.select((stateCols.map(col) :+ col("was_kept") :+
+        col("quality_ok").as("now_kept") :+ col("is_delta")): _*)
+    } finally delta.unpersist(blocking = false)
+  }
+}

@@ -378,6 +378,24 @@ object UpsertFileSink {
     else spark.read.schema(schema).parquet(paths: _*)
   }
 
+  /** PRUNED read of the bucketed table: only the named buckets, each
+    * at its newest committed version — the lookup shape an incremental
+    * consumer (e.g. [[graft.operators.CorpusRefresh]]) uses to touch
+    * O(|delta|) state instead of the whole table. With the compacted
+    * manifest this costs one checkpoint read + the fresh markers,
+    * independent of table size.
+    */
+  def readBucketsBucketed(spark: SparkSession, root: String,
+      schema: StructType, buckets: Seq[Int]): DataFrame = {
+    val want = buckets.toSet
+    val paths = latestBucketVersions(spark, root)
+      .filter { case (b, _, _) => want.contains(b) }.map(_._3)
+    if (paths.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(paths: _*)
+  }
+
   /** [[upsertBatch]] at bucket granularity: the batch rewrites ONLY
     * the buckets its keys hash into; all other buckets keep their
     * older versions untouched — the shape that survives a 100 TB table
@@ -386,9 +404,18 @@ object UpsertFileSink {
     * The same append-within-watermark precondition as [[upsertBatch]]
     * applies to seq=batchId aggregate streams.
     */
+  /** `bucketCols` (optional) buckets rows by a key OTHER than the
+    * merge key — e.g. a doc-flags table keyed by doc_id but bucketed
+    * by content digest so digest lookups prune. Every value of the
+    * bucketing columns must be IMMUTABLE per merge key (a key whose
+    * bucket changed would leave its old row stranded in the old
+    * bucket); the default (the merge key itself) trivially satisfies
+    * that.
+    */
   def upsertBatchBucketed(batch: DataFrame, batchId: Long, root: String,
       keyCols: Seq[String], nBuckets: Int, seqCol: String = "seq",
-      opCol: String = "op", checkpointEvery: Int = 0): Unit = {
+      opCol: String = "op", checkpointEvery: Int = 0,
+      bucketCols: Seq[String] = Nil): Unit = {
     require(nBuckets > 0, s"nBuckets=$nBuckets")
     val spark = batch.sparkSession
     val f = fs(spark, root)
@@ -403,7 +430,8 @@ object UpsertFileSink {
 
       val payload = StructType(
         batch.schema.filterNot(c => c.name == seqCol || c.name == opCol))
-      val bucket = bucketCol(keyCols, nBuckets)
+      val bucket = bucketCol(
+        if (bucketCols.nonEmpty) bucketCols else keyCols, nBuckets)
       // touched-bucket manifest: ≤ nBuckets rows, driver-side by design
       val touched = staged.select(bucket.as("__b")).distinct()
         .collect().map(_.getInt(0)).sorted

@@ -1,0 +1,167 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{CorpusPipeline, CorpusRefresh}
+
+/** Incremental corpus refresh ≡ full curate, pinned per document after
+  * every arrival batch. The fixture deliberately exercises every
+  * cascade edge the refresh must get right: an exact dup that changes
+  * nothing, an exact dup with a SMALLER doc_id that steals keepership
+  * (demoting a previously-kept doc), a norm-canonical dup, a crafted
+  * MinHash-signature collision (near-dup caught at the sg stage), a
+  * quality-failing arrival, and a keeper steal inside an
+  * already-quality-failing group (verdicts move, kept-set does not).
+  */
+class CorpusRefreshSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  // ---- fixture vocabulary: 5-letter lowercase pseudo-words ----------
+  // (alpha ratio 5n/(6n−1) ≈ 0.833 ≥ the 0.81 band for any n)
+  private lazy val vocab: IndexedSeq[String] = {
+    val ls = "abcdefghij"
+    for (a <- ls; b <- ls; c <- ls; d <- ls; e <- ls)
+      yield s"$a$b$c$d$e"
+  }
+  private def txt(toks: Seq[String]) = toks.mkString(" ")
+
+  private lazy val textA = txt(vocab.slice(200, 224))            // 24 toks
+  private lazy val textArev = txt(vocab.slice(200, 224).reverse) // norm dup
+  // crafted offline: replacing token 2 of B with "aafaa" changes the
+  // digest AND the sorted-distinct-token norm_sig but leaves all 8
+  // md5-MinHash components identical — a true sg-stage near-dup
+  private lazy val textB = txt(vocab.slice(100, 140))            // 40 toks
+  private lazy val textB2 = txt(
+    vocab.slice(100, 140).updated(2, "aafaa"))
+  private lazy val textC = txt(vocab.slice(300, 322))            // 22 toks
+  private lazy val textDshort = txt(vocab.slice(400, 405))       // 5 → fail
+  private lazy val textE = txt(vocab.slice(700, 725))            // 25 toks
+  private lazy val textF = txt(                                  // 100 → fail
+    Seq.fill(5)(vocab.slice(800, 820)).flatten)
+  private lazy val textG = txt(vocab.slice(900, 925))            // 25 toks
+
+  private def docsDF(rows: Seq[(Long, String)]): DataFrame = {
+    import spark.implicits._
+    rows.map { case (id, t) => (id, "en", t) }.toDF("doc_id", "lang", "text")
+  }
+
+  private def flagsRows(df: DataFrame) =
+    df.select("doc_id", "digest", "norm_sig", "sg_key",
+        "k_exact", "k_norm", "k_near", "quality_ok")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getBoolean(4), r.getBoolean(5),
+        r.getBoolean(6), r.getBoolean(7)))
+      .sortBy(_._1).toSeq
+
+  test("refresh equals full curate across arrival batches") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-refresh").toString + "/state"
+    val nB = 8
+
+    val initial = Seq(
+      10L -> textA, 11L -> textA,   // exact group, 10 keeper
+      12L -> textArev,              // same distinct tokens → norm dup
+      20L -> textB, 21L -> textB2,  // crafted sg collision, 20 keeper
+      30L -> textC,                 // unique, kept
+      40L -> textDshort)            // unique but out of band
+    CorpusRefresh.initialize(spark, docsDF(initial), root, nB)
+
+    def checkAgainstFull(corpus: Seq[(Long, String)]): Unit = {
+      val full = flagsRows(CorpusRefresh.fullFlags(spark, docsDF(corpus)))
+      val state = flagsRows(CorpusRefresh.currentFlags(spark, root))
+      assert(state === full)
+    }
+    checkAgainstFull(initial)
+
+    // the fixture really exercises each stage
+    val init = flagsRows(CorpusRefresh.currentFlags(spark, root))
+      .map(r => r._1 -> r).toMap
+    assert(init(11L)._5 === false, "11 must fall at the exact stage")
+    assert(init(12L)._5 && !init(12L)._6, "12 must fall at the norm stage")
+    assert(init(21L)._6 && !init(21L)._7,
+      "21 must fall at the sg stage — the crafted MinHash collision")
+    assert(init(40L)._7 && !init(40L)._8, "40 must fall only on quality")
+    assert(init(10L)._8 && init(20L)._8 && init(30L)._8)
+
+    // ---- batch 1: new survivor, harmless dup, keeper STEAL, junk ----
+    val b1 = Seq(
+      50L -> textE,      // new unique survivor
+      51L -> textA,      // exact dup, larger id: no verdict moves
+      5L -> textC,       // exact dup with SMALLER id: steals from 30
+      52L -> textF)      // new quality-failing doc
+    val delta1 = CorpusRefresh.refresh(spark, root, docsDF(b1), 1L, nB)
+    val d1 = delta1.select("doc_id", "was_kept", "now_kept", "is_delta")
+      .collect()
+      .map(r => r.getLong(0) ->
+        (Option(r.get(1)).map(_ == true), r.getBoolean(2), r.getBoolean(3)))
+      .toMap
+    Materialize.releaseAll()
+
+    val afterB1 = initial ++ b1
+    checkAgainstFull(afterB1)
+
+    // demotion is visible in the returned delta
+    assert(d1(30L) === ((Some(true), false, false)),
+      "30 must be demoted by the smaller-id duplicate")
+    assert(d1(5L) === ((None, true, true)))
+    assert(d1(50L) === ((None, true, true)))
+    assert(d1(51L) === ((None, false, true)))
+    assert(d1(52L) === ((None, false, true)))
+    // unaffected docs are not even touched by the refresh
+    assert(!d1.contains(20L) && !d1.contains(21L) && !d1.contains(40L),
+      s"untouched groups must stay out of the delta: ${d1.keySet}")
+
+    // ---- batch 2: keeper steal inside a quality-failing group, a dup
+    // of a NON-keeper, and another survivor --------------------------
+    val b2 = Seq(
+      6L -> textDshort,  // steals exact keepership from 40 (both junk)
+      60L -> textB2,     // exact dup of 21 (itself a non-keeper)
+      61L -> textG)      // new unique survivor
+    val delta2 = CorpusRefresh.refresh(spark, root, docsDF(b2), 2L, nB)
+    val d2 = delta2.select("doc_id", "was_kept", "now_kept")
+      .collect()
+      .map(r => r.getLong(0) ->
+        (Option(r.get(1)).map(_ == true), r.getBoolean(2)))
+      .toMap
+    Materialize.releaseAll()
+
+    val afterB2 = afterB1 ++ b2
+    checkAgainstFull(afterB2)
+
+    // verdicts moved inside the junk group without flipping kept-ness
+    val now = flagsRows(CorpusRefresh.currentFlags(spark, root))
+      .map(r => r._1 -> r).toMap
+    assert(now(6L)._5 && now(6L)._7 && !now(6L)._8,
+      "6 must take the keeper chain but stay out of band")
+    assert(!now(40L)._5 && !now(40L)._8, "40 must lose exact keepership")
+    assert(d2(40L) === ((Some(false), false)))
+    assert(now(60L)._5 === false, "60 falls at exact against 21")
+    assert(now(21L)._6 && !now(21L)._7, "21's own verdicts must not move")
+    assert(d2(61L) === ((None, true)))
+    // 10/11/12/30/5/50/52 untouched by batch 2
+    assert(!d2.contains(10L) && !d2.contains(30L) && !d2.contains(5L),
+      s"batch-2 delta leaked into unrelated groups: ${d2.keySet}")
+
+    // ---- the state agrees with the REAL contract pipeline ----------
+    // stage the combined corpus as a documents table and compare
+    // CorpusPipeline.curate's final stage count + kept ids against the
+    // refreshed state — ties the refresh to the driver-gated path, not
+    // just to fullFlags
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-refresh-dir").toString
+    docsDF(afterB2).coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val (corpus, report) = CorpusPipeline.curate(spark, dir)
+    val keptPipeline = corpus.select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    val lastStage = report.collect().map(r =>
+      (r.getString(0), r.getLong(1))).toMap.apply("04_quality_filter")
+    Materialize.releaseAll()
+    val keptState = now.values.filter(_._8).map(_._1).toSet
+    assert(keptState === keptPipeline)
+    assert(lastStage.toInt === keptState.size)
+  }
+}
