@@ -185,8 +185,18 @@ object CorpusRefresh {
         .join(sgKeys, Seq("sg_key"), "left_semi")
         .select(stateCols.map(col): _*)
 
+      // exclude the arrivals themselves from the state pull: after a
+      // PARTIAL failure (some projections upserted, not all) a replay
+      // of the same batch re-reads state that already contains the
+      // delta docs — without the anti-join they would enter the frame
+      // twice and corrupt the rank-1 windows. With it, a replayed
+      // recompute reproduces identical verdicts and the remaining
+      // projection upserts converge (the committed ones no-op on
+      // their markers).
       val affectedState = e.unionAll(n).unionAll(sRows)
         .dropDuplicates(Seq("doc_id"))
+        .join(delta.select("doc_id"), Seq("doc_id"), "left_anti")
+        .select(stateCols.map(col): _*)
 
       // ---- bounded recompute with group-level recompute marks -------
       // a group recomputes iff it holds a delta doc or a doc whose

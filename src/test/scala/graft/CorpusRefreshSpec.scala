@@ -163,5 +163,115 @@ class CorpusRefreshSpec extends AnyFunSuite {
     val keptState = now.values.filter(_._8).map(_._1).toSet
     assert(keptState === keptPipeline)
     assert(lastStage.toInt === keptState.size)
+
+    // ---- partial-failure replay: projections converge ---------------
+    // batch 3 commits, then we simulate a crash that lost the by_norm
+    // and by_sg commits (markers deleted → their bucket versions are
+    // invisible, exactly the torn state a died writer leaves); the
+    // replayed refresh must no-op on by_digest and bring the other two
+    // projections to the identical state
+    val b3 = Seq(70L -> txt(vocab.slice(950, 972)))
+    CorpusRefresh.refresh(spark, root, docsDF(b3), 3L, nB)
+    Materialize.releaseAll()
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.delete(new org.apache.hadoop.fs.Path(s"$root/by_norm/_commits/3"), false)
+    f.delete(new org.apache.hadoop.fs.Path(s"$root/by_sg/_commits/3"), false)
+    CorpusRefresh.refresh(spark, root, docsDF(b3), 3L, nB)
+    Materialize.releaseAll()
+    checkAgainstFull(afterB2 ++ b3)
+    // all three projections hold identical rows again
+    val byNormRows = flagsRows(graft.streaming.UpsertFileSink
+      .readSnapshotBucketed(spark, s"$root/by_norm",
+        CorpusRefresh.stateSchema))
+    val bySgRows = flagsRows(graft.streaming.UpsertFileSink
+      .readSnapshotBucketed(spark, s"$root/by_sg",
+        CorpusRefresh.stateSchema))
+    val byDigestRows = flagsRows(CorpusRefresh.currentFlags(spark, root))
+    assert(byNormRows === byDigestRows && bySgRows === byDigestRows)
+  }
+
+  test("continuous ingest: landing zone, curation state and index track a doc stream") {
+    // The full production loop in one foreachBatch body: raw docs land
+    // exactly-once in an UpsertFileSink table, curation verdicts
+    // refresh delta-bounded (refresh bootstraps uniformly from empty
+    // state — batch 0 needs no special case), and the inverted index
+    // absorbs the same batch incrementally. After the stream drains,
+    // all three stores must agree with their from-scratch twins over
+    // the union of everything that arrived.
+    import spark.implicits._
+    import graft.streaming.{StreamingWindows, UpsertFileSink}
+    import graft.operators.{IncrementalIndex, InvertedIndex}
+
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-ingest").toString
+    val stateRoot = s"$base/state"
+    val landingRoot = s"$base/landing"
+    val indexRoot = s"$base/index"
+    val streamDir = java.nio.file.Files.createDirectory(
+      java.nio.file.Paths.get(s"$base/stream"))
+
+    val batch0 = Seq(10L -> textA, 11L -> textA, 30L -> textC,
+      40L -> textDshort)
+    val batch1 = Seq(50L -> textE, 5L -> textC, 52L -> textF)
+    def stage(name: String, mtime: Long, rows: Seq[(Long, String)]): Unit = {
+      val tmp = s"$base/_$name"
+      docsDF(rows).coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = streamDir.resolve(name)
+      java.nio.file.Files.move(part.toPath, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    stage("b0.parquet", 1000000000000L, batch0)
+    stage("b1.parquet", 1000000060000L, batch1)
+
+    val q = StreamingWindows
+      .tableStream(spark, streamDir.toString,
+        s"$streamDir/b0.parquet")
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        // everything keys off the micro-batch's own (cloned) session —
+        // the same discipline as UpsertFileSink.upsertBatch
+        val bs = df.sparkSession
+        val staged = df.persist()
+        try {
+          staged.count()
+          UpsertFileSink.upsertsOnly(staged, id, landingRoot, Seq("doc_id"))
+          CorpusRefresh.refresh(bs, stateRoot, staged, id, nBuckets = 8)
+          IncrementalIndex.applyBatch(bs, indexRoot,
+            staged.withColumn("op", lit("I")), id, nBuckets = 8)
+          Materialize.releaseAll()
+        } finally staged.unpersist(blocking = false)
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+
+    val all = batch0 ++ batch1
+    // landing zone holds every raw doc exactly once
+    val landed = UpsertFileSink.readSnapshot(spark, landingRoot,
+        docsDF(all).schema)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(landed === all.sortBy(_._1))
+    // curation state == full curate of the union (incl. the batch-1
+    // demotion of doc 30 by the smaller-id duplicate 5)
+    assert(flagsRows(CorpusRefresh.currentFlags(spark, stateRoot)) ===
+      flagsRows(CorpusRefresh.fullFlags(spark, docsDF(all))))
+    val verdicts = flagsRows(CorpusRefresh.currentFlags(spark, stateRoot))
+      .map(r => r._1 -> r._8).toMap
+    assert(verdicts(5L) && !verdicts(30L),
+      "the streaming refresh must carry the cross-batch demotion")
+    // index == from-scratch rebuild over the same corpus
+    val inc = IncrementalIndex.currentPostings(spark, indexRoot)
+      .select("token", "doc_id", "tf", "dl", "df").collect()
+      .map(_.toString).sorted.toSeq
+    val full = InvertedIndex.build(docsDF(all), "doc_id", "text")
+      .select("token", "doc_id", "tf", "dl", "df").collect()
+      .map(_.toString).sorted.toSeq
+    assert(inc === full)
+    Materialize.releaseAll()
   }
 }
