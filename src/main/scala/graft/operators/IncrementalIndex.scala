@@ -55,6 +55,75 @@ object IncrementalIndex {
   private def bucketCol(nBuckets: Int) =
     pmod(hash(col("doc_id")), lit(nBuckets))
 
+  // ---- compaction-aware log readers ---------------------------------
+  //
+  // [[compact]] folds every segment with seq ≤ c into one tree under
+  // `_compact/<c>/{postings,docs,df}` and publishes it with a marker
+  // file `_compacted` (temp + rename — never torn). Readers take the
+  // marker's view: folded tree ∪ only the segments NEWER than c; any
+  // surviving seq ≤ c directory is invisible (partition-pruned), so
+  // the post-publish cleanup can crash anywhere and merely leave
+  // garbage to delete next time. No marker → plain log view.
+
+  private def hfs(spark: SparkSession, root: String) =
+    new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def compactMarker(root: String) =
+    new org.apache.hadoop.fs.Path(root, "_compacted")
+
+  private def compactedUpTo(spark: SparkSession, root: String): Option[Long] = {
+    val f = hfs(spark, root)
+    val p = compactMarker(root)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try Some(new String({
+        val bytes = new Array[Byte](64)
+        val n = in.read(bytes)
+        bytes.take(math.max(n, 0))
+      }, "UTF-8").trim.toLong)
+      finally in.close()
+    }
+  }
+
+  /** Segment dirs `seq=N` under `root/sub` with N > c. */
+  private def freshSegDirs(spark: SparkSession, root: String, sub: String,
+      c: Long): Seq[String] = {
+    val f = hfs(spark, root)
+    val dir = new org.apache.hadoop.fs.Path(s"$root/$sub")
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith("seq=") &&
+        n.stripPrefix("seq=").forall(_.isDigit) &&
+        n.stripPrefix("seq=").toLong > c)
+      .map(n => s"$root/$sub/$n")
+  }
+
+  /** The log as one frame, `seq` normalized to LongType: with no
+    * compaction marker, the plain multi-segment read; with one, the
+    * folded tree at seq=c unioned with only the newer segment dirs —
+    * surviving pre-compaction dirs are never even listed as data.
+    */
+  private def readLog(spark: SparkSession, root: String,
+      sub: String): DataFrame =
+    compactedUpTo(spark, root) match {
+      case None => spark.read.parquet(s"$root/$sub")
+        .withColumn("seq", col("seq").cast("long"))
+      case Some(c) =>
+        val folded = spark.read.parquet(s"$root/_compact/$c/$sub")
+          .withColumn("seq", lit(c).cast("long"))
+        val dirs = freshSegDirs(spark, root, sub, c)
+        if (dirs.isEmpty) folded
+        else {
+          val fresh = spark.read.option("basePath", s"$root/$sub")
+            .parquet(dirs: _*)
+            .withColumn("seq", col("seq").cast("long"))
+          // column order differs (partition cols list last on read)
+          folded.select(fresh.columns.map(col): _*).unionAll(fresh)
+        }
+    }
+
   /** Tokenize + count — [[InvertedIndex.build]]'s postings shape minus
     * the df window: (token, doc_id, tf, dl).
     */
@@ -72,7 +141,7 @@ object IncrementalIndex {
   private def latestDocVersions(spark: SparkSession,
       root: String): DataFrame = {
     val w = Window.partitionBy("doc_id").orderBy(col("seq").desc)
-    spark.read.parquet(s"$root/docs")
+    readLog(spark, root, "docs")
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .select("doc_id", "seq", "op")
@@ -89,6 +158,10 @@ object IncrementalIndex {
   def applyBatch(spark: SparkSession, root: String, batch: DataFrame,
       batchId: Long, nBuckets: Int = 16): Unit = {
     require(nBuckets > 0, s"nBuckets=$nBuckets")
+    // a batch at or below the compaction horizon would land in a
+    // segment the readers prune — the CDC feed must stay monotone
+    require(compactedUpTo(spark, root).forall(_ < batchId),
+      s"batch $batchId is at or below $root's compaction horizon")
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val hasState = fs.exists(new org.apache.hadoop.fs.Path(s"$root/docs"))
@@ -106,7 +179,7 @@ object IncrementalIndex {
       } else {
         val touched = staged.select(bucketCol(nBuckets).as("__b"))
           .distinct().collect().map(_.getInt(0)).toSeq
-        val prev = spark.read.parquet(s"$root/postings")
+        val prev = readLog(spark, root, "postings")
           .filter(col("db").isin(touched: _*))
         val live = latestDocVersions(spark, root)
           .filter(col("op") =!= "D")
@@ -145,15 +218,105 @@ object IncrementalIndex {
   def currentPostings(spark: SparkSession, root: String): DataFrame = {
     val live = latestDocVersions(spark, root)
       .filter(col("op") =!= "D").select("doc_id", "seq")
-    val cur = spark.read.parquet(s"$root/postings")
+    val cur = readLog(spark, root, "postings")
       .join(live, Seq("doc_id", "seq"))
       .select("token", "doc_id", "tf", "dl")
-    val dfNow = spark.read.parquet(s"$root/df")
+    val dfNow = readLog(spark, root, "df")
       .groupBy("token").agg(sum("delta").as("df"))
       .filter(col("df") > 0L)
     cur.join(dfNow, Seq("token"))
       .select("token", "doc_id", "tf", "dl", "df")
   }
+
+  /** COMPACTION — fold every segment with seq ≤ `upTo` into one
+    * equivalent tree, so read-time folding cost stops growing with
+    * batch count (the landing zone's checkpoint recipe, applied to the
+    * index log):
+    *
+    *  - folded postings = the live postings of docs whose newest
+    *    GLOBAL version is ≤ upTo (a doc superseded or deleted later
+    *    keeps nothing here — its old segments were dead weight);
+    *  - folded docs = one live (doc_id, op) row each; tombstones and
+    *    superseded entries vanish;
+    *  - folded df = the partial sums of all deltas with seq ≤ upTo
+    *    (token-level and additive, so liveness never enters).
+    *
+    * Crash safety mirrors the marker discipline everywhere else in
+    * this repo: the folded tree lands OUT OF PLACE under
+    * `_compact/<upTo>/`, the `_compacted` marker (temp + rename,
+    * never torn) is the single publish point, and only then does
+    * [[cleanupCompacted]] delete the superseded segment dirs and any
+    * older compact tree — readers pre-marker see the intact old view,
+    * readers post-marker never list seq ≤ upTo dirs as data, so a
+    * crash anywhere leaves garbage, not corruption, and a re-run
+    * converges.
+    */
+  def compact(spark: SparkSession, root: String, upTo: Long,
+      nBuckets: Int = 16): Unit = {
+    require(compactedUpTo(spark, root).forall(_ <= upTo),
+      s"cannot compact $root backwards past its marker")
+    val f = hfs(spark, root)
+    val latest = latestDocVersions(spark, root)
+    val liveOld = latest
+      .filter(col("seq") <= upTo && col("op") =!= "D")
+
+    val foldPost = readLog(spark, root, "postings")
+      .join(liveOld.select("doc_id", "seq"), Seq("doc_id", "seq"))
+      .select("token", "doc_id", "tf", "dl")
+      .persist()
+    try {
+      val tmp = s"$root/_compact/$upTo"
+      // an emptied index folds to a plain (schema-carrying) empty file
+      // — partitionBy of zero rows would write nothing readable
+      if (foldPost.isEmpty)
+        foldPost.withColumn("db", bucketCol(nBuckets))
+          .write.mode("overwrite").parquet(s"$tmp/postings")
+      else
+        foldPost.withColumn("db", bucketCol(nBuckets))
+          .write.mode("overwrite").partitionBy("db")
+          .parquet(s"$tmp/postings")
+      liveOld.select("doc_id", "op")
+        .write.mode("overwrite").parquet(s"$tmp/docs")
+      readLog(spark, root, "df").filter(col("seq") <= upTo)
+        .groupBy("token").agg(sum("delta").as("delta"))
+        .filter(col("delta") =!= 0L)
+        .write.mode("overwrite").parquet(s"$tmp/df")
+
+      // publish: the marker flip is the commit point
+      val t = new org.apache.hadoop.fs.Path(root, "._compacted.tmp")
+      val out = f.create(t, true)
+      try out.write(upTo.toString.getBytes("UTF-8")) finally out.close()
+      if (f.exists(compactMarker(root))) f.delete(compactMarker(root), false)
+      require(f.rename(t, compactMarker(root)),
+        s"publish rename failed for $root")
+    } finally foldPost.unpersist(blocking = false)
+    cleanupCompacted(spark, root)
+  }
+
+  /** Delete segment dirs and compact trees the `_compacted` marker has
+    * superseded. Safe to call any time (including after a crashed
+    * [[compact]]'s publish); a no-op without a marker.
+    */
+  def cleanupCompacted(spark: SparkSession, root: String): Unit =
+    compactedUpTo(spark, root).foreach { c =>
+      val f = hfs(spark, root)
+      Seq("postings", "docs", "df").foreach { sub =>
+        val dir = new org.apache.hadoop.fs.Path(s"$root/$sub")
+        if (f.exists(dir)) f.listStatus(dir).toSeq
+          .map(_.getPath.getName)
+          .filter(n => n.startsWith("seq=") &&
+            n.stripPrefix("seq=").forall(_.isDigit) &&
+            n.stripPrefix("seq=").toLong <= c)
+          .foreach(n => f.delete(
+            new org.apache.hadoop.fs.Path(s"$root/$sub/$n"), true))
+      }
+      val cdir = new org.apache.hadoop.fs.Path(s"$root/_compact")
+      if (f.exists(cdir)) f.listStatus(cdir).toSeq
+        .map(_.getPath.getName)
+        .filter(n => n.forall(_.isDigit) && n.toLong < c)
+        .foreach(n => f.delete(
+          new org.apache.hadoop.fs.Path(s"$root/_compact/$n"), true))
+    }
 
   /** Corpus stats for [[InvertedIndex.bm25Query]] from the index state
     * alone: (live doc count, mean live doc length) in ONE aggregate
@@ -162,7 +325,7 @@ object IncrementalIndex {
   def stats(spark: SparkSession, root: String): (Long, Double) = {
     val live = latestDocVersions(spark, root)
       .filter(col("op") =!= "D").select("doc_id", "seq")
-    val dls = spark.read.parquet(s"$root/postings")
+    val dls = readLog(spark, root, "postings")
       .join(live, Seq("doc_id", "seq"))
       .groupBy("doc_id").agg(first("dl").as("dl"))
     val r = dls.agg(count(lit(1)), avg("dl")).head

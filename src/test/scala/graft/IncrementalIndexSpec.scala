@@ -98,4 +98,71 @@ class IncrementalIndexSpec extends AnyFunSuite {
     assert(seg.isDirectory &&
       seg.listFiles().exists(_.getName.startsWith("db=")))
   }
+
+  test("compaction folds the log without changing any answer") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-incidx-compact").toString
+
+    var corpus = Map.empty[Long, String]
+    def apply(id: Long, rows: Seq[(Long, String, String)]): Unit = {
+      IncrementalIndex.applyBatch(spark, root,
+        rows.toDF("doc_id", "text", "op"), id)
+      rows.foreach { case (d, t, op) =>
+        corpus = if (op == "D") corpus - d else corpus + (d -> t)
+      }
+    }
+    def check(): Unit = {
+      val full = InvertedIndex.build(
+        corpus.toSeq.toDF("doc_id", "text"), "doc_id", "text")
+      assert(rows(IncrementalIndex.currentPostings(spark, root)) ===
+        rows(full))
+    }
+
+    apply(0L, Seq((1L, "the quick fox", "I"), (2L, "lazy dog", "I"),
+      (3L, "quick dog", "I")))
+    apply(1L, Seq((2L, "sly cat", "U"), (4L, "dog park", "I")))
+    apply(2L, Seq((3L, "", "D"), (5L, "fox den", "I")))
+    check()
+
+    // compact mid-log: answers unchanged with a mixed view (folded
+    // tree at seq=1 ∪ fresh seq=2 segments)
+    IncrementalIndex.compact(spark, root, upTo = 1L)
+    check()
+    // re-compact to a later horizon after more batches
+    apply(3L, Seq((4L, "", "D"), (6L, "quick cat naps", "I")))
+    check()
+    IncrementalIndex.compact(spark, root, upTo = 3L)
+    check()
+    // the old compact tree and every folded segment dir are gone
+    assert(!new java.io.File(s"$root/_compact/1").exists,
+      "superseded compact tree must be vacuumed")
+    Seq("postings", "docs", "df").foreach { sub =>
+      val segs = new java.io.File(s"$root/$sub").listFiles()
+        .filter(_.getName.startsWith("seq=")).map(_.getName).toSeq
+      assert(segs.isEmpty, s"$sub still holds folded segments: $segs")
+    }
+
+    // new batches land on top of the compacted base
+    apply(4L, Seq((2L, "sly cat returns", "U"), (7L, "new dog", "I")))
+    check()
+
+    // queries + stats still agree with the live corpus
+    val (n, avgDl) = IncrementalIndex.stats(spark, root)
+    assert(n === corpus.size.toLong)
+    val idx = IncrementalIndex.currentPostings(spark, root)
+    val hits = InvertedIndex.bm25Query(idx, n, avgDl, Seq("dog"), k = 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(hits.subsetOf(corpus.keySet) && hits.nonEmpty)
+
+    // a batch below the compaction horizon is rejected loudly
+    intercept[IllegalArgumentException] {
+      IncrementalIndex.applyBatch(spark, root,
+        Seq((9L, "too old", "I")).toDF("doc_id", "text", "op"), 2L)
+    }
+
+    // cleanup is idempotent and safe to re-run any time
+    IncrementalIndex.cleanupCompacted(spark, root)
+    check()
+  }
 }
