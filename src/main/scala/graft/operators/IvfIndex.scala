@@ -43,6 +43,29 @@ object IvfIndex {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
       .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+    buildFrom(spark, emb, k, iters)
+  }
+
+  /** Nearest-centroid assignment — the quantizer step shared by the
+    * Lloyd loop, search, and [[IncrementalIvf]]'s delta path: one
+    * broadcast of the k centroids + a per-vector rank-1 (deterministic
+    * cosine tie-break on cell). Input needs (vec_id, e).
+    */
+  def assignTo(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+    CosineSimilarity.register(vectors.sparkSession)
+    vectors.crossJoin(broadcast(centroids))
+      .withColumn("sim", expr("cosine_sim(e, c)"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
+          .orderBy(col("sim").desc, col("cell"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("e"), col("cell"))
+  }
+
+  /** [[build]] over an arbitrary (vec_id, e: array<double>) frame. */
+  def buildFrom(spark: SparkSession, emb: DataFrame, k: Int,
+      iters: Int): IvfModel = {
+    CosineSimilarity.register(spark)
 
     // Deterministic seed: the k lowest vec_ids become centroids 0..k-1.
     // GUARD: the no-partition Window below collapses its input to a
@@ -60,13 +83,7 @@ object IvfIndex {
     var i = 0
     while (i < iters) {
       // Assign: nearest centroid by cosine (deterministic tiebreak on cell).
-      assigned = emb.crossJoin(broadcast(centroids))
-        .withColumn("sim", expr("cosine_sim(e, c)"))
-        .withColumn("rn", row_number().over(
-          org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
-            .orderBy(col("sim").desc, col("cell"))))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("e"), col("cell"))
+      assigned = assignTo(emb, centroids)
       // Update: mean vector per cell (position-wise).
       centroids = assigned
         .select(col("cell"), posexplode(col("e")).as(Seq("pos", "v")))

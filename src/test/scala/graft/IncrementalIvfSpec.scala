@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{IncrementalIvf, IvfIndex}
+
+/** Incremental IVF under a FIXED quantizer is exact, so the contract
+  * is equality, not recall: search over the maintained index must
+  * equal the same search over a from-scratch assignment of the live
+  * vectors to the same centroids — through adds, a cell-moving
+  * update, and a delete.
+  */
+class IncrementalIvfSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  private val dim = 4
+  /** Deterministic synthetic vector near axis (id % 3). */
+  private def vec(id: Long): Seq[Double] = {
+    val axis = (id % 3).toInt
+    val v = Array.fill(dim)(0.0)
+    v(axis) = 1.0
+    v((axis + 1) % dim) = 0.01 * (id % 7)
+    v.toSeq
+  }
+
+  private def df(rows: Seq[(Long, Seq[Double], String)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("vec_id", "e", "op")
+  }
+
+  /** The from-scratch twin: assign the live vectors to the SAME fixed
+    * centroids, prune to the same probed cells, score identically.
+    */
+  private def expected(root: String, live: Map[Long, Seq[Double]],
+      probe: Seq[Double], topK: Int, nprobe: Int): Seq[(Long, Double)] = {
+    import spark.implicits._
+    val cent = spark.read.parquet(s"$root/centroids")
+    val p = array(probe.map(lit): _*)
+    val cells = cent.withColumn("__p", p)
+      .withColumn("cell_sim", expr("cosine_sim(c, __p)"))
+      .orderBy(col("cell_sim").desc, col("cell"))
+      .limit(nprobe).select("cell").collect().map(_.getInt(0)).toSeq
+    IvfIndex.assignTo(live.toSeq.toDF("vec_id", "e"), cent)
+      .filter(col("cell").isin(cells: _*))
+      .withColumn("__p", p)
+      .withColumn("sim", round(expr("cosine_sim(e, __p)"), 4))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(topK)
+      .select("vec_id", "sim").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+  }
+
+  test("incremental IVF equals the fixed-quantizer from-scratch twin") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-incivf").toString + "/ivf"
+    import spark.implicits._
+
+    var live: Map[Long, Seq[Double]] =
+      (1L to 30L).map(i => i -> vec(i)).toMap
+    IncrementalIvf.initialize(spark,
+      live.toSeq.toDF("vec_id", "e"), root, k = 3, iters = 2)
+
+    val probes = Seq(vec(1L), vec(2L), vec(3L))
+    def check(): Unit = probes.foreach { pr =>
+      Seq(1, 3).foreach { nprobe =>
+        val got = IncrementalIvf.search(spark, root, pr, 8, nprobe)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        assert(got === expected(root, live, pr, 8, nprobe),
+          s"probe $pr nprobe=$nprobe")
+      }
+      // nprobe = all cells ⇒ the exact brute-force top-k of the corpus
+      val all = IncrementalIvf.search(spark, root, pr, live.size, 3)
+        .collect().map(_.getLong(0)).toSet
+      assert(all === live.keySet, "all-cells probe must see every live vector")
+    }
+    check()
+
+    // batch 1: pure adds
+    val b1 = (31L to 40L).map(i => (i, vec(i), "I"))
+    IncrementalIvf.applyBatch(spark, root, df(b1), 1L)
+    live ++= b1.map(r => r._1 -> r._2)
+    check()
+
+    // batch 2: an update that MOVES a vector to a different cell, and
+    // a delete
+    val moved = vec(6L) // id 5 jumps from its axis-2 cluster to axis-0's
+    IncrementalIvf.applyBatch(spark, root,
+      df(Seq((5L, moved, "U"), (7L, Seq.empty[Double], "D"))), 2L)
+    live = live - 7L + (5L -> moved)
+    check()
+
+    // the move is visible in the live assignment, the delete is gone
+    val members = IncrementalIvf.liveMembers(spark, root)
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(members.size === live.size)
+    assert(!members.contains(7L))
+    val cent = spark.read.parquet(s"$root/centroids")
+    val expectCell = IvfIndex.assignTo(
+        Seq((5L, moved)).toDF("vec_id", "e"), cent)
+      .select("cell").head.getInt(0)
+    assert(members(5L) === expectCell)
+
+    // segment layout is cell-partitioned (the probe-pruning surface)
+    val seg = new java.io.File(s"$root/members/seq=1")
+    assert(seg.isDirectory &&
+      seg.listFiles().exists(_.getName.startsWith("cell=")))
+  }
+}
