@@ -100,7 +100,7 @@ object CorpusPipeline {
     * must carry (doc_id, lang, toks, n_toks) plus any `extra` columns
     * to pass through.
     */
-  private def tagSurvivors(s: SparkSession, survivors: DataFrame,
+  private[operators] def tagSurvivors(s: SparkSession, survivors: DataFrame,
       extra: Seq[String] = Nil): DataFrame = {
     import s.implicits._
     val dict = TextExtras.langMarkers.toDF("cand", "w1", "w2")

@@ -107,15 +107,18 @@ object CorpusRefresh {
       .select(stateCols.map(col): _*)
 
   private def upsertAll(flags: DataFrame, batchId: Long, root: String,
-      nBuckets: Int): Unit = {
+      nBuckets: Int, checkpointEvery: Int = 0): Unit = {
     val batch = flags
       .withColumn("op", lit("U")).withColumn("seq", lit(batchId))
     UpsertFileSink.upsertBatchBucketed(batch, batchId, byDigest(root),
-      Seq("doc_id"), nBuckets, bucketCols = Seq("digest"))
+      Seq("doc_id"), nBuckets, bucketCols = Seq("digest"),
+      checkpointEvery = checkpointEvery)
     UpsertFileSink.upsertBatchBucketed(batch, batchId, byNorm(root),
-      Seq("doc_id"), nBuckets, bucketCols = Seq("norm_sig"))
+      Seq("doc_id"), nBuckets, bucketCols = Seq("norm_sig"),
+      checkpointEvery = checkpointEvery)
     UpsertFileSink.upsertBatchBucketed(batch, batchId, bySg(root),
-      Seq("doc_id"), nBuckets, bucketCols = Seq("sg_key"))
+      Seq("doc_id"), nBuckets, bucketCols = Seq("sg_key"),
+      checkpointEvery = checkpointEvery)
   }
 
   /** One-time bulk load: full-curate `docs` and land the flags as
@@ -145,7 +148,8 @@ object CorpusRefresh {
     * rewritten.
     */
   def refresh(s: SparkSession, stateRoot: String, arrivals: DataFrame,
-      batchId: Long, nBuckets: Int = 64): DataFrame = {
+      batchId: Long, nBuckets: Int = 64,
+      checkpointEvery: Int = 0): DataFrame = {
     def bk(c: Column) = pmod(hash(c), lit(nBuckets))
 
     val delta = thinInputs(s, arrivals)
@@ -235,10 +239,37 @@ object CorpusRefresh {
           col("quality_ok").as("was_kept"), col("is_delta")))
 
       upsertAll(result.select(stateCols.map(col): _*), batchId,
-        stateRoot, nBuckets)
+        stateRoot, nBuckets, checkpointEvery)
 
       result.select((stateCols.map(col) :+ col("was_kept") :+
         col("quality_ok").as("now_kept") :+ col("is_delta")): _*)
     } finally delta.unpersist(blocking = false)
+  }
+
+  /** Turn a [[refresh]] result into the CORPUS delta in
+    * [[CorpusPipeline.curate]]'s own output shape: `adds` = newly-kept
+    * docs tagged exactly like curate's corpus rows (broadcast-dict
+    * langid argmax + md5 split — text re-joined by id from
+    * `textSource`, typically the arrivals frame plus, for promoted
+    * pre-existing docs, the corpus store), `removals` = doc_ids a new
+    * duplicate demoted out of the kept set. A downstream trainer
+    * applies (adds, removals) to its materialized corpus instead of
+    * re-reading it — the last mile of the delta-bounded refresh.
+    */
+  def corpusDelta(s: SparkSession, refreshed: DataFrame,
+      textSource: DataFrame): (DataFrame, DataFrame) = {
+    val promoted = refreshed
+      .filter(col("now_kept") &&
+        (col("was_kept").isNull || !col("was_kept")))
+      .select("doc_id", "lang", "n_toks")
+    val adds = CorpusPipeline.tagSurvivors(s,
+      promoted.join(
+        textSource.select(col("doc_id"),
+          split(col("text"), " ").as("toks")),
+        Seq("doc_id")))
+    val removals = refreshed
+      .filter(col("was_kept") === true && !col("now_kept"))
+      .select("doc_id")
+    (adds, removals)
   }
 }

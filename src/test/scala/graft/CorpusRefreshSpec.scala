@@ -191,6 +191,46 @@ class CorpusRefreshSpec extends AnyFunSuite {
     assert(byNormRows === byDigestRows && bySgRows === byDigestRows)
   }
 
+  test("corpusDelta emits curate-shaped adds and removals") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-refresh-delta").toString + "/state"
+    val initial = Seq(10L -> textA, 11L -> textA, 30L -> textC,
+      40L -> textDshort)
+    CorpusRefresh.initialize(spark, docsDF(initial), root, 8)
+
+    val b1 = Seq(50L -> textE, 5L -> textC, 52L -> textF)
+    val refreshed = CorpusRefresh.refresh(spark, root, docsDF(b1), 1L, 8,
+      checkpointEvery = 1)
+    val (adds, removals) = CorpusRefresh.corpusDelta(
+      spark, refreshed, docsDF(initial ++ b1))
+    val addRows = adds.collect().map(_.toString).sorted.toSeq
+    val removedIds = removals.collect().map(_.getLong(0)).toSet
+    Materialize.releaseAll()
+
+    // 5 steals textC's keepership (smaller id), 50 is a new survivor,
+    // 30 is demoted out; 52 fails quality, 10/11 unchanged
+    assert(removedIds === Set(30L))
+
+    // adds match the REAL pipeline's corpus rows for exactly those ids
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-refresh-delta-dir").toString
+    docsDF(initial ++ b1).coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val (corpus, _) = CorpusPipeline.curate(spark, dir)
+    val expected = corpus.filter(col("doc_id").isin(5L, 50L))
+      .collect().map(_.toString).sorted.toSeq
+    Materialize.releaseAll()
+    assert(addRows === expected)
+
+    // checkpointEvery=1 really rolled the state manifests up
+    Seq("by_digest", "by_norm", "by_sg").foreach { p =>
+      val names = new java.io.File(s"$root/$p/_commits").listFiles()
+        .map(_.getName).toSeq
+      assert(names.exists(_.startsWith("checkpoint.")),
+        s"$p missing its manifest checkpoint: $names")
+    }
+  }
+
   test("continuous ingest: landing zone, curation state and index track a doc stream") {
     // The full production loop in one foreachBatch body: raw docs land
     // exactly-once in an UpsertFileSink table, curation verdicts
