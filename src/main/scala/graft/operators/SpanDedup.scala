@@ -68,6 +68,27 @@ object SpanDedup {
       .select(col("doc_id"), col("__s.off").as("off"), col("__s.h").as("h"))
   }
 
+  /** Exact token mass covered by the w-token spans whose ASCENDING
+    * start offsets sit in an `__offs` array column — the interval
+    * union of [off, off+w): each span adds
+    * max(0, off + w − max(prevEnd, off)) covered tokens. A per-row
+    * `aggregate` fold over the doc's own bounded offset array — no
+    * shuffle. Shared by [[coverageReport]] and
+    * [[Decontaminate.report]].
+    */
+  private[operators] def coveredTokensFold(w: Int) =
+    expr(s"""aggregate(__offs,
+              named_struct('e', -1, 't', cast(0 as long)),
+              (a, o) -> named_struct(
+                'e', greatest(a.e, o + $w),
+                't', a.t + greatest(0, o + $w - greatest(a.e, o))),
+              a -> a.t)""")
+
+  /** Tokenizer shared with [[Decontaminate]] (whitespace split, empty
+    * tokens dropped — the wordcount family's convention).
+    */
+  private[operators] def tokensOf(textCol: String) = toks(textCol)
+
   /** Span hashes occurring more than once corpus-wide: (h, n_occ). */
   def duplicatedSpans(spans: DataFrame): DataFrame =
     spans.groupBy("h").agg(count(lit(1)).as("n_occ"))
@@ -210,15 +231,8 @@ object SpanDedup {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_dup_spans"),
         array_sort(collect_list(col("off"))).as("__offs"))
-      // interval union of [off, off+w) over ascending offsets: each
-      // span adds max(0, off + w − max(prevEnd, off)) covered tokens
       .select(col("doc_id"), col("n_dup_spans"),
-        expr(s"""aggregate(__offs,
-                  named_struct('e', -1, 't', cast(0 as long)),
-                  (a, o) -> named_struct(
-                    'e', greatest(a.e, o + $w),
-                    't', a.t + greatest(0, o + $w - greatest(a.e, o))),
-                  a -> a.t)""").as("dup_tokens"))
+        coveredTokensFold(w).as("dup_tokens"))
     docs
       .select(col(idCol).as("doc_id"),
         size(toks(textCol)).cast("long").as("n_toks"))
