@@ -174,7 +174,8 @@ object CorpusPipeline {
     * contract row q_pipeline_curate) is untouched.
     */
   def curateLearned(s: SparkSession, dir: String, tau: Double = 0.5,
-      numFeatures: Int = 1 << 9, maxIter: Int = 100)
+      numFeatures: Int = 1 << 9, maxIter: Int = 100,
+      evalSet: Option[DataFrame] = None, deconW: Int = 13)
       : (DataFrame, DataFrame, QualityClassifier.Model) = {
     import s.implicits._
     val flags = dedupFlags(s, dir)
@@ -192,12 +193,27 @@ object CorpusPipeline {
     val scores = QualityClassifier.score(docs, "text", model)
       .select(col("doc_id"), col("quality_score"))
 
-    val joined = graft.Materialize.checkpoint(
-      flags.join(scores, Seq("doc_id"))
-        .withColumn("learned_ok",
-          col("k_near") && col("quality_score") >= lit(tau)))
+    val withLearned = flags.join(scores, Seq("doc_id"))
+      .withColumn("learned_ok",
+        col("k_near") && col("quality_score") >= lit(tau))
 
-    val corpus = tagSurvivors(s, joined.filter(col("learned_ok"))
+    // optional final stage: eval-set decontamination (GPT-3 appx C) —
+    // one broadcast semi-join over the span stream flags any-hit docs;
+    // the corpus side never shuffles ([[Decontaminate]])
+    val withFinal = evalSet match {
+      case None => withLearned.withColumn("final_ok", col("learned_ok"))
+      case Some(es) =>
+        val contaminated = Decontaminate
+          .report(Tables.documents(s, dir), es, "doc_id", "text", deconW)
+          .filter(col("n_hits") > 0L)
+          .select(col("doc_id"), lit(true).as("__contam"))
+        withLearned.join(broadcast(contaminated), Seq("doc_id"), "left_outer")
+          .withColumn("final_ok", col("learned_ok") &&
+            coalesce(col("__contam"), lit(false)) === false)
+    }
+    val joined = graft.Materialize.checkpoint(withFinal)
+
+    val corpus = tagSurvivors(s, joined.filter(col("final_ok"))
       .select(col("doc_id"), col("lang"), col("toks"), col("n_toks"),
         col("quality_score")), extra = Seq("quality_score"))
 
@@ -206,14 +222,19 @@ object CorpusPipeline {
       sum(col("k_exact").cast("long")).as("after_exact"),
       sum(col("k_norm").cast("long")).as("after_norm"),
       sum(col("k_near").cast("long")).as("after_near"),
-      sum(col("learned_ok").cast("long")).as("after_learned")).head()
+      sum(col("learned_ok").cast("long")).as("after_learned"),
+      sum(col("final_ok").cast("long")).as("after_final")).head()
     val stages = Seq(
       ("00_input", c.getLong(0), 0L),
       ("01_exact_dedup", c.getLong(1), c.getLong(0) - c.getLong(1)),
       ("02_norm_dedup", c.getLong(2), c.getLong(1) - c.getLong(2)),
       ("03_minhash_dedup", c.getLong(3), c.getLong(2) - c.getLong(3)),
       (f"04_learned_quality_tau$tau%.2f", c.getLong(4),
-        c.getLong(3) - c.getLong(4)))
+        c.getLong(3) - c.getLong(4))) ++
+      (if (evalSet.isDefined)
+        Seq((s"05_decontaminate_w$deconW", c.getLong(5),
+          c.getLong(4) - c.getLong(5)))
+      else Nil)
     (corpus, stages.toDF("stage", "docs_remaining", "docs_dropped"), model)
   }
 

@@ -122,15 +122,23 @@ object CorpusRefresh {
   }
 
   /** One-time bulk load: full-curate `docs` and land the flags as
-    * state batch 0. Corpus-sized by definition (and the per-bucket
-    * merge loop is the landing zone's, sequenced on the driver — at
-    * real scale a bulk load would land the initial bucket files with
-    * one partitioned write and synthesize the manifest; the refresh
-    * path is the part that must stay delta-bounded).
+    * state batch 0 of all three projections — each ONE partitioned
+    * write + B directory renames ([[UpsertFileSink.bulkLoadBucketed]]),
+    * never the refresh path's driver-sequenced per-bucket merge loop;
+    * corpus-sized work only in the executor-parallel write, exactly
+    * once, with the flags frame materialized once for its three
+    * consumers.
     */
   def initialize(s: SparkSession, docs: DataFrame, stateRoot: String,
-      nBuckets: Int = 64): Unit =
-    upsertAll(fullFlags(s, docs), 0L, stateRoot, nBuckets)
+      nBuckets: Int = 64): Unit = {
+    val flags = graft.Materialize.checkpoint(fullFlags(s, docs))
+    UpsertFileSink.bulkLoadBucketed(flags, byDigest(stateRoot), nBuckets,
+      bucketCols = Seq("digest"))
+    UpsertFileSink.bulkLoadBucketed(flags, byNorm(stateRoot), nBuckets,
+      bucketCols = Seq("norm_sig"))
+    UpsertFileSink.bulkLoadBucketed(flags, bySg(stateRoot), nBuckets,
+      bucketCols = Seq("sg_key"))
+  }
 
   /** The whole current verdict state (one projection suffices — all
     * three hold identical rows).

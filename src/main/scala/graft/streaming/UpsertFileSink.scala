@@ -342,6 +342,48 @@ object UpsertFileSink {
     }
   }
 
+  /** BULK LOAD into an empty bucketed table: ONE partitioned write of
+    * the whole frame (every executor writes its buckets in parallel —
+    * no driver-sequenced per-bucket merge loop, the shape a 100 TB
+    * initial load needs), then B cheap directory renames into the
+    * `buckets/<b>/v=<batchId>` layout and a single v2 marker publish.
+    * The marker stays the commit point: a crash mid-rename leaves an
+    * unpublished staging tree, and re-running converges (staging is
+    * overwritten, renames skip already-moved buckets).
+    *
+    * `df` carries the PAYLOAD columns only (no op/seq — a bulk load
+    * is by definition the newest version of every row).
+    */
+  def bulkLoadBucketed(df: DataFrame, root: String, nBuckets: Int,
+      batchId: Long = 0L, bucketCols: Seq[String]): Unit = {
+    require(nBuckets > 0, s"nBuckets=$nBuckets")
+    val spark = df.sparkSession
+    val f = fs(spark, root)
+    require(!f.exists(commitsDir(root)),
+      s"bulk load requires an empty table, but $root has commits")
+    val staging = new Path(root, "_bulk")
+    df.withColumn("__b", bucketCol(bucketCols, nBuckets))
+      .write.mode("overwrite").partitionBy("__b")
+      .parquet(staging.toString)
+    val touched = f.listStatus(staging).toSeq
+      .map(_.getPath.getName)
+      .filter(_.startsWith("__b="))
+      .map(_.stripPrefix("__b=").toInt).sorted
+    f.mkdirs(bucketsDir(root))
+    touched.foreach { b =>
+      val dst = new Path(root, s"buckets/$b")
+      f.mkdirs(dst)
+      val src = new Path(staging, s"__b=$b")
+      val vdst = new Path(dst, s"v=$batchId")
+      if (f.exists(vdst)) f.delete(vdst, true) // crashed prior attempt
+      require(f.rename(src, vdst), s"rename $src -> $vdst failed")
+    }
+    f.delete(staging, true)
+    f.mkdirs(commitsDir(root))
+    atomicWrite(f, new Path(commitsDir(root), batchId.toString),
+      (MarkerHeader +: touched.map(_.toString)).mkString("\n"))
+  }
+
   /** Roll the bucketed manifest up into `_commits/checkpoint.<head>`:
     * the per-bucket newest committed version map as of the newest
     * committed batch. After this, readers consult only markers newer

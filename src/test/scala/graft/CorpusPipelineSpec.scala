@@ -115,6 +115,47 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(again._2 === report)
   }
 
+  test("curateLearned with an eval set appends the decontamination stage") {
+    import spark.implicits._
+    // take a doc the learned pipeline KEEPS and make a 5-gram of its
+    // text the "benchmark" — the composed scrub must drop exactly the
+    // docs sharing that span, with the accounting row to prove it
+    val (baseCorpus, baseReport, _) = graft.operators.CorpusPipeline
+      .curateLearned(spark, sf0001, tau = 0.5)
+    val keptIds = baseCorpus.select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    Materialize.releaseAll()
+    val someKept = keptIds.min
+    val text = spark.read.parquet(s"$sf0001/documents.parquet")
+      .filter(col("doc_id") === someKept)
+      .select("text").head.getString(0)
+    val evalDoc = text.split(" ").filter(_.nonEmpty).take(5).mkString(" ")
+    val evalSet = Seq((999999L, evalDoc)).toDF("doc_id", "text")
+
+    val (corpus, report, _) = graft.operators.CorpusPipeline
+      .curateLearned(spark, sf0001, tau = 0.5,
+        evalSet = Some(evalSet), deconW = 5)
+    val kept2 = corpus.select("doc_id").collect().map(_.getLong(0)).toSet
+    val rep = report.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2)))
+    Materialize.releaseAll()
+
+    assert(rep.map(_._1).last === "05_decontaminate_w5")
+    assert(rep.length === 6)
+    // accounting: drops sum, monotone, corpus == final stage
+    val remaining = rep.map(_._2)
+    assert(remaining === remaining.sorted.reverse)
+    assert(rep.head._2 === remaining.last + rep.map(_._3).sum)
+    assert(kept2.size.toLong === remaining.last)
+    // the probe doc is gone, the scrub only removed docs (no additions)
+    assert(!kept2.contains(someKept))
+    assert(kept2.subsetOf(keptIds))
+    // stages 00-04 are byte-identical to the undecontaminated run
+    assert(rep.take(5).toSeq === baseReport.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2))).toSeq)
+    Materialize.releaseAll()
+  }
+
   test("paretoKeep: deterministic, score-monotone importance keep") {
     import spark.implicits._
     // scores spread over (0,1); ids fixed → draws fixed

@@ -429,6 +429,47 @@ class UpsertFileSinkSpec extends AnyFunSuite {
     assert(bucketedSnapshot(root).toMap.apply(0L) === "FINAL")
   }
 
+  test("bulk load: one partitioned write equals the per-batch path") {
+    import spark.implicits._
+    val root = tmpRoot("bk-bulk")
+    val nB = 8
+    val rows = (0L until 64L).map(k => (k, s"v$k"))
+    UpsertFileSink.bulkLoadBucketed(rows.toDF("key", "value"),
+      root, nB, bucketCols = Seq("key"))
+    assert(bucketedSnapshot(root) === rows.sorted)
+    // staging tree is gone; every bucket landed at v=0
+    assert(!new java.io.File(s"$root/_bulk").exists)
+    assert(bucketVersions(root).values.forall(_ === Set(0L)))
+
+    // incremental batches land on top exactly as after a per-batch init
+    UpsertFileSink.upsertBatchBucketed(
+      Seq((5L, "V5b", "U", 2L), (99L, "new", "I", 2L))
+        .toDF("key", "value", "op", "seq"),
+      1L, root, Seq("key"), nB)
+    val expect = (rows.map { case (k, v) =>
+      (k, if (k == 5L) "V5b" else v) } :+ (99L -> "new")).sorted
+    assert(bucketedSnapshot(root) === expect)
+
+    // the bulk marker is v2: checkpoint + pruned reads work on it
+    UpsertFileSink.writeBucketedCheckpoint(spark, root)
+    UpsertFileSink.vacuumBucketed(spark, root)
+    assert(bucketedSnapshot(root) === expect)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("key",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.StringType)))
+    val some = UpsertFileSink.readBucketsBucketed(spark, root, schema,
+      Seq(0, 1, 2)).collect()
+    assert(some.nonEmpty && some.length < expect.size)
+
+    // refuses a non-empty table
+    intercept[IllegalArgumentException] {
+      UpsertFileSink.bulkLoadBucketed(rows.toDF("key", "value"),
+        root, nB, bucketCols = Seq("key"))
+    }
+  }
+
   test("vacuum drops old versions and orphans, keeps the newest readable") {
     import spark.implicits._
     val root = tmpRoot("vac")
