@@ -72,7 +72,18 @@ object CorpusRefresh {
     StructField("k_exact", BooleanType),
     StructField("k_norm", BooleanType),
     StructField("k_near", BooleanType),
-    StructField("quality_ok", BooleanType)))
+    StructField("quality_ok", BooleanType),
+    // the learned pipeline's per-doc score, stored so a refresh never
+    // rescores unaffected docs; null under the heuristic quality stage
+    StructField("quality_score", DoubleType)))
+
+  /** A per-row quality scorer: (docs with doc_id, text) →
+    * (doc_id, quality_score). MUST be deterministic and map-side
+    * (e.g. a FROZEN [[QualityClassifier.Model]] — retraining between
+    * refreshes would silently re-judge old docs; a retrain is a full
+    * re-curate by definition).
+    */
+  type Scorer = DataFrame => DataFrame
 
   private val stateCols = stateSchema.fieldNames.toSeq
 
@@ -85,25 +96,47 @@ object CorpusRefresh {
       .orderBy(when(prior, 0).otherwise(1), col("doc_id"))) === 1 && prior
 
   /** Thin flag inputs (no toks) for any docs frame — byte-identical
-    * key derivation to [[CorpusPipeline.flagInputs]].
+    * key derivation to [[CorpusPipeline.flagInputs]], plus the
+    * per-doc quality score when a frozen scorer is given (map-side;
+    * joined back on doc_id).
     */
-  private def thinInputs(s: SparkSession, docs: DataFrame): DataFrame =
-    CorpusPipeline.flagInputs(s, docs)
+  private def thinInputs(s: SparkSession, docs: DataFrame,
+      scorer: Option[Scorer]): DataFrame = {
+    val base = CorpusPipeline.flagInputs(s, docs)
       .select(col("doc_id"), col("lang"), col("n_toks"),
         col("alpha_ratio"), col("digest"), col("norm_sig"),
         array_join(col("sg"), ",").as("sg_key"))
+    scorer match {
+      case None =>
+        base.withColumn("quality_score", lit(null).cast("double"))
+      case Some(f) =>
+        base.join(f(docs).select("doc_id", "quality_score"), Seq("doc_id"))
+    }
+  }
+
+  /** The per-row quality verdict: the heuristic bands, or — under the
+    * learned pipeline — the frozen score against `tau` (both pure
+    * row-local functions of stored state, which is what makes the
+    * refresh recompute exact without touching text).
+    */
+  private def qualityVerdict(tau: Option[Double]) = tau match {
+    case None => CorpusPipeline.qualityBand
+    case Some(t) => col("quality_score") >= lit(t)
+  }
 
   /** Full-corpus flags in the state schema — [[CorpusPipeline]]'s
-    * dedup cascade over an arbitrary docs frame. Used by
-    * [[initialize]] and by the spec as the from-scratch oracle.
+    * dedup cascade over an arbitrary docs frame, with either quality
+    * stage. Used by [[initialize]] and by the spec as the
+    * from-scratch oracle.
     */
-  def fullFlags(s: SparkSession, docs: DataFrame): DataFrame =
-    thinInputs(s, docs)
+  def fullFlags(s: SparkSession, docs: DataFrame,
+      scorer: Option[Scorer] = None,
+      tau: Option[Double] = None): DataFrame =
+    thinInputs(s, docs, scorer)
       .withColumn("k_exact", rank1("digest", lit(true)))
       .withColumn("k_norm", rank1("norm_sig", col("k_exact")))
       .withColumn("k_near", rank1("sg_key", col("k_norm")))
-      .withColumn("quality_ok",
-        col("k_near") && CorpusPipeline.qualityBand)
+      .withColumn("quality_ok", col("k_near") && qualityVerdict(tau))
       .select(stateCols.map(col): _*)
 
   private def upsertAll(flags: DataFrame, batchId: Long, root: String,
@@ -130,8 +163,9 @@ object CorpusRefresh {
     * consumers.
     */
   def initialize(s: SparkSession, docs: DataFrame, stateRoot: String,
-      nBuckets: Int = 64): Unit = {
-    val flags = graft.Materialize.checkpoint(fullFlags(s, docs))
+      nBuckets: Int = 64, scorer: Option[Scorer] = None,
+      tau: Option[Double] = None): Unit = {
+    val flags = graft.Materialize.checkpoint(fullFlags(s, docs, scorer, tau))
     UpsertFileSink.bulkLoadBucketed(flags, byDigest(stateRoot), nBuckets,
       bucketCols = Seq("digest"))
     UpsertFileSink.bulkLoadBucketed(flags, byNorm(stateRoot), nBuckets,
@@ -157,10 +191,13 @@ object CorpusRefresh {
     */
   def refresh(s: SparkSession, stateRoot: String, arrivals: DataFrame,
       batchId: Long, nBuckets: Int = 64,
-      checkpointEvery: Int = 0): DataFrame = {
+      checkpointEvery: Int = 0, scorer: Option[Scorer] = None,
+      tau: Option[Double] = None): DataFrame = {
+    require(scorer.isDefined == tau.isDefined,
+      "a learned refresh needs BOTH the frozen scorer and tau")
     def bk(c: Column) = pmod(hash(c), lit(nBuckets))
 
-    val delta = thinInputs(s, arrivals)
+    val delta = thinInputs(s, arrivals, scorer)
       .withColumn("k_exact", lit(null).cast("boolean"))
       .withColumn("k_norm", lit(null).cast("boolean"))
       .withColumn("k_near", lit(null).cast("boolean"))
@@ -237,13 +274,13 @@ object CorpusRefresh {
           when(col("r_s"), rank1("sg_key", col("k_norm2")))
             .otherwise(col("k_near")))
         .withColumn("quality_ok2",
-          col("k_near2") && CorpusPipeline.qualityBand)
+          col("k_near2") && qualityVerdict(tau))
         .select(col("doc_id"), col("lang"), col("n_toks"),
           col("alpha_ratio"), col("digest"), col("norm_sig"),
           col("sg_key"),
           col("k_exact2").as("k_exact"), col("k_norm2").as("k_norm"),
           col("k_near2").as("k_near"),
-          col("quality_ok2").as("quality_ok"),
+          col("quality_ok2").as("quality_ok"), col("quality_score"),
           col("quality_ok").as("was_kept"), col("is_delta")))
 
       upsertAll(result.select(stateCols.map(col): _*), batchId,

@@ -133,6 +133,34 @@ object QualityClassifier {
     (r2.toDouble - np.toDouble * (np + 1)) / (2.0 * np * nn)
   }
 
+  /** Persist a trained model (MLlib's own writer for the LR half plus
+    * the hashing width, which scoring must reproduce exactly) — the
+    * artifact a production refresh loads so every delta batch is
+    * judged by the SAME frozen classifier ([[CorpusRefresh]]'s
+    * retrain-is-a-full-recurate discipline).
+    */
+  def save(spark: SparkSession, model: Model, path: String): Unit = {
+    model.lr.write.overwrite().save(s"$path/lr")
+    val p = new org.apache.hadoop.fs.Path(s"$path/num_features")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(model.numFeatures.toString.getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Load a [[save]]d model. */
+  def load(spark: SparkSession, path: String): Model = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/num_features")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val nf = try {
+      val bytes = new Array[Byte](32)
+      val n = in.read(bytes)
+      new String(bytes.take(math.max(n, 0)), "UTF-8").trim.toInt
+    } finally in.close()
+    Model(LogisticRegressionModel.load(s"$path/lr"), nf)
+  }
+
   /** End-to-end over the documents table: weak-label with the
     * heuristic bands, train on an md5-split train set, score
     * everything; returns (model, scored frame incl. `label` and

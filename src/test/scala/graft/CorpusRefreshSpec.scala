@@ -191,6 +191,55 @@ class CorpusRefreshSpec extends AnyFunSuite {
     assert(byNormRows === byDigestRows && bySgRows === byDigestRows)
   }
 
+  test("learned refresh: frozen-scorer verdicts track full curate-learned flags") {
+    import graft.operators.QualityClassifier
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-refresh-learned").toString + "/state"
+    val nB = 8
+
+    val initial = Seq(10L -> textA, 11L -> textA, 20L -> textB,
+      30L -> textC, 40L -> textDshort)
+    // the FROZEN classifier: trained once on the initial corpus's weak
+    // labels; every later batch is judged by this exact model
+    val model = QualityClassifier.train(
+      docsDF(initial).withColumn("label",
+        QualityClassifier.heuristicLabel("text")),
+      "text", "label", numFeatures = 1 << 9)
+    val scorer: graft.operators.CorpusRefresh.Scorer = docs =>
+      QualityClassifier.score(docs, "text", model)
+        .select("doc_id", "quality_score")
+    val tau = Some(0.5)
+
+    CorpusRefresh.initialize(spark, docsDF(initial), root, nB,
+      Some(scorer), tau)
+    def stateRows() =
+      CorpusRefresh.currentFlags(spark, root).collect()
+        .map(r => (r.getLong(0), r.getBoolean(7), r.getBoolean(8),
+          r.getBoolean(9), r.getBoolean(10),
+          math.rint(r.getDouble(11) * 1e9)))
+        .sortBy(_._1).toSeq
+    def fullRows(corpus: Seq[(Long, String)]) =
+      CorpusRefresh.fullFlags(spark, docsDF(corpus), Some(scorer), tau)
+        .collect()
+        .map(r => (r.getLong(0), r.getBoolean(7), r.getBoolean(8),
+          r.getBoolean(9), r.getBoolean(10),
+          math.rint(r.getDouble(11) * 1e9)))
+        .sortBy(_._1).toSeq
+    assert(stateRows() === fullRows(initial))
+
+    // arrivals: a new survivor, a keeper steal, junk — all judged by
+    // the frozen model, never a retrain
+    val b1 = Seq(50L -> textE, 5L -> textC, 52L -> textF)
+    val refreshed = CorpusRefresh.refresh(spark, root, docsDF(b1), 1L, nB,
+      scorer = Some(scorer), tau = tau)
+    val demoted = refreshed
+      .filter(col("was_kept") === true && !col("now_kept"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    Materialize.releaseAll()
+    assert(stateRows() === fullRows(initial ++ b1))
+    assert(demoted === Set(30L), "the smaller-id dup must demote 30")
+  }
+
   test("corpusDelta emits curate-shaped adds and removals") {
     val root = java.nio.file.Files
       .createTempDirectory("graft-refresh-delta").toString + "/state"

@@ -113,6 +113,23 @@ class QualityClassifierSpec extends AnyFunSuite {
         s"(${got(9002L)}) where the bands see no difference")
   }
 
+  test("save/load roundtrip scores bit-identically") {
+    val (m, _) = trained
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-qc-model").toString + "/model"
+    QualityClassifier.save(spark, m, path)
+    val loaded = QualityClassifier.load(spark, path)
+    assert(loaded.numFeatures === m.numFeatures)
+    val docs = sources.Tables.documents(spark, sf0001)
+    val a = QualityClassifier.score(docs, "text", m)
+      .select("doc_id", "quality_score").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val b = QualityClassifier.score(docs, "text", loaded)
+      .select("doc_id", "quality_score").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(a === b)
+  }
+
   test("scalable AUC equals the brute-force rank computation") {
     val (_, scored) = trained
     val rows = scored.select("quality_score", "label")
