@@ -291,6 +291,36 @@ object CorpusRefresh {
     } finally delta.unpersist(blocking = false)
   }
 
+  /** The verdict state as of refresh batch `batchId` — bucketed time
+    * travel over the by_digest projection (bounded by vacuum
+    * retention, the Delta-identical caveat).
+    */
+  def stateAsOf(s: SparkSession, stateRoot: String,
+      batchId: Long): DataFrame =
+    UpsertFileSink.readSnapshotBucketedAsOf(s, byDigest(stateRoot),
+      stateSchema, batchId)
+
+  /** Refresh-to-refresh DRIFT gate — the validation step a production
+    * corpus runs after each delta lands: PSI of the quality inputs
+    * (n_toks, alpha_ratio, quality_score) between the state as of two
+    * refresh batches, restricted to the KEPT set (the corpus the
+    * trainer actually sees), via [[Drift.numericReport]]'s
+    * reference-quantile binning. A refresh that silently shifted what
+    * "kept" means shows up here before it reaches a training run.
+    */
+  def driftReport(s: SparkSession, stateRoot: String, fromBatch: Long,
+      toBatch: Long): DataFrame = {
+    val ref = stateAsOf(s, stateRoot, fromBatch).filter(col("quality_ok"))
+    val cur = stateAsOf(s, stateRoot, toBatch).filter(col("quality_ok"))
+    // the heuristic pipeline stores no scores (all-null column) — an
+    // all-null reference has no quantile edges, so include the score
+    // dimension only when the state actually carries one
+    val hasScores = !ref.filter(col("quality_score").isNotNull).isEmpty
+    Drift.numericReport(ref, cur,
+      Seq("n_toks", "alpha_ratio") ++
+        (if (hasScores) Seq("quality_score") else Nil))
+  }
+
   /** Turn a [[refresh]] result into the CORPUS delta in
     * [[CorpusPipeline.curate]]'s own output shape: `adds` = newly-kept
     * docs tagged exactly like curate's corpus rows (broadcast-dict

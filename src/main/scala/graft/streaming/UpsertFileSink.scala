@@ -342,6 +342,44 @@ object UpsertFileSink {
     }
   }
 
+  /** TIME TRAVEL for the bucketed layout: the table as of committed
+    * batch `asOf` — per bucket, the newest committed version ≤ asOf.
+    * Resolution LISTS bucket directories (an audit op, not the hot
+    * read path: the compacted manifest only records each bucket's
+    * newest version, exactly like Delta's checkpoint), and is bounded
+    * by vacuum retention — a superseded version [[vacuumBucketed]]
+    * already deleted cannot be travelled to (the Delta-identical
+    * caveat); buckets whose retained versions are all newer than
+    * `asOf` simply don't contribute.
+    */
+  def readSnapshotBucketedAsOf(spark: SparkSession, root: String,
+      schema: StructType, asOf: Long): DataFrame = {
+    val f = fs(spark, root)
+    val ckptId = newestCheckpoint(f, root).map(_._1).getOrElse(-1L)
+    val markers = markerIds(f, root)
+    def isCommitted(v: Long) = v <= ckptId || markers.contains(v)
+    val bdir = bucketsDir(root)
+    val paths =
+      if (!f.exists(bdir)) Seq.empty
+      else f.listStatus(bdir).toSeq.flatMap { st =>
+        val name = st.getPath.getName
+        if (!name.forall(_.isDigit)) None
+        else {
+          val vs = f.listStatus(st.getPath).toSeq
+            .map(_.getPath.getName)
+            .filter(_.startsWith("v="))
+            .map(_.stripPrefix("v=").toLong)
+            .filter(v => v <= asOf && isCommitted(v))
+          if (vs.isEmpty) None
+          else Some(s"$root/buckets/$name/v=${vs.max}")
+        }
+      }
+    if (paths.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(paths: _*)
+  }
+
   /** BULK LOAD into an empty bucketed table: ONE partitioned write of
     * the whole frame (every executor writes its buckets in parallel —
     * no driver-sequenced per-bucket merge loop, the shape a 100 TB

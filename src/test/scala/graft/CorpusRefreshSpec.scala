@@ -189,6 +189,28 @@ class CorpusRefreshSpec extends AnyFunSuite {
         CorpusRefresh.stateSchema))
     val byDigestRows = flagsRows(CorpusRefresh.currentFlags(spark, root))
     assert(byNormRows === byDigestRows && bySgRows === byDigestRows)
+
+    // ---- time travel + drift gate -----------------------------------
+    // the state as of each refresh batch reproduces the corresponding
+    // full curate, and the drift report between two versions reads the
+    // kept-set quality inputs through Drift's PSI machinery
+    assert(flagsRows(CorpusRefresh.stateAsOf(spark, root, 0L)) ===
+      flagsRows(CorpusRefresh.fullFlags(spark, docsDF(initial))))
+    assert(flagsRows(CorpusRefresh.stateAsOf(spark, root, 1L)) ===
+      flagsRows(CorpusRefresh.fullFlags(spark, docsDF(afterB1))))
+    val drift = CorpusRefresh.driftReport(spark, root, 0L, 2L)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getLong(2), r.getLong(3))).toMap
+    // heuristic state stores no scores → the score dimension is
+    // (correctly) absent; the learned-refresh test covers the 3-col case
+    assert(drift.keySet === Set("n_toks", "alpha_ratio"))
+    val kept0 = flagsRows(CorpusRefresh.stateAsOf(spark, root, 0L))
+      .count(_._8)
+    val kept2 = flagsRows(CorpusRefresh.stateAsOf(spark, root, 2L))
+      .count(_._8)
+    drift.values.foreach { case (psi, nRef, nCur) =>
+      assert(psi >= 0.0 && nRef === kept0.toLong && nCur === kept2.toLong)
+    }
   }
 
   test("learned refresh: frozen-scorer verdicts track full curate-learned flags") {
@@ -238,6 +260,12 @@ class CorpusRefreshSpec extends AnyFunSuite {
     Materialize.releaseAll()
     assert(stateRows() === fullRows(initial ++ b1))
     assert(demoted === Set(30L), "the smaller-id dup must demote 30")
+
+    // a learned state carries scores, so the drift gate reports the
+    // score dimension too
+    val drift = CorpusRefresh.driftReport(spark, root, 0L, 1L)
+      .select("column").collect().map(_.getString(0)).toSet
+    assert(drift === Set("n_toks", "alpha_ratio", "quality_score"))
   }
 
   test("corpusDelta emits curate-shaped adds and removals") {

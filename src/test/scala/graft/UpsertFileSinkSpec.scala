@@ -429,6 +429,48 @@ class UpsertFileSinkSpec extends AnyFunSuite {
     assert(bucketedSnapshot(root).toMap.apply(0L) === "FINAL")
   }
 
+  test("bucketed time travel: as-of reads resolve per-bucket history") {
+    import spark.implicits._
+    val root = tmpRoot("bk-asof")
+    val nB = 4
+    UpsertFileSink.upsertBatchBucketed(
+      (0L until 8L).map(k => (k, s"v$k", "I", 0L))
+        .toDF("key", "value", "op", "seq"),
+      0L, root, Seq("key"), nB)
+    UpsertFileSink.upsertBatchBucketed(
+      Seq((3L, "V3b", "U", 1L)).toDF("key", "value", "op", "seq"),
+      1L, root, Seq("key"), nB)
+    UpsertFileSink.upsertBatchBucketed(
+      Seq((3L, null.asInstanceOf[String], "D", 2L), (8L, "v8", "I", 2L))
+        .toDF("key", "value", "op", "seq"),
+      2L, root, Seq("key"), nB)
+
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("key",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.StringType)))
+    def asOf(v: Long) = UpsertFileSink
+      .readSnapshotBucketedAsOf(spark, root, schema, v)
+      .orderBy("key").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+
+    assert(asOf(-1L) === Seq.empty)
+    assert(asOf(0L) === (0L until 8L).map(k => (k, s"v$k")))
+    assert(asOf(1L) === (0L until 8L)
+      .map(k => (k, if (k == 3L) "V3b" else s"v$k")))
+    assert(asOf(2L) === ((0L until 8L).filter(_ != 3L)
+      .map(k => (k, s"v$k")) :+ (8L -> "v8")).sorted)
+    assert(asOf(2L) === bucketedSnapshot(root), "as-of head == live read")
+    // a checkpoint doesn't break history (as-of uses the listing path)
+    UpsertFileSink.writeBucketedCheckpoint(spark, root)
+    assert(asOf(1L) === (0L until 8L)
+      .map(k => (k, if (k == 3L) "V3b" else s"v$k")))
+    // vacuum bounds retention: the head stays exact
+    UpsertFileSink.vacuumBucketed(spark, root)
+    assert(asOf(2L) === bucketedSnapshot(root))
+  }
+
   test("bulk load: one partitioned write equals the per-batch path") {
     import spark.implicits._
     val root = tmpRoot("bk-bulk")
