@@ -75,7 +75,11 @@ object CorpusRefresh {
     StructField("quality_ok", BooleanType),
     // the learned pipeline's per-doc score, stored so a refresh never
     // rescores unaffected docs; null under the heuristic quality stage
-    StructField("quality_score", DoubleType)))
+    StructField("quality_score", DoubleType),
+    // eval-set contaminated-token fraction ([[Decontaminate.report]]),
+    // stored so a refresh never re-scrubs unaffected docs; null when
+    // the pipeline runs without an eval scrub
+    StructField("contamination", DoubleType)))
 
   /** A per-row quality scorer: (docs with doc_id, text) →
     * (doc_id, quality_score). MUST be deterministic and map-side
@@ -84,6 +88,21 @@ object CorpusRefresh {
     * re-curate by definition).
     */
   type Scorer = DataFrame => DataFrame
+
+  /** A FROZEN eval-set scrub for the refresh path: arrivals are
+    * checked against `evalSet` ([[Decontaminate.report]]'s broadcast
+    * span-hash semi-join — delta-bounded, the corpus never rescans)
+    * and a doc whose contaminated-token fraction exceeds
+    * `maxFraction` is excluded from the kept set exactly like
+    * [[CorpusPipeline.curateLearned]]'s decontamination stage. The
+    * eval suite MUST be held fixed across initialize/refresh — the
+    * per-doc fraction is row-local state, so growing the suite
+    * between refreshes would silently leave old docs judged against
+    * the smaller suite; an eval-suite change is a full re-curate by
+    * definition (the retrain rule's twin).
+    */
+  final case class EvalScrub(evalSet: DataFrame, w: Int = 13,
+      maxFraction: Double = 0.0)
 
   private val stateCols = stateSchema.fieldNames.toSeq
 
@@ -101,17 +120,42 @@ object CorpusRefresh {
     * joined back on doc_id).
     */
   private def thinInputs(s: SparkSession, docs: DataFrame,
-      scorer: Option[Scorer]): DataFrame = {
+      scorer: Option[Scorer],
+      scrub: Option[EvalScrub] = None): DataFrame = {
     val base = CorpusPipeline.flagInputs(s, docs)
       .select(col("doc_id"), col("lang"), col("n_toks"),
         col("alpha_ratio"), col("digest"), col("norm_sig"),
         array_join(col("sg"), ",").as("sg_key"))
-    scorer match {
+    val scored = scorer match {
       case None =>
         base.withColumn("quality_score", lit(null).cast("double"))
       case Some(f) =>
         base.join(f(docs).select("doc_id", "quality_score"), Seq("doc_id"))
     }
+    scrub match {
+      case None =>
+        scored.withColumn("contamination", lit(null).cast("double"))
+      case Some(es) =>
+        // one broadcast semi-join over THESE docs' span stream only —
+        // on the refresh path that is the arrival delta, never the
+        // corpus (report emits one row per doc, clean docs report 0.0)
+        scored.join(
+          Decontaminate.report(docs, es.evalSet, "doc_id", "text", es.w)
+            .select("doc_id", "contamination"),
+          Seq("doc_id"))
+    }
+  }
+
+  /** The row-local contamination verdict from STORED state: pass when
+    * no scrub is configured; under one, the stored fraction against
+    * its tolerance (a null fraction — a row written before the scrub
+    * existed — counts clean; introducing a scrub over an existing
+    * corpus is a full re-curate, per [[EvalScrub]]'s freeze rule).
+    */
+  private def contamVerdict(scrub: Option[EvalScrub]) = scrub match {
+    case None => lit(true)
+    case Some(es) =>
+      coalesce(col("contamination"), lit(0.0)) <= lit(es.maxFraction)
   }
 
   /** The per-row quality verdict: the heuristic bands, or — under the
@@ -131,12 +175,14 @@ object CorpusRefresh {
     */
   def fullFlags(s: SparkSession, docs: DataFrame,
       scorer: Option[Scorer] = None,
-      tau: Option[Double] = None): DataFrame =
-    thinInputs(s, docs, scorer)
+      tau: Option[Double] = None,
+      scrub: Option[EvalScrub] = None): DataFrame =
+    thinInputs(s, docs, scorer, scrub)
       .withColumn("k_exact", rank1("digest", lit(true)))
       .withColumn("k_norm", rank1("norm_sig", col("k_exact")))
       .withColumn("k_near", rank1("sg_key", col("k_norm")))
-      .withColumn("quality_ok", col("k_near") && qualityVerdict(tau))
+      .withColumn("quality_ok",
+        col("k_near") && qualityVerdict(tau) && contamVerdict(scrub))
       .select(stateCols.map(col): _*)
 
   private def upsertAll(flags: DataFrame, batchId: Long, root: String,
@@ -164,8 +210,10 @@ object CorpusRefresh {
     */
   def initialize(s: SparkSession, docs: DataFrame, stateRoot: String,
       nBuckets: Int = 64, scorer: Option[Scorer] = None,
-      tau: Option[Double] = None): Unit = {
-    val flags = graft.Materialize.checkpoint(fullFlags(s, docs, scorer, tau))
+      tau: Option[Double] = None,
+      scrub: Option[EvalScrub] = None): Unit = {
+    val flags = graft.Materialize.checkpoint(
+      fullFlags(s, docs, scorer, tau, scrub))
     UpsertFileSink.bulkLoadBucketed(flags, byDigest(stateRoot), nBuckets,
       bucketCols = Seq("digest"))
     UpsertFileSink.bulkLoadBucketed(flags, byNorm(stateRoot), nBuckets,
@@ -192,12 +240,13 @@ object CorpusRefresh {
   def refresh(s: SparkSession, stateRoot: String, arrivals: DataFrame,
       batchId: Long, nBuckets: Int = 64,
       checkpointEvery: Int = 0, scorer: Option[Scorer] = None,
-      tau: Option[Double] = None): DataFrame = {
+      tau: Option[Double] = None,
+      scrub: Option[EvalScrub] = None): DataFrame = {
     require(scorer.isDefined == tau.isDefined,
       "a learned refresh needs BOTH the frozen scorer and tau")
     def bk(c: Column) = pmod(hash(c), lit(nBuckets))
 
-    val delta = thinInputs(s, arrivals, scorer)
+    val delta = thinInputs(s, arrivals, scorer, scrub)
       .withColumn("k_exact", lit(null).cast("boolean"))
       .withColumn("k_norm", lit(null).cast("boolean"))
       .withColumn("k_near", lit(null).cast("boolean"))
@@ -274,13 +323,14 @@ object CorpusRefresh {
           when(col("r_s"), rank1("sg_key", col("k_norm2")))
             .otherwise(col("k_near")))
         .withColumn("quality_ok2",
-          col("k_near2") && qualityVerdict(tau))
+          col("k_near2") && qualityVerdict(tau) && contamVerdict(scrub))
         .select(col("doc_id"), col("lang"), col("n_toks"),
           col("alpha_ratio"), col("digest"), col("norm_sig"),
           col("sg_key"),
           col("k_exact2").as("k_exact"), col("k_norm2").as("k_norm"),
           col("k_near2").as("k_near"),
           col("quality_ok2").as("quality_ok"), col("quality_score"),
+          col("contamination"),
           col("quality_ok").as("was_kept"), col("is_delta")))
 
       upsertAll(result.select(stateCols.map(col): _*), batchId,

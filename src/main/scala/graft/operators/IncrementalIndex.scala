@@ -64,65 +64,14 @@ object IncrementalIndex {
   // surviving seq ≤ c directory is invisible (partition-pruned), so
   // the post-publish cleanup can crash anywhere and merely leave
   // garbage to delete next time. No marker → plain log view.
+  // The mechanics live in [[SegmentLog]], shared with the IVF index's
+  // member-side compaction.
 
-  private def hfs(spark: SparkSession, root: String) =
-    new org.apache.hadoop.fs.Path(root)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def compactedUpTo(spark: SparkSession, root: String): Option[Long] =
+    SegmentLog.compactedUpTo(spark, root)
 
-  private def compactMarker(root: String) =
-    new org.apache.hadoop.fs.Path(root, "_compacted")
-
-  private def compactedUpTo(spark: SparkSession, root: String): Option[Long] = {
-    val f = hfs(spark, root)
-    val p = compactMarker(root)
-    if (!f.exists(p)) None
-    else {
-      val in = f.open(p)
-      try Some(new String({
-        val bytes = new Array[Byte](64)
-        val n = in.read(bytes)
-        bytes.take(math.max(n, 0))
-      }, "UTF-8").trim.toLong)
-      finally in.close()
-    }
-  }
-
-  /** Segment dirs `seq=N` under `root/sub` with N > c. */
-  private def freshSegDirs(spark: SparkSession, root: String, sub: String,
-      c: Long): Seq[String] = {
-    val f = hfs(spark, root)
-    val dir = new org.apache.hadoop.fs.Path(s"$root/$sub")
-    if (!f.exists(dir)) Seq.empty
-    else f.listStatus(dir).toSeq.map(_.getPath.getName)
-      .filter(n => n.startsWith("seq=") &&
-        n.stripPrefix("seq=").forall(_.isDigit) &&
-        n.stripPrefix("seq=").toLong > c)
-      .map(n => s"$root/$sub/$n")
-  }
-
-  /** The log as one frame, `seq` normalized to LongType: with no
-    * compaction marker, the plain multi-segment read; with one, the
-    * folded tree at seq=c unioned with only the newer segment dirs —
-    * surviving pre-compaction dirs are never even listed as data.
-    */
   private def readLog(spark: SparkSession, root: String,
-      sub: String): DataFrame =
-    compactedUpTo(spark, root) match {
-      case None => spark.read.parquet(s"$root/$sub")
-        .withColumn("seq", col("seq").cast("long"))
-      case Some(c) =>
-        val folded = spark.read.parquet(s"$root/_compact/$c/$sub")
-          .withColumn("seq", lit(c).cast("long"))
-        val dirs = freshSegDirs(spark, root, sub, c)
-        if (dirs.isEmpty) folded
-        else {
-          val fresh = spark.read.option("basePath", s"$root/$sub")
-            .parquet(dirs: _*)
-            .withColumn("seq", col("seq").cast("long"))
-          // column order differs (partition cols list last on read)
-          folded.select(fresh.columns.map(col): _*).unionAll(fresh)
-        }
-    }
+      sub: String): DataFrame = SegmentLog.readLog(spark, root, sub)
 
   /** Tokenize + count — [[InvertedIndex.build]]'s postings shape minus
     * the df window: (token, doc_id, tf, dl).
@@ -255,7 +204,6 @@ object IncrementalIndex {
       nBuckets: Int = 16): Unit = {
     require(compactedUpTo(spark, root).forall(_ <= upTo),
       s"cannot compact $root backwards past its marker")
-    val f = hfs(spark, root)
     val latest = latestDocVersions(spark, root)
     val liveOld = latest
       .filter(col("seq") <= upTo && col("op") =!= "D")
@@ -283,12 +231,7 @@ object IncrementalIndex {
         .write.mode("overwrite").parquet(s"$tmp/df")
 
       // publish: the marker flip is the commit point
-      val t = new org.apache.hadoop.fs.Path(root, "._compacted.tmp")
-      val out = f.create(t, true)
-      try out.write(upTo.toString.getBytes("UTF-8")) finally out.close()
-      if (f.exists(compactMarker(root))) f.delete(compactMarker(root), false)
-      require(f.rename(t, compactMarker(root)),
-        s"publish rename failed for $root")
+      SegmentLog.publishMarker(spark, root, upTo)
     } finally foldPost.unpersist(blocking = false)
     cleanupCompacted(spark, root)
   }
@@ -298,25 +241,7 @@ object IncrementalIndex {
     * [[compact]]'s publish); a no-op without a marker.
     */
   def cleanupCompacted(spark: SparkSession, root: String): Unit =
-    compactedUpTo(spark, root).foreach { c =>
-      val f = hfs(spark, root)
-      Seq("postings", "docs", "df").foreach { sub =>
-        val dir = new org.apache.hadoop.fs.Path(s"$root/$sub")
-        if (f.exists(dir)) f.listStatus(dir).toSeq
-          .map(_.getPath.getName)
-          .filter(n => n.startsWith("seq=") &&
-            n.stripPrefix("seq=").forall(_.isDigit) &&
-            n.stripPrefix("seq=").toLong <= c)
-          .foreach(n => f.delete(
-            new org.apache.hadoop.fs.Path(s"$root/$sub/$n"), true))
-      }
-      val cdir = new org.apache.hadoop.fs.Path(s"$root/_compact")
-      if (f.exists(cdir)) f.listStatus(cdir).toSeq
-        .map(_.getPath.getName)
-        .filter(n => n.forall(_.isDigit) && n.toLong < c)
-        .foreach(n => f.delete(
-          new org.apache.hadoop.fs.Path(s"$root/_compact/$n"), true))
-    }
+    SegmentLog.cleanup(spark, root, Seq("postings", "docs", "df"))
 
   /** Corpus stats for [[InvertedIndex.bm25Query]] from the index state
     * alone: (live doc count, mean live doc length) in ONE aggregate

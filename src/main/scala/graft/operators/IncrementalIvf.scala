@@ -30,21 +30,42 @@ import graft.plans.CosineSimilarity
   * out the same way, and a crashed batch leaves its member segment
   * invisible. Search prunes to the probed cells at the PARTITION level
   * (`cell=` dirs), folds liveness over the thin changelog, and never
-  * scores the corpus outside the probed cells. Retrain = rebuild to a
-  * fresh root (quantizer drift is a bulk decision, not a delta one);
-  * log growth is bounded by the marker-published compaction recipe
-  * [[IncrementalIndex.compact]] implements — same fold, member-side.
+  * scores the corpus outside the probed cells.
+  *
+  * Log growth bounds via [[compact]] — the member-side instance of
+  * the [[SegmentLog]] recipe [[IncrementalIndex.compact]] uses: fold
+  * every segment at or below a horizon into one out-of-place
+  * `_compact/<horizon>/` tree (live assignments only, still
+  * cell-partitioned so probe pruning survives compaction; one live
+  * changelog row per vector; dead versions and tombstones vanish),
+  * publish with the `_compacted` marker, then vacuum — readers
+  * pre-marker see the intact log, post-marker never list folded
+  * segments as data. RETRAIN stays a bulk decision — rebuild to a
+  * fresh root when [[quantizationReport]] says the fixed centroids no
+  * longer fit the live distribution (mean assignment similarity is
+  * the standard quantization-error monitor, inverted for cosine).
   */
 object IncrementalIvf {
 
   private def latestVecVersions(spark: SparkSession,
       root: String): DataFrame = {
     val w = Window.partitionBy("vec_id").orderBy(col("seq").desc)
-    spark.read.parquet(s"$root/vecs")
-      .withColumn("seq", col("seq").cast("long"))
+    SegmentLog.readLog(spark, root, "vecs")
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .select("vec_id", "seq", "op")
+  }
+
+  /** Train the fixed quantizer only — the bootstrap for a CONTINUOUS
+    * ingest where every vector (including the first batch) lands via
+    * [[applyBatch]]: FAISS practice trains the coarse quantizer on a
+    * representative sample, then streams adds against it. `trainVecs`
+    * carries (vec_id, e: array<double>).
+    */
+  def initializeQuantizer(spark: SparkSession, trainVecs: DataFrame,
+      root: String, k: Int, iters: Int): Unit = {
+    val model = IvfIndex.buildFrom(spark, trainVecs, k, iters)
+    model.centroids.write.mode("overwrite").parquet(s"$root/centroids")
   }
 
   /** Train the fixed quantizer from the initial corpus and land batch
@@ -52,8 +73,7 @@ object IncrementalIvf {
     */
   def initialize(spark: SparkSession, vectors: DataFrame, root: String,
       k: Int, iters: Int): Unit = {
-    val model = IvfIndex.buildFrom(spark, vectors, k, iters)
-    model.centroids.write.mode("overwrite").parquet(s"$root/centroids")
+    initializeQuantizer(spark, vectors, root, k, iters)
     applyBatch(spark, root,
       vectors.withColumn("op", lit("I")), 0L)
   }
@@ -64,6 +84,10 @@ object IncrementalIvf {
     */
   def applyBatch(spark: SparkSession, root: String, batch: DataFrame,
       batchId: Long): Unit = {
+    // a batch at or below the compaction horizon would land in a
+    // segment the readers prune — the feed must stay monotone
+    require(SegmentLog.compactedUpTo(spark, root).forall(_ < batchId),
+      s"batch $batchId is at or below $root's compaction horizon")
     val centroids = spark.read.parquet(s"$root/centroids")
     val staged = batch.select(col("vec_id"), col("e"), col("op")).persist()
     try {
@@ -83,8 +107,9 @@ object IncrementalIvf {
     */
   def liveMembers(spark: SparkSession, root: String,
       cellFilter: Option[Seq[Int]] = None): DataFrame = {
-    val raw = spark.read.parquet(s"$root/members")
-      .withColumn("seq", col("seq").cast("long"))
+    // compaction-aware: the folded tree keeps its cell= partition dirs,
+    // so the cell filter partition-prunes both sides of the union
+    val raw = SegmentLog.readLog(spark, root, "members")
     val pruned = cellFilter.fold(raw)(cs => raw.filter(col("cell").isin(cs: _*)))
     val live = latestVecVersions(spark, root)
       .filter(col("op") =!= "D").select("vec_id", "seq")
@@ -114,5 +139,81 @@ object IncrementalIvf {
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(topK)
       .select("vec_id", "sim")
+  }
+
+  /** COMPACTION — fold every member/changelog segment with
+    * seq ≤ `upTo` into one equivalent tree, so the read-time liveness
+    * fold stops growing with batch count ([[IncrementalIndex.compact]]
+    * member-side; the [[SegmentLog]] marker discipline):
+    *
+    *  - folded members = the live assignment of each vector whose
+    *    newest GLOBAL version is ≤ upTo (a vector superseded or
+    *    deleted later keeps nothing here — its old rows were dead
+    *    weight), still partitioned by `cell` so probe pruning costs
+    *    the same after compaction as before;
+    *  - folded changelog = one live (vec_id, op) row each.
+    *
+    * The folded tree lands out of place under `_compact/<upTo>/`, the
+    * `_compacted` marker is the single publish point, and only then
+    * does [[cleanupCompacted]] delete superseded segment dirs — a
+    * crash anywhere leaves garbage, not corruption, and a re-run
+    * converges. Batches at or below the horizon are rejected by
+    * [[applyBatch]].
+    */
+  def compact(spark: SparkSession, root: String, upTo: Long): Unit = {
+    require(SegmentLog.compactedUpTo(spark, root).forall(_ <= upTo),
+      s"cannot compact $root backwards past its marker")
+    val liveOld = latestVecVersions(spark, root)
+      .filter(col("seq") <= upTo && col("op") =!= "D")
+    val foldMembers = SegmentLog.readLog(spark, root, "members")
+      .join(liveOld.select("vec_id", "seq"), Seq("vec_id", "seq"))
+      .select("vec_id", "e", "cell")
+      .persist()
+    try {
+      val tmp = s"$root/_compact/$upTo"
+      // an emptied index folds to a plain (schema-carrying) empty file
+      // — partitionBy of zero rows would write nothing readable
+      if (foldMembers.isEmpty)
+        foldMembers.write.mode("overwrite").parquet(s"$tmp/members")
+      else
+        foldMembers.write.mode("overwrite").partitionBy("cell")
+          .parquet(s"$tmp/members")
+      liveOld.select("vec_id", "op")
+        .write.mode("overwrite").parquet(s"$tmp/vecs")
+      SegmentLog.publishMarker(spark, root, upTo)
+    } finally foldMembers.unpersist(blocking = false)
+    cleanupCompacted(spark, root)
+  }
+
+  /** Delete segment dirs and compact trees the `_compacted` marker has
+    * superseded. Safe any time; a no-op without a marker.
+    */
+  def cleanupCompacted(spark: SparkSession, root: String): Unit =
+    SegmentLog.cleanup(spark, root, Seq("members", "vecs"))
+
+  /** The RETRAIN monitor: per-cell live population and mean assignment
+    * similarity, plus the overall row (cell = -1). Under a fixed
+    * quantizer the incremental index is exact, but the quantizer
+    * itself goes stale as the live distribution drifts away from the
+    * clusters it was trained on — mean cosine between each live vector
+    * and its assigned centroid is the standard quantization-error
+    * monitor (inverted: lower = worse fit = wider true-neighbor
+    * scatter across unprobed cells). Compare against the value
+    * recorded at [[initialize]] time and rebuild to a fresh root when
+    * it degrades past tolerance; the decision threshold is the
+    * caller's, the measurement is one scan + one hash aggregate here.
+    */
+  def quantizationReport(spark: SparkSession, root: String): DataFrame = {
+    CosineSimilarity.register(spark)
+    val scored = liveMembers(spark, root)
+      .join(broadcast(spark.read.parquet(s"$root/centroids")), Seq("cell"))
+      .withColumn("__sim", expr("cosine_sim(e, c)"))
+    val perCell = scored.groupBy("cell")
+      .agg(count(lit(1)).as("n_live"),
+        round(avg(col("__sim")), 4).as("mean_sim"))
+    val overall = scored.agg(count(lit(1)).as("n_live"),
+        round(avg(col("__sim")), 4).as("mean_sim"))
+      .select(lit(-1).as("cell"), col("n_live"), col("mean_sim"))
+    perCell.unionAll(overall).orderBy("cell")
   }
 }

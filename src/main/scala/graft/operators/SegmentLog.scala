@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The shared append-only segment-log discipline behind
+  * [[IncrementalIndex]] and [[IncrementalIvf]]: state accumulates as
+  * immutable `root/<sub>/seq=<batch>/` directories, a compaction folds
+  * every segment at or below a horizon into one out-of-place tree
+  * `root/_compact/<horizon>/<sub>/`, and a `_compacted` marker file
+  * (temp + rename — never torn) is the single publish point. Readers
+  * resolve the log as the folded tree ∪ only the segments NEWER than
+  * the horizon, so a surviving pre-horizon directory is invisible
+  * (never listed as data) and the post-publish cleanup can crash
+  * anywhere leaving garbage, not corruption.
+  *
+  * This object owns the mechanics only (marker I/O, segment listing,
+  * the compaction-aware read, cleanup); each index owns its fold
+  * semantics — what "live at the horizon" means for its rows.
+  */
+private[operators] object SegmentLog {
+
+  def hfs(spark: SparkSession, root: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def compactMarker(root: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(root, "_compacted")
+
+  /** The published compaction horizon, if any. */
+  def compactedUpTo(spark: SparkSession, root: String): Option[Long] = {
+    val f = hfs(spark, root)
+    val p = compactMarker(root)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try Some(new String({
+        val bytes = new Array[Byte](64)
+        val n = in.read(bytes)
+        bytes.take(math.max(n, 0))
+      }, "UTF-8").trim.toLong)
+      finally in.close()
+    }
+  }
+
+  /** Segment dirs `seq=N` under `root/sub` with N > c. */
+  def freshSegDirs(spark: SparkSession, root: String, sub: String,
+      c: Long): Seq[String] = {
+    val f = hfs(spark, root)
+    val dir = new org.apache.hadoop.fs.Path(s"$root/$sub")
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith("seq=") &&
+        n.stripPrefix("seq=").forall(_.isDigit) &&
+        n.stripPrefix("seq=").toLong > c)
+      .map(n => s"$root/$sub/$n")
+  }
+
+  /** The log as one frame, `seq` normalized to LongType: with no
+    * compaction marker, the plain multi-segment read; with one, the
+    * folded tree at seq=c unioned with only the newer segment dirs —
+    * surviving pre-compaction dirs are never even listed as data.
+    */
+  def readLog(spark: SparkSession, root: String, sub: String): DataFrame =
+    compactedUpTo(spark, root) match {
+      case None => spark.read.parquet(s"$root/$sub")
+        .withColumn("seq", col("seq").cast("long"))
+      case Some(c) =>
+        val folded = spark.read.parquet(s"$root/_compact/$c/$sub")
+          .withColumn("seq", lit(c).cast("long"))
+        val dirs = freshSegDirs(spark, root, sub, c)
+        if (dirs.isEmpty) folded
+        else {
+          val fresh = spark.read.option("basePath", s"$root/$sub")
+            .parquet(dirs: _*)
+            .withColumn("seq", col("seq").cast("long"))
+          // column order differs (partition cols list last on read)
+          folded.select(fresh.columns.map(col): _*).unionAll(fresh)
+        }
+    }
+
+  /** Publish `upTo` as the new horizon: temp write + rename, the one
+    * atomic commit point of a compaction.
+    */
+  def publishMarker(spark: SparkSession, root: String, upTo: Long): Unit = {
+    val f = hfs(spark, root)
+    val t = new org.apache.hadoop.fs.Path(root, "._compacted.tmp")
+    val out = f.create(t, true)
+    try out.write(upTo.toString.getBytes("UTF-8")) finally out.close()
+    if (f.exists(compactMarker(root))) f.delete(compactMarker(root), false)
+    require(f.rename(t, compactMarker(root)),
+      s"publish rename failed for $root")
+  }
+
+  /** Delete segment dirs (≤ horizon) and older compact trees the
+    * `_compacted` marker has superseded. Safe any time, including
+    * after a crashed compaction's publish; a no-op without a marker.
+    */
+  def cleanup(spark: SparkSession, root: String, subs: Seq[String]): Unit =
+    compactedUpTo(spark, root).foreach { c =>
+      val f = hfs(spark, root)
+      subs.foreach { sub =>
+        val dir = new org.apache.hadoop.fs.Path(s"$root/$sub")
+        if (f.exists(dir)) f.listStatus(dir).toSeq
+          .map(_.getPath.getName)
+          .filter(n => n.startsWith("seq=") &&
+            n.stripPrefix("seq=").forall(_.isDigit) &&
+            n.stripPrefix("seq=").toLong <= c)
+          .foreach(n => f.delete(
+            new org.apache.hadoop.fs.Path(s"$root/$sub/$n"), true))
+      }
+      val cdir = new org.apache.hadoop.fs.Path(s"$root/_compact")
+      if (f.exists(cdir)) f.listStatus(cdir).toSeq
+        .map(_.getPath.getName)
+        .filter(n => n.forall(_.isDigit) && n.toLong < c)
+        .foreach(n => f.delete(
+          new org.apache.hadoop.fs.Path(s"$root/_compact/$n"), true))
+    }
+}

@@ -312,21 +312,31 @@ class CorpusRefreshSpec extends AnyFunSuite {
     // The full production loop in one foreachBatch body: raw docs land
     // exactly-once in an UpsertFileSink table, curation verdicts
     // refresh delta-bounded (refresh bootstraps uniformly from empty
-    // state — batch 0 needs no special case), and the inverted index
-    // absorbs the same batch incrementally. After the stream drains,
-    // all three stores must agree with their from-scratch twins over
-    // the union of everything that arrived.
+    // state — batch 0 needs no special case), the inverted index
+    // absorbs the same batch incrementally, and each doc's embedding
+    // lands in the incremental IVF index (quantizer bootstrapped from
+    // a training sample before the stream — the FAISS discipline).
+    // After the stream drains, all FOUR stores must agree with their
+    // from-scratch twins over the union of everything that arrived.
     import spark.implicits._
     import graft.streaming.{StreamingWindows, UpsertFileSink}
-    import graft.operators.{IncrementalIndex, InvertedIndex}
+    import graft.operators.{IncrementalIndex, IncrementalIvf, InvertedIndex,
+      IvfIndex}
 
     val base = java.nio.file.Files
       .createTempDirectory("graft-ingest").toString
     val stateRoot = s"$base/state"
     val landingRoot = s"$base/landing"
     val indexRoot = s"$base/index"
+    val ivfRoot = s"$base/ivf"
     val streamDir = java.nio.file.Files.createDirectory(
       java.nio.file.Paths.get(s"$base/stream"))
+
+    // deterministic stand-in embedding: axis (doc_id % 3) of R^4 — the
+    // encode step is upstream of this pipeline; what matters here is
+    // that the IVF store tracks the stream
+    def embedCol = array((0 until 4).map(a =>
+      when(pmod(col("doc_id"), lit(3)) === a, 1.0).otherwise(0.0)): _*)
 
     val batch0 = Seq(10L -> textA, 11L -> textA, 30L -> textC,
       40L -> textDshort)
@@ -344,6 +354,11 @@ class CorpusRefreshSpec extends AnyFunSuite {
     stage("b0.parquet", 1000000000000L, batch0)
     stage("b1.parquet", 1000000060000L, batch1)
 
+    // the quantizer trains ONCE, on a sample, before any batch lands
+    IncrementalIvf.initializeQuantizer(spark,
+      docsDF(batch0).select(col("doc_id").as("vec_id"), embedCol.as("e")),
+      ivfRoot, k = 3, iters = 2)
+
     val q = StreamingWindows
       .tableStream(spark, streamDir.toString,
         s"$streamDir/b0.parquet")
@@ -359,6 +374,9 @@ class CorpusRefreshSpec extends AnyFunSuite {
           CorpusRefresh.refresh(bs, stateRoot, staged, id, nBuckets = 8)
           IncrementalIndex.applyBatch(bs, indexRoot,
             staged.withColumn("op", lit("I")), id, nBuckets = 8)
+          IncrementalIvf.applyBatch(bs, ivfRoot,
+            staged.select(col("doc_id").as("vec_id"), embedCol.as("e"),
+              lit("I").as("op")), id)
           Materialize.releaseAll()
         } finally staged.unpersist(blocking = false)
       }
@@ -389,6 +407,67 @@ class CorpusRefreshSpec extends AnyFunSuite {
       .select("token", "doc_id", "tf", "dl", "df").collect()
       .map(_.toString).sorted.toSeq
     assert(inc === full)
+    // IVF store == from-scratch assignment of every arrived embedding
+    // to the same fixed centroids
+    val liveIvf = IncrementalIvf.liveMembers(spark, ivfRoot)
+      .select("vec_id", "cell").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    val fullIvf = IvfIndex.assignTo(
+        docsDF(all).select(col("doc_id").as("vec_id"), embedCol.as("e")),
+        spark.read.parquet(s"$ivfRoot/centroids"))
+      .select("vec_id", "cell").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    assert(liveIvf === fullIvf && liveIvf.size === all.size)
     Materialize.releaseAll()
+  }
+
+  test("refresh under a frozen eval scrub drops contaminated arrivals") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-refresh-scrub").toString + "/state"
+    val nB = 8
+    // the frozen eval suite: one benchmark doc sharing its only
+    // 3-gram with textE's first window (w=3 keeps the fixture small;
+    // the published default 13 changes nothing structural)
+    val scrub = CorpusRefresh.EvalScrub(
+      docsDF(Seq(900L -> txt(vocab.slice(700, 703)))), w = 3)
+
+    val initial = Seq(10L -> textA, 30L -> textC, 40L -> textDshort)
+    CorpusRefresh.initialize(spark, docsDF(initial), root, nB,
+      scrub = Some(scrub))
+    def checkAgainstFull(corpus: Seq[(Long, String)]): Unit = {
+      val full = flagsRows(
+        CorpusRefresh.fullFlags(spark, docsDF(corpus), scrub = Some(scrub)))
+      val state = flagsRows(CorpusRefresh.currentFlags(spark, root))
+      assert(state === full)
+    }
+    checkAgainstFull(initial)
+
+    // arrivals: a contaminated doc (in-band quality, unique — only the
+    // scrub can reject it), a clean survivor, and a keeper steal to
+    // prove the cascade recompute is unchanged under the scrub
+    val b1 = Seq(50L -> textE, 60L -> textG, 5L -> textC)
+    val refreshed = CorpusRefresh.refresh(spark, root, docsDF(b1), 1L, nB,
+      scrub = Some(scrub))
+    val kept = refreshed.filter(col("now_kept"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val demoted = refreshed
+      .filter(col("was_kept") === true && !col("now_kept"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    Materialize.releaseAll()
+    checkAgainstFull(initial ++ b1)
+    assert(kept === Set(5L, 60L), "the contaminated arrival must not be kept")
+    assert(demoted === Set(30L), "demotion still propagates under the scrub")
+
+    // the verdict is explained by stored row-local state: 50 survives
+    // every dedup stage and the quality band — only its contamination
+    // fraction (3 of 25 tokens under the shared span) rejects it
+    val row50 = CorpusRefresh.currentFlags(spark, root)
+      .filter(col("doc_id") === 50L).head
+    assert(row50.getBoolean(9), "50 passes the dedup cascade")
+    assert(!row50.getBoolean(10), "50 fails only on contamination")
+    assert(math.abs(row50.getDouble(12) - 0.12) < 1e-9)
+    val row60 = CorpusRefresh.currentFlags(spark, root)
+      .filter(col("doc_id") === 60L).head
+    assert(row60.getDouble(12) === 0.0 && row60.getBoolean(10))
   }
 }

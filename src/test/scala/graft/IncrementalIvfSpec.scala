@@ -108,4 +108,107 @@ class IncrementalIvfSpec extends AnyFunSuite {
     assert(seg.isDirectory &&
       seg.listFiles().exists(_.getName.startsWith("cell=")))
   }
+
+  test("compaction preserves answers, vacuums the log, guards the horizon") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-incivf-c").toString + "/ivf"
+    import spark.implicits._
+
+    var live: Map[Long, Seq[Double]] =
+      (1L to 30L).map(i => i -> vec(i)).toMap
+    IncrementalIvf.initialize(spark,
+      live.toSeq.toDF("vec_id", "e"), root, k = 3, iters = 2)
+    IncrementalIvf.applyBatch(spark, root,
+      df((31L to 40L).map(i => (i, vec(i), "I"))), 1L)
+    live ++= (31L to 40L).map(i => i -> vec(i))
+    val moved = vec(6L)
+    IncrementalIvf.applyBatch(spark, root,
+      df(Seq((5L, moved, "U"), (7L, Seq.empty[Double], "D"))), 2L)
+    live = live - 7L + (5L -> moved)
+
+    def check(): Unit = Seq(vec(1L), vec(2L), vec(3L)).foreach { pr =>
+      Seq(1, 3).foreach { nprobe =>
+        val got = IncrementalIvf.search(spark, root, pr, 8, nprobe)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        assert(got === expected(root, live, pr, 8, nprobe),
+          s"probe $pr nprobe=$nprobe")
+      }
+    }
+
+    // fold batches 0..1; batch 2's move/delete stays a fresh segment
+    // that must still override the folded rows for ids 5 and 7
+    IncrementalIvf.compact(spark, root, 1L)
+    check()
+    def segs(sub: String): Set[String] = {
+      val d = new java.io.File(s"$root/$sub")
+      if (!d.isDirectory) Set.empty
+      else d.listFiles().map(_.getName).filter(_.startsWith("seq=")).toSet
+    }
+    assert(segs("members") === Set("seq=2"), "folded member segments vacuumed")
+    assert(segs("vecs") === Set("seq=2"), "folded changelog segments vacuumed")
+    // the folded tree keeps the cell= partition dirs (probe pruning)
+    val folded = new java.io.File(s"$root/_compact/1/members")
+    assert(folded.isDirectory &&
+      folded.listFiles().exists(_.getName.startsWith("cell=")))
+
+    // batches land on top of the compacted base
+    IncrementalIvf.applyBatch(spark, root,
+      df(Seq((41L, vec(41L), "I"), (5L, Seq.empty[Double], "D"))), 3L)
+    live = live - 5L + (41L -> vec(41L))
+    check()
+
+    // a second compaction folds fresh segments into a new tree and
+    // drops the old one; re-running it is a no-op
+    IncrementalIvf.compact(spark, root, 3L)
+    check()
+    assert(!new java.io.File(s"$root/_compact/1").exists(),
+      "superseded compact tree deleted")
+    assert(segs("members").isEmpty && segs("vecs").isEmpty)
+    IncrementalIvf.compact(spark, root, 3L)
+    check()
+
+    // the horizon is a floor: stale batch ids and backwards compaction
+    // are rejected loudly
+    intercept[IllegalArgumentException] {
+      IncrementalIvf.applyBatch(spark, root,
+        df(Seq((99L, vec(99L), "I"))), 3L)
+    }
+    intercept[IllegalArgumentException] {
+      IncrementalIvf.compact(spark, root, 1L)
+    }
+  }
+
+  test("quantizationReport flags a drifted arrival distribution") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-incivf-d").toString + "/ivf"
+    import spark.implicits._
+
+    IncrementalIvf.initialize(spark,
+      (1L to 30L).map(i => (i, vec(i))).toDF("vec_id", "e"),
+      root, k = 3, iters = 2)
+    def overallSim(): Double = IncrementalIvf
+      .quantizationReport(spark, root)
+      .filter(col("cell") === -1).select("mean_sim").head.getDouble(0)
+    val atTrain = overallSim()
+    assert(atTrain > 0.99, s"in-distribution fit should be tight: $atTrain")
+
+    // in-distribution adds keep the fit tight — no false retrain signal
+    IncrementalIvf.applyBatch(spark, root,
+      df((31L to 40L).map(i => (i, vec(i), "I"))), 1L)
+    assert(overallSim() > 0.99)
+
+    // arrivals from an axis the quantizer never saw degrade the mean
+    // assignment similarity — the retrain trigger
+    val ood = (41L to 50L).map { i =>
+      val v = Array.fill(dim)(0.0); v(3) = 1.0; (i, v.toSeq, "I")
+    }
+    IncrementalIvf.applyBatch(spark, root, df(ood), 2L)
+    val drifted = overallSim()
+    assert(drifted < atTrain - 0.05,
+      s"OOD arrivals must degrade the monitor: $atTrain -> $drifted")
+    // per-cell rows cover every live cell alongside the overall row
+    val cells = IncrementalIvf.quantizationReport(spark, root)
+      .select("cell").collect().map(_.getInt(0)).toSet
+    assert(cells.contains(-1) && (cells - (-1)).nonEmpty)
+  }
 }
