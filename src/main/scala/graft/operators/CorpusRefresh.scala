@@ -138,10 +138,15 @@ object CorpusRefresh {
       case Some(es) =>
         // one broadcast semi-join over THESE docs' span stream only —
         // on the refresh path that is the arrival delta, never the
-        // corpus (report emits one row per doc, clean docs report 0.0)
+        // corpus (report emits one row per doc, clean docs report 0.0).
+        // The stored fraction is EXACT (not the report's 4-dp display
+        // value): the any-hit rule at tolerance 0.0 must reject a long
+        // doc whose rounded fraction truncates to zero
         scored.join(
           Decontaminate.report(docs, es.evalSet, "doc_id", "text", es.w)
-            .select("doc_id", "contamination"),
+            .select(col("doc_id"),
+              (col("contaminated_tokens").cast("double") /
+                greatest(col("n_toks"), lit(1L))).as("contamination")),
           Seq("doc_id"))
     }
   }
@@ -258,10 +263,21 @@ object CorpusRefresh {
       // ---- cascade expansion: three pruned whole-group pulls --------
       // (bucket-id manifests are ≤ nBuckets ints, driver-side by
       // design — the landing zone's own touched-bucket discipline)
+      // every state pull reads AS OF the previous batch: on the happy
+      // path that IS the latest state; on a replay after a partial
+      // commit it excludes the first attempt's own writes, so the
+      // recompute reproduces the identical verdicts AND the identical
+      // returned delta (a latest-version read would mix pre- and
+      // post-batch quality_ok across projections and silently drop
+      // demotions from was_kept). Bounded by vacuum retention: don't
+      // vacuum a batch's predecessor versions before its delta has
+      // been consumed downstream.
+      val asOf = batchId - 1
       val dB = delta.select(bk(col("digest")).as("b")).distinct()
         .collect().map(_.getInt(0)).toSeq
       val e = UpsertFileSink
-        .readBucketsBucketed(s, byDigest(stateRoot), stateSchema, dB)
+        .readBucketsBucketedAsOf(s, byDigest(stateRoot), stateSchema, dB,
+          asOf)
         .join(delta.select("digest").distinct(), Seq("digest"), "left_semi")
         .select(stateCols.map(col): _*)
 
@@ -270,7 +286,8 @@ object CorpusRefresh {
       val nB = normKeys.select(bk(col("norm_sig")).as("b")).distinct()
         .collect().map(_.getInt(0)).toSeq
       val n = UpsertFileSink
-        .readBucketsBucketed(s, byNorm(stateRoot), stateSchema, nB)
+        .readBucketsBucketedAsOf(s, byNorm(stateRoot), stateSchema, nB,
+          asOf)
         .join(normKeys, Seq("norm_sig"), "left_semi")
         .select(stateCols.map(col): _*)
 
@@ -279,7 +296,8 @@ object CorpusRefresh {
       val sB = sgKeys.select(bk(col("sg_key")).as("b")).distinct()
         .collect().map(_.getInt(0)).toSeq
       val sRows = UpsertFileSink
-        .readBucketsBucketed(s, bySg(stateRoot), stateSchema, sB)
+        .readBucketsBucketedAsOf(s, bySg(stateRoot), stateSchema, sB,
+          asOf)
         .join(sgKeys, Seq("sg_key"), "left_semi")
         .select(stateCols.map(col): _*)
 
@@ -332,6 +350,11 @@ object CorpusRefresh {
           col("quality_ok2").as("quality_ok"), col("quality_score"),
           col("contamination"),
           col("quality_ok").as("was_kept"), col("is_delta")))
+
+      // the checkpoint above materialized every consumer of the key
+      // frames — release them now, not at session end
+      normKeys.unpersist(blocking = false)
+      sgKeys.unpersist(blocking = false)
 
       upsertAll(result.select(stateCols.map(col): _*), batchId,
         stateRoot, nBuckets, checkpointEvery)

@@ -66,12 +66,17 @@ object Decontaminate {
     * is ≤ `maxFraction` (the published recipes use 0.0 — any 13-gram
     * hit drops the doc; a small positive tolerance keeps long docs
     * that merely quote a benchmark line). Column set = `train`'s.
+    * The threshold compares the EXACT token masses, not the 4-dp
+    * display fraction: round-then-compare would pass a >260k-token doc
+    * with one 13-gram hit through the any-hit rule (round(13/n, 4) =
+    * 0.0), quietly leaking eval data on exactly the longest docs.
     */
   def clean(train: DataFrame, evalSet: DataFrame, idCol: String,
       textCol: String, w: Int = 13,
       maxFraction: Double = 0.0): DataFrame = {
     val contaminated = report(train, evalSet, idCol, textCol, w)
-      .filter(col("contamination") > maxFraction)
+      .filter(col("contaminated_tokens").cast("double") >
+        lit(maxFraction) * col("n_toks"))
       .select(col("doc_id").as(idCol))
     train.join(contaminated, Seq(idCol), "left_anti")
   }

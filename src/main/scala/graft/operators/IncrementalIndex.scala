@@ -86,6 +86,18 @@ object IncrementalIndex {
       .groupBy("token", "doc_id")
       .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
 
+  /** The df delta log gated on COMMITTED batches only: the docs
+    * changelog is the batch commit point (written last), so a df
+    * segment whose batch has no docs segment is a torn write — summing
+    * it would corrupt document frequencies (a torn −1 can drive a live
+    * token's df to 0 and drop its postings from every query). One
+    * semi-join against the thin distinct-seq set of the changelog.
+    */
+  private def committedDf(spark: SparkSession, root: String): DataFrame =
+    readLog(spark, root, "df")
+      .join(readLog(spark, root, "docs").select("seq").distinct(),
+        Seq("seq"), "left_semi")
+
   /** The doc changelog resolved to each doc's newest (seq, op). */
   private def latestDocVersions(spark: SparkSession,
       root: String): DataFrame = {
@@ -148,13 +160,22 @@ object IncrementalIndex {
         .groupBy("token").agg(sum("delta").as("delta"))
         .filter(col("delta") =!= 0L)
 
-      newPostings.withColumn("db", bucketCol(nBuckets))
+      // a delete-only batch has no postings: skip the segment entirely
+      // (and drop a previous attempt's husk) — a zero-row partitionBy
+      // writes nothing readable, and a later compaction's targeted
+      // read of that dir would fail schema inference
+      val postingsDir = new org.apache.hadoop.fs.Path(
+        s"$root/postings/seq=$batchId")
+      if (newPostings.isEmpty) {
+        if (fs.exists(postingsDir)) fs.delete(postingsDir, true)
+      } else newPostings.withColumn("db", bucketCol(nBuckets))
         .write.mode("overwrite").partitionBy("db")
         .parquet(s"$root/postings/seq=$batchId")
       dfDelta.write.mode("overwrite").parquet(s"$root/df/seq=$batchId")
-      // the docs changelog commits LAST: readers resolve liveness from
-      // it, so a crash before this write leaves the new segment
-      // invisible (the torn-write discipline again)
+      // the docs changelog commits LAST: readers resolve liveness (and
+      // gate the df sum — [[committedDf]]) from it, so a crash before
+      // this write leaves the new postings AND df segments invisible
+      // (the torn-write discipline again)
       staged.select("doc_id", "op").write.mode("overwrite")
         .parquet(s"$root/docs/seq=$batchId")
     } finally staged.unpersist(blocking = false)
@@ -170,7 +191,7 @@ object IncrementalIndex {
     val cur = readLog(spark, root, "postings")
       .join(live, Seq("doc_id", "seq"))
       .select("token", "doc_id", "tf", "dl")
-    val dfNow = readLog(spark, root, "df")
+    val dfNow = committedDf(spark, root)
       .groupBy("token").agg(sum("delta").as("df"))
       .filter(col("df") > 0L)
     cur.join(dfNow, Seq("token"))
@@ -225,7 +246,7 @@ object IncrementalIndex {
           .parquet(s"$tmp/postings")
       liveOld.select("doc_id", "op")
         .write.mode("overwrite").parquet(s"$tmp/docs")
-      readLog(spark, root, "df").filter(col("seq") <= upTo)
+      committedDf(spark, root).filter(col("seq") <= upTo)
         .groupBy("token").agg(sum("delta").as("delta"))
         .filter(col("delta") =!= 0L)
         .write.mode("overwrite").parquet(s"$tmp/df")
@@ -254,6 +275,7 @@ object IncrementalIndex {
       .join(live, Seq("doc_id", "seq"))
       .groupBy("doc_id").agg(first("dl").as("dl"))
     val r = dls.agg(count(lit(1)), avg("dl")).head
-    (r.getLong(0), r.getDouble(1))
+    // an emptied index (all docs deleted) has a null mean length
+    (r.getLong(0), if (r.isNullAt(1)) 0.0 else r.getDouble(1))
   }
 }

@@ -93,7 +93,15 @@ object IncrementalIvf {
     try {
       val assigned = IvfIndex.assignTo(
         staged.filter(col("op") =!= "D").select("vec_id", "e"), centroids)
-      assigned.write.mode("overwrite").partitionBy("cell")
+      // a delete-only batch has no assignments: skip the segment (and
+      // drop a previous attempt's husk) — a zero-row partitionBy
+      // writes nothing readable for a later targeted read
+      val memberDir = new org.apache.hadoop.fs.Path(
+        s"$root/members/seq=$batchId")
+      val f = SegmentLog.hfs(spark, root)
+      if (assigned.isEmpty) {
+        if (f.exists(memberDir)) f.delete(memberDir, true)
+      } else assigned.write.mode("overwrite").partitionBy("cell")
         .parquet(s"$root/members/seq=$batchId")
       // changelog commits LAST (torn-write discipline)
       staged.select("vec_id", "op").write.mode("overwrite")

@@ -152,12 +152,9 @@ object QualityClassifier {
   def load(spark: SparkSession, path: String): Model = {
     val p = new org.apache.hadoop.fs.Path(s"$path/num_features")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val in = fs.open(p)
-    val nf = try {
-      val bytes = new Array[Byte](32)
-      val n = in.read(bytes)
-      new String(bytes.take(math.max(n, 0)), "UTF-8").trim.toInt
-    } finally in.close()
+    // read-fully: a short read would truncate the hashing width and
+    // silently mis-score every doc
+    val nf = SegmentLog.readSmallFile(fs, p).trim.toInt
     Model(LogisticRegressionModel.load(s"$path/lr"), nf)
   }
 

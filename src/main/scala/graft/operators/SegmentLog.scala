@@ -27,23 +27,35 @@ private[operators] object SegmentLog {
   def compactMarker(root: String): org.apache.hadoop.fs.Path =
     new org.apache.hadoop.fs.Path(root, "_compacted")
 
+  /** Read a small control file fully — FSDataInputStream.read may
+    * return fewer bytes than available on non-local filesystems, so a
+    * single read risks truncating a horizon number.
+    */
+  def readSmallFile(f: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): String = {
+    val in = f.open(p)
+    try {
+      val bytes = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+      bytes.toString("UTF-8")
+    } finally in.close()
+  }
+
   /** The published compaction horizon, if any. */
   def compactedUpTo(spark: SparkSession, root: String): Option[Long] = {
     val f = hfs(spark, root)
     val p = compactMarker(root)
     if (!f.exists(p)) None
-    else {
-      val in = f.open(p)
-      try Some(new String({
-        val bytes = new Array[Byte](64)
-        val n = in.read(bytes)
-        bytes.take(math.max(n, 0))
-      }, "UTF-8").trim.toLong)
-      finally in.close()
-    }
+    else Some(readSmallFile(f, p).trim.toLong)
   }
 
-  /** Segment dirs `seq=N` under `root/sub` with N > c. */
+  /** Segment dirs `seq=N` under `root/sub` with N > c. Directories
+    * holding no data entries (a crashed zero-row `partitionBy` write
+    * leaves only `_SUCCESS`) are skipped — an explicit parquet read of
+    * such a dir would fail schema inference, and it carries nothing.
+    */
   def freshSegDirs(spark: SparkSession, root: String, sub: String,
       c: Long): Seq[String] = {
     val f = hfs(spark, root)
@@ -53,6 +65,13 @@ private[operators] object SegmentLog {
       .filter(n => n.startsWith("seq=") &&
         n.stripPrefix("seq=").forall(_.isDigit) &&
         n.stripPrefix("seq=").toLong > c)
+      .filter { n =>
+        f.listStatus(new org.apache.hadoop.fs.Path(s"$root/$sub/$n"))
+          .exists { st =>
+            val e = st.getPath.getName
+            !e.startsWith("_") && !e.startsWith(".")
+          }
+      }
       .map(n => s"$root/$sub/$n")
   }
 
@@ -79,17 +98,23 @@ private[operators] object SegmentLog {
         }
     }
 
-  /** Publish `upTo` as the new horizon: temp write + rename, the one
-    * atomic commit point of a compaction.
+  /** Publish `upTo` as the new horizon: temp write + OVERWRITE rename,
+    * the one atomic commit point of a compaction. The overwrite rename
+    * (FileContext — the same primitive Structured Streaming's
+    * checkpoint manager relies on) is what makes RE-publishing safe: a
+    * delete-then-rename pair would open a window where no marker
+    * exists and every previously folded row silently vanishes from
+    * reads.
     */
   def publishMarker(spark: SparkSession, root: String, upTo: Long): Unit = {
     val f = hfs(spark, root)
     val t = new org.apache.hadoop.fs.Path(root, "._compacted.tmp")
     val out = f.create(t, true)
     try out.write(upTo.toString.getBytes("UTF-8")) finally out.close()
-    if (f.exists(compactMarker(root))) f.delete(compactMarker(root), false)
-    require(f.rename(t, compactMarker(root)),
-      s"publish rename failed for $root")
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      f.getUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(f.makeQualified(t), f.makeQualified(compactMarker(root)),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** Delete segment dirs (≤ horizon) and older compact trees the

@@ -218,8 +218,15 @@ object UpsertFileSink {
     val tmp = new Path(dst.getParent, "." + dst.getName + ".tmp")
     val out = f.create(tmp, true)
     try out.write(content.getBytes("UTF-8")) finally out.close()
-    if (f.exists(dst)) f.delete(dst, false)
-    require(f.rename(tmp, dst), s"rename $tmp -> $dst failed")
+    // OVERWRITE rename, never delete-then-rename: re-writing an
+    // existing control file (e.g. an idempotent checkpoint rollup at
+    // an unchanged head after its markers were vacuumed) must not open
+    // a window where the file is absent — losing the only checkpoint
+    // makes a fully-committed table read as empty
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      f.getUri, f.getConf)
+    fc.rename(f.makeQualified(tmp), f.makeQualified(dst),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   private def readSmallFile(f: org.apache.hadoop.fs.FileSystem,
@@ -470,6 +477,39 @@ object UpsertFileSink {
     val want = buckets.toSet
     val paths = latestBucketVersions(spark, root)
       .filter { case (b, _, _) => want.contains(b) }.map(_._3)
+    if (paths.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(paths: _*)
+  }
+
+  /** [[readBucketsBucketed]] with TIME TRAVEL: the named buckets, each
+    * at its newest committed version ≤ `asOf`. This is the read a
+    * REPLAYED incremental consumer needs — state strictly as of the
+    * previous batch, so a half-committed replay sees none of its own
+    * first attempt's writes (a latest-version read would mix pre- and
+    * post-batch verdicts across projections). Lists only the wanted
+    * bucket dirs; bounded by vacuum retention like
+    * [[readSnapshotBucketedAsOf]].
+    */
+  def readBucketsBucketedAsOf(spark: SparkSession, root: String,
+      schema: StructType, buckets: Seq[Int], asOf: Long): DataFrame = {
+    val f = fs(spark, root)
+    val ckptId = newestCheckpoint(f, root).map(_._1).getOrElse(-1L)
+    val markers = markerIds(f, root)
+    def isCommitted(v: Long) = v <= ckptId || markers.contains(v)
+    val paths = buckets.distinct.flatMap { b =>
+      val bd = new Path(bucketsDir(root), b.toString)
+      if (!f.exists(bd)) None
+      else {
+        val vs = f.listStatus(bd).toSeq.map(_.getPath.getName)
+          .filter(_.startsWith("v="))
+          .map(_.stripPrefix("v=").toLong)
+          .filter(v => v <= asOf && isCommitted(v))
+        if (vs.isEmpty) None
+        else Some(s"$root/buckets/$b/v=${vs.max}")
+      }
+    }
     if (paths.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)

@@ -421,6 +421,47 @@ class CorpusRefreshSpec extends AnyFunSuite {
     Materialize.releaseAll()
   }
 
+  test("a replayed refresh returns the identical delta after a partial commit") {
+    // The delta is what a trainer APPLIES — if the first attempt
+    // crashed after committing one projection, the replay must still
+    // report the demotion (state pulls read AS OF the previous batch,
+    // so the attempt's own half-committed writes are invisible and
+    // was_kept reflects genuinely pre-batch verdicts).
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-refresh-replay").toString + "/state"
+    val nB = 8
+    val initial = Seq(10L -> textA, 30L -> textC)
+    CorpusRefresh.initialize(spark, docsDF(initial), root, nB)
+
+    def deltaRows(df: DataFrame) =
+      df.select("doc_id", "was_kept", "now_kept").collect()
+        .map(r => (r.getLong(0),
+          Option(r.get(1)).map(_ == true), r.getBoolean(2)))
+        .sortBy(_._1).toSeq
+
+    val b1 = Seq(5L -> textC) // smaller-id exact dup: steals from 30
+    val first = deltaRows(CorpusRefresh.refresh(spark, root, docsDF(b1),
+      1L, nB))
+    Materialize.releaseAll()
+    assert(first.contains((30L, Some(true), false)), "the demotion")
+
+    // crash window: by_digest committed, the other two projections
+    // lost their batch-1 markers (exactly what a died writer leaves)
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.delete(new org.apache.hadoop.fs.Path(s"$root/by_norm/_commits/1"), false)
+    f.delete(new org.apache.hadoop.fs.Path(s"$root/by_sg/_commits/1"), false)
+
+    val replay = deltaRows(CorpusRefresh.refresh(spark, root, docsDF(b1),
+      1L, nB))
+    Materialize.releaseAll()
+    assert(replay === first,
+      "a replay must reproduce the identical delta, demotion included")
+    // and the state still converged to the full-curate truth
+    assert(flagsRows(CorpusRefresh.currentFlags(spark, root)) ===
+      flagsRows(CorpusRefresh.fullFlags(spark, docsDF(initial ++ b1))))
+  }
+
   test("refresh under a frozen eval scrub drops contaminated arrivals") {
     val root = java.nio.file.Files
       .createTempDirectory("graft-refresh-scrub").toString + "/state"

@@ -112,4 +112,24 @@ class DecontaminateSpec extends AnyFunSuite {
     assert(explodeShuffles.size <= 2,
       s"span stream shuffled more than the agg+join pair:\n$plan")
   }
+
+  test("the any-hit rule is exact — a fraction that rounds to 0.0 still drops") {
+    // a 150,000-token doc quoting eval 901's 5-gram once: the DISPLAY
+    // fraction rounds to 0.0000 (5/150000), but the published recipe
+    // is any-hit-drops — the clean() threshold must compare exact
+    // token masses, or precisely the longest docs leak eval data
+    val longToks = (0 until 150000).map(i => s"tok$i").toArray
+    Array.copy("golf hotel india juliet kilo".split(" "), 0,
+      longToks, 70000, 5)
+    val longDoc = Seq((7L, longToks.mkString(" ")))
+
+    val rep = Decontaminate.report(df(longDoc), df(evalDocs),
+      "doc_id", "text", w = W).head
+    assert(rep.getLong(2) === 1L && rep.getDouble(4) === 0.0,
+      "fixture must hit the rounding blind spot: one hit, 4-dp zero")
+    val kept = Decontaminate.clean(df(longDoc), df(evalDocs),
+      "doc_id", "text", w = W)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.isEmpty, "one hit must drop the doc at tolerance 0.0")
+  }
 }

@@ -165,4 +165,51 @@ class IncrementalIndexSpec extends AnyFunSuite {
     IncrementalIndex.cleanupCompacted(spark, root)
     check()
   }
+
+  test("torn df deltas and delete-only batches stay invisible") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-incidx-torn").toString
+
+    var corpus = Map.empty[Long, String]
+    def check(): Unit = {
+      val full = InvertedIndex.build(
+        corpus.toSeq.toDF("doc_id", "text"), "doc_id", "text")
+      assert(rows(IncrementalIndex.currentPostings(spark, root)) ===
+        rows(full))
+    }
+    IncrementalIndex.applyBatch(spark, root,
+      Seq((1L, "the quick fox", "I"), (2L, "the lazy dog", "I"))
+        .toDF("doc_id", "text", "op"), 0L)
+    corpus = Map(1L -> "the quick fox", 2L -> "the lazy dog")
+    check()
+
+    // simulate the crash window between the df write and the docs
+    // commit: a df segment exists with no changelog segment. An
+    // ungated sum would take df("the") to 0 and drop its live
+    // postings from every query; the committed-seq gate must hide it
+    Seq(("the", -2L)).toDF("token", "delta")
+      .write.parquet(s"$root/df/seq=9")
+    check()
+
+    // replaying the batch overwrites the torn segment; delete-only
+    // batches write no postings segment at all (a zero-row partitionBy
+    // leaves an unreadable husk) yet fold correctly
+    IncrementalIndex.applyBatch(spark, root,
+      Seq((2L, "", "D")).toDF("doc_id", "text", "op"), 9L)
+    corpus -= 2L
+    check()
+    assert(!new java.io.File(s"$root/postings/seq=9").exists,
+      "a delete-only batch must not leave a postings husk")
+
+    // compaction over the delete-only tail, then emptying the index:
+    // stats must not crash on the null mean length
+    IncrementalIndex.compact(spark, root, upTo = 9L)
+    check()
+    IncrementalIndex.applyBatch(spark, root,
+      Seq((1L, "", "D")).toDF("doc_id", "text", "op"), 10L)
+    corpus -= 1L
+    check()
+    assert(IncrementalIndex.stats(spark, root) === ((0L, 0.0)))
+  }
 }

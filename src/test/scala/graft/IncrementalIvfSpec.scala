@@ -167,6 +167,16 @@ class IncrementalIvfSpec extends AnyFunSuite {
     IncrementalIvf.compact(spark, root, 3L)
     check()
 
+    // a delete-only batch on the compacted base writes no member
+    // segment (a zero-row partitionBy leaves an unreadable husk) and
+    // still tombstones the folded row
+    IncrementalIvf.applyBatch(spark, root,
+      df(Seq((41L, Seq.empty[Double], "D"))), 4L)
+    live -= 41L
+    check()
+    assert(!new java.io.File(s"$root/members/seq=4").exists,
+      "a delete-only batch must not leave a member husk")
+
     // the horizon is a floor: stale batch ids and backwards compaction
     // are rejected loudly
     intercept[IllegalArgumentException] {
