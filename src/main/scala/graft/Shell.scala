@@ -79,6 +79,20 @@ import graft.sources.Tables
   *                                        accounting (fix = rerun to
   *                                        the fixpoint)
   *   search <t1,t2,...> <probeId> <k>     hybrid BM25 + embedding RRF
+  *   mixture <budget> <src:w,src:w,...>   plan + materialize a training
+  *                                        mixture over documents.source
+  *                                        at the token budget; reports
+  *                                        realized vs target tokens per
+  *                                        domain (docs repeat when the
+  *                                        target exceeds the inventory)
+  *   refresh                              incremental-curation demo:
+  *                                        initialize verdict state from
+  *                                        ~80% of the corpus, refresh
+  *                                        with the rest as an arrival
+  *                                        batch, report the delta
+  *                                        (kept/dropped/demoted) —
+  *                                        shuffles bounded by the
+  *                                        arrivals, never the corpus
   *
   * `join`, `wordcount`, and `export` accept a trailing
   * `partition=hash|range[:n]` — the reference's one physical-design
@@ -439,6 +453,53 @@ object Shell {
         noKnob()
         graft.operators.HybridSearch.searchDocuments(
           s, dir, terms.split(",").toSeq, probeDocId.toLong, k.toInt)
+      // training-mixture planning over the documents table: parse
+      // "src:weight" pairs, plan against the token budget, materialize
+      // the (doc, epoch) manifest, and account realized vs target
+      case List("mixture", budget, spec) =>
+        noKnob()
+        val weights = spec.split(",").map { tok =>
+          tok.split(":") match {
+            case Array(d, w) => d -> w.toDouble
+            case _ => throw new IllegalArgumentException(
+              s"malformed domain:weight pair: $tok")
+          }
+        }.toMap
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"),
+            size(split(col("text"), " ")).cast("long").as("n_toks"))
+        val p = graft.operators.MixturePlanner
+          .planFromDocs(s, docs, "source", "n_toks", weights,
+            budget.toLong)
+        graft.operators.MixturePlanner.account(
+          graft.operators.MixturePlanner.materialize(
+            docs, p, "doc_id", "source", "n_toks", seed = 42L), p)
+      // incremental corpus refresh, end to end: bulk-load verdict state
+      // from a deterministic ~80% of the documents table, feed the
+      // other ~20% in as an arrival batch, and account for the delta —
+      // the daily production operation ([[graft.operators.CorpusRefresh]])
+      case List("refresh") =>
+        noKnob()
+        val docs = Tables.documents(s, dir).select("doc_id", "lang", "text")
+        val isArrival =
+          substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1)
+            .isin("0", "1", "2")
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-shell-refresh").toString + "/state"
+        graft.operators.CorpusRefresh.initialize(
+          s, docs.filter(!isArrival), root, nBuckets = 16)
+        val delta = graft.operators.CorpusRefresh.refresh(
+          s, root, docs.filter(isArrival), 1L, nBuckets = 16)
+        delta.agg(
+          sum(when(col("is_delta"), 1L).otherwise(0L)).as("arrivals"),
+          sum(when(col("is_delta") && col("now_kept"), 1L).otherwise(0L))
+            .as("arrivals_kept"),
+          sum(when(col("is_delta") && !col("now_kept"), 1L).otherwise(0L))
+            .as("arrivals_dropped"),
+          sum(when(col("was_kept") === true && !col("now_kept"), 1L)
+            .otherwise(0L)).as("demoted"),
+          sum(when(col("was_kept") === false && col("now_kept"), 1L)
+            .otherwise(0L)).as("restored"))
       case other =>
         throw new IllegalArgumentException(
           s"unrecognized command: ${other.mkString(" ")} (see Shell scaladoc)")

@@ -26,7 +26,7 @@ object Sampling {
     * xxhash64 → 53-bit mantissa → (0,1], strictly positive so
     * log(u) below is finite.
     */
-  private def u01(key: Column, seed: Long): Column =
+  private[operators] def u01(key: Column, seed: Long): Column =
     (pmod(xxhash64(key, lit(seed)), lit(1L << 53)).cast("double") + 1.0) /
       lit((1L << 53).toDouble + 1.0)
 

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.MixturePlanner
+
+/** Mixture planning must hit its token targets exactly in expectation
+  * (inventory × (full epochs + remainder) = target by construction)
+  * and deterministically in realization: full epochs are
+  * unconditional, the partial pass is a hash-uniform draw, and a
+  * domain whose target is a whole number of epochs is EXACT.
+  */
+class MixturePlannerSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  // web: 2000 docs × 10 toks (undersampled at weight .5)
+  // books: 200 × 10 (2.5 epochs), code: 500 × 10 (exactly 1 epoch)
+  private def docs: DataFrame = {
+    import spark.implicits._
+    ((1L to 2000L).map(i => (i, "web", 10L)) ++
+      (3001L to 3200L).map(i => (i, "books", 10L)) ++
+      (4001L to 4500L).map(i => (i, "code", 10L)))
+      .toDF("doc_id", "domain", "n_toks")
+  }
+  private val weights = Map("web" -> 0.5, "books" -> 0.25, "code" -> 0.25)
+  private val budget = 20000L
+
+  private def thePlan =
+    MixturePlanner.planFromDocs(spark, docs, "domain", "n_toks",
+      weights, budget)
+
+  test("plan arithmetic: targets, epochs, remainder fractions") {
+    val p = thePlan.collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2),
+        r.getLong(3), r.getInt(4), r.getDouble(5))).toMap
+    assert(p("web") === ((0.5, 20000L, 10000L, 0, 0.5)))
+    assert(p("books") === ((0.25, 2000L, 5000L, 2, 0.5)))
+    assert(p("code") === ((0.25, 5000L, 5000L, 1, 0.0)))
+  }
+
+  test("materialize: exact epochs exact, partial passes concentrated") {
+    val m = MixturePlanner.materialize(docs, thePlan,
+      "doc_id", "domain", "n_toks", seed = 7L).cache()
+    try {
+      // code hits a whole epoch: every doc exactly once, zero error
+      val code = m.filter(col("domain") === "code")
+        .groupBy("doc_id").count().select("count").distinct().collect()
+      assert(code.map(_.getLong(0)).toSeq === Seq(1L))
+      // books: epochs 0 and 1 unconditional, epoch 2 a ~half draw
+      val books = m.filter(col("domain") === "books")
+      assert(books.filter(col("epoch") === 0).count() === 200L)
+      assert(books.filter(col("epoch") === 1).count() === 200L)
+      val partial = books.filter(col("epoch") === 2).count()
+      assert(partial > 60L && partial < 140L, s"books partial: $partial")
+      // no (doc, epoch) pair is ever emitted twice
+      assert(m.count() === m.dropDuplicates(Seq("doc_id", "epoch")).count())
+      // realized token mass lands near target for every domain
+      val acc = MixturePlanner.account(m, thePlan).collect()
+        .map(r => r.getString(0) -> (r.getLong(3), r.getLong(4),
+          r.getDouble(5))).toMap
+      assert(acc("code")._3 === 0.0)
+      acc.foreach { case (d, (realized, target, err)) =>
+        assert(err < 0.07, s"$d realized $realized vs $target (err $err)")
+      }
+    } finally m.unpersist(blocking = false)
+  }
+
+  test("materialization is deterministic and partitioning-invariant") {
+    def rows(d: DataFrame) = MixturePlanner
+      .materialize(d, thePlan, "doc_id", "domain", "n_toks", seed = 7L)
+      .collect().map(_.toString).sorted.toSeq
+    val a = rows(docs)
+    assert(a === rows(docs))
+    assert(a === rows(docs.repartition(13)))
+    // a different seed draws a different partial pass
+    val b = MixturePlanner
+      .materialize(docs, thePlan, "doc_id", "domain", "n_toks", seed = 8L)
+      .collect().map(_.toString).sorted.toSeq
+    assert(a !== b)
+  }
+
+  test("degenerate inputs are rejected or dropped") {
+    import spark.implicits._
+    intercept[IllegalArgumentException] {
+      MixturePlanner.plan(spark,
+        Seq(("web", 10L)).toDF("domain", "avail_tokens"),
+        Map("web" -> 0.0), 100L)
+    }
+    // unknown-weight and empty domains drop out of the plan
+    val p = MixturePlanner.plan(spark,
+      Seq(("web", 10L), ("empty", 0L), ("junk", 5L))
+        .toDF("domain", "avail_tokens"),
+      Map("web" -> 1.0, "empty" -> 1.0), 100L)
+      .select("domain").collect().map(_.getString(0)).toSet
+    assert(p === Set("web"))
+  }
+}

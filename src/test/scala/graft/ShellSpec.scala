@@ -320,4 +320,47 @@ class ShellSpec extends AnyFunSuite {
     val bstats = Shell.run(spark, sf0001, "bpe stats 10 unicode").collect()
     assert(bstats.nonEmpty)
   }
+
+  test("mixture command plans, repeats and accounts per source") {
+    // src0 (~1500 toks) at weight .75 of a 6000-token budget needs
+    // ~3 epochs; src1 at .25 undersamples — both must land near target
+    val rows = Shell
+      .run(spark, sf0001, "mixture 6000 src0:0.75,src1:0.25")
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    assert(rows.keySet === Set("src0", "src1"))
+    val (nDocs0, emitted0, _, target0, err0) = rows("src0")
+    assert(nDocs0 === 25L && emitted0 > 50L, "src0 must repeat epochs")
+    assert(target0 === 4500L && err0 < 0.1)
+    assert(rows("src1")._4 === 1500L && rows("src1")._5 < 0.25)
+    intercept[IllegalArgumentException](
+      Shell.run(spark, sf0001, "mixture 6000 src0=oops"))
+  }
+
+  test("refresh command's delta accounting balances against full curate") {
+    val row = Shell.run(spark, sf0001, "refresh").head
+    Materialize.releaseAll()
+    val (arrivals, kept, dropped, demoted, restored) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3),
+        row.getLong(4))
+    assert(arrivals > 0 && kept + dropped === arrivals)
+
+    // kept(before) − demoted + restored + arrivals_kept must equal the
+    // kept set of a from-scratch curate over the whole corpus — the
+    // delta is a complete account of every verdict the batch moved
+    import graft.operators.CorpusRefresh
+    import graft.sources.Tables
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "lang", "text")
+    val isArrival =
+      substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1)
+        .isin("0", "1", "2")
+    def keptOf(df: org.apache.spark.sql.DataFrame) =
+      CorpusRefresh.fullFlags(spark, df).filter(col("quality_ok")).count()
+    val keptBefore = keptOf(docs.filter(!isArrival))
+    val keptAll = keptOf(docs)
+    Materialize.releaseAll()
+    assert(keptBefore - demoted + restored + kept === keptAll)
+  }
 }
