@@ -225,6 +225,12 @@ object CorpusRefresh {
       bucketCols = Seq("norm_sig"))
     UpsertFileSink.bulkLoadBucketed(flags, bySg(stateRoot), nBuckets,
       bucketCols = Seq("sg_key"))
+    // stamp the root: the bulk load IS state batch 0, so refreshes on
+    // initialized state must start at ≥ 1 — [[refresh]] fails fast on
+    // an id-0 refresh here, which would read asOf=-1 (an empty corpus)
+    // and mis-judge every arrival as duplicate-free
+    graft.ControlFiles.atomicWrite(SegmentLog.hfs(s, stateRoot),
+      new org.apache.hadoop.fs.Path(stateRoot, "_initialized"), "0")
   }
 
   /** The whole current verdict state (one projection suffices — all
@@ -249,6 +255,23 @@ object CorpusRefresh {
       scrub: Option[EvalScrub] = None): DataFrame = {
     require(scorer.isDefined == tau.isDefined,
       "a learned refresh needs BOTH the frozen scorer and tau")
+    // fail fast on mis-numbered batches: a STALE id would read state
+    // as of an old batch and silently re-judge arrivals against a
+    // historical corpus (equality with the newest committed id is a
+    // legitimate replay); an id-0 refresh on INITIALIZED state would
+    // read asOf=-1 — an empty corpus — and miss every duplicate
+    val lastCommitted = Seq(byDigest(stateRoot), byNorm(stateRoot),
+      bySg(stateRoot))
+      .flatMap(r => UpsertFileSink.lastCommittedBucketed(s, r))
+      .maxOption
+    require(lastCommitted.forall(_ <= batchId),
+      s"refresh batch $batchId is older than committed state batch " +
+        s"${lastCommitted.get} at $stateRoot")
+    if (SegmentLog.hfs(s, stateRoot).exists(
+        new org.apache.hadoop.fs.Path(stateRoot, "_initialized")))
+      require(batchId >= 1L,
+        s"state at $stateRoot was bulk-initialized as batch 0 — " +
+          "refresh ids must start at 1")
     def bk(c: Column) = pmod(hash(c), lit(nBuckets))
 
     val delta = thinInputs(s, arrivals, scorer, scrub)

@@ -87,16 +87,29 @@ object IncrementalIndex {
       .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
 
   /** The df delta log gated on COMMITTED batches only: the docs
-    * changelog is the batch commit point (written last), so a df
+    * changelog is the batch commit point (written last), so a FRESH df
     * segment whose batch has no docs segment is a torn write — summing
     * it would corrupt document frequencies (a torn −1 can drive a live
-    * token's df to 0 and drop its postings from every query). One
-    * semi-join against the thin distinct-seq set of the changelog.
+    * token's df to 0 and drop its postings from every query). Rows at
+    * or below the compaction horizon pass ungated: the `_compacted`
+    * marker IS their commit evidence, and the folded docs tree can be
+    * legitimately empty (every doc superseded after the horizon) while
+    * the folded df partial sums must still count — gating those on the
+    * changelog's seqs would zero live tokens' df and a later compact
+    * would bake the corruption in.
     */
-  private def committedDf(spark: SparkSession, root: String): DataFrame =
-    readLog(spark, root, "df")
-      .join(readLog(spark, root, "docs").select("seq").distinct(),
-        Seq("seq"), "left_semi")
+  private def committedDf(spark: SparkSession, root: String): DataFrame = {
+    val dfLog = readLog(spark, root, "df")
+    val horizon = compactedUpTo(spark, root).getOrElse(-1L)
+    // a USING join lists the key column first — re-select into the
+    // log's own order before the positional union
+    val cols = dfLog.columns.toSeq.map(col)
+    dfLog.filter(col("seq") <= horizon).unionAll(
+      dfLog.filter(col("seq") > horizon)
+        .join(readLog(spark, root, "docs").select("seq").distinct(),
+          Seq("seq"), "left_semi")
+        .select(cols: _*))
+  }
 
   /** The doc changelog resolved to each doc's newest (seq, op). */
   private def latestDocVersions(spark: SparkSession,
@@ -149,8 +162,11 @@ object IncrementalIndex {
           .select("token", "doc_id")
       }
 
+      // persisted: the tokenize+count aggregate feeds the emptiness
+      // probe, the df deltas AND the postings write — unpersisted it
+      // would re-shuffle three times per batch
       val newPostings = postingsOf(
-        staged.filter(col("op") =!= "D"), "doc_id", "text")
+        staged.filter(col("op") =!= "D"), "doc_id", "text").persist()
 
       // additive df deltas: +1 per distinct token of the new version,
       // −1 per distinct token of the replaced one (an unchanged token
@@ -166,18 +182,20 @@ object IncrementalIndex {
       // read of that dir would fail schema inference
       val postingsDir = new org.apache.hadoop.fs.Path(
         s"$root/postings/seq=$batchId")
-      if (newPostings.isEmpty) {
-        if (fs.exists(postingsDir)) fs.delete(postingsDir, true)
-      } else newPostings.withColumn("db", bucketCol(nBuckets))
-        .write.mode("overwrite").partitionBy("db")
-        .parquet(s"$root/postings/seq=$batchId")
-      dfDelta.write.mode("overwrite").parquet(s"$root/df/seq=$batchId")
-      // the docs changelog commits LAST: readers resolve liveness (and
-      // gate the df sum — [[committedDf]]) from it, so a crash before
-      // this write leaves the new postings AND df segments invisible
-      // (the torn-write discipline again)
-      staged.select("doc_id", "op").write.mode("overwrite")
-        .parquet(s"$root/docs/seq=$batchId")
+      try {
+        if (newPostings.isEmpty) {
+          if (fs.exists(postingsDir)) fs.delete(postingsDir, true)
+        } else newPostings.withColumn("db", bucketCol(nBuckets))
+          .write.mode("overwrite").partitionBy("db")
+          .parquet(s"$root/postings/seq=$batchId")
+        dfDelta.write.mode("overwrite").parquet(s"$root/df/seq=$batchId")
+        // the docs changelog commits LAST: readers resolve liveness
+        // (and gate the df sum — [[committedDf]]) from it, so a crash
+        // before this write leaves the new postings AND df segments
+        // invisible (the torn-write discipline again)
+        staged.select("doc_id", "op").write.mode("overwrite")
+          .parquet(s"$root/docs/seq=$batchId")
+      } finally newPostings.unpersist(blocking = false)
     } finally staged.unpersist(blocking = false)
   }
 

@@ -91,21 +91,26 @@ object IncrementalIvf {
     val centroids = spark.read.parquet(s"$root/centroids")
     val staged = batch.select(col("vec_id"), col("e"), col("op")).persist()
     try {
+      // persisted: the assignment join feeds both the emptiness probe
+      // and the segment write
       val assigned = IvfIndex.assignTo(
         staged.filter(col("op") =!= "D").select("vec_id", "e"), centroids)
-      // a delete-only batch has no assignments: skip the segment (and
-      // drop a previous attempt's husk) — a zero-row partitionBy
-      // writes nothing readable for a later targeted read
-      val memberDir = new org.apache.hadoop.fs.Path(
-        s"$root/members/seq=$batchId")
-      val f = SegmentLog.hfs(spark, root)
-      if (assigned.isEmpty) {
-        if (f.exists(memberDir)) f.delete(memberDir, true)
-      } else assigned.write.mode("overwrite").partitionBy("cell")
-        .parquet(s"$root/members/seq=$batchId")
-      // changelog commits LAST (torn-write discipline)
-      staged.select("vec_id", "op").write.mode("overwrite")
-        .parquet(s"$root/vecs/seq=$batchId")
+        .persist()
+      try {
+        // a delete-only batch has no assignments: skip the segment
+        // (and drop a previous attempt's husk) — a zero-row
+        // partitionBy writes nothing readable for a later targeted read
+        val memberDir = new org.apache.hadoop.fs.Path(
+          s"$root/members/seq=$batchId")
+        val f = SegmentLog.hfs(spark, root)
+        if (assigned.isEmpty) {
+          if (f.exists(memberDir)) f.delete(memberDir, true)
+        } else assigned.write.mode("overwrite").partitionBy("cell")
+          .parquet(s"$root/members/seq=$batchId")
+        // changelog commits LAST (torn-write discipline)
+        staged.select("vec_id", "op").write.mode("overwrite")
+          .parquet(s"$root/vecs/seq=$batchId")
+      } finally assigned.unpersist(blocking = false)
     } finally staged.unpersist(blocking = false)
   }
 

@@ -60,7 +60,10 @@ object MixturePlanner {
       .withColumn("target_tokens",
         round(col("weight") * lit(budgetTokens.toDouble)).cast("long"))
       .withColumn("full_epochs",
-        floor(col("target_tokens") / col("avail_tokens")).cast("int"))
+        // LONG, never int: a huge budget over a tiny domain overflows
+        // a 32-bit cast silently negative, and sequence(0, n) runs
+        // DESCENDING for n < 0 (the CLAUDE.md explode hazard)
+        floor(col("target_tokens") / col("avail_tokens")).cast("long"))
       .withColumn("rem_fraction",
         (col("target_tokens") - col("full_epochs") * col("avail_tokens"))
           .cast("double") / col("avail_tokens"))
@@ -87,7 +90,19 @@ object MixturePlanner {
     * training run comes from [[Sampling.epochShuffle]] downstream.
     */
   def materialize(docs: DataFrame, thePlan: DataFrame, idCol: String,
-      domainCol: String, tokensCol: String, seed: Long): DataFrame = {
+      domainCol: String, tokensCol: String, seed: Long,
+      maxEpochs: Long = 1000L): DataFrame = {
+    // the plan is one row per domain — validate it driver-side before
+    // the explode: an absurd epoch count (weights/budget mismatched to
+    // a tiny inventory) would build a giant per-doc array; published
+    // recipes repeat high-quality sets single-digit times
+    thePlan.select("domain", "full_epochs").collect().foreach { r =>
+      val e = r.getLong(1)
+      require(e >= 0L && e <= maxEpochs,
+        s"domain ${r.getString(0)} plans $e full epochs (max $maxEpochs)" +
+          " — the budget asks this domain to repeat absurdly; rebalance" +
+          " the weights or raise maxEpochs deliberately")
+    }
     val joined = docs
       .select(col(idCol).as("doc_id"), col(domainCol).as("domain"),
         col(tokensCol).cast("long").as("n_toks"))

@@ -27,21 +27,12 @@ private[operators] object SegmentLog {
   def compactMarker(root: String): org.apache.hadoop.fs.Path =
     new org.apache.hadoop.fs.Path(root, "_compacted")
 
-  /** Read a small control file fully — FSDataInputStream.read may
-    * return fewer bytes than available on non-local filesystems, so a
-    * single read risks truncating a horizon number.
+  /** Read a small control file fully ([[graft.ControlFiles]] — a
+    * short read would truncate the horizon number).
     */
   def readSmallFile(f: org.apache.hadoop.fs.FileSystem,
-      p: org.apache.hadoop.fs.Path): String = {
-    val in = f.open(p)
-    try {
-      val bytes = new java.io.ByteArrayOutputStream()
-      val buf = new Array[Byte](8192)
-      var n = in.read(buf)
-      while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
-      bytes.toString("UTF-8")
-    } finally in.close()
-  }
+      p: org.apache.hadoop.fs.Path): String =
+    graft.ControlFiles.readFully(f, p)
 
   /** The published compaction horizon, if any. */
   def compactedUpTo(spark: SparkSession, root: String): Option[Long] = {
@@ -106,16 +97,9 @@ private[operators] object SegmentLog {
     * exists and every previously folded row silently vanishes from
     * reads.
     */
-  def publishMarker(spark: SparkSession, root: String, upTo: Long): Unit = {
-    val f = hfs(spark, root)
-    val t = new org.apache.hadoop.fs.Path(root, "._compacted.tmp")
-    val out = f.create(t, true)
-    try out.write(upTo.toString.getBytes("UTF-8")) finally out.close()
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      f.getUri, spark.sparkContext.hadoopConfiguration)
-    fc.rename(f.makeQualified(t), f.makeQualified(compactMarker(root)),
-      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-  }
+  def publishMarker(spark: SparkSession, root: String, upTo: Long): Unit =
+    graft.ControlFiles.atomicWrite(hfs(spark, root), compactMarker(root),
+      upTo.toString)
 
   /** Delete segment dirs (≤ horizon) and older compact trees the
     * `_compacted` marker has superseded. Safe any time, including

@@ -214,32 +214,10 @@ object UpsertFileSink {
     * (dot-names are excluded by every listing filter here).
     */
   private def atomicWrite(f: org.apache.hadoop.fs.FileSystem, dst: Path,
-      content: String): Unit = {
-    val tmp = new Path(dst.getParent, "." + dst.getName + ".tmp")
-    val out = f.create(tmp, true)
-    try out.write(content.getBytes("UTF-8")) finally out.close()
-    // OVERWRITE rename, never delete-then-rename: re-writing an
-    // existing control file (e.g. an idempotent checkpoint rollup at
-    // an unchanged head after its markers were vacuumed) must not open
-    // a window where the file is absent — losing the only checkpoint
-    // makes a fully-committed table read as empty
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      f.getUri, f.getConf)
-    fc.rename(f.makeQualified(tmp), f.makeQualified(dst),
-      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-  }
+      content: String): Unit = graft.ControlFiles.atomicWrite(f, dst, content)
 
   private def readSmallFile(f: org.apache.hadoop.fs.FileSystem,
-      p: Path): String = {
-    val in = f.open(p)
-    try {
-      val bytes = new java.io.ByteArrayOutputStream()
-      val buf = new Array[Byte](8192)
-      var n = in.read(buf)
-      while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
-      bytes.toString("UTF-8")
-    } finally in.close()
-  }
+      p: Path): String = graft.ControlFiles.readFully(f, p)
 
   /** Newest checkpoint under `_commits`, as (coveredHeadId,
     * bucket → newest committed version as of that head).
@@ -492,11 +470,28 @@ object UpsertFileSink {
     * bucket dirs; bounded by vacuum retention like
     * [[readSnapshotBucketedAsOf]].
     */
+  /** Newest committed batch id of a bucketed table (markers ∪
+    * checkpoint head), None for a virgin root. One `_commits` listing.
+    */
+  def lastCommittedBucketed(spark: SparkSession,
+      root: String): Option[Long] = {
+    val f = fs(spark, root)
+    val ids = markerIds(f, root) ++ newestCheckpoint(f, root).map(_._1)
+    if (ids.isEmpty) None else Some(ids.max)
+  }
+
   def readBucketsBucketedAsOf(spark: SparkSession, root: String,
       schema: StructType, buckets: Seq[Int], asOf: Long): DataFrame = {
     val f = fs(spark, root)
     val ckptId = newestCheckpoint(f, root).map(_._1).getOrElse(-1L)
     val markers = markerIds(f, root)
+    // happy path: nothing newer than asOf is committed, so "as of" IS
+    // the latest state — take the manifest-resolved read and skip the
+    // bucket-directory listings entirely (the O(K) discipline the
+    // compacted manifest exists for); the listing below is only paid
+    // by genuine replays
+    if (markers.forall(_ <= asOf) && ckptId <= asOf)
+      return readBucketsBucketed(spark, root, schema, buckets)
     def isCommitted(v: Long) = v <= ckptId || markers.contains(v)
     val paths = buckets.distinct.flatMap { b =>
       val bd = new Path(bucketsDir(root), b.toString)

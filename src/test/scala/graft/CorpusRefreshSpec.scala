@@ -460,6 +460,19 @@ class CorpusRefreshSpec extends AnyFunSuite {
     // and the state still converged to the full-curate truth
     assert(flagsRows(CorpusRefresh.currentFlags(spark, root)) ===
       flagsRows(CorpusRefresh.fullFlags(spark, docsDF(initial ++ b1))))
+
+    // mis-numbered batches fail fast instead of silently judging
+    // against stale or empty state
+    intercept[IllegalArgumentException] { // stale: older than committed
+      CorpusRefresh.refresh(spark, root, docsDF(Seq(90L -> textE)), 0L, nB)
+    }
+    intercept[IllegalArgumentException] { // id 0 on initialized state
+      val r2 = java.nio.file.Files
+        .createTempDirectory("graft-refresh-guard").toString + "/state"
+      CorpusRefresh.initialize(spark, docsDF(initial), r2, nB)
+      CorpusRefresh.refresh(spark, r2, docsDF(Seq(91L -> textE)), 0L, nB)
+    }
+    Materialize.releaseAll()
   }
 
   test("refresh under a frozen eval scrub drops contaminated arrivals") {

@@ -34,10 +34,10 @@ class MixturePlannerSpec extends AnyFunSuite {
   test("plan arithmetic: targets, epochs, remainder fractions") {
     val p = thePlan.collect()
       .map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2),
-        r.getLong(3), r.getInt(4), r.getDouble(5))).toMap
-    assert(p("web") === ((0.5, 20000L, 10000L, 0, 0.5)))
-    assert(p("books") === ((0.25, 2000L, 5000L, 2, 0.5)))
-    assert(p("code") === ((0.25, 5000L, 5000L, 1, 0.0)))
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    assert(p("web") === ((0.5, 20000L, 10000L, 0L, 0.5)))
+    assert(p("books") === ((0.25, 2000L, 5000L, 2L, 0.5)))
+    assert(p("code") === ((0.25, 5000L, 5000L, 1L, 0.0)))
   }
 
   test("materialize: exact epochs exact, partial passes concentrated") {
@@ -95,5 +95,16 @@ class MixturePlannerSpec extends AnyFunSuite {
       Map("web" -> 1.0, "empty" -> 1.0), 100L)
       .select("domain").collect().map(_.getString(0)).toSet
     assert(p === Set("web"))
+    // an absurd repetition (huge budget over a tiny inventory, where a
+    // 32-bit epoch count would overflow negative and explode a
+    // descending sequence) is rejected before any explode runs
+    val tiny = Seq((1L, "web", 10L)).toDF("doc_id", "domain", "n_toks")
+    val absurd = MixturePlanner.planFromDocs(spark, tiny, "domain",
+      "n_toks", Map("web" -> 1.0), 100_000_000_000L)
+    assert(absurd.select("full_epochs").head.getLong(0) === 10_000_000_000L)
+    intercept[IllegalArgumentException] {
+      MixturePlanner.materialize(tiny, absurd, "doc_id", "domain",
+        "n_toks", seed = 1L)
+    }
   }
 }
