@@ -79,6 +79,10 @@ import graft.sources.Tables
   *                                        accounting (fix = rerun to
   *                                        the fixpoint)
   *   search <t1,t2,...> <probeId> <k>     hybrid BM25 + embedding RRF
+  *   lshplan <nPerm> <threshold>          choose (bands, rows) for a
+  *                                        banded-LSH signature budget
+  *                                        and target Jaccard threshold;
+  *                                        prints the S-curve samples
   *   mixture <budget> <src:w,src:w,...>   plan + materialize a training
   *                                        mixture over documents.source
   *                                        at the token budget; reports
@@ -453,6 +457,21 @@ object Shell {
         noKnob()
         graft.operators.HybridSearch.searchDocuments(
           s, dir, terms.split(",").toSeq, probeDocId.toLong, k.toInt)
+      // banded-LSH tuning: the chosen (bands, rows) factorization for
+      // the signature budget + the collision S-curve it buys
+      case List("lshplan", nPerm, threshold) =>
+        noKnob()
+        val (b, r) = graft.operators.LshPlanner
+          .choose(nPerm.toInt, threshold.toDouble)
+        val knee = graft.operators.LshPlanner.thresholdOf(b, r)
+        import s.implicits._
+        (0 to 10).map { i =>
+          val sim = i / 10.0
+          (b, r, BigDecimal(knee).setScale(4,
+            BigDecimal.RoundingMode.HALF_UP).toDouble, sim,
+            BigDecimal(graft.operators.LshPlanner.collisionProb(sim, b, r))
+              .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }.toDF("bands", "rows", "knee", "sim", "p_candidate")
       // training-mixture planning over the documents table: parse
       // "src:weight" pairs, plan against the token budget, materialize
       // the (doc, epoch) manifest, and account realized vs target

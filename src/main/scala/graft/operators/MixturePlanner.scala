@@ -120,6 +120,24 @@ object MixturePlanner {
       .select("doc_id", "domain", "n_toks", "epoch")
   }
 
+  /** Expand a manifest back into a TOKEN STREAM for the packer: one
+    * row per (doc, epoch) with the doc's token ids and a composite
+    * stream id unique per occurrence — exactly the frame
+    * [[Packing.packShuffled]]/[[Packing.writeShardsShuffled]] consume
+    * (their epoch-keyed hash order interleaves the repeats away from
+    * each other). `tokens` carries (`idCol`, `tokenIdsCol`); the join
+    * ships ids + epochs to the token frame, so document tokens are
+    * materialized once per EMITTED occurrence and never for docs the
+    * mixture dropped.
+    */
+  def expandTokens(manifest: DataFrame, tokens: DataFrame, idCol: String,
+      tokenIdsCol: String): DataFrame =
+    manifest.select(col("doc_id"), col("epoch"))
+      .join(tokens.select(col(idCol).as("doc_id"),
+        col(tokenIdsCol).as("__ids")), Seq("doc_id"))
+      .select(concat_ws("#", col("doc_id"), col("epoch")).as("occ_id"),
+        col("__ids").as(tokenIdsCol))
+
   /** Per-domain accounting of a materialized manifest against its
     * plan: realized vs target token mass and the relative error — the
     * report a pipeline logs before committing a mixture.

@@ -81,6 +81,26 @@ class MixturePlannerSpec extends AnyFunSuite {
     assert(a !== b)
   }
 
+  test("expandTokens feeds the packer with exact token conservation") {
+    import graft.operators.Packing
+    val tokens = docs.select(col("doc_id"),
+      expr("sequence(1, cast(n_toks as int))").as("ids"))
+    val m = MixturePlanner.materialize(docs, thePlan,
+      "doc_id", "domain", "n_toks", seed = 7L).cache()
+    try {
+      val expanded = MixturePlanner.expandTokens(m, tokens, "doc_id", "ids")
+      assert(expanded.count() === m.count(),
+        "one token row per emitted (doc, epoch) occurrence")
+      val packed = Packing.packShuffled(expanded, "occ_id", "ids",
+        seqLen = 128, eosId = 0, epoch = 0L)
+      val packedMass = packed.agg(sum("n_tokens")).head.getLong(0)
+      val manifestMass = m.agg(sum("n_toks")).head.getLong(0)
+      // packing conserves the stream exactly: every occurrence's
+      // tokens plus its one EOS land in some chunk
+      assert(packedMass === manifestMass + m.count())
+    } finally m.unpersist(blocking = false)
+  }
+
   test("degenerate inputs are rejected or dropped") {
     import spark.implicits._
     intercept[IllegalArgumentException] {

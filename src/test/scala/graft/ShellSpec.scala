@@ -321,6 +321,17 @@ class ShellSpec extends AnyFunSuite {
     assert(bstats.nonEmpty)
   }
 
+  test("lshplan command chooses an exact-cover scheme with a monotone curve") {
+    val rows = Shell.run(spark, sf0001, "lshplan 128 0.8").collect()
+    assert(rows.length === 11)
+    val (b, r) = (rows.head.getInt(0), rows.head.getInt(1))
+    assert(b * r === 128)
+    assert(math.abs(rows.head.getDouble(2) -
+      math.pow(1.0 / b, 1.0 / r)) < 1e-3)
+    val ps = rows.map(_.getDouble(4)).toSeq
+    ps.sliding(2).foreach { case Seq(a, c) => assert(a <= c + 1e-9) }
+  }
+
   test("mixture command plans, repeats and accounts per source") {
     // src0 (~1500 toks) at weight .75 of a 6000-token budget needs
     // ~3 epochs; src1 at .25 undersamples — both must land near target
