@@ -335,4 +335,44 @@ object CorpusPipeline {
     Bpe.save(s, model, s"$outRoot/tokenizer")
     (model, counts)
   }
+
+  /** [[writeEpochShards]] under a TRAINING MIXTURE: the train split's
+    * contribution per source is planned against `budgetTokens` with
+    * `weights` ([[MixturePlanner]] — inventories measured in REAL
+    * token-id counts, not whitespace words, so the budget means what
+    * the trainer thinks it means), each (doc, epoch-repeat) occurrence
+    * enters the packed stream once via `expandTokens`, and the epoch
+    * permutation interleaves the repeats. Val/test shard unmixed (an
+    * eval set is never up/down-sampled). Returns the model, the
+    * per-source realized-vs-target accounting, and the shard counts.
+    */
+  def writeMixedEpochShards(s: SparkSession, dir: String, numMerges: Int,
+      seqLen: Int, epoch: Long, outRoot: String, seqsPerFile: Int,
+      weights: Map[String, Double], budgetTokens: Long,
+      seed: Long): (Bpe.BpeModel, DataFrame, Map[String, Int]) = {
+    val (encoded, model) = encodedSplits(s, dir, numMerges)
+    val eos = model.vocabIds.size
+    val trainDocs = encoded.filter(col("split") === "train")
+      .join(Tables.documents(s, dir).select("doc_id", "source"),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("source"),
+        size(col("token_ids")).cast("long").as("n_toks"))
+    val plan = MixturePlanner.planFromDocs(s, trainDocs, "source",
+      "n_toks", weights, budgetTokens)
+    val manifest = graft.Materialize.checkpoint(
+      MixturePlanner.materialize(trainDocs, plan, "doc_id", "source",
+        "n_toks", seed))
+    val mixedTrain = MixturePlanner.expandTokens(manifest,
+      encoded.filter(col("split") === "train"), "doc_id", "token_ids")
+    val counts = Map(
+      "train" -> Packing.writeShardsShuffled(mixedTrain, "occ_id",
+        "token_ids", seqLen, eos, epoch, s"$outRoot/train", seqsPerFile)) ++
+      Seq("val", "test").map { sp =>
+        sp -> Packing.writeShardsShuffled(
+          encoded.filter(col("split") === sp), "doc_id", "token_ids",
+          seqLen, eos, epoch, s"$outRoot/$sp", seqsPerFile)
+      }.toMap
+    Bpe.save(s, model, s"$outRoot/tokenizer")
+    (model, MixturePlanner.account(manifest, plan), counts)
+  }
 }

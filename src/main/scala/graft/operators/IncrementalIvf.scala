@@ -66,6 +66,15 @@ object IncrementalIvf {
       root: String, k: Int, iters: Int): Unit = {
     val model = IvfIndex.buildFrom(spark, trainVecs, k, iters)
     model.centroids.write.mode("overwrite").parquet(s"$root/centroids")
+    // record the TRAINING-time fit as the retrain baseline: the mean
+    // assignment cosine of the very sample the quantizer was built on
+    // (one aggregate; [[retrainSignal]] compares the live set to it)
+    CosineSimilarity.register(spark)
+    val fit = IvfIndex.assignTo(trainVecs, model.centroids)
+      .join(broadcast(model.centroids), Seq("cell"))
+      .agg(avg(expr("cosine_sim(e, c)"))).head.getDouble(0)
+    graft.ControlFiles.atomicWrite(SegmentLog.hfs(spark, root),
+      new org.apache.hadoop.fs.Path(root, "_train_fit"), fit.toString)
   }
 
   /** Train the fixed quantizer from the initial corpus and land batch
@@ -228,5 +237,23 @@ object IncrementalIvf {
         round(avg(col("__sim")), 4).as("mean_sim"))
       .select(lit(-1).as("cell"), col("n_live"), col("mean_sim"))
     perCell.unionAll(overall).orderBy("cell")
+  }
+
+  /** The self-contained RETRAIN decision: (fire?, baseline, current) —
+    * current live mean assignment cosine vs the training-time fit
+    * [[initializeQuantizer]] recorded at `root/_train_fit`, fired when
+    * the degradation exceeds `tolerance`. A retrain is then
+    * `IvfIndex.buildFrom` into a fresh root + a bulk re-add (the bulk
+    * decision the scaladoc above describes); nothing here mutates.
+    */
+  def retrainSignal(spark: SparkSession, root: String,
+      tolerance: Double = 0.05): (Boolean, Double, Double) = {
+    val p = new org.apache.hadoop.fs.Path(root, "_train_fit")
+    val f = SegmentLog.hfs(spark, root)
+    require(f.exists(p), s"$root has no recorded training fit")
+    val baseline = graft.ControlFiles.readFully(f, p).trim.toDouble
+    val current = quantizationReport(spark, root)
+      .filter(col("cell") === -1).select("mean_sim").head.getDouble(0)
+    (baseline - current > tolerance, baseline, current)
   }
 }

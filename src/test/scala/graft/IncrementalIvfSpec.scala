@@ -207,6 +207,10 @@ class IncrementalIvfSpec extends AnyFunSuite {
       df((31L to 40L).map(i => (i, vec(i), "I"))), 1L)
     assert(overallSim() > 0.99)
 
+    // the self-contained signal: in-distribution state stays quiet
+    val (fire0, base0, cur0) = IncrementalIvf.retrainSignal(spark, root)
+    assert(!fire0 && base0 > 0.99 && cur0 > 0.99)
+
     // arrivals from an axis the quantizer never saw degrade the mean
     // assignment similarity — the retrain trigger
     val ood = (41L to 50L).map { i =>
@@ -220,5 +224,8 @@ class IncrementalIvfSpec extends AnyFunSuite {
     val cells = IncrementalIvf.quantizationReport(spark, root)
       .select("cell").collect().map(_.getInt(0)).toSet
     assert(cells.contains(-1) && (cells - (-1)).nonEmpty)
+    // ...and the signal fires against the recorded training baseline
+    val (fire1, base1, cur1) = IncrementalIvf.retrainSignal(spark, root)
+    assert(fire1 && base1 - cur1 > 0.05)
   }
 }

@@ -101,6 +101,33 @@ class MixturePlannerSpec extends AnyFunSuite {
     } finally m.unpersist(blocking = false)
   }
 
+  test("writeMixedEpochShards: budgeted train stream, unmixed val/test") {
+    import graft.operators.CorpusPipeline
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-mixshards").toString
+    val (_, acct, counts) = CorpusPipeline.writeMixedEpochShards(
+      spark, SparkTestBase.sf0001, numMerges = 50, seqLen = 64,
+      epoch = 0L, out, seqsPerFile = 8,
+      weights = Map("src0" -> 0.5, "src1" -> 0.5),
+      budgetTokens = 6000L, seed = 3L)
+    val rows = acct.collect()
+      .map(r => r.getString(0) -> (r.getLong(3), r.getLong(4),
+        r.getDouble(5))).toMap
+    Materialize.releaseAll()
+    // both sources land near their 3000-token targets (repeats needed:
+    // each source's curated train split holds ~1000-1500 BPE tokens)
+    assert(rows.keySet === Set("src0", "src1"))
+    rows.foreach { case (d, (realized, target, err)) =>
+      assert(target === 3000L && err < 0.2,
+        s"$d realized $realized vs $target")
+    }
+    assert(counts("train") > 0 && counts("val") > 0 && counts("test") > 0)
+    // the packed train stream holds roughly the budget (+ EOS mass)
+    val packedMass = spark.read.parquet(s"$out/train")
+      .agg(sum("n_tokens")).head.getLong(0)
+    assert(packedMass > 5000L && packedMass < 8000L, s"mass $packedMass")
+  }
+
   test("degenerate inputs are rejected or dropped") {
     import spark.implicits._
     intercept[IllegalArgumentException] {
