@@ -328,13 +328,22 @@ object CorpusPipeline {
     val (encoded, model) = encodedSplits(s, dir, numMerges)
     val eos = model.vocabIds.size
     val counts = Seq("train", "val", "test").map { sp =>
-      sp -> Packing.writeShardsShuffled(
-        encoded.filter(col("split") === sp), "doc_id", "token_ids",
-        seqLen, eos, epoch, s"$outRoot/$sp", seqsPerFile)
+      sp -> shardSplit(encoded, sp, eos, seqLen, epoch, outRoot,
+        seqsPerFile)
     }.toMap
     Bpe.save(s, model, s"$outRoot/tokenizer")
     (model, counts)
   }
+
+  /** One split's shard files — shared by the plain and the
+    * mixture-weighted writers so the shard recipe has exactly one
+    * copy.
+    */
+  private def shardSplit(encoded: DataFrame, sp: String, eos: Int,
+      seqLen: Int, epoch: Long, outRoot: String, seqsPerFile: Int): Int =
+    Packing.writeShardsShuffled(
+      encoded.filter(col("split") === sp), "doc_id", "token_ids",
+      seqLen, eos, epoch, s"$outRoot/$sp", seqsPerFile)
 
   /** [[writeEpochShards]] under a TRAINING MIXTURE: the train split's
     * contribution per source is planned against `budgetTokens` with
@@ -357,8 +366,17 @@ object CorpusPipeline {
         Seq("doc_id"))
       .select(col("doc_id"), col("source"),
         size(col("token_ids")).cast("long").as("n_toks"))
-    val plan = MixturePlanner.planFromDocs(s, trainDocs, "source",
-      "n_toks", weights, budgetTokens)
+    // the plan is one row per domain by construction — localize it so
+    // its lineage (encoded-cache scan + documents join + hash agg)
+    // runs ONCE instead of under each of its three consumers (the
+    // materialize validation, the manifest join, and the returned
+    // accounting, which the caller may collect after releaseAll)
+    val plan = {
+      val p = MixturePlanner.planFromDocs(s, trainDocs, "source",
+        "n_toks", weights, budgetTokens)
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(p.collect().toList.asJava, p.schema)
+    }
     val manifest = graft.Materialize.checkpoint(
       MixturePlanner.materialize(trainDocs, plan, "doc_id", "source",
         "n_toks", seed))
@@ -366,11 +384,11 @@ object CorpusPipeline {
       encoded.filter(col("split") === "train"), "doc_id", "token_ids")
     val counts = Map(
       "train" -> Packing.writeShardsShuffled(mixedTrain, "occ_id",
-        "token_ids", seqLen, eos, epoch, s"$outRoot/train", seqsPerFile)) ++
+        "token_ids", seqLen, eos, epoch, s"$outRoot/train",
+        seqsPerFile)) ++
       Seq("val", "test").map { sp =>
-        sp -> Packing.writeShardsShuffled(
-          encoded.filter(col("split") === sp), "doc_id", "token_ids",
-          seqLen, eos, epoch, s"$outRoot/$sp", seqsPerFile)
+        sp -> shardSplit(encoded, sp, eos, seqLen, epoch, outRoot,
+          seqsPerFile)
       }.toMap
     Bpe.save(s, model, s"$outRoot/tokenizer")
     (model, MixturePlanner.account(manifest, plan), counts)

@@ -252,8 +252,18 @@ object IncrementalIvf {
     val f = SegmentLog.hfs(spark, root)
     require(f.exists(p), s"$root has no recorded training fit")
     val baseline = graft.ControlFiles.readFully(f, p).trim.toDouble
-    val current = quantizationReport(spark, root)
-      .filter(col("cell") === -1).select("mean_sim").head.getDouble(0)
+    // a bootstrapped-but-empty index (quantizer trained, no batch yet)
+    // or one whose live set emptied has nothing to judge: stay quiet
+    // and report the baseline as current rather than crashing a
+    // scheduled monitor job on a missing dir / null mean
+    val hasMembers =
+      f.exists(new org.apache.hadoop.fs.Path(s"$root/members")) ||
+        f.exists(new org.apache.hadoop.fs.Path(s"$root/_compact"))
+    if (!hasMembers) return (false, baseline, baseline)
+    val row = quantizationReport(spark, root)
+      .filter(col("cell") === -1).select("mean_sim").head
+    if (row.isNullAt(0)) return (false, baseline, baseline)
+    val current = row.getDouble(0)
     (baseline - current > tolerance, baseline, current)
   }
 }

@@ -49,6 +49,18 @@ object MixturePlanner {
     require(budgetTokens > 0, s"budgetTokens=$budgetTokens")
     val pos = weights.filter(_._2 > 0.0)
     require(pos.nonEmpty, "no positive mixture weight")
+    // fail LOUD on a weighted domain with no (non-empty) inventory —
+    // a typo'd or renamed source would otherwise silently forfeit its
+    // whole share of the budget (stats is one tiny row per domain by
+    // contract, so the check is a driver-side set compare)
+    val have = stats
+      .select(col("domain"), col("avail_tokens").cast("long"))
+      .filter(col("avail_tokens") > 0L)
+      .select("domain").collect().map(_.getString(0)).toSet
+    val missing = pos.keySet -- have
+    require(missing.isEmpty,
+      s"mixture weights name domains with no token inventory: " +
+        missing.toSeq.sorted.mkString(", "))
     val total = pos.values.sum
     import spark.implicits._
     val w = pos.toSeq.map { case (d, v) => (d, v / total) }
@@ -135,7 +147,13 @@ object MixturePlanner {
     manifest.select(col("doc_id"), col("epoch"))
       .join(tokens.select(col(idCol).as("doc_id"),
         col(tokenIdsCol).as("__ids")), Seq("doc_id"))
-      .select(concat_ws("#", col("doc_id"), col("epoch")).as("occ_id"),
+      // length-prefixed, so the id is INJECTIVE even for string doc
+      // ids containing the separator — a collision would give two
+      // occurrences the same packer sort key and make shard bytes
+      // run-dependent
+      .select(concat_ws("#",
+        length(col("doc_id").cast("string")).cast("string"),
+        col("doc_id"), col("epoch")).as("occ_id"),
         col("__ids").as(tokenIdsCol))
 
   /** Per-domain accounting of a materialized manifest against its

@@ -135,13 +135,22 @@ class MixturePlannerSpec extends AnyFunSuite {
         Seq(("web", 10L)).toDF("domain", "avail_tokens"),
         Map("web" -> 0.0), 100L)
     }
-    // unknown-weight and empty domains drop out of the plan
-    val p = MixturePlanner.plan(spark,
-      Seq(("web", 10L), ("empty", 0L), ("junk", 5L))
-        .toDF("domain", "avail_tokens"),
-      Map("web" -> 1.0, "empty" -> 1.0), 100L)
+    // an UNWEIGHTED domain (junk) just doesn't participate; but a
+    // WEIGHTED domain with no usable inventory fails loud — a typo'd
+    // source name would otherwise silently forfeit its budget share
+    val stats = Seq(("web", 10L), ("empty", 0L), ("junk", 5L))
+      .toDF("domain", "avail_tokens")
+    val p = MixturePlanner.plan(spark, stats, Map("web" -> 1.0), 100L)
       .select("domain").collect().map(_.getString(0)).toSet
     assert(p === Set("web"))
+    intercept[IllegalArgumentException] {
+      MixturePlanner.plan(spark, stats,
+        Map("web" -> 1.0, "empty" -> 1.0), 100L)
+    }
+    intercept[IllegalArgumentException] {
+      MixturePlanner.plan(spark, stats,
+        Map("web" -> 1.0, "wbe" -> 1.0), 100L)
+    }
     // an absurd repetition (huge budget over a tiny inventory, where a
     // 32-bit epoch count would overflow negative and explode a
     // descending sequence) is rejected before any explode runs
