@@ -129,8 +129,15 @@ object IncrementalIndex {
     * composes with a marker check exactly like
     * [[graft.streaming.UpsertFileSink.upsertBatch]]'s.
     */
+  /** `compactEvery` > 0 folds the log inline every that-many batches
+    * (after the changelog commit — [[compact]] is idempotent and
+    * marker-published, so a crash mid-fold leaves the plain log view),
+    * the same bounded-maintenance cadence knob as the landing zone's
+    * `checkpointEvery`: an unbounded CDC stream then never needs an
+    * out-of-band compaction job.
+    */
   def applyBatch(spark: SparkSession, root: String, batch: DataFrame,
-      batchId: Long, nBuckets: Int = 16): Unit = {
+      batchId: Long, nBuckets: Int = 16, compactEvery: Int = 0): Unit = {
     require(nBuckets > 0, s"nBuckets=$nBuckets")
     // a batch at or below the compaction horizon would land in a
     // segment the readers prune — the CDC feed must stay monotone
@@ -197,6 +204,8 @@ object IncrementalIndex {
           .parquet(s"$root/docs/seq=$batchId")
       } finally newPostings.unpersist(blocking = false)
     } finally staged.unpersist(blocking = false)
+    if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+      compact(spark, root, batchId, nBuckets)
   }
 
   /** The index's current postings — (token, doc_id, tf, dl, df), the

@@ -92,7 +92,7 @@ object IncrementalIvf {
     * ignored). `batchId` strictly greater than every prior batch's.
     */
   def applyBatch(spark: SparkSession, root: String, batch: DataFrame,
-      batchId: Long): Unit = {
+      batchId: Long, compactEvery: Int = 0): Unit = {
     // a batch at or below the compaction horizon would land in a
     // segment the readers prune — the feed must stay monotone
     require(SegmentLog.compactedUpTo(spark, root).forall(_ < batchId),
@@ -121,6 +121,10 @@ object IncrementalIvf {
           .parquet(s"$root/vecs/seq=$batchId")
       } finally assigned.unpersist(blocking = false)
     } finally staged.unpersist(blocking = false)
+    // inline bounded maintenance, the [[IncrementalIndex.applyBatch]]
+    // compactEvery knob member-side
+    if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+      compact(spark, root, batchId)
   }
 
   /** The live member set — (vec_id, e, cell), each vector exactly once

@@ -166,6 +166,44 @@ class IncrementalIndexSpec extends AnyFunSuite {
     check()
   }
 
+  test("compactEvery folds the log inline at the configured cadence") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-incidx-auto").toString
+    var corpus = Map.empty[Long, String]
+    def apply(id: Long, batchRows: Seq[(Long, String, String)]): Unit = {
+      IncrementalIndex.applyBatch(spark, root,
+        batchRows.toDF("doc_id", "text", "op"), id, compactEvery = 2)
+      batchRows.foreach { case (d, t, op) =>
+        corpus = if (op == "D") corpus - d else corpus + (d -> t)
+      }
+      val full = InvertedIndex.build(
+        corpus.toSeq.toDF("doc_id", "text"), "doc_id", "text")
+      assert(rows(IncrementalIndex.currentPostings(spark, root)) ===
+        rows(full), s"after batch $id")
+    }
+    def horizon(): Option[Long] = {
+      val m = new java.io.File(s"$root/_compacted")
+      if (!m.exists) None
+      else Some(new String(java.nio.file.Files
+        .readAllBytes(m.toPath), "UTF-8").trim.toLong)
+    }
+    apply(0L, Seq((1L, "the quick fox", "I"), (2L, "lazy dog", "I")))
+    assert(horizon() === None)
+    apply(1L, Seq((2L, "sly cat", "U"), (3L, "dog park", "I")))
+    assert(horizon() === Some(1L), "cadence 2 folds after batch 1")
+    apply(2L, Seq((1L, "", "D")))
+    assert(horizon() === Some(1L))
+    apply(3L, Seq((4L, "fox den", "I")))
+    assert(horizon() === Some(3L))
+    // every folded segment dir is vacuumed at each rollover
+    Seq("postings", "docs", "df").foreach { sub =>
+      val segs = new java.io.File(s"$root/$sub").listFiles()
+        .filter(_.getName.startsWith("seq=")).map(_.getName).toSeq
+      assert(segs.isEmpty, s"$sub: $segs")
+    }
+  }
+
   test("torn df deltas and delete-only batches stay invisible") {
     import spark.implicits._
     val root = java.nio.file.Files

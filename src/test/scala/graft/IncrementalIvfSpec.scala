@@ -202,9 +202,12 @@ class IncrementalIvfSpec extends AnyFunSuite {
     val atTrain = overallSim()
     assert(atTrain > 0.99, s"in-distribution fit should be tight: $atTrain")
 
-    // in-distribution adds keep the fit tight — no false retrain signal
+    // in-distribution adds keep the fit tight — no false retrain
+    // signal; compactEvery folds the log inline at the cadence
     IncrementalIvf.applyBatch(spark, root,
-      df((31L to 40L).map(i => (i, vec(i), "I"))), 1L)
+      df((31L to 40L).map(i => (i, vec(i), "I"))), 1L, compactEvery = 2)
+    assert(new java.io.File(s"$root/_compacted").exists,
+      "cadence 2 folds after batch 1")
     assert(overallSim() > 0.99)
 
     // the self-contained signal: in-distribution state stays quiet
