@@ -32,9 +32,10 @@ import org.apache.spark.sql.functions._
   * (`db=pmod(hash(doc_id), nBuckets)`, the same discipline as the
   * bucketed landing zone: the parquet scan lists only touched
   * buckets). Read-time folding costs one thin changelog window plus
-  * one df aggregation, both over logs that compact naturally (rewrite
-  * segments below a chosen seq into one — the landing zone's
-  * checkpoint recipe applies verbatim and is not duplicated here).
+  * one df aggregation, both over logs whose growth [[compact]] bounds
+  * (fold every segment at or below a horizon into one, published by
+  * the [[SegmentLog]] marker; `applyBatch(compactEvery = K)` runs it
+  * inline at a fixed cadence).
   *
   * IncrementalIndexSpec pins the contract that matters: after any
   * batch sequence, [[currentPostings]] row-for-row equals
