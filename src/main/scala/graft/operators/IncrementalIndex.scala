@@ -27,8 +27,9 @@ import org.apache.spark.sql.functions._
   *    current df of a token is the sum of its deltas.
   *
   * Scale shape: a batch's work is bounded by the batch, never the
-  * corpus — the only state read is the previous postings of the
-  * updated docs themselves, pruned by hash-bucketed partition dirs
+  * corpus (except batches on the `compactEvery` cadence, which pay
+  * the live-set fold) — the only state read is the previous postings
+  * of the updated docs themselves, pruned by hash-bucketed partition dirs
   * (`db=pmod(hash(doc_id), nBuckets)`, the same discipline as the
   * bucketed landing zone: the parquet scan lists only touched
   * buckets). Read-time folding costs one thin changelog window plus
@@ -129,13 +130,19 @@ object IncrementalIndex {
     * own ordering); delivery idempotence, if the feed can replay,
     * composes with a marker check exactly like
     * [[graft.streaming.UpsertFileSink.upsertBatch]]'s.
-    */
-  /** `compactEvery` > 0 folds the log inline every that-many batches
-    * (after the changelog commit — [[compact]] is idempotent and
-    * marker-published, so a crash mid-fold leaves the plain log view),
-    * the same bounded-maintenance cadence knob as the landing zone's
-    * `checkpointEvery`: an unbounded CDC stream then never needs an
-    * out-of-band compaction job.
+    *
+    * `compactEvery` > 0 bounds the log inline: whenever more than that
+    * many FRESH segments have accumulated above the horizon (counted,
+    * not inferred from id arithmetic — the feed's ids need not be
+    * dense), the log folds up to `batchId − 1`. Folding never reaches
+    * the in-flight batch itself, so an at-least-once redelivery of
+    * this same batch still passes the horizon guard and converges via
+    * the overwrite-mode segment writes; [[compact]] is idempotent and
+    * marker-published, so a crash mid-fold leaves the plain log view.
+    * The same bounded-maintenance knob as the landing zone's
+    * `checkpointEvery`: an unbounded CDC stream never needs an
+    * out-of-band compaction job, at the price of the fold's
+    * live-set-sized work landing inside every cadence batch.
     */
   def applyBatch(spark: SparkSession, root: String, batch: DataFrame,
       batchId: Long, nBuckets: Int = 16, compactEvery: Int = 0): Unit = {
@@ -154,7 +161,10 @@ object IncrementalIndex {
       // previous live postings of ONLY the docs this batch touches:
       // prune the postings scan to the touched bucket dirs (driver-side
       // manifest, ≤ nBuckets ints — the landing zone's discipline),
-      // then keep each doc's newest pre-batch version
+      // then keep each doc's newest PRE-batch version — strictly below
+      // batchId, or a REPLAY would treat its own first attempt as the
+      // replaced version and net every df delta to zero (destroying
+      // the +1s when the df segment is rewritten)
       val oldTokens: DataFrame = if (!hasState) {
         import spark.implicits._
         Seq.empty[(String, Long)].toDF("token", "doc_id")
@@ -163,7 +173,11 @@ object IncrementalIndex {
           .distinct().collect().map(_.getInt(0)).toSeq
         val prev = readLog(spark, root, "postings")
           .filter(col("db").isin(touched: _*))
-        val live = latestDocVersions(spark, root)
+        val w = Window.partitionBy("doc_id").orderBy(col("seq").desc)
+        val live = readLog(spark, root, "docs")
+          .filter(col("seq") < batchId)
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
           .filter(col("op") =!= "D")
           .join(staged.select("doc_id"), Seq("doc_id"), "left_semi")
         prev.join(live.select("doc_id", "seq"), Seq("doc_id", "seq"))
@@ -178,11 +192,17 @@ object IncrementalIndex {
 
       // additive df deltas: +1 per distinct token of the new version,
       // −1 per distinct token of the replaced one (an unchanged token
-      // nets 0; a delete contributes only the −1 side)
+      // nets 0; a delete contributes only the −1 side). MATERIALIZED
+      // before any write: on a replay the batch's own prior segment is
+      // both the −1 side's INPUT (the touched docs' live postings) and
+      // the overwrite TARGET — a lazy dfDelta would evaluate after its
+      // input files were already clobbered
       val dfDelta = newPostings.select(col("token"), lit(1L).as("delta"))
         .unionAll(oldTokens.select(col("token"), lit(-1L).as("delta")))
         .groupBy("token").agg(sum("delta").as("delta"))
         .filter(col("delta") =!= 0L)
+        .persist()
+      dfDelta.count()
 
       // a delete-only batch has no postings: skip the segment entirely
       // (and drop a previous attempt's husk) — a zero-row partitionBy
@@ -203,10 +223,22 @@ object IncrementalIndex {
         // invisible (the torn-write discipline again)
         staged.select("doc_id", "op").write.mode("overwrite")
           .parquet(s"$root/docs/seq=$batchId")
-      } finally newPostings.unpersist(blocking = false)
+      } finally {
+        newPostings.unpersist(blocking = false)
+        dfDelta.unpersist(blocking = false)
+      }
     } finally staged.unpersist(blocking = false)
-    if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
-      compact(spark, root, batchId, nBuckets)
+    // a REPLAYED batch overwrites its own segment in place; a
+    // long-lived session's shared file-status cache would otherwise
+    // keep serving the first attempt's (deleted) part files
+    Seq("postings", "df", "docs")
+      .foreach(sub => spark.catalog.refreshByPath(s"$root/$sub"))
+    if (compactEvery > 0) {
+      val h = compactedUpTo(spark, root).getOrElse(-1L)
+      if (SegmentLog.freshSegDirs(spark, root, "docs", h)
+          .size > compactEvery)
+        compact(spark, root, batchId - 1, nBuckets)
+    }
   }
 
   /** The index's current postings — (token, doc_id, tf, dl, df), the

@@ -90,6 +90,11 @@ object IncrementalIvf {
   /** Apply one CDC batch of (vec_id, e, op): I/U assigns the vector's
     * new embedding into its nearest fixed cell, D removes it (e
     * ignored). `batchId` strictly greater than every prior batch's.
+    * `compactEvery` > 0 folds the log up to `batchId − 1` whenever
+    * more than that many fresh segments have accumulated (counted,
+    * not id arithmetic; never the in-flight batch itself, so a
+    * redelivery still converges) — [[IncrementalIndex.applyBatch]]'s
+    * knob, member-side.
     */
   def applyBatch(spark: SparkSession, root: String, batch: DataFrame,
       batchId: Long, compactEvery: Int = 0): Unit = {
@@ -121,10 +126,16 @@ object IncrementalIvf {
           .parquet(s"$root/vecs/seq=$batchId")
       } finally assigned.unpersist(blocking = false)
     } finally staged.unpersist(blocking = false)
-    // inline bounded maintenance, the [[IncrementalIndex.applyBatch]]
-    // compactEvery knob member-side
-    if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
-      compact(spark, root, batchId)
+    // replay hygiene: drop any cached listing of the overwritten
+    // segment (see [[IncrementalIndex.applyBatch]])
+    Seq("members", "vecs")
+      .foreach(sub => spark.catalog.refreshByPath(s"$root/$sub"))
+    if (compactEvery > 0) {
+      val h = SegmentLog.compactedUpTo(spark, root).getOrElse(-1L)
+      if (SegmentLog.freshSegDirs(spark, root, "vecs", h)
+          .size > compactEvery)
+        compact(spark, root, batchId - 1)
+    }
   }
 
   /** The live member set — (vec_id, e, cell), each vector exactly once

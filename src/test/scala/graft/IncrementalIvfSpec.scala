@@ -203,11 +203,12 @@ class IncrementalIvfSpec extends AnyFunSuite {
     assert(atTrain > 0.99, s"in-distribution fit should be tight: $atTrain")
 
     // in-distribution adds keep the fit tight — no false retrain
-    // signal; compactEvery folds the log inline at the cadence
+    // signal; compactEvery=1 folds the log inline (2 fresh segments
+    // exceed the bound; the fold stops at batchId − 1)
     IncrementalIvf.applyBatch(spark, root,
-      df((31L to 40L).map(i => (i, vec(i), "I"))), 1L, compactEvery = 2)
+      df((31L to 40L).map(i => (i, vec(i), "I"))), 1L, compactEvery = 1)
     assert(new java.io.File(s"$root/_compacted").exists,
-      "cadence 2 folds after batch 1")
+      "the 2nd fresh segment triggers the fold")
     assert(overallSim() > 0.99)
 
     // the self-contained signal: in-distribution state stays quiet
