@@ -113,11 +113,15 @@ object IncrementalIndex {
         .select(cols: _*))
   }
 
-  /** The doc changelog resolved to each doc's newest (seq, op). */
-  private def latestDocVersions(spark: SparkSession,
-      root: String): DataFrame = {
+  /** The doc changelog resolved to each doc's newest (seq, op);
+    * `beforeSeq` bounds the view to versions strictly below it (the
+    * pre-batch view a replay needs).
+    */
+  private def latestDocVersions(spark: SparkSession, root: String,
+      beforeSeq: Option[Long] = None): DataFrame = {
     val w = Window.partitionBy("doc_id").orderBy(col("seq").desc)
-    readLog(spark, root, "docs")
+    val base = readLog(spark, root, "docs")
+    beforeSeq.fold(base)(b => base.filter(col("seq") < b))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .select("doc_id", "seq", "op")
@@ -127,9 +131,12 @@ object IncrementalIndex {
     * `batch` carries (doc_id, text, op): op `I`/`U` upserts the doc's
     * text, `D` deletes it (text ignored). `batchId` must be strictly
     * greater than every previously applied batch's (the CDC feed's
-    * own ordering); delivery idempotence, if the feed can replay,
-    * composes with a marker check exactly like
-    * [[graft.streaming.UpsertFileSink.upsertBatch]]'s.
+    * own ordering); delivery idempotence is BUILT IN — a redelivered
+    * batch whose docs changelog already committed is a full no-op
+    * (the same marker discipline as
+    * [[graft.streaming.UpsertFileSink.upsertBatch]], with the
+    * changelog's _SUCCESS as the marker), and a torn first attempt
+    * (changelog missing) is rewritten convergently.
     *
     * `compactEvery` > 0 bounds the log inline: whenever more than that
     * many FRESH segments have accumulated above the horizon (counted,
@@ -147,12 +154,22 @@ object IncrementalIndex {
   def applyBatch(spark: SparkSession, root: String, batch: DataFrame,
       batchId: Long, nBuckets: Int = 16, compactEvery: Int = 0): Unit = {
     require(nBuckets > 0, s"nBuckets=$nBuckets")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // REDELIVERY is a full-batch no-op: the docs changelog (written
+    // last, _SUCCESS-marked) is the batch's commit point, so its
+    // presence proves every segment of this batch is already complete.
+    // Rewriting would be actively wrong, not just wasteful — if the
+    // first delivery's inline fold already ran, the replaced versions'
+    // changelog rows are gone from the pre-batch view, the recomputed
+    // df delta would lose its −1 side, and overwriting df/seq=batchId
+    // would leave the folded +1s uncancelled forever.
+    if (fs.exists(new org.apache.hadoop.fs.Path(
+        s"$root/docs/seq=$batchId/_SUCCESS"))) return
     // a batch at or below the compaction horizon would land in a
     // segment the readers prune — the CDC feed must stay monotone
     require(compactedUpTo(spark, root).forall(_ < batchId),
       s"batch $batchId is at or below $root's compaction horizon")
-    val fs = new org.apache.hadoop.fs.Path(root)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val hasState = fs.exists(new org.apache.hadoop.fs.Path(s"$root/docs"))
 
     val staged = batch.select(col("doc_id"), col("text"), col("op"))
@@ -161,10 +178,10 @@ object IncrementalIndex {
       // previous live postings of ONLY the docs this batch touches:
       // prune the postings scan to the touched bucket dirs (driver-side
       // manifest, ≤ nBuckets ints — the landing zone's discipline),
-      // then keep each doc's newest PRE-batch version — strictly below
-      // batchId, or a REPLAY would treat its own first attempt as the
-      // replaced version and net every df delta to zero (destroying
-      // the +1s when the df segment is rewritten)
+      // then keep each doc's newest PRE-batch version. Everything is
+      // bounded strictly below batchId — the seq filter also partition-
+      // prunes a TORN first attempt's own postings dir out of the scan,
+      // so the rewrite below can clobber it while this plan is pending
       val oldTokens: DataFrame = if (!hasState) {
         import spark.implicits._
         Seq.empty[(String, Long)].toDF("token", "doc_id")
@@ -172,12 +189,8 @@ object IncrementalIndex {
         val touched = staged.select(bucketCol(nBuckets).as("__b"))
           .distinct().collect().map(_.getInt(0)).toSeq
         val prev = readLog(spark, root, "postings")
-          .filter(col("db").isin(touched: _*))
-        val w = Window.partitionBy("doc_id").orderBy(col("seq").desc)
-        val live = readLog(spark, root, "docs")
-          .filter(col("seq") < batchId)
-          .withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") === 1)
+          .filter(col("db").isin(touched: _*) && col("seq") < batchId)
+        val live = latestDocVersions(spark, root, Some(batchId))
           .filter(col("op") =!= "D")
           .join(staged.select("doc_id"), Seq("doc_id"), "left_semi")
         prev.join(live.select("doc_id", "seq"), Seq("doc_id", "seq"))
@@ -192,17 +205,11 @@ object IncrementalIndex {
 
       // additive df deltas: +1 per distinct token of the new version,
       // −1 per distinct token of the replaced one (an unchanged token
-      // nets 0; a delete contributes only the −1 side). MATERIALIZED
-      // before any write: on a replay the batch's own prior segment is
-      // both the −1 side's INPUT (the touched docs' live postings) and
-      // the overwrite TARGET — a lazy dfDelta would evaluate after its
-      // input files were already clobbered
+      // nets 0; a delete contributes only the −1 side)
       val dfDelta = newPostings.select(col("token"), lit(1L).as("delta"))
         .unionAll(oldTokens.select(col("token"), lit(-1L).as("delta")))
         .groupBy("token").agg(sum("delta").as("delta"))
         .filter(col("delta") =!= 0L)
-        .persist()
-      dfDelta.count()
 
       // a delete-only batch has no postings: skip the segment entirely
       // (and drop a previous attempt's husk) — a zero-row partitionBy
@@ -223,10 +230,7 @@ object IncrementalIndex {
         // invisible (the torn-write discipline again)
         staged.select("doc_id", "op").write.mode("overwrite")
           .parquet(s"$root/docs/seq=$batchId")
-      } finally {
-        newPostings.unpersist(blocking = false)
-        dfDelta.unpersist(blocking = false)
-      }
+      } finally newPostings.unpersist(blocking = false)
     } finally staged.unpersist(blocking = false)
     // a REPLAYED batch overwrites its own segment in place; a
     // long-lived session's shared file-status cache would otherwise

@@ -98,6 +98,13 @@ object IncrementalIvf {
     */
   def applyBatch(spark: SparkSession, root: String, batch: DataFrame,
       batchId: Long, compactEvery: Int = 0): Unit = {
+    // redelivery of a committed batch is a full no-op (the changelog's
+    // _SUCCESS is the commit marker — [[IncrementalIndex.applyBatch]]'s
+    // discipline; here a rewrite would merely be wasteful, the member
+    // segment being a pure function of the batch, but the no-op keeps
+    // the two indexes' replay contracts identical)
+    if (SegmentLog.hfs(spark, root).exists(new org.apache.hadoop.fs.Path(
+        s"$root/vecs/seq=$batchId/_SUCCESS"))) return
     // a batch at or below the compaction horizon would land in a
     // segment the readers prune — the feed must stay monotone
     require(SegmentLog.compactedUpTo(spark, root).forall(_ < batchId),

@@ -194,12 +194,22 @@ class IncrementalIndexSpec extends AnyFunSuite {
     assert(horizon() === None)
     apply(1L, Seq((2L, "sly cat", "U"), (3L, "dog park", "I")))
     assert(horizon() === None, "2 fresh segments are within the bound")
-    apply(2L, Seq((1L, "", "D")))
+    // batch 2 REPLACES prior versions (update + delete) and lands on
+    // the cadence boundary: the fold vacuums the replaced versions
+    apply(2L, Seq((2L, "sly cat again", "U"), (1L, "", "D")))
     assert(horizon() === Some(1L), "the 3rd fresh segment triggers the fold")
+
+    // the hard redelivery case: replaying an UPDATE/DELETE batch AFTER
+    // its own inline fold — the replaced versions are no longer in the
+    // pre-batch view, so a rewrite would recompute the df deltas with
+    // an empty −1 side and leave the folded +1s uncancelled; the
+    // commit-marker no-op must make the replay change NOTHING
+    apply(2L, Seq((2L, "sly cat again", "U"), (1L, "", "D")))
+    assert(horizon() === Some(1L))
+
     apply(3L, Seq((4L, "fox den", "I")))
     assert(horizon() === Some(1L))
-    // only post-horizon segments remain (batch 2 was delete-only, so
-    // it has no postings segment at all)
+    // only post-horizon segments remain
     def segs(sub: String): Set[String] = {
       val d = new java.io.File(s"$root/$sub")
       if (!d.isDirectory) Set.empty
@@ -207,10 +217,8 @@ class IncrementalIndexSpec extends AnyFunSuite {
     }
     assert(segs("docs") === Set("seq=2", "seq=3"))
     assert(segs("df") === Set("seq=2", "seq=3"))
-    assert(segs("postings") === Set("seq=3"))
-    // an at-least-once REDELIVERY of the newest batch converges: the
-    // fold stopped at batchId − 1, so the horizon guard still passes
-    // and the overwrite-mode segment writes reproduce the same state
+    assert(segs("postings") === Set("seq=2", "seq=3"))
+    // redelivery of the newest (un-folded) batch is likewise a no-op
     apply(3L, Seq((4L, "fox den", "I")))
     assert(horizon() === Some(1L))
   }
