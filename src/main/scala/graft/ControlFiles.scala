@@ -39,5 +39,19 @@ object ControlFiles {
       f.getUri, f.getConf)
     fc.rename(f.makeQualified(tmp), f.makeQualified(dst),
       Options.Rename.OVERWRITE)
+    // The tmp was created through `f` (possibly a ChecksumFileSystem,
+    // which writes a `.<name>.crc` sidecar) but renamed through raw
+    // FileContext, which moves only the data file. Drop both sidecars:
+    // the tmp's (orphaned every write) and any stale `.<dst>.crc` left
+    // by a pre-FileContext writer — a stale sidecar describes the OLD
+    // content and makes a later checksummed open of `dst` throw
+    // ChecksumException against fully-valid data.
+    val raw = f match {
+      case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+      case other => other
+    }
+    Seq(tmp, dst)
+      .map(p => new Path(p.getParent, "." + p.getName + ".crc"))
+      .foreach(p => if (raw.exists(p)) raw.delete(p, false))
   }
 }

@@ -503,8 +503,17 @@ object Shell {
         val isArrival =
           substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1)
             .isin("0", "1", "2")
-        val root = java.nio.file.Files
-          .createTempDirectory("graft-shell-refresh").toString + "/state"
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft-shell-refresh")
+        // demo state is ephemeral — reap the whole tree at JVM exit so
+        // repeated shell use cannot accumulate orphaned state in /tmp
+        sys.addShutdownHook {
+          if (java.nio.file.Files.exists(tmp))
+            java.nio.file.Files.walk(tmp)
+              .sorted(java.util.Comparator.reverseOrder())
+              .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        }
+        val root = tmp.toString + "/state"
         graft.operators.CorpusRefresh.initialize(
           s, docs.filter(!isArrival), root, nBuckets = 16)
         val delta = graft.operators.CorpusRefresh.refresh(

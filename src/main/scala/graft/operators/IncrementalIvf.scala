@@ -252,13 +252,26 @@ object IncrementalIvf {
     val scored = liveMembers(spark, root)
       .join(broadcast(spark.read.parquet(s"$root/centroids")), Seq("cell"))
       .withColumn("__sim", expr("cosine_sim(e, c)"))
+    // ONE pass over the member set: per-cell (count, sum) partials,
+    // with the overall row DERIVED from the k-row per-cell frame
+    // instead of a second global aggregate — the two union branches
+    // share the same aggregate exchange, which exchange reuse serves
+    // from one shuffle, so the liveness fold + broadcast join + cosine
+    // scan runs once per monitor call, not twice (the "expensive
+    // expressions recompute per consumer branch" class). avg ≡
+    // sum/count, so the derived means match the direct aggregate.
     val perCell = scored.groupBy("cell")
-      .agg(count(lit(1)).as("n_live"),
-        round(avg(col("__sim")), 4).as("mean_sim"))
-    val overall = scored.agg(count(lit(1)).as("n_live"),
-        round(avg(col("__sim")), 4).as("mean_sim"))
-      .select(lit(-1).as("cell"), col("n_live"), col("mean_sim"))
-    perCell.unionAll(overall).orderBy("cell")
+      .agg(count(lit(1)).as("n_live"), sum(col("__sim")).as("__s"))
+    perCell
+      .select(col("cell"), col("n_live"),
+        round(col("__s") / col("n_live"), 4).as("mean_sim"))
+      .unionAll(perCell
+        .agg(sum(col("n_live")).as("n_live"), sum(col("__s")).as("__s"))
+        .select(lit(-1).as("cell"),
+          coalesce(col("n_live"), lit(0L)).as("n_live"),
+          round(col("__s") / greatest(col("n_live"), lit(1L)), 4)
+            .as("mean_sim")))
+      .orderBy("cell")
   }
 
   /** The self-contained RETRAIN decision: (fire?, baseline, current) —
@@ -282,10 +295,11 @@ object IncrementalIvf {
       f.exists(new org.apache.hadoop.fs.Path(s"$root/members")) ||
         f.exists(new org.apache.hadoop.fs.Path(s"$root/_compact"))
     if (!hasMembers) return (false, baseline, baseline)
-    val row = quantizationReport(spark, root)
-      .filter(col("cell") === -1).select("mean_sim").head
-    if (row.isNullAt(0)) return (false, baseline, baseline)
-    val current = row.getDouble(0)
+    val rows = quantizationReport(spark, root)
+      .filter(col("cell") === -1).select("mean_sim").collect()
+    if (rows.isEmpty || rows.head.isNullAt(0))
+      return (false, baseline, baseline)
+    val current = rows.head.getDouble(0)
     (baseline - current > tolerance, baseline, current)
   }
 }

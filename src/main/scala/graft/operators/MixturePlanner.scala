@@ -167,8 +167,13 @@ object MixturePlanner {
         sum(col("n_toks")).as("realized_tokens"))
       .join(thePlan.select("domain", "target_tokens"), Seq("domain"))
       .withColumn("rel_err",
+        // round(weight × budget) legitimately produces target_tokens=0
+        // for a tiny normalized weight; a bare division would emit a
+        // NULL rel_err (Spark div-by-zero) that a threshold check
+        // silently passes — floor the denominator so a zero-target
+        // domain reports its realized mass as the explicit error
         round(abs(col("realized_tokens") - col("target_tokens"))
-          .cast("double") / col("target_tokens"), 4))
+          .cast("double") / greatest(col("target_tokens"), lit(1L)), 4))
       .select("domain", "n_docs_used", "n_emitted", "realized_tokens",
         "target_tokens", "rel_err")
       .orderBy("domain")

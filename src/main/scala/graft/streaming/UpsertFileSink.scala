@@ -461,15 +461,6 @@ object UpsertFileSink {
     else spark.read.schema(schema).parquet(paths: _*)
   }
 
-  /** [[readBucketsBucketed]] with TIME TRAVEL: the named buckets, each
-    * at its newest committed version ≤ `asOf`. This is the read a
-    * REPLAYED incremental consumer needs — state strictly as of the
-    * previous batch, so a half-committed replay sees none of its own
-    * first attempt's writes (a latest-version read would mix pre- and
-    * post-batch verdicts across projections). Lists only the wanted
-    * bucket dirs; bounded by vacuum retention like
-    * [[readSnapshotBucketedAsOf]].
-    */
   /** Newest committed batch id of a bucketed table (markers ∪
     * checkpoint head), None for a virgin root. One `_commits` listing.
     */
@@ -480,6 +471,15 @@ object UpsertFileSink {
     if (ids.isEmpty) None else Some(ids.max)
   }
 
+  /** [[readBucketsBucketed]] with TIME TRAVEL: the named buckets, each
+    * at its newest committed version ≤ `asOf`. This is the read a
+    * REPLAYED incremental consumer needs — state strictly as of the
+    * previous batch, so a half-committed replay sees none of its own
+    * first attempt's writes (a latest-version read would mix pre- and
+    * post-batch verdicts across projections). Lists only the wanted
+    * bucket dirs; bounded by vacuum retention like
+    * [[readSnapshotBucketedAsOf]].
+    */
   def readBucketsBucketedAsOf(spark: SparkSession, root: String,
       schema: StructType, buckets: Seq[Int], asOf: Long): DataFrame = {
     val f = fs(spark, root)
@@ -518,8 +518,22 @@ object UpsertFileSink {
     * single marker publishes every bucket version this batch wrote.
     * The same append-within-watermark precondition as [[upsertBatch]]
     * applies to seq=batchId aggregate streams.
-    */
-  /** `bucketCols` (optional) buckets rows by a key OTHER than the
+    *
+    * The merge is EXECUTOR-PARALLEL ([[bulkLoadBucketed]]'s staged
+    * recipe, applied to merges): ONE applyChangelog over the touched
+    * buckets' base rows ∪ the batch — sound because a key's rows never
+    * cross buckets (see `bucketCols` below), so the global merge
+    * equals the per-bucket merges — then ONE `partitionBy("__b")`
+    * write to a batch-scoped staging tree and B cheap directory
+    * renames into `buckets/<b>/v=<batchId>`. Wall-time is therefore
+    * independent of how many buckets the batch touches (a
+    * driver-sequenced bucket loop pays one Spark job per touched
+    * bucket — at a production bucket count, a scheduler-bound serial
+    * scan). A touched bucket whose merge emptied (delete-only batch)
+    * still lands an explicit empty version — otherwise its old version
+    * would stay newest and the deleted keys resurrect.
+    *
+    * `bucketCols` (optional) buckets rows by a key OTHER than the
     * merge key — e.g. a doc-flags table keyed by doc_id but bucketed
     * by content digest so digest lookups prune. Every value of the
     * bucketing columns must be IMMUTABLE per merge key (a key whose
@@ -550,28 +564,56 @@ object UpsertFileSink {
       // touched-bucket manifest: ≤ nBuckets rows, driver-side by design
       val touched = staged.select(bucket.as("__b")).distinct()
         .collect().map(_.getInt(0)).sorted
-      val latest = latestBucketVersions(spark, root)
-        .map { case (b, _, p) => b -> p }.toMap
+      val touchedSet = touched.toSet
+      val basePaths = latestBucketVersions(spark, root)
+        .collect { case (b, _, p) if touchedSet(b) => p }
+      val base =
+        if (basePaths.isEmpty) spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], payload)
+        else spark.read.schema(payload).parquet(basePaths: _*)
+      val merged = ChangeDataCapture.applyChangelog(
+        base, staged, keyCols, seqCol, opCol)
+      // one executor-parallel staging write, then per-bucket renames;
+      // a crashed prior attempt's staging tree and orphaned v= dirs
+      // are simply overwritten — the marker below stays the sole
+      // commit point
+      val staging = new Path(root, s"_staging/$batchId")
+      merged.withColumn("__b", bucket)
+        .write.mode("overwrite").partitionBy("__b")
+        .parquet(staging.toString)
+      val written = f.listStatus(staging).toSeq
+        .map(_.getPath.getName).filter(_.startsWith("__b="))
+        .map(_.stripPrefix("__b=").toInt).toSet
       touched.foreach { b =>
-        val base = latest.get(b) match {
-          case Some(p) => spark.read.schema(payload).parquet(p)
-          case None => spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], payload)
-        }
-        ChangeDataCapture.applyChangelog(
-            base, staged.filter(bucket === b), keyCols, seqCol, opCol)
-          .write.mode("overwrite")
-          .parquet(s"$root/buckets/$b/v=$batchId")
+        val vdst = new Path(root, s"buckets/$b/v=$batchId")
+        f.mkdirs(vdst.getParent)
+        if (f.exists(vdst)) f.delete(vdst, true) // crashed prior attempt
+        if (written(b))
+          require(f.rename(new Path(staging, s"__b=$b"), vdst),
+            s"rename staging __b=$b -> $vdst failed")
+        else
+          // delete-only bucket: the merge emptied it, so an explicit
+          // empty (schema-carrying, non-partitioned — the zero-row
+          // partitionBy husk lesson) version supersedes the old one
+          merged.limit(0).coalesce(1).write.mode("overwrite")
+            .parquet(vdst.toString)
       }
-      // ONE atomic publish for every bucket version written above; the
+      f.delete(staging, true)
+      // ONE atomic publish for every bucket version renamed above; the
       // marker body (v2 + touched buckets) is the add-file record that
       // lets readers skip bucket-directory listings entirely
       f.mkdirs(commitsDir(root))
       atomicWrite(f, marker,
         (MarkerHeader +: touched.map(_.toString)).mkString("\n"))
-      // roll the manifest up every K commits so reader cost stays O(K)
-      if (checkpointEvery > 0 && (batchId + 1) % checkpointEvery == 0)
-        writeBucketedCheckpoint(spark, root)
+      // roll the manifest up every K COMMITS — counted fresh markers,
+      // never batch-id arithmetic: CDC ids need not be dense, and a
+      // modulo on sparse ids can fire rarely or never, silently
+      // degrading reader cost back to O(N markers)
+      if (checkpointEvery > 0) {
+        val ckptId = newestCheckpoint(f, root).map(_._1).getOrElse(-1L)
+        if (markerIds(f, root).count(_ > ckptId) >= checkpointEvery)
+          writeBucketedCheckpoint(spark, root)
+      }
     } finally staged.unpersist(blocking = false)
   }
 
@@ -582,14 +624,26 @@ object UpsertFileSink {
     * the global newest marker, which must survive for replay
     * idempotence of the most recent batch. An idle bucket's old
     * version and ITS marker are both retained: visibility never
-    * regresses.
+    * regresses. Stale staging trees of committed/superseded batches
+    * are reaped too.
+    *
+    * `minRetainBatches` is the REPLAY-RETENTION guard: nothing with
+    * version id > head − minRetainBatches is deleted (data or marker),
+    * so an incremental consumer replaying batch `b` can still read
+    * state as of `b − 1` ([[readBucketsBucketedAsOf]]) for the
+    * `minRetainBatches` newest batches — a vacuum racing a replayed
+    * refresh cannot make fully-committed predecessor state vanish
+    * mid-recompute. 0 (the default) keeps only each bucket's newest
+    * committed version, the minimum for plain reads.
     */
-  def vacuumBucketed(spark: SparkSession, root: String): Unit = {
+  def vacuumBucketed(spark: SparkSession, root: String,
+      minRetainBatches: Int = 0): Unit = {
     val f = fs(spark, root)
     val ckptId = newestCheckpoint(f, root).map(_._1).getOrElse(-1L)
     val markers = markerIds(f, root)
     if (markers.isEmpty && ckptId < 0) return
     val head = (markers + ckptId).max
+    val retainAbove = head - minRetainBatches // keep every v > this
     val latest = latestBucketVersions(spark, root)
     latest.foreach { case (b, newest, _) =>
       val bdir = new Path(bucketsDir(root), b.toString)
@@ -597,18 +651,28 @@ object UpsertFileSink {
         .map(_.getPath.getName)
         .filter(_.startsWith("v="))
         .map(_.stripPrefix("v=").toLong)
-        .filter(v => v != newest && v < head)
+        .filter(v => v != newest && v < head && v <= retainAbove)
         .foreach(v => f.delete(new Path(bdir, s"v=$v"), true))
     }
     // a marker is deletable once superseded: not the global head, not
-    // the newest version of any bucket, OR compacted into a checkpoint
-    // (every id ≤ the checkpoint head is committed by definition, so
-    // even an idle bucket's marker may go once a checkpoint covers it)
+    // the newest version of any bucket, not retention-protected, OR
+    // compacted into a checkpoint (every id ≤ the checkpoint head is
+    // committed by definition — deleting such a marker never loses
+    // committedness evidence, so even an idle bucket's marker may go
+    // once a checkpoint covers it)
     val keepVersions = latest.map(_._2).toSet + head
     markers.filter(v => v <= ckptId && v != head)
       .foreach(v => f.delete(new Path(commitsDir(root), v.toString), false))
-    markers.filter(v => v > ckptId && !keepVersions.contains(v))
+    markers.filter(v => v > ckptId && !keepVersions.contains(v) &&
+        v <= retainAbove)
       .foreach(v => f.delete(new Path(commitsDir(root), v.toString), false))
+    // staging trees at or below the head are garbage from committed or
+    // superseded attempts (a live attempt always stages an id > head)
+    val sdir = new Path(root, "_staging")
+    if (f.exists(sdir)) f.listStatus(sdir).toSeq
+      .map(_.getPath.getName)
+      .filter(n => n.forall(_.isDigit) && n.toLong <= head)
+      .foreach(n => f.delete(new Path(sdir, n), true))
   }
 
   /** Drop committed versions older than the newest `keep` (markers and

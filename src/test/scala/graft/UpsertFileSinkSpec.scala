@@ -512,6 +512,153 @@ class UpsertFileSinkSpec extends AnyFunSuite {
     }
   }
 
+  test("staged bucketed merge equals the flat-layout reference on mixed batches") {
+    import spark.implicits._
+    // the same CDC batch sequence through the FLAT sink (the reference
+    // semantics: one applyChangelog over the full snapshot) and the
+    // BUCKETED staged-merge path — final tables must be identical
+    val flat = tmpRoot("ref-flat")
+    val bucketed = tmpRoot("ref-bk")
+    val batches = Seq(
+      (0L until 40L).map(k => (k, s"v$k", "I", 1L)),
+      Seq((3L, "V3b", "U", 2L), (41L, "new", "I", 2L),
+        (7L, null.asInstanceOf[String], "D", 2L)),
+      (10L until 30L).map(k => (k, s"w$k", "U", 3L)) :+
+        (12L, null.asInstanceOf[String], "D", 4L))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      val df = b.toDF("key", "value", "op", "seq")
+      UpsertFileSink.upsertBatch(df, i.toLong, flat, Seq("key"))
+      UpsertFileSink.upsertBatchBucketed(df, i.toLong, bucketed,
+        Seq("key"), 8)
+    }
+    assert(bucketedSnapshot(bucketed) === snapshot(flat))
+    assert(snapshot(flat).nonEmpty)
+  }
+
+  test("staged bucketed merge: delete-only batch lands an EMPTY bucket version") {
+    import spark.implicits._
+    val root = tmpRoot("bk-del")
+    val nB = 4
+    val keys = (0L until 16L)
+    UpsertFileSink.upsertBatchBucketed(
+      keys.map(k => (k, s"v$k", "I", 1L)).toDF("key", "value", "op", "seq"),
+      0L, root, Seq("key"), nB)
+    // delete EVERY key of bucket 0 — the merge for that bucket is
+    // empty, but an explicit empty v=1 must still supersede v=0 or the
+    // deleted keys resurrect on the next read
+    val b0keys = keys.filter(k =>
+      Seq((k, "x")).toDF("key", "value")
+        .select(UpsertFileSink.bucketCol(Seq("key"), nB))
+        .head.getInt(0) == 0)
+    assert(b0keys.nonEmpty, "fixture must hash some keys into bucket 0")
+    UpsertFileSink.upsertBatchBucketed(
+      b0keys.map(k => (k, null.asInstanceOf[String], "D", 2L))
+        .toDF("key", "value", "op", "seq"),
+      1L, root, Seq("key"), nB)
+    assert(bucketVersions(root)(0).contains(1L),
+      "the emptied bucket must gain an explicit v=1")
+    val expect = keys.filterNot(b0keys.contains).map(k => (k, s"v$k")).sorted
+    assert(bucketedSnapshot(root) === expect)
+    // still true after vacuum drops the superseded v=0
+    UpsertFileSink.vacuumBucketed(spark, root)
+    assert(bucketedSnapshot(root) === expect)
+  }
+
+  test("staged bucketed merge: constant job count regardless of touched buckets") {
+    import spark.implicits._
+    val root = tmpRoot("bk-jobs")
+    val nB = 16
+    UpsertFileSink.upsertBatchBucketed(
+      (0L until 256L).map(k => (k, s"v$k", "I", 1L))
+        .toDF("key", "value", "op", "seq"),
+      0L, root, Seq("key"), nB)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // a batch touching EVERY bucket: the staged path pays one count,
+      // one touched-manifest collect, and one partitioned write — the
+      // retired driver-sequenced loop paid one merge JOB PER BUCKET
+      // (≥ 16 here), which is the scale wart this recipe removes
+      UpsertFileSink.upsertBatchBucketed(
+        (0L until 256L).map(k => (k, s"V$k", "U", 2L))
+          .toDF("key", "value", "op", "seq"),
+        1L, root, Seq("key"), nB)
+      Thread.sleep(500) // drain the async listener bus (Profile's idiom)
+      val n = jobs.get()
+      assert(n > 0 && n <= 10,
+        s"touched-bucket-independent job count expected, got $n jobs " +
+          s"for a ${nB}-bucket batch")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(bucketedSnapshot(root) ===
+      (0L until 256L).map(k => (k, s"V$k")).sorted)
+  }
+
+  test("checkpoint cadence counts commits, not batch-id arithmetic") {
+    import spark.implicits._
+    val root = tmpRoot("bk-sparse")
+    val nB = 4
+    // SPARSE batch ids (legal: the contract is only strictly-greater).
+    // An id-modulo cadence with checkpointEvery=2 would never fire on
+    // the even-parity ids 100 and 1000; counting post-checkpoint
+    // markers must land a checkpoint every 2 commits regardless
+    UpsertFileSink.upsertBatchBucketed(
+      Seq((1L, "a", "I", 1L)).toDF("key", "value", "op", "seq"),
+      1L, root, Seq("key"), nB, checkpointEvery = 2)
+    assert(!commitFiles(root).exists(_.startsWith("checkpoint.")))
+    UpsertFileSink.upsertBatchBucketed(
+      Seq((2L, "b", "I", 2L)).toDF("key", "value", "op", "seq"),
+      7L, root, Seq("key"), nB, checkpointEvery = 2)
+    assert(commitFiles(root).contains("checkpoint.7"),
+      s"2nd commit must checkpoint: ${commitFiles(root)}")
+    UpsertFileSink.upsertBatchBucketed(
+      Seq((3L, "c", "I", 3L)).toDF("key", "value", "op", "seq"),
+      100L, root, Seq("key"), nB, checkpointEvery = 2)
+    assert(!commitFiles(root).exists(_ == "checkpoint.100"))
+    UpsertFileSink.upsertBatchBucketed(
+      Seq((4L, "d", "I", 4L)).toDF("key", "value", "op", "seq"),
+      1000L, root, Seq("key"), nB, checkpointEvery = 2)
+    assert(commitFiles(root).contains("checkpoint.1000"),
+      s"4th commit must checkpoint: ${commitFiles(root)}")
+    assert(bucketedSnapshot(root) ===
+      Seq(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d"))
+  }
+
+  test("vacuum retention guard: replayed as-of reads survive a racing vacuum") {
+    import spark.implicits._
+    val root = tmpRoot("bk-retain")
+    val nB = 4
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("key",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.StringType)))
+    (0L to 2L).foreach { i =>
+      UpsertFileSink.upsertBatchBucketed(
+        Seq((1L, s"v$i", "U", i)).toDF("key", "value", "op", "seq"),
+        i, root, Seq("key"), nB)
+    }
+    def asOf1 = UpsertFileSink
+      .readBucketsBucketedAsOf(spark, root, schema, (0 until nB).toSeq, 1L)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(asOf1 === Seq(1L -> "v1"))
+    // a vacuum racing batch 2's replayed consumer (which reads as of
+    // batch 1) must NOT delete batch 1's superseded version
+    UpsertFileSink.vacuumBucketed(spark, root, minRetainBatches = 2)
+    assert(asOf1 === Seq(1L -> "v1"),
+      "retention must keep the predecessor version readable")
+    assert(bucketedSnapshot(root) === Seq(1L -> "v2"))
+    // an unguarded vacuum then reclaims it (head stays exact)
+    UpsertFileSink.vacuumBucketed(spark, root)
+    assert(bucketedSnapshot(root) === Seq(1L -> "v2"))
+    assert(bucketVersions(root).values.forall(_.size === 1))
+  }
+
   test("vacuum drops old versions and orphans, keeps the newest readable") {
     import spark.implicits._
     val root = tmpRoot("vac")
