@@ -289,6 +289,10 @@ object IncrementalIndex {
       nBuckets: Int = 16): Unit = {
     require(compactedUpTo(spark, root).forall(_ <= upTo),
       s"cannot compact $root backwards past its marker")
+    // refuse to fold past a torn first delivery — its redelivery would
+    // wedge behind the horizon guard ([[SegmentLog.requireNoTornAtOrBelow]])
+    SegmentLog.requireNoTornAtOrBelow(spark, root,
+      Seq("postings", "df"), "docs", upTo)
     val latest = latestDocVersions(spark, root)
     val liveOld = latest
       .filter(col("seq") <= upTo && col("op") =!= "D")

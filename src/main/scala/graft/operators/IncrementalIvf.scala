@@ -207,6 +207,10 @@ object IncrementalIvf {
   def compact(spark: SparkSession, root: String, upTo: Long): Unit = {
     require(SegmentLog.compactedUpTo(spark, root).forall(_ <= upTo),
       s"cannot compact $root backwards past its marker")
+    // refuse to fold past a torn first delivery — its redelivery would
+    // wedge behind the horizon guard ([[SegmentLog.requireNoTornAtOrBelow]])
+    SegmentLog.requireNoTornAtOrBelow(spark, root,
+      Seq("members"), "vecs", upTo)
     val liveOld = latestVecVersions(spark, root)
       .filter(col("seq") <= upTo && col("op") =!= "D")
     val foldMembers = SegmentLog.readLog(spark, root, "members")

@@ -89,6 +89,55 @@ private[operators] object SegmentLog {
         }
     }
 
+  /** Seq ids of segment dirs present under `root/sub` STRICTLY above
+    * the published horizon (pre-horizon survivors are superseded
+    * garbage a crashed cleanup left — invisible to readers, not
+    * state).
+    */
+  private def freshIds(spark: SparkSession, root: String,
+      sub: String): Set[Long] = {
+    val f = hfs(spark, root)
+    val h = compactedUpTo(spark, root).getOrElse(-1L)
+    val dir = new org.apache.hadoop.fs.Path(s"$root/$sub")
+    if (!f.exists(dir)) Set.empty
+    else f.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith("seq=") &&
+        n.stripPrefix("seq=").forall(_.isDigit))
+      .map(_.stripPrefix("seq=").toLong)
+      .filter(_ > h).toSet
+  }
+
+  /** GUARD for an out-of-band compact(upTo): a batch whose data
+    * segments are present but whose commit-log segment (`commitSub`,
+    * written last, `_SUCCESS`-marked) never landed is a TORN first
+    * delivery awaiting redelivery. Folding at/above its seq would
+    * exclude its uncommitted rows from the fold, delete them in
+    * cleanup, and move the horizon above its id — the at-least-once
+    * redelivery then hits the horizon guard and the batch's data is
+    * unrecoverable. Compaction must refuse: the caller either
+    * redelivers the batch first or compacts strictly below it. (The
+    * inline `compactEvery` path folds only up to batchId − 1 of a
+    * batch that is itself committing, which an ordered CDC feed only
+    * reaches after every earlier batch committed — so this guard never
+    * fires there.)
+    */
+  def requireNoTornAtOrBelow(spark: SparkSession, root: String,
+      dataSubs: Seq[String], commitSub: String, upTo: Long): Unit = {
+    val f = hfs(spark, root)
+    val committed = freshIds(spark, root, commitSub).filter(id =>
+      f.exists(new org.apache.hadoop.fs.Path(
+        s"$root/$commitSub/seq=$id/_SUCCESS")))
+    val torn = (dataSubs :+ commitSub)
+      .flatMap(s => freshIds(spark, root, s)).toSet -- committed
+    val wedged = torn.filter(_ <= upTo)
+    require(wedged.isEmpty,
+      s"cannot compact $root up to $upTo: batch(es) " +
+        s"${wedged.toSeq.sorted.mkString(",")} are present but " +
+        "uncommitted (torn first delivery) — folding at/above them " +
+        "would wedge their redelivery behind the horizon guard and " +
+        "lose the batch; redeliver first or compact strictly below")
+  }
+
   /** Publish `upTo` as the new horizon: temp write + OVERWRITE rename,
     * the one atomic commit point of a compaction. The overwrite rename
     * (FileContext — the same primitive Structured Streaming's

@@ -269,4 +269,46 @@ class IncrementalIndexSpec extends AnyFunSuite {
     check()
     assert(IncrementalIndex.stats(spark, root) === ((0L, 0.0)))
   }
+
+  test("compact refuses to fold past a torn batch (redelivery would wedge)") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-incidx-wedge").toString
+
+    IncrementalIndex.applyBatch(spark, root,
+      Seq((1L, "the quick fox", "I"), (2L, "the lazy dog", "I"))
+        .toDF("doc_id", "text", "op"), 0L)
+
+    // batch 5's first delivery died between the postings/df writes and
+    // the docs commit — present but uncommitted. An out-of-band
+    // compact(upTo >= 5) would exclude its rows from the fold, delete
+    // them in cleanup, and move the horizon above 5: the at-least-once
+    // redelivery then hits the horizon guard and the batch is lost
+    Seq(("fox", 3L, 1L, 3L)).toDF("token", "doc_id", "tf", "dl")
+      .withColumn("db", pmod(hash(col("doc_id")), lit(16)))
+      .write.partitionBy("db").parquet(s"$root/postings/seq=5")
+    Seq(("fox", 1L)).toDF("token", "delta")
+      .write.parquet(s"$root/df/seq=5")
+
+    val e = intercept[IllegalArgumentException] {
+      IncrementalIndex.compact(spark, root, upTo = 5L)
+    }
+    assert(e.getMessage.contains("torn"))
+    intercept[IllegalArgumentException] {
+      IncrementalIndex.compact(spark, root, upTo = 7L)
+    }
+    // strictly below the torn batch is fine
+    IncrementalIndex.compact(spark, root, upTo = 0L)
+
+    // after the redelivery commits batch 5, the fold proceeds and the
+    // index still equals a from-scratch rebuild
+    IncrementalIndex.applyBatch(spark, root,
+      Seq((3L, "fox den", "I")).toDF("doc_id", "text", "op"), 5L)
+    IncrementalIndex.compact(spark, root, upTo = 5L)
+    val full = InvertedIndex.build(
+      Seq((1L, "the quick fox"), (2L, "the lazy dog"), (3L, "fox den"))
+        .toDF("doc_id", "text"), "doc_id", "text")
+    assert(rows(IncrementalIndex.currentPostings(spark, root)) ===
+      rows(full))
+  }
 }

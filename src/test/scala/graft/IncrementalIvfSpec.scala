@@ -232,4 +232,34 @@ class IncrementalIvfSpec extends AnyFunSuite {
     val (fire1, base1, cur1) = IncrementalIvf.retrainSignal(spark, root)
     assert(fire1 && base1 - cur1 > 0.05)
   }
+
+  test("compact refuses to fold past a torn batch (redelivery would wedge)") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-incivf-w").toString + "/ivf"
+    import spark.implicits._
+
+    IncrementalIvf.initialize(spark,
+      (1L to 12L).map(i => (i, vec(i))).toDF("vec_id", "e"),
+      root, k = 3, iters = 2)
+
+    // batch 4's first delivery died between the member write and the
+    // vecs changelog commit — present but uncommitted; folding at or
+    // above it would delete its only copy and wedge the redelivery
+    Seq((99L, vec(99L), 0)).toDF("vec_id", "e", "cell")
+      .write.partitionBy("cell").parquet(s"$root/members/seq=4")
+    val e = intercept[IllegalArgumentException] {
+      IncrementalIvf.compact(spark, root, upTo = 4L)
+    }
+    assert(e.getMessage.contains("torn"))
+
+    // strictly below is fine; the redelivery then commits and compacts
+    IncrementalIvf.compact(spark, root, upTo = 0L)
+    IncrementalIvf.applyBatch(spark, root,
+      df(Seq((99L, vec(99L), "I"))), 4L)
+    IncrementalIvf.compact(spark, root, upTo = 4L)
+    val live = ((1L to 12L) :+ 99L).map(i => i -> vec(i)).toMap
+    val got = IncrementalIvf.search(spark, root, vec(99L), 5, 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got === expected(root, live, vec(99L), 5, 2))
+  }
 }
