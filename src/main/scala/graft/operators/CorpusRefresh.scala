@@ -43,15 +43,24 @@ import graft.streaming.UpsertFileSink
   * after every arrival batch, including keeper-steal demotions,
   * and that unaffected docs' rows are untouched.
   *
-  * Scope: arrivals are ADDS with fresh doc_ids (the corpus-refresh
-  * reality — a re-crawled page is a new doc that the dedup stages
-  * themselves reconcile). In-place doc mutation would need digest
-  * tombstones (the [[IncrementalIndex]] changelog recipe) on top.
+  * Arrival forms: [[refresh]] takes ADDS with fresh doc_ids (the
+  * common corpus-refresh case — a re-crawled page is a new doc the
+  * dedup stages themselves reconcile); [[refreshCdc]] takes a full
+  * I/U/D changelog (takedowns, opt-outs, in-place re-crawls). The
+  * mutation recipe is the [[IncrementalIndex]] changelog's, applied
+  * to the flags state: a FOURTH projection `by_id` (bucketed by
+  * doc_id — the primary index) resolves each arrival's OLD flags row;
+  * the old row tombstones out of every projection (op D at a lower
+  * within-batch seq than the replacement row, so an update whose
+  * group keys moved cleans its old buckets and one whose keys stayed
+  * collapses to the U row), and the groups that LOST a member re-rank
+  * exactly like the groups that gained one — a deleted keeper's
+  * runner-up promotes through the same keeper-steal machinery.
   *
-  * Scale audit: per refresh, driver-side work is three ≤ nBuckets
+  * Scale audit: per refresh, driver-side work is four ≤ nBuckets
   * bucket-id manifests (the landing zone's own discipline); every
-  * shuffle (windows over the affected frame, semi-joins, per-bucket
-  * merges) is bounded by |delta| + |touched groups| + |touched
+  * shuffle (windows over the affected frame, semi-joins, staged
+  * bucket merges) is bounded by |delta| + |touched groups| + |touched
   * buckets|, never |corpus|. [[initialize]] is the one-time bulk
   * load and IS corpus-sized by definition.
   */
@@ -106,6 +115,7 @@ object CorpusRefresh {
 
   private val stateCols = stateSchema.fieldNames.toSeq
 
+  private def byId(root: String) = s"$root/by_id"
   private def byDigest(root: String) = s"$root/by_digest"
   private def byNorm(root: String) = s"$root/by_norm"
   private def bySg(root: String) = s"$root/by_sg"
@@ -190,10 +200,18 @@ object CorpusRefresh {
         col("k_near") && qualityVerdict(tau) && contamVerdict(scrub))
       .select(stateCols.map(col): _*)
 
-  private def upsertAll(flags: DataFrame, batchId: Long, root: String,
+  /** Upsert one changelog batch (stateCols + op + seq) into all four
+    * projections. `seq` orders ONLY within the batch (each merge folds
+    * against the materialized prior snapshot, never across batches):
+    * tombstones ride at seq 0, replacement rows at seq 1, so a
+    * same-bucket D/U pair for one doc collapses to the U row while a
+    * cross-bucket pair cleans the old bucket and fills the new one.
+    */
+  private def upsertAll(batch: DataFrame, batchId: Long, root: String,
       nBuckets: Int, checkpointEvery: Int = 0): Unit = {
-    val batch = flags
-      .withColumn("op", lit("U")).withColumn("seq", lit(batchId))
+    UpsertFileSink.upsertBatchBucketed(batch, batchId, byId(root),
+      Seq("doc_id"), nBuckets,
+      checkpointEvery = checkpointEvery)
     UpsertFileSink.upsertBatchBucketed(batch, batchId, byDigest(root),
       Seq("doc_id"), nBuckets, bucketCols = Seq("digest"),
       checkpointEvery = checkpointEvery)
@@ -219,6 +237,8 @@ object CorpusRefresh {
       scrub: Option[EvalScrub] = None): Unit = {
     val flags = graft.Materialize.checkpoint(
       fullFlags(s, docs, scorer, tau, scrub))
+    UpsertFileSink.bulkLoadBucketed(flags, byId(stateRoot), nBuckets,
+      bucketCols = Seq("doc_id"))
     UpsertFileSink.bulkLoadBucketed(flags, byDigest(stateRoot), nBuckets,
       bucketCols = Seq("digest"))
     UpsertFileSink.bulkLoadBucketed(flags, byNorm(stateRoot), nBuckets,
@@ -246,9 +266,49 @@ object CorpusRefresh {
     * keeper verdict a new duplicate stole (was_kept true, now_kept
     * false) or restored — with the full new flags row attached.
     * Unaffected docs are neither read (beyond their bucket files) nor
-    * rewritten.
+    * rewritten. The adds-only form of [[refreshCdc]] (op = I): a
+    * genuinely fresh doc_id resolves no old row, so every mutation
+    * path degenerates away.
     */
   def refresh(s: SparkSession, stateRoot: String, arrivals: DataFrame,
+      batchId: Long, nBuckets: Int = 64,
+      checkpointEvery: Int = 0, scorer: Option[Scorer] = None,
+      tau: Option[Double] = None,
+      scrub: Option[EvalScrub] = None): DataFrame =
+    refreshCdc(s, stateRoot,
+      arrivals.select(col("doc_id"), col("lang"), col("text"))
+        .withColumn("op", lit("I")),
+      batchId, nBuckets, checkpointEvery, scorer, tau, scrub)
+
+  /** Apply one CDC batch of documents — (doc_id, lang, text, op) with
+    * op I/U/D, at most one row per doc_id (compact the feed first:
+    * [[ChangeDataCapture.compactChangelog]]) — as state batch
+    * `batchId`. I/U upserts the doc's new version (the old version, if
+    * any, leaves the corpus); D removes the doc (text/lang ignored) —
+    * the takedown/opt-out path a production corpus needs.
+    *
+    * Mechanics on top of the adds-only cascade: the `by_id` projection
+    * resolves every arrival's OLD flags row as of the previous batch;
+    * old rows tombstone out of all four projections (op D at
+    * within-batch seq 0, below the replacement rows' seq 1); and the
+    * groups that lost a member re-rank alongside the groups that
+    * gained one — each stage's recompute mark adds "this group's key
+    * is an old row's key", so a deleted keeper's exact group promotes
+    * its runner-up and the cascade propagates the change downstream
+    * exactly like a keeper steal.
+    *
+    * Returned delta: as [[refresh]], plus deleted docs as rows with
+    * every verdict false, was_kept = the old verdict, now_kept false.
+    * The extra `op` column carries the arrival op for is_delta rows
+    * (null for re-ranked bystanders) so a downstream consumer can
+    * distinguish a takedown from a drop.
+    *
+    * Doc mutations are tracked from the batch a state root first sees
+    * this code path; [[initialize]] has always* (*since by_id shipped)
+    * bulk-loaded the by_id projection, and a root built purely by
+    * refresh batches grows it from batch 0.
+    */
+  def refreshCdc(s: SparkSession, stateRoot: String, arrivals: DataFrame,
       batchId: Long, nBuckets: Int = 64,
       checkpointEvery: Int = 0, scorer: Option[Scorer] = None,
       tau: Option[Double] = None,
@@ -260,8 +320,8 @@ object CorpusRefresh {
     // historical corpus (equality with the newest committed id is a
     // legitimate replay); an id-0 refresh on INITIALIZED state would
     // read asOf=-1 — an empty corpus — and miss every duplicate
-    val lastCommitted = Seq(byDigest(stateRoot), byNorm(stateRoot),
-      bySg(stateRoot))
+    val lastCommitted = Seq(byId(stateRoot), byDigest(stateRoot),
+      byNorm(stateRoot), bySg(stateRoot))
       .flatMap(r => UpsertFileSink.lastCommittedBucketed(s, r))
       .maxOption
     require(lastCommitted.forall(_ <= batchId),
@@ -273,8 +333,14 @@ object CorpusRefresh {
         s"state at $stateRoot was bulk-initialized as batch 0 — " +
           "refresh ids must start at 1")
     def bk(c: Column) = pmod(hash(c), lit(nBuckets))
+    val asOf = batchId - 1
 
-    val delta = thinInputs(s, arrivals, scorer, scrub)
+    val arr = arrivals
+      .select(col("doc_id"), col("lang"), col("text"), col("op"))
+      .persist()
+    val delta = thinInputs(s,
+      arr.filter(col("op") =!= "D").select("doc_id", "lang", "text"),
+      scorer, scrub)
       .withColumn("k_exact", lit(null).cast("boolean"))
       .withColumn("k_norm", lit(null).cast("boolean"))
       .withColumn("k_near", lit(null).cast("boolean"))
@@ -283,6 +349,21 @@ object CorpusRefresh {
       .persist()
 
     try {
+      // ---- old rows: the by_id primary-index pull -------------------
+      // every arrival's previous flags row (empty for fresh ids), read
+      // AS OF the previous batch like every other state pull below —
+      // these rows (a) tombstone out of all projections, (b) seed the
+      // "group lost a member" recompute marks, (c) supply was_kept for
+      // updated docs
+      val idB = arr.select(bk(col("doc_id")).as("b")).distinct()
+        .collect().map(_.getInt(0)).toSeq
+      val olds = UpsertFileSink
+        .readBucketsBucketedAsOf(s, byId(stateRoot), stateSchema, idB,
+          asOf)
+        .join(arr.select("doc_id"), Seq("doc_id"), "left_semi")
+        .select(stateCols.map(col): _*)
+        .persist()
+
       // ---- cascade expansion: three pruned whole-group pulls --------
       // (bucket-id manifests are ≤ nBuckets ints, driver-side by
       // design — the landing zone's own touched-bucket discipline)
@@ -292,20 +373,24 @@ object CorpusRefresh {
       // recompute reproduces the identical verdicts AND the identical
       // returned delta (a latest-version read would mix pre- and
       // post-batch quality_ok across projections and silently drop
-      // demotions from was_kept). Bounded by vacuum retention: don't
-      // vacuum a batch's predecessor versions before its delta has
-      // been consumed downstream.
-      val asOf = batchId - 1
-      val dB = delta.select(bk(col("digest")).as("b")).distinct()
+      // demotions from was_kept). Bounded by vacuum retention
+      // (vacuumBucketed's minRetainBatches): don't vacuum a batch's
+      // predecessor versions before its delta has been consumed
+      // downstream. Group keys seed from the NEW rows AND the old
+      // rows — a group that lost a member re-ranks too.
+      val touchedDigests = delta.select("digest")
+        .unionAll(olds.select("digest")).distinct()
+      val dB = touchedDigests.select(bk(col("digest")).as("b")).distinct()
         .collect().map(_.getInt(0)).toSeq
       val e = UpsertFileSink
         .readBucketsBucketedAsOf(s, byDigest(stateRoot), stateSchema, dB,
           asOf)
-        .join(delta.select("digest").distinct(), Seq("digest"), "left_semi")
+        .join(touchedDigests, Seq("digest"), "left_semi")
         .select(stateCols.map(col): _*)
 
       val normKeys = delta.select("norm_sig")
-        .unionAll(e.select("norm_sig")).distinct().persist()
+        .unionAll(e.select("norm_sig"))
+        .unionAll(olds.select("norm_sig")).distinct().persist()
       val nB = normKeys.select(bk(col("norm_sig")).as("b")).distinct()
         .collect().map(_.getInt(0)).toSeq
       val n = UpsertFileSink
@@ -315,7 +400,8 @@ object CorpusRefresh {
         .select(stateCols.map(col): _*)
 
       val sgKeys = delta.select("sg_key").unionAll(e.select("sg_key"))
-        .unionAll(n.select("sg_key")).distinct().persist()
+        .unionAll(n.select("sg_key"))
+        .unionAll(olds.select("sg_key")).distinct().persist()
       val sB = sgKeys.select(bk(col("sg_key")).as("b")).distinct()
         .collect().map(_.getInt(0)).toSeq
       val sRows = UpsertFileSink
@@ -324,42 +410,60 @@ object CorpusRefresh {
         .join(sgKeys, Seq("sg_key"), "left_semi")
         .select(stateCols.map(col): _*)
 
-      // exclude the arrivals themselves from the state pull: after a
-      // PARTIAL failure (some projections upserted, not all) a replay
-      // of the same batch re-reads state that already contains the
-      // delta docs — without the anti-join they would enter the frame
-      // twice and corrupt the rank-1 windows. With it, a replayed
-      // recompute reproduces identical verdicts and the remaining
-      // projection upserts converge (the committed ones no-op on
-      // their markers).
+      // exclude the arrivals themselves from the state pull: their OLD
+      // versions must not rank (an updated doc ranks only as its new
+      // version, a deleted doc not at all), and after a PARTIAL
+      // failure (some projections upserted, not all) a replay of the
+      // same batch re-reads state that already contains the delta docs
+      // — without the anti-join they would enter the frame twice and
+      // corrupt the rank-1 windows. With it, a replayed recompute
+      // reproduces identical verdicts and the remaining projection
+      // upserts converge (the committed ones no-op on their markers).
       val affectedState = e.unionAll(n).unionAll(sRows)
         .dropDuplicates(Seq("doc_id"))
-        .join(delta.select("doc_id"), Seq("doc_id"), "left_anti")
+        .join(arr.select("doc_id"), Seq("doc_id"), "left_anti")
         .select(stateCols.map(col): _*)
 
       // ---- bounded recompute with group-level recompute marks -------
-      // a group recomputes iff it holds a delta doc or a doc whose
-      // prior-stage verdict may have changed; expansion guaranteed
-      // those groups are COMPLETE in the frame, and an incomplete
-      // group is provably unmarked (all-false mark → stored verdicts)
+      // a group recomputes iff it holds a delta doc, LOST a member (its
+      // key is an old row's key), or holds a doc whose prior-stage
+      // verdict may have changed; expansion guaranteed those groups are
+      // COMPLETE in the frame, and an incomplete group is provably
+      // unmarked (all-false mark → stored verdicts)
+      val lostE = olds.select("digest").distinct()
+        .withColumn("__lost_e", lit(true))
+      val lostN = olds.select("norm_sig").distinct()
+        .withColumn("__lost_n", lit(true))
+      val lostS = olds.select("sg_key").distinct()
+        .withColumn("__lost_s", lit(true))
       val aff = affectedState.withColumn("is_delta", lit(false))
         .unionByName(delta.withColumn("is_delta", lit(true)))
+        .join(lostE, Seq("digest"), "left")
+        .join(lostN, Seq("norm_sig"), "left")
+        .join(lostS, Seq("sg_key"), "left")
+        // was_kept source for updated docs: the OLD row's verdict (the
+        // combined frame's own quality_ok is null on delta rows)
+        .join(olds.select(col("doc_id"),
+          col("quality_ok").as("__old_ok")), Seq("doc_id"), "left")
       val result = graft.Materialize.checkpoint(aff
         .withColumn("r_e",
           max(col("is_delta").cast("int"))
-            .over(Window.partitionBy("digest")) === 1)
+            .over(Window.partitionBy("digest")) === 1 ||
+            coalesce(col("__lost_e"), lit(false)))
         .withColumn("k_exact2",
           when(col("r_e"), rank1("digest", lit(true)))
             .otherwise(col("k_exact")))
         .withColumn("r_n",
           max(col("r_e").cast("int"))
-            .over(Window.partitionBy("norm_sig")) === 1)
+            .over(Window.partitionBy("norm_sig")) === 1 ||
+            coalesce(col("__lost_n"), lit(false)))
         .withColumn("k_norm2",
           when(col("r_n"), rank1("norm_sig", col("k_exact2")))
             .otherwise(col("k_norm")))
         .withColumn("r_s",
           max(col("r_n").cast("int"))
-            .over(Window.partitionBy("sg_key")) === 1)
+            .over(Window.partitionBy("sg_key")) === 1 ||
+            coalesce(col("__lost_s"), lit(false)))
         .withColumn("k_near2",
           when(col("r_s"), rank1("sg_key", col("k_norm2")))
             .otherwise(col("k_near")))
@@ -372,19 +476,52 @@ object CorpusRefresh {
           col("k_near2").as("k_near"),
           col("quality_ok2").as("quality_ok"), col("quality_score"),
           col("contamination"),
-          col("quality_ok").as("was_kept"), col("is_delta")))
+          coalesce(col("quality_ok"), col("__old_ok")).as("was_kept"),
+          col("is_delta")))
 
       // the checkpoint above materialized every consumer of the key
       // frames — release them now, not at session end
       normKeys.unpersist(blocking = false)
       sgKeys.unpersist(blocking = false)
 
-      upsertAll(result.select(stateCols.map(col): _*), batchId,
-        stateRoot, nBuckets, checkpointEvery)
+      // deleted docs: return-only rows (their state is tombstoned, not
+      // rewritten) — every verdict false, was_kept = the old verdict
+      val deletedOut = olds
+        .join(arr.filter(col("op") === "D").select("doc_id"),
+          Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("lang"), col("n_toks"),
+          col("alpha_ratio"), col("digest"), col("norm_sig"),
+          col("sg_key"),
+          lit(false).as("k_exact"), lit(false).as("k_norm"),
+          lit(false).as("k_near"), lit(false).as("quality_ok"),
+          col("quality_score"), col("contamination"),
+          col("quality_ok").as("was_kept"), lit(true).as("is_delta"))
 
+      // changelog into the four projections: tombstone every arrival's
+      // old row at seq 0, land every recomputed row at seq 1
+      val tomb = olds.select(stateCols.map(col): _*)
+        .withColumn("op", lit("D")).withColumn("seq", lit(0L))
+      val ups = result.select(stateCols.map(col): _*)
+        .withColumn("op", lit("U")).withColumn("seq", lit(1L))
+      upsertAll(ups.unionByName(tomb), batchId, stateRoot, nBuckets,
+        checkpointEvery)
+      olds.unpersist(blocking = false)
+
+      val opOf = arr.select(col("doc_id"), col("op").as("__arr_op"))
       result.select((stateCols.map(col) :+ col("was_kept") :+
         col("quality_ok").as("now_kept") :+ col("is_delta")): _*)
-    } finally delta.unpersist(blocking = false)
+        .unionByName(deletedOut.select((stateCols.map(col) :+
+          col("was_kept") :+ col("quality_ok").as("now_kept") :+
+          col("is_delta")): _*))
+        .join(opOf, Seq("doc_id"), "left")
+        .withColumn("op",
+          when(col("is_delta"), col("__arr_op"))
+            .otherwise(lit(null).cast("string")))
+        .drop("__arr_op")
+    } finally {
+      delta.unpersist(blocking = false)
+      arr.unpersist(blocking = false)
+    }
   }
 
   /** The verdict state as of refresh batch `batchId` — bucketed time

@@ -535,11 +535,14 @@ object UpsertFileSink {
     *
     * `bucketCols` (optional) buckets rows by a key OTHER than the
     * merge key — e.g. a doc-flags table keyed by doc_id but bucketed
-    * by content digest so digest lookups prune. Every value of the
-    * bucketing columns must be IMMUTABLE per merge key (a key whose
-    * bucket changed would leave its old row stranded in the old
-    * bucket); the default (the merge key itself) trivially satisfies
-    * that.
+    * by content digest so digest lookups prune. A key's bucketing
+    * values must either be IMMUTABLE per merge key (the default — the
+    * merge key itself — trivially is), or a batch that MOVES a key
+    * across buckets must carry a tombstone row at the old bucketing
+    * values with a lower seq than the replacement (a bare upsert at
+    * the new values would leave the old row stranded in the old
+    * bucket; the D row rewrites that bucket without it —
+    * [[graft.operators.CorpusRefresh]]'s changelog recipe).
     */
   def upsertBatchBucketed(batch: DataFrame, batchId: Long, root: String,
       keyCols: Seq[String], nBuckets: Int, seqCol: String = "seq",

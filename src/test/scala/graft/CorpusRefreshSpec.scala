@@ -475,6 +475,113 @@ class CorpusRefreshSpec extends AnyFunSuite {
     Materialize.releaseAll()
   }
 
+  test("CDC refresh: updates and deletes track full curate, keeper deletion promotes") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-refresh-cdc").toString + "/state"
+    val nB = 8
+
+    def cdcDF(rows: Seq[(Long, String, String)]): DataFrame = {
+      import spark.implicits._
+      rows.map { case (id, t, op) => (id, "en", t, op) }
+        .toDF("doc_id", "lang", "text", "op")
+    }
+    def deltaMap(df: DataFrame) =
+      df.select("doc_id", "was_kept", "now_kept", "is_delta", "op")
+        .collect()
+        .map(r => r.getLong(0) -> ((Option(r.get(1)).map(_ == true),
+          r.getBoolean(2), r.getBoolean(3), Option(r.getString(4)))))
+        .toMap
+
+    val initial = Seq(
+      10L -> textA, 11L -> textA,   // exact group, 10 keeper
+      12L -> textArev,              // norm dup of the A group
+      20L -> textB,                 // untouched control group
+      30L -> textC, 35L -> textC,   // exact group, 30 keeper
+      40L -> textDshort)            // junk
+    CorpusRefresh.initialize(spark, docsDF(initial), root, nB)
+
+    def checkAgainstFull(corpus: Map[Long, String]): Unit = {
+      val full = flagsRows(
+        CorpusRefresh.fullFlags(spark, docsDF(corpus.toSeq.sortBy(_._1))))
+      assert(flagsRows(CorpusRefresh.currentFlags(spark, root)) === full)
+    }
+
+    // ---- batch 1: keeper DELETION, two in-place updates, one add ----
+    val b1 = Seq(
+      (10L, null.asInstanceOf[String], "D"), // keeper deletion
+      (30L, textG, "U"),                     // keeper re-crawled to new text
+      (40L, textE, "U"),                     // junk doc becomes good
+      (50L, textF, "I"))                     // plain junk add
+    val d1 = deltaMap(CorpusRefresh.refreshCdc(spark, root, cdcDF(b1),
+      1L, nB))
+    Materialize.releaseAll()
+    val corpus1 = initial.toMap - 10L ++ Map(30L -> textG, 40L -> textE,
+      50L -> textF)
+    checkAgainstFull(corpus1)
+
+    // the deleted keeper's runner-up promotes, visible in the delta
+    assert(d1(10L) === ((Some(true), false, true, Some("D"))),
+      "the takedown row must report was-kept -> gone")
+    assert(d1(11L) === ((Some(false), true, false, None)),
+      "11 must be promoted by 10's deletion")
+    assert(d1(35L) === ((Some(false), true, false, None)),
+      "35 must be promoted when 30's update leaves the textC group")
+    assert(d1(30L) === ((Some(true), true, true, Some("U"))))
+    assert(d1(40L) === ((Some(false), true, true, Some("U"))),
+      "an update can move a doc into the kept set")
+    assert(d1(50L) === ((None, false, true, Some("I"))))
+    assert(!d1.contains(20L), s"untouched groups leaked: ${d1.keySet}")
+    // 12 re-ranks with the A norm group (defers to 11 now) but its
+    // verdicts do not flip
+    assert(d1.get(12L).forall { case (w, now, _, _) =>
+      w === Some(false) && !now })
+
+    // ---- batch 2: unchanged-text update, re-insert of a deleted id
+    // that steals keepership, deletion emptying a group ---------------
+    val b2 = Seq(
+      (11L, textA, "U"),  // same text: digest unchanged, D+U collapse
+      (10L, textB, "I"),  // re-insert after delete; 10 < 20 steals B
+      (35L, null.asInstanceOf[String], "D")) // delete the promoted keeper
+    val d2 = deltaMap(CorpusRefresh.refreshCdc(spark, root, cdcDF(b2),
+      2L, nB))
+    Materialize.releaseAll()
+    val corpus2 = corpus1 - 35L ++ Map(11L -> textA, 10L -> textB)
+    checkAgainstFull(corpus2)
+    assert(d2(11L) === ((Some(true), true, true, Some("U"))),
+      "an unchanged-text update must keep its verdicts")
+    assert(d2(10L) === ((None, true, true, Some("I"))),
+      "a re-inserted id is fresh (its old row was tombstoned)")
+    assert(d2(20L) === ((Some(true), false, false, None)),
+      "20 must be demoted by the re-inserted smaller id")
+    assert(d2(35L) === ((Some(true), false, true, Some("D"))))
+
+    // ---- replay after a partial commit reproduces the delta ---------
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.delete(new org.apache.hadoop.fs.Path(s"$root/by_norm/_commits/2"), false)
+    f.delete(new org.apache.hadoop.fs.Path(s"$root/by_sg/_commits/2"), false)
+    val d2r = deltaMap(CorpusRefresh.refreshCdc(spark, root, cdcDF(b2),
+      2L, nB))
+    Materialize.releaseAll()
+    assert(d2r === d2, "a replayed CDC refresh must reproduce its delta")
+    checkAgainstFull(corpus2)
+
+    // all four projections hold identical rows (by_id included)
+    val expectRows = flagsRows(CorpusRefresh.currentFlags(spark, root))
+    Seq("by_id", "by_norm", "by_sg").foreach { p =>
+      val rows = flagsRows(graft.streaming.UpsertFileSink
+        .readSnapshotBucketed(spark, s"$root/$p",
+          CorpusRefresh.stateSchema))
+      assert(rows === expectRows, s"projection $p diverged")
+    }
+    // corpusDelta turns takedowns and demotions into removals
+    val (_, removals) = CorpusRefresh.corpusDelta(spark,
+      CorpusRefresh.refreshCdc(spark, root, cdcDF(b2), 2L, nB),
+      docsDF(corpus2.toSeq))
+    assert(removals.collect().map(_.getLong(0)).toSet === Set(20L, 35L))
+    Materialize.releaseAll()
+  }
+
   test("refresh under a frozen eval scrub drops contaminated arrivals") {
     val root = java.nio.file.Files
       .createTempDirectory("graft-refresh-scrub").toString + "/state"
