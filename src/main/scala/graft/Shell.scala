@@ -89,6 +89,30 @@ import graft.sources.Tables
   *                                        realized vs target tokens per
   *                                        domain (docs repeat when the
   *                                        target exceeds the inventory)
+  *   index apply <root> <b> <mod> <rem>   apply documents with
+  *                                        doc_id % mod == rem to the
+  *                                        incremental inverted index
+  *                                        at <root> as CDC batch <b>;
+  *                                        shows live-doc stats
+  *   index search <root> <t1,t2> <k>      BM25 top-k over the
+  *                                        maintained index
+  *   index compact <root> <upTo>          fold the index log up to the
+  *                                        horizon; shows per-log fresh
+  *                                        segment counts
+  *   ivf init <parent> <k> <iters>        aliased incremental-IVF
+  *                                        bootstrap from the
+  *                                        embeddings table (quantizer
+  *                                        + batch 0 under <parent>/g0)
+  *   ivf apply <parent> <b> <mod> <rem>   assign embeddings with
+  *                                        vec_id % mod == rem into the
+  *                                        ACTIVE generation as batch b
+  *   ivf search <parent> <probeId> <k>    top-k cosine over the active
+  *              <nprobe>                  generation, pruned to nprobe
+  *                                        cells
+  *   ivf retrain <parent> <k> <iters>     rebuild to a fresh generation
+  *                                        and atomically flip _active;
+  *                                        shows the generation move +
+  *                                        new quantizer fit
   *   refresh                              incremental-curation demo:
   *                                        initialize verdict state from
   *                                        ~80% of the corpus, refresh
@@ -493,6 +517,83 @@ object Shell {
         graft.operators.MixturePlanner.account(
           graft.operators.MixturePlanner.materialize(
             docs, p, "doc_id", "source", "n_toks", seed = 42L), p)
+      // ---- incremental-index operational surface (REPL twin of the
+      // IncrementalIndex / IncrementalIvf modules: apply a CDC slice,
+      // query the maintained state, run maintenance) -------------------
+      case List("index", "apply", root, batchId, mod, rem) =>
+        noKnob()
+        import s.implicits._
+        graft.operators.IncrementalIndex.applyBatch(s, root,
+          Tables.documents(s, dir)
+            .filter(pmod(col("doc_id"), lit(mod.toLong)) === rem.toLong)
+            .select(col("doc_id"), col("text"), lit("I").as("op")),
+          batchId.toLong)
+        val (nLive, avgDl) = graft.operators.IncrementalIndex.stats(s, root)
+        Seq((batchId.toLong, nLive, BigDecimal(avgDl)
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble))
+          .toDF("batch", "live_docs", "avg_dl")
+      case List("index", "search", root, terms, k) =>
+        noKnob()
+        val idx = graft.operators.IncrementalIndex.currentPostings(s, root)
+        val (nLive, avgDl) = graft.operators.IncrementalIndex.stats(s, root)
+        graft.operators.InvertedIndex
+          .bm25Query(idx, nLive, avgDl, terms.split(",").toSeq, k.toInt)
+          .withColumn("score", round(col("score"), 4))
+      case List("index", "compact", root, upTo) =>
+        noKnob()
+        import s.implicits._
+        graft.operators.IncrementalIndex.compact(s, root, upTo.toLong)
+        def segs(sub: String) = new java.io.File(s"$root/$sub")
+          .listFiles() match {
+            case null => 0L
+            case fs => fs.count(_.getName.startsWith("seq=")).toLong
+          }
+        Seq(("df", upTo.toLong, segs("df")),
+          ("docs", upTo.toLong, segs("docs")),
+          ("postings", upTo.toLong, segs("postings")))
+          .toDF("log", "horizon", "fresh_segments")
+      case List("ivf", "init", parent, k, iters) =>
+        noKnob()
+        graft.operators.IncrementalIvf.initializeAliased(s,
+          Tables.embeddings(s, dir).select(col("vec_id"),
+            col("embedding").cast("array<double>").as("e")),
+          parent, k.toInt, iters.toInt)
+        graft.operators.IncrementalIvf.quantizationReport(s,
+          graft.operators.IncrementalIvf.activeRoot(s, parent))
+      case List("ivf", "apply", parent, batchId, mod, rem) =>
+        noKnob()
+        graft.operators.IncrementalIvf.applyBatchActive(s, parent,
+          Tables.embeddings(s, dir)
+            .filter(pmod(col("vec_id"), lit(mod.toLong)) === rem.toLong)
+            .select(col("vec_id"),
+              col("embedding").cast("array<double>").as("e"),
+              lit("I").as("op")),
+          batchId.toLong)
+        graft.operators.IncrementalIvf.quantizationReport(s,
+          graft.operators.IncrementalIvf.activeRoot(s, parent))
+      case List("ivf", "search", parent, probeId, k, nprobe) =>
+        noKnob()
+        val probe = Tables.embeddings(s, dir)
+          .filter(col("vec_id") === probeId.toLong)
+          .select(col("embedding").cast("array<double>"))
+          .head.getSeq[Double](0).toSeq
+        graft.operators.IncrementalIvf.searchActive(s, parent, probe,
+          k.toInt, nprobe.toInt)
+      case List("ivf", "retrain", parent, k, iters) =>
+        noKnob()
+        import s.implicits._
+        val oldGen = new org.apache.hadoop.fs.Path(
+          graft.operators.IncrementalIvf.activeRoot(s, parent)).getName
+        val newRoot = graft.operators.IncrementalIvf
+          .retrainCutover(s, parent, k.toInt, iters.toInt)
+        val (_, baseline, current) = graft.operators.IncrementalIvf
+          .retrainSignal(s, newRoot)
+        Seq((oldGen, new org.apache.hadoop.fs.Path(newRoot).getName,
+          BigDecimal(baseline).setScale(4,
+            BigDecimal.RoundingMode.HALF_UP).toDouble,
+          BigDecimal(current).setScale(4,
+            BigDecimal.RoundingMode.HALF_UP).toDouble))
+          .toDF("old_gen", "new_gen", "train_fit", "live_fit")
       // incremental corpus refresh, end to end: bulk-load verdict state
       // from a deterministic ~80% of the documents table, feed the
       // other ~20% in as an arrival batch, and account for the delta —

@@ -278,6 +278,107 @@ object IncrementalIvf {
       .orderBy("cell")
   }
 
+  // ---- aliased generations: the retrain CUTOVER protocol -------------
+  //
+  // A retrain is a bulk rebuild to a FRESH generation root while
+  // readers keep serving the old one; the `_active` alias marker at a
+  // PARENT root (one line: the live generation's child name, written
+  // with [[graft.ControlFiles.atomicWrite]]) is the single commit
+  // point. A crash anywhere before the flip leaves the old generation
+  // active and at most an orphaned half-built generation dir (each
+  // attempt builds into a fresh gN, so a retried rebuild never races
+  // its own crashed twin's files); readers resolve the alias per
+  // query and cut over atomically on the flip.
+
+  private def activeMarker(parent: String) =
+    new org.apache.hadoop.fs.Path(parent, "_active")
+
+  /** The live generation root under `parent` (fails fast on an
+    * un-aliased parent). One control-file read per resolution.
+    */
+  def activeRoot(spark: SparkSession, parent: String): String = {
+    val f = SegmentLog.hfs(spark, parent)
+    val p = activeMarker(parent)
+    require(f.exists(p), s"$parent has no _active index alias")
+    s"$parent/${graft.ControlFiles.readFully(f, p).trim}"
+  }
+
+  /** [[initialize]] into generation `g0` under `parent` and publish
+    * the alias — the bootstrap of an aliased (retrainable) index.
+    */
+  def initializeAliased(spark: SparkSession, vectors: DataFrame,
+      parent: String, k: Int, iters: Int): Unit = {
+    initialize(spark, vectors, s"$parent/g0", k, iters)
+    graft.ControlFiles.atomicWrite(SegmentLog.hfs(spark, parent),
+      activeMarker(parent), "g0")
+  }
+
+  /** [[applyBatch]] against the live generation. */
+  def applyBatchActive(spark: SparkSession, parent: String,
+      batch: DataFrame, batchId: Long, compactEvery: Int = 0): Unit =
+    applyBatch(spark, activeRoot(spark, parent), batch, batchId,
+      compactEvery)
+
+  /** [[search]] against the live generation. */
+  def searchActive(spark: SparkSession, parent: String,
+      probe: Seq[Double], topK: Int, nprobe: Int): DataFrame =
+    search(spark, activeRoot(spark, parent), probe, topK, nprobe)
+
+  /** RETRAIN with atomic cutover: train a fresh quantizer on the live
+    * distribution (what [[retrainSignal]] said the old one no longer
+    * fits), bulk re-add the live vectors into a NEW generation root,
+    * then flip the `_active` alias — returns the new root. Searches
+    * during the rebuild serve the old generation unchanged; a crash
+    * before the flip leaves it active (re-run converges into yet
+    * another fresh generation). The re-add lands as the old log's
+    * newest batch id, so the external CDC feed's strictly-monotone
+    * ids keep working across the flip; the old generation stays on
+    * disk for in-flight readers until [[cleanupGenerations]].
+    */
+  def retrainCutover(spark: SparkSession, parent: String, k: Int,
+      iters: Int): String = {
+    val f = SegmentLog.hfs(spark, parent)
+    val oldRoot = activeRoot(spark, parent)
+    // fresh generation name: max existing g<n> + 1 (a crashed
+    // attempt's orphan just bumps the counter)
+    val next = 1 + f.listStatus(new org.apache.hadoop.fs.Path(parent))
+      .toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith("g") && n.drop(1).nonEmpty &&
+        n.drop(1).forall(_.isDigit))
+      .map(_.drop(1).toLong).maxOption.getOrElse(-1L)
+    val gen = s"g$next"
+    val newRoot = s"$parent/$gen"
+    // materialize the live set ONCE: it feeds the k-means passes, the
+    // re-add, and the new training-fit baseline
+    val live = liveMembers(spark, oldRoot).select("vec_id", "e").persist()
+    try {
+      val lastBatch = SegmentLog.readLog(spark, oldRoot, "vecs")
+        .agg(max(col("seq"))).head.getLong(0)
+      initializeQuantizer(spark, live, newRoot, k, iters)
+      applyBatch(spark, newRoot,
+        live.withColumn("op", lit("I")), lastBatch)
+      // the commit point: readers cut over here, atomically
+      graft.ControlFiles.atomicWrite(f, activeMarker(parent), gen)
+    } finally live.unpersist(blocking = false)
+    newRoot
+  }
+
+  /** Delete every non-active generation under `parent` — run once no
+    * in-flight reader can still hold the old alias (the caller's
+    * quiesce window, like vacuum retention).
+    */
+  def cleanupGenerations(spark: SparkSession, parent: String): Unit = {
+    val f = SegmentLog.hfs(spark, parent)
+    val active = new org.apache.hadoop.fs.Path(
+      activeRoot(spark, parent)).getName
+    f.listStatus(new org.apache.hadoop.fs.Path(parent)).toSeq
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith("g") && n.drop(1).nonEmpty &&
+        n.drop(1).forall(_.isDigit) && n != active)
+      .foreach(n => f.delete(
+        new org.apache.hadoop.fs.Path(s"$parent/$n"), true))
+  }
+
   /** The self-contained RETRAIN decision: (fire?, baseline, current) —
     * current live mean assignment cosine vs the training-time fit
     * [[initializeQuantizer]] recorded at `root/_train_fit`, fired when

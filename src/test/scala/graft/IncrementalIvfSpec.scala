@@ -233,6 +233,81 @@ class IncrementalIvfSpec extends AnyFunSuite {
     assert(fire1 && base1 - cur1 > 0.05)
   }
 
+  test("retrain cutover: old generation serves until the atomic alias flip") {
+    val parent = java.nio.file.Files
+      .createTempDirectory("graft-incivf-cut").toString + "/ann"
+    import spark.implicits._
+
+    // bootstrap on the axis-0/1/2 distribution
+    IncrementalIvf.initializeAliased(spark,
+      (1L to 30L).map(i => (i, vec(i))).toDF("vec_id", "e"),
+      parent, k = 3, iters = 2)
+    val g0 = IncrementalIvf.activeRoot(spark, parent)
+    assert(g0.endsWith("/g0"))
+
+    // arrivals from an axis the quantizer never saw → retrain fires
+    val oodVec: Long => Seq[Double] = { i =>
+      val v = Array.fill(dim)(0.0); v(3) = 1.0; v(2) = 0.01 * (i % 5)
+      v.toSeq
+    }
+    IncrementalIvf.applyBatchActive(spark, parent,
+      df((31L to 40L).map(i => (i, oodVec(i), "I"))), 1L)
+    val (fire, _, _) = IncrementalIvf.retrainSignal(spark, g0)
+    assert(fire, "the OOD arrivals must trigger the retrain decision")
+    val preFlip = IncrementalIvf.searchActive(spark, parent,
+      oodVec(31L), 5, 2).collect().map(_.toString).toSeq
+
+    // crash-before-flip: a half-built generation (quantizer trained,
+    // re-add incomplete) must leave the old root active and searches
+    // byte-identical
+    val live = IncrementalIvf.liveMembers(spark, g0).select("vec_id", "e")
+    IncrementalIvf.initializeQuantizer(spark, live, s"$parent/g7",
+      k = 4, iters = 2)
+    assert(IncrementalIvf.activeRoot(spark, parent) === g0,
+      "an unflipped rebuild must not move the alias")
+    assert(IncrementalIvf.searchActive(spark, parent, oodVec(31L), 5, 2)
+      .collect().map(_.toString).toSeq === preFlip)
+
+    // the real cutover: k=4 captures the new axis; the crashed g7
+    // orphan just bumps the generation counter
+    val newRoot = IncrementalIvf.retrainCutover(spark, parent,
+      k = 4, iters = 2)
+    assert(newRoot === s"$parent/g8")
+    assert(IncrementalIvf.activeRoot(spark, parent) === newRoot)
+
+    // post-flip searches equal a from-scratch maintained index built
+    // from the same live set with the same (k, iters) — buildFrom is
+    // deterministic, so this is exact equality
+    val scratch = java.nio.file.Files
+      .createTempDirectory("graft-incivf-scr").toString + "/ivf"
+    val liveRows = ((1L to 30L).map(i => i -> vec(i)) ++
+      (31L to 40L).map(i => i -> oodVec(i)))
+    IncrementalIvf.initialize(spark,
+      liveRows.toDF("vec_id", "e"), scratch, k = 4, iters = 2)
+    def hits(root: String) = IncrementalIvf
+      .search(spark, root, oodVec(35L), 6, 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(hits(newRoot) === hits(scratch))
+    assert(hits(newRoot).nonEmpty)
+
+    // the new quantizer actually fits the drifted distribution again
+    val (fire2, _, _) = IncrementalIvf.retrainSignal(spark, newRoot)
+    assert(!fire2, "the retrained index must be quiet")
+
+    // the feed continues with monotone ids across the flip
+    IncrementalIvf.applyBatchActive(spark, parent,
+      df(Seq((41L, oodVec(41L), "I"))), 2L)
+    assert(IncrementalIvf.liveMembers(spark, newRoot).count() === 41L)
+
+    // generation GC keeps only the active root
+    IncrementalIvf.cleanupGenerations(spark, parent)
+    val f = new org.apache.hadoop.fs.Path(parent)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val gens = f.listStatus(new org.apache.hadoop.fs.Path(parent)).toSeq
+      .map(_.getPath.getName).filter(_.startsWith("g")).sorted
+    assert(gens === Seq("g8"))
+  }
+
   test("compact refuses to fold past a torn batch (redelivery would wedge)") {
     val root = java.nio.file.Files
       .createTempDirectory("graft-incivf-w").toString + "/ivf"

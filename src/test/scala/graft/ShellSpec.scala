@@ -374,4 +374,74 @@ class ShellSpec extends AnyFunSuite {
     Materialize.releaseAll()
     assert(keptBefore - demoted + restored + kept === keptAll)
   }
+
+  test("index commands drive the incremental inverted index end to end") {
+    import graft.operators.{IncrementalIndex, InvertedIndex}
+    import graft.sources.Tables
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-shell-idx").toString + "/idx"
+
+    // two CDC slices cover the whole documents table (doc_id % 2)
+    val s0 = Shell.run(spark, sf0001, s"index apply $root 0 2 0").head
+    val s1 = Shell.run(spark, sf0001, s"index apply $root 1 2 1").head
+    val total = Tables.documents(spark, sf0001).count()
+    assert(s0.getLong(1) > 0 && s1.getLong(1) === total,
+      "after both slices every doc must be live")
+
+    // the REPL search equals bm25 over a from-scratch rebuild
+    val shell = Shell
+      .run(spark, sf0001, s"index search $root data,model 5")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val full = InvertedIndex.build(
+      Tables.documents(spark, sf0001), "doc_id", "text")
+    val (n, avgDl) = IncrementalIndex.stats(spark, root)
+    val expect = InvertedIndex
+      .bm25Query(full, n, avgDl, Seq("data", "model"), 5)
+      .withColumn("score", round(col("score"), 4))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(shell === expect && shell.nonEmpty)
+
+    // maintenance from the REPL: one fresh segment per log remains
+    // (the horizon folds batch 0), and search answers do not move
+    val segRows = Shell.run(spark, sf0001, s"index compact $root 0")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(segRows.values.forall(_ === 1L),
+      s"exactly the post-horizon segment should remain: $segRows")
+    val after = Shell
+      .run(spark, sf0001, s"index search $root data,model 5")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(after === shell)
+  }
+
+  test("ivf commands drive the aliased incremental IVF end to end") {
+    import graft.operators.IncrementalIvf
+    import graft.sources.Tables
+    val parent = java.nio.file.Files
+      .createTempDirectory("graft-shell-ivf").toString + "/ann"
+
+    val rep = Shell.run(spark, sf0001, s"ivf init $parent 4 2")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    val total = Tables.embeddings(spark, sf0001).count()
+    assert(rep(-1) === total, "batch 0 must hold every embedding")
+
+    // searching from the REPL matches the module search on the active
+    // generation
+    val probeId = 3L
+    val shell = Shell.run(spark, sf0001, s"ivf search $parent $probeId 5 2")
+      .collect().map(_.toString).toSeq
+    val probe = Tables.embeddings(spark, sf0001)
+      .filter(col("vec_id") === probeId)
+      .select(col("embedding").cast("array<double>"))
+      .head.getSeq[Double](0).toSeq
+    val direct = IncrementalIvf.search(spark,
+      IncrementalIvf.activeRoot(spark, parent), probe, 5, 2)
+      .collect().map(_.toString).toSeq
+    assert(shell === direct && shell.nonEmpty)
+
+    // retrain flips the generation and reports the new fit
+    val r = Shell.run(spark, sf0001, s"ivf retrain $parent 4 2").head
+    assert(r.getString(0) === "g0" && r.getString(1) === "g1")
+    assert(IncrementalIvf.activeRoot(spark, parent).endsWith("/g1"))
+    assert(r.getDouble(3) > 0.0, "the live fit must be measurable")
+  }
 }
