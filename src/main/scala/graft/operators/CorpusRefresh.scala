@@ -524,6 +524,21 @@ object CorpusRefresh {
     }
   }
 
+  /** Vacuum all four state projections with REPLAY RETENTION: nothing
+    * newer than head − `minRetainBatches` is deleted, so a refresh
+    * batch still in flight (or being replayed) can read its
+    * predecessor state — the ":don't vacuum a batch's predecessors
+    * before its delta is consumed" rule, enforced instead of advised.
+    * The default keeps one predecessor window, the minimum for a
+    * single replayed batch; run with a larger value when deltas are
+    * consumed asynchronously.
+    */
+  def vacuumState(s: SparkSession, stateRoot: String,
+      minRetainBatches: Int = 1): Unit =
+    Seq(byId(stateRoot), byDigest(stateRoot), byNorm(stateRoot),
+      bySg(stateRoot))
+      .foreach(r => UpsertFileSink.vacuumBucketed(s, r, minRetainBatches))
+
   /** The verdict state as of refresh batch `batchId` — bucketed time
     * travel over the by_digest projection (bounded by vacuum
     * retention, the Delta-identical caveat).

@@ -630,14 +630,20 @@ object UpsertFileSink {
     * regresses. Stale staging trees of committed/superseded batches
     * are reaped too.
     *
-    * `minRetainBatches` is the REPLAY-RETENTION guard: nothing with
-    * version id > head − minRetainBatches is deleted (data or marker),
-    * so an incremental consumer replaying batch `b` can still read
-    * state as of `b − 1` ([[readBucketsBucketedAsOf]]) for the
-    * `minRetainBatches` newest batches — a vacuum racing a replayed
+    * `minRetainBatches` is the REPLAY-RETENTION guard: an incremental
+    * consumer replaying any batch `b` in the `minRetainBatches` newest
+    * ids can still read state as of `b − 1`
+    * ([[readBucketsBucketedAsOf]]) — a vacuum racing a replayed
     * refresh cannot make fully-committed predecessor state vanish
-    * mid-recompute. 0 (the default) keeps only each bucket's newest
-    * committed version, the minimum for plain reads.
+    * mid-recompute. Two rules compose: every version id
+    * > head − minRetainBatches is kept, AND per bucket the ANCHOR —
+    * its newest committed version AT/BELOW that floor — is kept, so an
+    * as-of read at the floor resolves even for a bucket that idled
+    * long before its latest rewrite (an id-window alone would delete
+    * exactly the old predecessor such a bucket needs).
+    * minRetainBatches = 1 therefore suffices for a head-batch replay.
+    * 0 (the default) keeps only each bucket's newest committed
+    * version, the minimum for plain reads.
     */
   def vacuumBucketed(spark: SparkSession, root: String,
       minRetainBatches: Int = 0): Unit = {
@@ -647,27 +653,36 @@ object UpsertFileSink {
     if (markers.isEmpty && ckptId < 0) return
     val head = (markers + ckptId).max
     val retainAbove = head - minRetainBatches // keep every v > this
+    def isCommitted(v: Long) = v <= ckptId || markers.contains(v)
     val latest = latestBucketVersions(spark, root)
+    val anchors = scala.collection.mutable.Set.empty[Long]
     latest.foreach { case (b, newest, _) =>
       val bdir = new Path(bucketsDir(root), b.toString)
-      f.listStatus(bdir).toSeq
+      val versions = f.listStatus(bdir).toSeq
         .map(_.getPath.getName)
         .filter(_.startsWith("v="))
         .map(_.stripPrefix("v=").toLong)
-        .filter(v => v != newest && v < head && v <= retainAbove)
+      val anchor: Option[Long] =
+        if (minRetainBatches <= 0) None
+        else versions.filter(v => v <= retainAbove && isCommitted(v))
+          .maxOption
+      anchor.foreach(anchors += _)
+      versions
+        .filter(v => v != newest && v < head && v <= retainAbove &&
+          !anchor.contains(v))
         .foreach(v => f.delete(new Path(bdir, s"v=$v"), true))
     }
     // a marker is deletable once superseded: not the global head, not
-    // the newest version of any bucket, not retention-protected, OR
-    // compacted into a checkpoint (every id ≤ the checkpoint head is
-    // committed by definition — deleting such a marker never loses
-    // committedness evidence, so even an idle bucket's marker may go
-    // once a checkpoint covers it)
+    // the newest version of any bucket, not retention-protected (the
+    // id window or a bucket's anchor), OR compacted into a checkpoint
+    // (every id ≤ the checkpoint head is committed by definition —
+    // deleting such a marker never loses committedness evidence, so
+    // even an idle bucket's marker may go once a checkpoint covers it)
     val keepVersions = latest.map(_._2).toSet + head
     markers.filter(v => v <= ckptId && v != head)
       .foreach(v => f.delete(new Path(commitsDir(root), v.toString), false))
     markers.filter(v => v > ckptId && !keepVersions.contains(v) &&
-        v <= retainAbove)
+        v <= retainAbove && !anchors.contains(v))
       .foreach(v => f.delete(new Path(commitsDir(root), v.toString), false))
     // staging trees at or below the head are garbage from committed or
     // superseded attempts (a live attempt always stages an id > head)

@@ -580,6 +580,17 @@ class CorpusRefreshSpec extends AnyFunSuite {
       docsDF(corpus2.toSeq))
     assert(removals.collect().map(_.getLong(0)).toSet === Set(20L, 35L))
     Materialize.releaseAll()
+
+    // a retention-guarded vacuum mid-replay keeps batch 2's replayed
+    // recompute valid (its as-of-1 pulls still resolve), and the live
+    // state never moves
+    CorpusRefresh.vacuumState(spark, root, minRetainBatches = 1)
+    val d2v = deltaMap(CorpusRefresh.refreshCdc(spark, root, cdcDF(b2),
+      2L, nB))
+    Materialize.releaseAll()
+    assert(d2v === d2,
+      "a retained-window vacuum must not break the replayed delta")
+    checkAgainstFull(corpus2)
   }
 
   test("refresh under a frozen eval scrub drops contaminated arrivals") {

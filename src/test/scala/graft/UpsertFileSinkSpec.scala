@@ -657,6 +657,21 @@ class UpsertFileSinkSpec extends AnyFunSuite {
     UpsertFileSink.vacuumBucketed(spark, root)
     assert(bucketedSnapshot(root) === Seq(1L -> "v2"))
     assert(bucketVersions(root).values.forall(_.size === 1))
+
+    // the ANCHOR rule: a bucket idle since long before head keeps its
+    // newest committed version BELOW the retention floor — an id
+    // window alone would delete exactly the predecessor an as-of read
+    // at the floor needs
+    UpsertFileSink.upsertBatchBucketed(
+      Seq((1L, "v5", "U", 5L)).toDF("key", "value", "op", "seq"),
+      5L, root, Seq("key"), nB)
+    UpsertFileSink.vacuumBucketed(spark, root, minRetainBatches = 1)
+    val asOf4 = UpsertFileSink
+      .readBucketsBucketedAsOf(spark, root, schema, (0 until nB).toSeq, 4L)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(asOf4 === Seq(1L -> "v2"),
+      "the anchor version below the floor must survive a guarded vacuum")
+    assert(bucketedSnapshot(root) === Seq(1L -> "v5"))
   }
 
   test("vacuum drops old versions and orphans, keeps the newest readable") {
