@@ -213,9 +213,12 @@ object IncrementalIvf {
       Seq("members"), "vecs", upTo)
     val liveOld = latestVecVersions(spark, root)
       .filter(col("seq") <= upTo && col("op") =!= "D")
+    // payload-agnostic fold (drop the seq only): the member schema is
+    // (vec_id, e, cell) on plain roots and (vec_id, codes, cell) on
+    // coded roots — the liveness fold is identical
     val foldMembers = SegmentLog.readLog(spark, root, "members")
       .join(liveOld.select("vec_id", "seq"), Seq("vec_id", "seq"))
-      .select("vec_id", "e", "cell")
+      .drop("seq")
       .persist()
     try {
       val tmp = s"$root/_compact/$upTo"
@@ -278,6 +281,148 @@ object IncrementalIvf {
       .orderBy("cell")
   }
 
+  // ---- PQ-CODED members: the incremental IVFADC -----------------------
+  //
+  // At 100 TB the member segments' full float vectors ARE the storage
+  // bill; FAISS's production layout stores ~32×-smaller PQ codes in
+  // the inverted lists and keeps full vectors in a separate store
+  // fetched only for the final rerank. Coded mode mirrors that: a
+  // FROZEN per-subspace codebook ([[ProductQuantizer.trainFrom]],
+  // trained once at init like the coarse quantizer, persisted at
+  // `root/pq_codebook`) encodes every arrival map-side, member
+  // segments hold (vec_id, codes, cell) — never the vector — and the
+  // same vecs changelog folds liveness, so updates/deletes/compaction
+  // work unchanged. Search is ADC: the probe's m × ksub lookup table
+  // broadcasts, candidates cost m element_at's + a sum, the cells
+  // outside nprobe are never read ([[searchAdc]]); the production
+  // rerank joins the shortlist against an EXTERNAL full-vector store
+  // ([[searchAdcRerank]]). A coded root has no full vectors, so the
+  // [[quantizationReport]] monitor doesn't apply — drift is judged on
+  // the plain twin or the training sample.
+
+  private def pqM(codebook: DataFrame): Int =
+    codebook.agg(max(col("sub"))).head.getInt(0) + 1
+
+  /** Bootstrap a CODED index: coarse quantizer + frozen PQ codebook
+    * trained on `vectors`, then the corpus lands as coded batch 0.
+    */
+  def initializeCoded(spark: SparkSession, vectors: DataFrame,
+      root: String, k: Int, iters: Int, m: Int = 8, ksub: Int = 16,
+      pqIters: Int = 4): Unit = {
+    initializeQuantizer(spark, vectors, root, k, iters)
+    val codebook = ProductQuantizer.trainFrom(spark, vectors, m, ksub,
+      pqIters)
+    codebook.write.mode("overwrite").parquet(s"$root/pq_codebook")
+    graft.Materialize.release(codebook)
+    applyBatchCoded(spark, root, vectors.withColumn("op", lit("I")), 0L)
+  }
+
+  /** [[applyBatch]] for a CODED root: I/U assigns the vector's nearest
+    * fixed cell AND its PQ codes (both map-side against broadcast
+    * tables); the member segment stores (vec_id, codes, cell) only.
+    * Same changelog commit point, idempotence, horizon guard and
+    * inline-compaction cadence as the plain path.
+    */
+  def applyBatchCoded(spark: SparkSession, root: String, batch: DataFrame,
+      batchId: Long, compactEvery: Int = 0): Unit = {
+    if (SegmentLog.hfs(spark, root).exists(new org.apache.hadoop.fs.Path(
+        s"$root/vecs/seq=$batchId/_SUCCESS"))) return
+    require(SegmentLog.compactedUpTo(spark, root).forall(_ < batchId),
+      s"batch $batchId is at or below $root's compaction horizon")
+    val centroids = spark.read.parquet(s"$root/centroids")
+    val codebook = spark.read.parquet(s"$root/pq_codebook")
+    val m = pqM(codebook)
+    val staged = batch.select(col("vec_id"), col("e"), col("op")).persist()
+    try {
+      val upserts = staged.filter(col("op") =!= "D").select("vec_id", "e")
+      val coded = IvfIndex.assignTo(upserts, centroids)
+        .select("vec_id", "cell")
+        .join(ProductQuantizer.encode(upserts, codebook, m), Seq("vec_id"))
+        .select("vec_id", "codes", "cell")
+        .persist()
+      try {
+        val memberDir = new org.apache.hadoop.fs.Path(
+          s"$root/members/seq=$batchId")
+        val f = SegmentLog.hfs(spark, root)
+        if (coded.isEmpty) {
+          if (f.exists(memberDir)) f.delete(memberDir, true)
+        } else coded.write.mode("overwrite").partitionBy("cell")
+          .parquet(s"$root/members/seq=$batchId")
+        staged.select("vec_id", "op").write.mode("overwrite")
+          .parquet(s"$root/vecs/seq=$batchId")
+      } finally coded.unpersist(blocking = false)
+    } finally staged.unpersist(blocking = false)
+    Seq("members", "vecs")
+      .foreach(sub => spark.catalog.refreshByPath(s"$root/$sub"))
+    if (compactEvery > 0) {
+      val h = SegmentLog.compactedUpTo(spark, root).getOrElse(-1L)
+      if (SegmentLog.freshSegDirs(spark, root, "vecs", h)
+          .size > compactEvery)
+        compact(spark, root, batchId - 1)
+    }
+  }
+
+  /** The live CODED member set — (vec_id, codes, cell), each vector
+    * exactly once at its newest assignment; `cellFilter` prunes at the
+    * partition level like [[liveMembers]].
+    */
+  def liveCodedMembers(spark: SparkSession, root: String,
+      cellFilter: Option[Seq[Int]] = None): DataFrame = {
+    val raw = SegmentLog.readLog(spark, root, "members")
+    val pruned = cellFilter.fold(raw)(cs =>
+      raw.filter(col("cell").isin(cs: _*)))
+    val live = latestVecVersions(spark, root)
+      .filter(col("op") =!= "D").select("vec_id", "seq")
+    pruned.join(live, Seq("vec_id", "seq"))
+      .select("vec_id", "codes", "cell")
+  }
+
+  /** ADC top-k over a coded root: rank the k fixed centroids against
+    * the probe (k rows), prune the member scan to the `nprobe` best
+    * cells, fold liveness, then score ONLY codes — m table lookups +
+    * a sum per candidate, never a full vector read.
+    */
+  def searchAdc(spark: SparkSession, root: String, probe: Seq[Double],
+      topK: Int, nprobe: Int): DataFrame = {
+    CosineSimilarity.register(spark)
+    val p = array(probe.map(lit): _*)
+    val ranked = spark.read.parquet(s"$root/centroids")
+      .withColumn("__p", p)
+      .withColumn("cell_sim", expr("cosine_sim(c, __p)"))
+      .orderBy(col("cell_sim").desc, col("cell"))
+      .limit(nprobe)
+      .select("cell").collect().map(_.getInt(0)).toSeq
+    val codebook = spark.read.parquet(s"$root/pq_codebook")
+    val lut = ProductQuantizer.adcLut(codebook, probe, pqM(codebook))
+    ProductQuantizer.adcScoreCodes(
+        liveCodedMembers(spark, root, Some(ranked))
+          .select("vec_id", "codes"), lut)
+      .select(col("vec_id"), round(col("approx_sim"), 4).as("approx_sim"))
+      .orderBy(col("approx_sim").desc, col("vec_id"))
+      .limit(topK)
+  }
+
+  /** The production coded search: ADC shortlists `pool` candidates
+    * from the codes alone, then ONLY the shortlist's full vectors are
+    * fetched from the EXTERNAL store `vectors` (vec_id, e) for the
+    * exact cosine rerank — the index never stores a float vector, the
+    * store is read `pool` rows per query.
+    */
+  def searchAdcRerank(spark: SparkSession, root: String,
+      probe: Seq[Double], vectors: DataFrame, topK: Int, nprobe: Int,
+      pool: Int = 50): DataFrame = {
+    CosineSimilarity.register(spark)
+    val shortlist = searchAdc(spark, root, probe, pool, nprobe)
+      .select("vec_id")
+    val p = array(probe.map(lit): _*)
+    vectors.join(broadcast(shortlist), Seq("vec_id"))
+      .withColumn("__p", p)
+      .select(col("vec_id"),
+        round(expr("cosine_sim(e, __p)"), 4).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(topK)
+  }
+
   // ---- aliased generations: the retrain CUTOVER protocol -------------
   //
   // A retrain is a bulk rebuild to a FRESH generation root while
@@ -309,6 +454,18 @@ object IncrementalIvf {
   def initializeAliased(spark: SparkSession, vectors: DataFrame,
       parent: String, k: Int, iters: Int): Unit = {
     initialize(spark, vectors, s"$parent/g0", k, iters)
+    graft.ControlFiles.atomicWrite(SegmentLog.hfs(spark, parent),
+      activeMarker(parent), "g0")
+  }
+
+  /** [[initializeCoded]] into generation `g0` under `parent` and
+    * publish the alias — the coded twin of [[initializeAliased]].
+    */
+  def initializeCodedAliased(spark: SparkSession, vectors: DataFrame,
+      parent: String, k: Int, iters: Int, m: Int = 8, ksub: Int = 16,
+      pqIters: Int = 4): Unit = {
+    initializeCoded(spark, vectors, s"$parent/g0", k, iters, m, ksub,
+      pqIters)
     graft.ControlFiles.atomicWrite(SegmentLog.hfs(spark, parent),
       activeMarker(parent), "g0")
   }
@@ -358,6 +515,45 @@ object IncrementalIvf {
       applyBatch(spark, newRoot,
         live.withColumn("op", lit("I")), lastBatch)
       // the commit point: readers cut over here, atomically
+      graft.ControlFiles.atomicWrite(f, activeMarker(parent), gen)
+    } finally live.unpersist(blocking = false)
+    newRoot
+  }
+
+  /** [[retrainCutover]] for a CODED generation: the index stores no
+    * vectors, so the rebuild joins the old root's live vec_ids against
+    * the EXTERNAL full-vector store `vectors` (vec_id, e) — the same
+    * store [[searchAdcRerank]] reranks from — then trains the fresh
+    * coarse quantizer AND a fresh PQ codebook on that live set,
+    * re-encodes it into the new generation, and flips the alias.
+    * Identical crash contract to the plain cutover.
+    */
+  def retrainCutoverCoded(spark: SparkSession, parent: String,
+      vectors: DataFrame, k: Int, iters: Int, m: Int = 8, ksub: Int = 16,
+      pqIters: Int = 4): String = {
+    val f = SegmentLog.hfs(spark, parent)
+    val oldRoot = activeRoot(spark, parent)
+    val next = 1 + f.listStatus(new org.apache.hadoop.fs.Path(parent))
+      .toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith("g") && n.drop(1).nonEmpty &&
+        n.drop(1).forall(_.isDigit))
+      .map(_.drop(1).toLong).maxOption.getOrElse(-1L)
+    val gen = s"g$next"
+    val newRoot = s"$parent/$gen"
+    val liveIds = latestVecVersions(spark, oldRoot)
+      .filter(col("op") =!= "D").select("vec_id")
+    val live = vectors.join(liveIds, Seq("vec_id"))
+      .select("vec_id", "e").persist()
+    try {
+      val lastBatch = SegmentLog.readLog(spark, oldRoot, "vecs")
+        .agg(max(col("seq"))).head.getLong(0)
+      initializeQuantizer(spark, live, newRoot, k, iters)
+      val codebook = ProductQuantizer.trainFrom(spark, live, m, ksub,
+        pqIters)
+      codebook.write.mode("overwrite").parquet(s"$newRoot/pq_codebook")
+      graft.Materialize.release(codebook)
+      applyBatchCoded(spark, newRoot,
+        live.withColumn("op", lit("I")), lastBatch)
       graft.ControlFiles.atomicWrite(f, activeMarker(parent), gen)
     } finally live.unpersist(blocking = false)
     newRoot

@@ -53,21 +53,33 @@ object ProductQuantizer {
   private val l2Sql =
     "aggregate(zip_with(%s, %s, (x, y) -> (x - y) * (x - y)), 0D, (a, v) -> a + v)"
 
-  /** Unit-normalized corpus subvectors: (vec_id, sub, sv). */
-  private def subvectors(spark: SparkSession, dir: String, m: Int)
-      : DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+  /** Unit-normalize + split an arbitrary (vec_id, e) frame into M
+    * contiguous subvectors: (vec_id, sub, sv) — the frame-based core
+    * shared by the corpus-table path, [[trainFrom]] and [[encode]].
+    * Normalization lives HERE so training, encoding and the ADC
+    * tables always see the same geometry (dot ≡ cosine).
+    */
+  private def subvectorsOf(emb: DataFrame, m: Int): DataFrame = {
+    val unit = emb
       .withColumn("n", expr(s"sqrt(${dotSql.format("e", "e")})"))
       .select(col("vec_id"), expr("transform(e, x -> x / n)").as("e"))
     val dsub = s"(size(e) div $m)"
-    emb.select(col("vec_id"),
+    unit.select(col("vec_id"),
         explode(expr(s"transform(sequence(0, ${m - 1}), " +
           s"s -> struct(s as sub, slice(e, s * $dsub + 1, $dsub) as sv))"))
           .as("x"))
       .select(col("vec_id"), col("x.sub").as("sub"), col("x.sv").as("sv"))
   }
+
+  /** Unit-normalized corpus subvectors: (vec_id, sub, sv). */
+  private def subvectors(spark: SparkSession, dir: String, m: Int)
+      : DataFrame =
+    subvectorsOf(
+      Tables.embeddings(spark, dir)
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("e"))
+        .repartition(spark.sparkContext.defaultParallelism, col("vec_id")),
+      m)
 
   /** Argmin-L2 code per (vec_id, sub) against a broadcast codebook —
     * ties break to the smallest code, so assignment is a function of
@@ -82,12 +94,14 @@ object ProductQuantizer {
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("sub"), col("sv"), col("code"))
 
-  /** Train per-subspace codebooks and encode the corpus. */
-  def build(spark: SparkSession, dir: String, m: Int = 8, ksub: Int = 16,
-      iters: Int = 4): PqModel = {
+  /** The per-subspace Lloyd loop over an already-checkpointed
+    * subvector frame — seed from the `ksub` lowest vec_ids, fixed
+    * `iters`, empty codes keep their previous centroid. Returns the
+    * checkpointed (sub, code, c) codebook.
+    */
+  private def lloyd(sv: DataFrame, ksub: Int, iters: Int): DataFrame = {
     require(ksub <= 4096,
       s"PQ ksub=$ksub: the single-partition seed window is only safe small")
-    val sv = graft.Materialize.checkpoint(subvectors(spark, dir, m))
     // Deterministic seed: the ksub lowest vec_ids' subvectors become
     // codes 0..ksub-1 IN EVERY subspace. The no-partition-by-sub
     // window is safe for the same reason as IvfIndex's: it runs over
@@ -119,6 +133,74 @@ object ProductQuantizer {
       graft.Materialize.release(prev)
       i += 1
     }
+    codebook
+  }
+
+  /** Train per-subspace codebooks over an arbitrary (vec_id,
+    * e: array<double>) frame — the quantizer an INCREMENTAL consumer
+    * freezes at init time ([[IncrementalIvf.initializeCoded]]).
+    * Returns the (sub, code, c) codebook (checkpointed; release via
+    * [[graft.Materialize]] once persisted).
+    */
+  def trainFrom(spark: SparkSession, emb: DataFrame, m: Int = 8,
+      ksub: Int = 16, iters: Int = 4): DataFrame = {
+    val sv = graft.Materialize.checkpoint(subvectorsOf(emb, m))
+    val codebook = lloyd(sv, ksub, iters)
+    graft.Materialize.release(sv)
+    codebook
+  }
+
+  /** Encode an arbitrary (vec_id, e) frame against a FROZEN codebook:
+    * (vec_id, codes array<int>) — the map-side argmin pass an
+    * incremental add runs per batch. `m` must match the codebook's
+    * subspace count.
+    */
+  def encode(emb: DataFrame, codebook: DataFrame, m: Int): DataFrame =
+    assign(subvectorsOf(emb, m), codebook)
+      .groupBy("vec_id")
+      .agg(array_sort(collect_list(struct(col("sub"), col("code")))).as("sc"))
+      .select(col("vec_id"), expr("transform(sc, x -> x.code)").as("codes"))
+
+  /** The probe's ADC lookup table for a LITERAL query vector
+    * (normalized here with the same geometry as the corpus): one
+    * (sub, lut) row per subspace, lut = the ksub partial dots —
+    * m × ksub doubles, broadcastable at any corpus size.
+    */
+  def adcLut(codebook: DataFrame, probe: Seq[Double], m: Int): DataFrame = {
+    val n = math.sqrt(probe.map(x => x * x).sum)
+    val unit = probe.map(_ / n)
+    val dsub = unit.size / m
+    val spark = codebook.sparkSession
+    import spark.implicits._
+    val probeDF = (0 until m)
+      .map(s => (s, unit.slice(s * dsub, (s + 1) * dsub)))
+      .toDF("sub", "qv")
+    codebook.join(broadcast(probeDF), "sub")
+      .select(col("sub"), col("code"),
+        expr(dotSql.format("qv", "c")).as("pdot"))
+      .groupBy("sub")
+      .agg(array_sort(collect_list(struct(col("code"), col("pdot")))).as("cp"))
+      .select(col("sub"), expr("transform(cp, x -> x.pdot)").as("lut"))
+  }
+
+  /** ADC scoring of a (vec_id, codes) frame against a broadcast
+    * (sub, lut) table: m `element_at`s + one sum per candidate —
+    * (vec_id, approx_sim).
+    */
+  def adcScoreCodes(codes: DataFrame, lut: DataFrame): DataFrame =
+    codes
+      .select(col("vec_id"), posexplode(col("codes")).as(Seq("sub", "code")))
+      .join(broadcast(lut), "sub")
+      .select(col("vec_id"),
+        expr("element_at(lut, code + 1)").as("pdot"))
+      .groupBy("vec_id")
+      .agg(sum("pdot").as("approx_sim"))
+
+  /** Train per-subspace codebooks and encode the corpus. */
+  def build(spark: SparkSession, dir: String, m: Int = 8, ksub: Int = 16,
+      iters: Int = 4): PqModel = {
+    val sv = graft.Materialize.checkpoint(subvectors(spark, dir, m))
+    val codebook = lloyd(sv, ksub, iters)
     val codes = graft.Materialize.checkpoint(
       assign(sv, codebook)
         .groupBy("vec_id")
@@ -157,14 +239,7 @@ object ProductQuantizer {
       .groupBy("sub")
       .agg(array_sort(collect_list(struct(col("code"), col("pdot")))).as("cp"))
       .select(col("sub"), expr("transform(cp, x -> x.pdot)").as("lut"))
-    codes
-      .filter(col("vec_id") =!= probeVecId)
-      .select(col("vec_id"), posexplode(col("codes")).as(Seq("sub", "code")))
-      .join(broadcast(table), "sub")
-      .select(col("vec_id"),
-        expr("element_at(lut, code + 1)").as("pdot"))
-      .groupBy("vec_id")
-      .agg(sum("pdot").as("approx_sim"))
+    adcScoreCodes(codes.filter(col("vec_id") =!= probeVecId), table)
   }
 
   /** IVFADC — [[IvfIndex]] composed with the quantizer, the FAISS

@@ -233,6 +233,123 @@ class IncrementalIvfSpec extends AnyFunSuite {
     assert(fire1 && base1 - cur1 > 0.05)
   }
 
+  test("coded members (incremental IVFADC) equal the from-scratch coded twin") {
+    import graft.operators.ProductQuantizer
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-incivf-pq").toString + "/ivf"
+    import spark.implicits._
+    val m = 2
+
+    IncrementalIvf.initializeCoded(spark,
+      (1L to 30L).map(i => (i, vec(i))).toDF("vec_id", "e"),
+      root, k = 3, iters = 2, m = m, ksub = 4, pqIters = 2)
+    var live: Map[Long, Seq[Double]] =
+      (1L to 30L).map(i => i -> vec(i)).toMap
+
+    // the frozen tables the oracle shares with the index
+    lazy val centroids = spark.read.parquet(s"$root/centroids")
+    lazy val codebook = spark.read.parquet(s"$root/pq_codebook")
+
+    def expectedAdc(probe: Seq[Double], topK: Int,
+        nprobe: Int): Seq[(Long, Double)] = {
+      val p = array(probe.map(lit): _*)
+      val cells = centroids.withColumn("__p", p)
+        .withColumn("cs", expr("cosine_sim(c, __p)"))
+        .orderBy(col("cs").desc, col("cell"))
+        .limit(nprobe).select("cell").collect().map(_.getInt(0)).toSeq
+      val liveDF = live.toSeq.toDF("vec_id", "e")
+      val cand = IvfIndex.assignTo(liveDF, centroids)
+        .filter(col("cell").isin(cells: _*)).select("vec_id")
+      ProductQuantizer.adcScoreCodes(
+          ProductQuantizer.encode(liveDF, codebook, m)
+            .join(cand, Seq("vec_id")),
+          ProductQuantizer.adcLut(codebook, probe, m))
+        .select(col("vec_id"), round(col("approx_sim"), 4).as("s"))
+        .orderBy(col("s").desc, col("vec_id")).limit(topK)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    }
+    def gotAdc(probe: Seq[Double], topK: Int,
+        nprobe: Int): Seq[(Long, Double)] =
+      IncrementalIvf.searchAdc(spark, root, probe, topK, nprobe)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+    assert(gotAdc(vec(5L), 5, 2) === expectedAdc(vec(5L), 5, 2))
+
+    // batch 1: adds, an update that MOVES a vector's cell, a delete
+    val b1 = Seq((31L, vec(31L), "I"), (32L, vec(32L), "I"),
+      (7L, vec(8L), "U"), (9L, Seq.empty[Double], "D"))
+    IncrementalIvf.applyBatchCoded(spark, root, df(b1), 1L)
+    live = live ++ Map(31L -> vec(31L), 32L -> vec(32L), 7L -> vec(8L)) - 9L
+    Seq(1L, 2L, 8L).foreach { pid =>
+      assert(gotAdc(vec(pid), 6, 2) === expectedAdc(vec(pid), 6, 2),
+        s"ADC equality after mutation batch, probe $pid")
+    }
+
+    // the production shape: ADC shortlist + exact rerank against an
+    // EXTERNAL vector store — with all cells probed and a pool wider
+    // than the live set this must equal brute-force exact cosine
+    val store = live.toSeq.toDF("vec_id", "e")
+    val probe = vec(2L)
+    val p = array(probe.map(lit): _*)
+    val exact = store.withColumn("__p", p)
+      .select(col("vec_id"), round(expr("cosine_sim(e, __p)"), 4).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id")).limit(5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val reranked = IncrementalIvf.searchAdcRerank(spark, root, probe,
+        store, 5, nprobe = 3, pool = 100)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(reranked === exact,
+      "all-cells + wide-pool rerank must recover exact search")
+
+    // compaction folds coded members without changing any answer, and
+    // later coded batches land on the compacted base
+    val before = gotAdc(vec(1L), 8, 3)
+    IncrementalIvf.compact(spark, root, upTo = 1L)
+    assert(gotAdc(vec(1L), 8, 3) === before)
+    IncrementalIvf.applyBatchCoded(spark, root,
+      df(Seq((40L, vec(40L), "I"))), 2L)
+    live += 40L -> vec(40L)
+    assert(gotAdc(vec(40L), 6, 2) === expectedAdc(vec(40L), 6, 2))
+  }
+
+  test("coded retrain cutover rebuilds codes from the external store") {
+    val parent = java.nio.file.Files
+      .createTempDirectory("graft-incivf-ccut").toString + "/cann"
+    import spark.implicits._
+    val m = 2
+
+    IncrementalIvf.initializeCodedAliased(spark,
+      (1L to 30L).map(i => (i, vec(i))).toDF("vec_id", "e"),
+      parent, k = 3, iters = 2, m = m, ksub = 4, pqIters = 2)
+    val oodVec: Long => Seq[Double] = { i =>
+      val v = Array.fill(dim)(0.0); v(3) = 1.0; v(2) = 0.01 * (i % 5)
+      v.toSeq
+    }
+    IncrementalIvf.applyBatchCoded(spark,
+      IncrementalIvf.activeRoot(spark, parent),
+      df((31L to 40L).map(i => (i, oodVec(i), "I"))), 1L)
+
+    // the external full-vector store is the rebuild's vector source
+    val store = ((1L to 30L).map(i => (i, vec(i))) ++
+      (31L to 40L).map(i => (i, oodVec(i)))).toDF("vec_id", "e")
+    val newRoot = IncrementalIvf.retrainCutoverCoded(spark, parent,
+      store, k = 4, iters = 2, m = m, ksub = 4, pqIters = 2)
+    assert(newRoot.endsWith("/g1") &&
+      IncrementalIvf.activeRoot(spark, parent) === newRoot)
+
+    // the rebuilt coded index equals a from-scratch coded init on the
+    // same live set with the same parameters (both trainers are
+    // deterministic)
+    val scratch = java.nio.file.Files
+      .createTempDirectory("graft-incivf-cscr").toString + "/ivf"
+    IncrementalIvf.initializeCoded(spark, store, scratch,
+      k = 4, iters = 2, m = m, ksub = 4, pqIters = 2)
+    def adc(root: String) = IncrementalIvf
+      .searchAdc(spark, root, oodVec(33L), 6, 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(adc(newRoot) === adc(scratch) && adc(newRoot).nonEmpty)
+  }
+
   test("retrain cutover: old generation serves until the atomic alias flip") {
     val parent = java.nio.file.Files
       .createTempDirectory("graft-incivf-cut").toString + "/ann"
