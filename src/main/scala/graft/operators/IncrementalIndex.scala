@@ -332,6 +332,72 @@ object IncrementalIndex {
   def cleanupCompacted(spark: SparkSession, root: String): Unit =
     SegmentLog.cleanup(spark, root, Seq("postings", "docs", "df"))
 
+  // ---- aliased generations: the blue/green REINDEX --------------------
+  //
+  // The postings are a pure function of the corpus AND the analyzer
+  // (tokenization, normalization). An analyzer change therefore
+  // invalidates every segment — the production answer is a blue/green
+  // reindex: rebuild into a fresh generation from the authoritative
+  // document store while readers keep serving the old one, then flip
+  // atomically. Mechanics shared with the IVF retrain cutover
+  // ([[SegmentLog.Alias]]); this index owns only the rebuild semantics
+  // (one bulk applyBatch of the supplied corpus).
+
+  /** The live generation root under `parent`. */
+  def activeRoot(spark: SparkSession, parent: String): String =
+    SegmentLog.Alias.resolve(spark, parent)
+
+  /** Alias `parent` at an (initially empty) generation `g0` —
+    * [[applyBatch]] bootstraps it like any root.
+    */
+  def initializeAliased(spark: SparkSession, parent: String): Unit =
+    SegmentLog.Alias.publish(spark, parent, "g0")
+
+  /** [[applyBatch]] against the live generation. */
+  def applyBatchActive(spark: SparkSession, parent: String,
+      batch: DataFrame, batchId: Long, nBuckets: Int = 16,
+      compactEvery: Int = 0): Unit =
+    applyBatch(spark, activeRoot(spark, parent), batch, batchId,
+      nBuckets, compactEvery)
+
+  /** [[currentPostings]] of the live generation. */
+  def currentPostingsActive(spark: SparkSession,
+      parent: String): DataFrame =
+    currentPostings(spark, activeRoot(spark, parent))
+
+  /** REINDEX with atomic cutover: bulk-apply the authoritative corpus
+    * `docs` (doc_id, text — the live document set; a doc absent here
+    * is gone, exactly like the coded IVF rebuild pulling from the
+    * external store) into a FRESH generation, then flip the alias —
+    * returns the new root. Run it when the analyzer changed (the
+    * rebuilt index tokenizes with the CURRENT code) or to shed a
+    * bloated log wholesale. Searches during the rebuild serve the old
+    * generation unchanged; a crash before the flip leaves it active;
+    * the bulk load lands at the old log's newest batch id so the CDC
+    * feed's strictly-monotone ids keep working across the flip; the
+    * old generation stays for in-flight readers until
+    * [[cleanupGenerations]].
+    */
+  def rebuildCutover(spark: SparkSession, parent: String,
+      docs: DataFrame, nBuckets: Int = 16): String = {
+    val oldRoot = activeRoot(spark, parent)
+    val gen = SegmentLog.Alias.nextGen(spark, parent)
+    val newRoot = s"$parent/$gen"
+    val lastBatch = readLog(spark, oldRoot, "docs")
+      .agg(max(col("seq"))).head.getLong(0)
+    applyBatch(spark, newRoot,
+      docs.select(col("doc_id"), col("text")).withColumn("op", lit("I")),
+      lastBatch, nBuckets)
+    SegmentLog.Alias.publish(spark, parent, gen)
+    newRoot
+  }
+
+  /** Delete every non-active generation under `parent` (after the
+    * reader quiesce window).
+    */
+  def cleanupGenerations(spark: SparkSession, parent: String): Unit =
+    SegmentLog.Alias.cleanup(spark, parent)
+
   /** Corpus stats for [[InvertedIndex.bm25Query]] from the index state
     * alone: (live doc count, mean live doc length) in ONE aggregate
     * over the thin changelog-resolved doc set.

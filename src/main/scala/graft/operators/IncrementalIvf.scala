@@ -426,27 +426,18 @@ object IncrementalIvf {
   // ---- aliased generations: the retrain CUTOVER protocol -------------
   //
   // A retrain is a bulk rebuild to a FRESH generation root while
-  // readers keep serving the old one; the `_active` alias marker at a
-  // PARENT root (one line: the live generation's child name, written
-  // with [[graft.ControlFiles.atomicWrite]]) is the single commit
-  // point. A crash anywhere before the flip leaves the old generation
-  // active and at most an orphaned half-built generation dir (each
-  // attempt builds into a fresh gN, so a retried rebuild never races
-  // its own crashed twin's files); readers resolve the alias per
-  // query and cut over atomically on the flip.
-
-  private def activeMarker(parent: String) =
-    new org.apache.hadoop.fs.Path(parent, "_active")
+  // readers keep serving the old one; the mechanics (alias marker,
+  // fresh-name allocation, atomic flip, orphan GC) live in
+  // [[SegmentLog.Alias]], shared with [[IncrementalIndex]]'s
+  // blue/green reindex — this index owns only the rebuild semantics
+  // (retrain quantizers on the live distribution, re-add live
+  // vectors).
 
   /** The live generation root under `parent` (fails fast on an
     * un-aliased parent). One control-file read per resolution.
     */
-  def activeRoot(spark: SparkSession, parent: String): String = {
-    val f = SegmentLog.hfs(spark, parent)
-    val p = activeMarker(parent)
-    require(f.exists(p), s"$parent has no _active index alias")
-    s"$parent/${graft.ControlFiles.readFully(f, p).trim}"
-  }
+  def activeRoot(spark: SparkSession, parent: String): String =
+    SegmentLog.Alias.resolve(spark, parent)
 
   /** [[initialize]] into generation `g0` under `parent` and publish
     * the alias — the bootstrap of an aliased (retrainable) index.
@@ -454,8 +445,7 @@ object IncrementalIvf {
   def initializeAliased(spark: SparkSession, vectors: DataFrame,
       parent: String, k: Int, iters: Int): Unit = {
     initialize(spark, vectors, s"$parent/g0", k, iters)
-    graft.ControlFiles.atomicWrite(SegmentLog.hfs(spark, parent),
-      activeMarker(parent), "g0")
+    SegmentLog.Alias.publish(spark, parent, "g0")
   }
 
   /** [[initializeCoded]] into generation `g0` under `parent` and
@@ -466,8 +456,7 @@ object IncrementalIvf {
       pqIters: Int = 4): Unit = {
     initializeCoded(spark, vectors, s"$parent/g0", k, iters, m, ksub,
       pqIters)
-    graft.ControlFiles.atomicWrite(SegmentLog.hfs(spark, parent),
-      activeMarker(parent), "g0")
+    SegmentLog.Alias.publish(spark, parent, "g0")
   }
 
   /** [[applyBatch]] against the live generation. */
@@ -494,16 +483,8 @@ object IncrementalIvf {
     */
   def retrainCutover(spark: SparkSession, parent: String, k: Int,
       iters: Int): String = {
-    val f = SegmentLog.hfs(spark, parent)
     val oldRoot = activeRoot(spark, parent)
-    // fresh generation name: max existing g<n> + 1 (a crashed
-    // attempt's orphan just bumps the counter)
-    val next = 1 + f.listStatus(new org.apache.hadoop.fs.Path(parent))
-      .toSeq.map(_.getPath.getName)
-      .filter(n => n.startsWith("g") && n.drop(1).nonEmpty &&
-        n.drop(1).forall(_.isDigit))
-      .map(_.drop(1).toLong).maxOption.getOrElse(-1L)
-    val gen = s"g$next"
+    val gen = SegmentLog.Alias.nextGen(spark, parent)
     val newRoot = s"$parent/$gen"
     // materialize the live set ONCE: it feeds the k-means passes, the
     // re-add, and the new training-fit baseline
@@ -515,7 +496,7 @@ object IncrementalIvf {
       applyBatch(spark, newRoot,
         live.withColumn("op", lit("I")), lastBatch)
       // the commit point: readers cut over here, atomically
-      graft.ControlFiles.atomicWrite(f, activeMarker(parent), gen)
+      SegmentLog.Alias.publish(spark, parent, gen)
     } finally live.unpersist(blocking = false)
     newRoot
   }
@@ -531,14 +512,8 @@ object IncrementalIvf {
   def retrainCutoverCoded(spark: SparkSession, parent: String,
       vectors: DataFrame, k: Int, iters: Int, m: Int = 8, ksub: Int = 16,
       pqIters: Int = 4): String = {
-    val f = SegmentLog.hfs(spark, parent)
     val oldRoot = activeRoot(spark, parent)
-    val next = 1 + f.listStatus(new org.apache.hadoop.fs.Path(parent))
-      .toSeq.map(_.getPath.getName)
-      .filter(n => n.startsWith("g") && n.drop(1).nonEmpty &&
-        n.drop(1).forall(_.isDigit))
-      .map(_.drop(1).toLong).maxOption.getOrElse(-1L)
-    val gen = s"g$next"
+    val gen = SegmentLog.Alias.nextGen(spark, parent)
     val newRoot = s"$parent/$gen"
     val liveIds = latestVecVersions(spark, oldRoot)
       .filter(col("op") =!= "D").select("vec_id")
@@ -554,7 +529,7 @@ object IncrementalIvf {
       graft.Materialize.release(codebook)
       applyBatchCoded(spark, newRoot,
         live.withColumn("op", lit("I")), lastBatch)
-      graft.ControlFiles.atomicWrite(f, activeMarker(parent), gen)
+      SegmentLog.Alias.publish(spark, parent, gen)
     } finally live.unpersist(blocking = false)
     newRoot
   }
@@ -563,17 +538,8 @@ object IncrementalIvf {
     * in-flight reader can still hold the old alias (the caller's
     * quiesce window, like vacuum retention).
     */
-  def cleanupGenerations(spark: SparkSession, parent: String): Unit = {
-    val f = SegmentLog.hfs(spark, parent)
-    val active = new org.apache.hadoop.fs.Path(
-      activeRoot(spark, parent)).getName
-    f.listStatus(new org.apache.hadoop.fs.Path(parent)).toSeq
-      .map(_.getPath.getName)
-      .filter(n => n.startsWith("g") && n.drop(1).nonEmpty &&
-        n.drop(1).forall(_.isDigit) && n != active)
-      .foreach(n => f.delete(
-        new org.apache.hadoop.fs.Path(s"$parent/$n"), true))
-  }
+  def cleanupGenerations(spark: SparkSession, parent: String): Unit =
+    SegmentLog.Alias.cleanup(spark, parent)
 
   /** The self-contained RETRAIN decision: (fire?, baseline, current) —
     * current live mean assignment cosine vs the training-time fit

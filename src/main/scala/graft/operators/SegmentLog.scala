@@ -138,6 +138,63 @@ private[operators] object SegmentLog {
         "lose the batch; redeliver first or compact strictly below")
   }
 
+  /** ALIASED GENERATIONS — the blue/green cutover both incremental
+    * indexes share: an `_active` marker at a PARENT root names the
+    * live generation directory (`g<N>`), a rebuild lands in a FRESH
+    * generation while readers keep resolving the alias per query, and
+    * one atomic control-file write is the entire commit. A crash
+    * before the flip leaves the old generation active plus at most an
+    * orphaned half-built dir; each attempt takes a new name, so a
+    * retried rebuild never races its crashed twin's files.
+    */
+  object Alias {
+    def marker(parent: String): org.apache.hadoop.fs.Path =
+      new org.apache.hadoop.fs.Path(parent, "_active")
+
+    /** The live generation root (fails fast on an un-aliased parent). */
+    def resolve(spark: SparkSession, parent: String): String = {
+      val f = hfs(spark, parent)
+      val p = marker(parent)
+      require(f.exists(p), s"$parent has no _active index alias")
+      s"$parent/${graft.ControlFiles.readFully(f, p).trim}"
+    }
+
+    /** Atomically point the alias at generation `gen`. */
+    def publish(spark: SparkSession, parent: String, gen: String): Unit =
+      graft.ControlFiles.atomicWrite(hfs(spark, parent), marker(parent),
+        gen)
+
+    /** A fresh generation name: max existing g<n> + 1 (a crashed
+      * attempt's orphan just bumps the counter).
+      */
+    def nextGen(spark: SparkSession, parent: String): String = {
+      val f = hfs(spark, parent)
+      val next = 1 + f.listStatus(
+        new org.apache.hadoop.fs.Path(parent)).toSeq
+        .map(_.getPath.getName)
+        .filter(n => n.startsWith("g") && n.drop(1).nonEmpty &&
+          n.drop(1).forall(_.isDigit))
+        .map(_.drop(1).toLong).maxOption.getOrElse(-1L)
+      s"g$next"
+    }
+
+    /** Delete every non-active generation under `parent` — run once no
+      * in-flight reader can still hold the old alias (the caller's
+      * quiesce window, like vacuum retention).
+      */
+    def cleanup(spark: SparkSession, parent: String): Unit = {
+      val f = hfs(spark, parent)
+      val active = new org.apache.hadoop.fs.Path(
+        resolve(spark, parent)).getName
+      f.listStatus(new org.apache.hadoop.fs.Path(parent)).toSeq
+        .map(_.getPath.getName)
+        .filter(n => n.startsWith("g") && n.drop(1).nonEmpty &&
+          n.drop(1).forall(_.isDigit) && n != active)
+        .foreach(n => f.delete(
+          new org.apache.hadoop.fs.Path(s"$parent/$n"), true))
+    }
+  }
+
   /** Publish `upTo` as the new horizon: temp write + OVERWRITE rename,
     * the one atomic commit point of a compaction. The overwrite rename
     * (FileContext — the same primitive Structured Streaming's

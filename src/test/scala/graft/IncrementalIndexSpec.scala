@@ -270,6 +270,62 @@ class IncrementalIndexSpec extends AnyFunSuite {
     assert(IncrementalIndex.stats(spark, root) === ((0L, 0.0)))
   }
 
+  test("blue/green reindex: the alias flip swaps generations atomically") {
+    import spark.implicits._
+    val parent = java.nio.file.Files
+      .createTempDirectory("graft-incidx-bg").toString + "/index"
+
+    IncrementalIndex.initializeAliased(spark, parent)
+    IncrementalIndex.applyBatchActive(spark, parent,
+      Seq((1L, "the quick fox", "I"), (2L, "the lazy dog", "I"))
+        .toDF("doc_id", "text", "op"), 0L)
+    IncrementalIndex.applyBatchActive(spark, parent,
+      Seq((2L, "the calm cat", "U"), (3L, "fox and cat", "I"))
+        .toDF("doc_id", "text", "op"), 1L)
+    val corpus = Map(1L -> "the quick fox", 2L -> "the calm cat",
+      3L -> "fox and cat")
+
+    // a half-built rebuild that never flips must be invisible
+    IncrementalIndex.applyBatch(spark, s"$parent/g9",
+      Seq((99L, "garbage", "I")).toDF("doc_id", "text", "op"), 0L)
+    assert(IncrementalIndex.activeRoot(spark, parent).endsWith("/g0"))
+    assert(rows(IncrementalIndex.currentPostingsActive(spark, parent)) ===
+      rows(InvertedIndex.build(corpus.toSeq.toDF("doc_id", "text"),
+        "doc_id", "text")))
+
+    // the cutover: rebuild from the authoritative doc store, flip —
+    // the crashed g9 orphan just bumps the generation counter
+    val newRoot = IncrementalIndex.rebuildCutover(spark, parent,
+      corpus.toSeq.toDF("doc_id", "text"))
+    assert(newRoot.endsWith("/g10") &&
+      IncrementalIndex.activeRoot(spark, parent) === newRoot)
+    assert(rows(IncrementalIndex.currentPostingsActive(spark, parent)) ===
+      rows(InvertedIndex.build(corpus.toSeq.toDF("doc_id", "text"),
+        "doc_id", "text")))
+    // the rebuilt generation is one bulk segment, not the old log
+    val f = new org.apache.hadoop.fs.Path(parent)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val segs = f.listStatus(
+        new org.apache.hadoop.fs.Path(s"$newRoot/docs")).toSeq
+      .map(_.getPath.getName).filter(_.startsWith("seq="))
+    assert(segs === Seq("seq=1"),
+      s"one bulk segment at the old head id expected, got $segs")
+
+    // the feed continues with monotone ids across the flip
+    IncrementalIndex.applyBatchActive(spark, parent,
+      Seq((4L, "new dog", "I")).toDF("doc_id", "text", "op"), 2L)
+    assert(rows(IncrementalIndex.currentPostingsActive(spark, parent)) ===
+      rows(InvertedIndex.build(
+        (corpus + (4L -> "new dog")).toSeq.toDF("doc_id", "text"),
+        "doc_id", "text")))
+
+    // generation GC keeps only the active root
+    IncrementalIndex.cleanupGenerations(spark, parent)
+    val gens = f.listStatus(new org.apache.hadoop.fs.Path(parent)).toSeq
+      .map(_.getPath.getName).filter(_.startsWith("g")).sorted
+    assert(gens === Seq("g10"))
+  }
+
   test("compact refuses to fold past a torn batch (redelivery would wedge)") {
     import spark.implicits._
     val root = java.nio.file.Files
