@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.IncrementalLsh
+import graft.sources.Tables
+
+/** The incremental banded-LSH candidate index must agree with the
+  * CONTRACT banding (q_dedup_minhash) on formulas, and with a
+  * from-scratch index on any CDC batch sequence — dedup-at-ingest
+  * cannot drift from dedup-at-rest.
+  */
+class IncrementalLshSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  private lazy val sf = SparkTestBase.sf0001
+
+  private def docs(): DataFrame =
+    Tables.documents(spark, sf).select("doc_id", "text")
+
+  private def pairsOf(df: DataFrame): Set[(Long, Long, Double)] =
+    df.select(
+        least(col("probe_id"), col("doc_id")).as("a"),
+        greatest(col("probe_id"), col("doc_id")).as("b"),
+        col("minhash_sim"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  test("one-batch index probed with the corpus equals q_dedup_minhash") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-inclsh-eq").toString + "/lsh"
+    IncrementalLsh.applyBatch(spark, root,
+      docs().withColumn("op", lit("I")), 0L)
+    val got = pairsOf(
+      IncrementalLsh.candidates(spark, root, docs()))
+    Materialize.releaseAll()
+    val expect = SparkEntry.queries("q_dedup_minhash")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    Materialize.releaseAll()
+    assert(got === expect && got.nonEmpty,
+      "the index's candidate set must be the contract operator's")
+  }
+
+  test("CDC batches track the from-scratch index; compaction preserves answers") {
+    val inc = java.nio.file.Files
+      .createTempDirectory("graft-inclsh-cdc").toString + "/lsh"
+    import spark.implicits._
+
+    // live corpus tracked alongside
+    val all = docs().collect().map(r => (r.getLong(0), r.getString(1)))
+    var live = all.filter(_._1 % 2 == 0).toMap
+    IncrementalLsh.applyBatch(spark, inc,
+      live.toSeq.toDF("doc_id", "text").withColumn("op", lit("I")), 0L)
+
+    // batch 1: add the odd half, UPDATE one doc to another's text (a
+    // guaranteed full-signature near-dup), DELETE one
+    val oddHalf = all.filter(_._1 % 2 == 1).toMap
+    val (victim, _) = live.head
+    val stolenText = oddHalf.head._2
+    val deleted = live.keys.max
+    val b1 = oddHalf.toSeq.map { case (id, t) => (id, t, "I") } ++
+      Seq((victim, stolenText, "U"),
+        (deleted, "", "D"))
+    IncrementalLsh.applyBatch(spark, inc,
+      b1.toDF("doc_id", "text", "op"), 1L)
+    live = live ++ oddHalf + (victim -> stolenText) - deleted
+
+    def check(probes: DataFrame): Unit = {
+      val scratch = java.nio.file.Files
+        .createTempDirectory("graft-inclsh-scr").toString + "/lsh"
+      IncrementalLsh.applyBatch(spark, scratch,
+        live.toSeq.toDF("doc_id", "text").withColumn("op", lit("I")), 0L)
+      val got = pairsOf(IncrementalLsh.candidates(spark, inc, probes))
+      val expect = pairsOf(
+        IncrementalLsh.candidates(spark, scratch, probes))
+      Materialize.releaseAll()
+      assert(got === expect)
+    }
+
+    // probes: a fresh near-dup of an indexed doc plus a corpus slice
+    val probes = (Seq((900001L, stolenText)) ++
+      live.toSeq.filter(_._1 % 7 == 0)).toDF("doc_id", "text")
+    check(probes)
+    // the takedown is really gone and the update really moved
+    val hits = pairsOf(IncrementalLsh.candidates(spark, inc, probes))
+    Materialize.releaseAll()
+    assert(!hits.exists(p => p._1 == deleted || p._2 == deleted),
+      "a deleted doc must never surface as a candidate")
+    assert(hits.exists(p =>
+      (p._1 == 900001L || p._2 == 900001L) &&
+        (p._1 == victim || p._2 == victim) && p._3 == 1.0),
+      "the updated doc must match the probe carrying its new text")
+
+    // compaction folds the log without changing any candidate
+    IncrementalLsh.compact(spark, inc, upTo = 1L)
+    check(probes)
+    // and later batches land on the compacted base
+    IncrementalLsh.applyBatch(spark, inc,
+      Seq((900002L, stolenText, "I")).toDF("doc_id", "text", "op"), 2L)
+    live += 900002L -> stolenText
+    check(probes)
+  }
+}
