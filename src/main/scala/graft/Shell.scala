@@ -113,6 +113,16 @@ import graft.sources.Tables
   *                                        and atomically flip _active;
   *                                        shows the generation move +
   *                                        new quantizer fit
+  *   lsh apply <root> <b> <mod> <rem>     band documents with
+  *                                        doc_id % mod == rem into the
+  *                                        incremental LSH candidate
+  *                                        index as CDC batch <b>
+  *   lsh candidates <root> <mod> <rem>    near-dup candidates of the
+  *                                        matching documents against
+  *                                        the index (pruned bucket
+  *                                        lookup, never a corpus scan)
+  *   lsh compact <root> <upTo>            fold the LSH log up to the
+  *                                        horizon
   *   refresh                              incremental-curation demo:
   *                                        initialize verdict state from
   *                                        ~80% of the corpus, refresh
@@ -594,6 +604,40 @@ object Shell {
           BigDecimal(current).setScale(4,
             BigDecimal.RoundingMode.HALF_UP).toDouble))
           .toDF("old_gen", "new_gen", "train_fit", "live_fit")
+      case List("lsh", "apply", root, batchId, mod, rem) =>
+        noKnob()
+        import s.implicits._
+        graft.operators.IncrementalLsh.applyBatch(s, root,
+          Tables.documents(s, dir)
+            .filter(pmod(col("doc_id"), lit(mod.toLong)) === rem.toLong)
+            .select(col("doc_id"), col("text"), lit("I").as("op")),
+          batchId.toLong)
+        Seq((batchId.toLong,
+          graft.operators.IncrementalLsh
+            .candidates(s, root, Tables.documents(s, dir)
+              .filter(pmod(col("doc_id"), lit(mod.toLong)) === rem.toLong)
+              .select("doc_id", "text"))
+            .count()))
+          .toDF("batch", "batch_candidate_pairs")
+      case List("lsh", "candidates", root, mod, rem) =>
+        noKnob()
+        graft.operators.IncrementalLsh.candidates(s, root,
+          Tables.documents(s, dir)
+            .filter(pmod(col("doc_id"), lit(mod.toLong)) === rem.toLong)
+            .select("doc_id", "text"))
+          .orderBy("probe_id", "doc_id")
+      case List("lsh", "compact", root, upTo) =>
+        noKnob()
+        import s.implicits._
+        graft.operators.IncrementalLsh.compact(s, root, upTo.toLong)
+        def segs(sub: String) = new java.io.File(s"$root/$sub")
+          .listFiles() match {
+            case null => 0L
+            case fs => fs.count(_.getName.startsWith("seq=")).toLong
+          }
+        Seq(("docs", upTo.toLong, segs("docs")),
+          ("members", upTo.toLong, segs("members")))
+          .toDF("log", "horizon", "fresh_segments")
       // incremental corpus refresh, end to end: bulk-load verdict state
       // from a deterministic ~80% of the documents table, feed the
       // other ~20% in as an arrival batch, and account for the delta —

@@ -320,8 +320,8 @@ class CorpusRefreshSpec extends AnyFunSuite {
     // from-scratch twins over the union of everything that arrived.
     import spark.implicits._
     import graft.streaming.{StreamingWindows, UpsertFileSink}
-    import graft.operators.{IncrementalIndex, IncrementalIvf, InvertedIndex,
-      IvfIndex}
+    import graft.operators.{IncrementalIndex, IncrementalIvf,
+      IncrementalLsh, InvertedIndex, IvfIndex}
 
     val base = java.nio.file.Files
       .createTempDirectory("graft-ingest").toString
@@ -329,6 +329,7 @@ class CorpusRefreshSpec extends AnyFunSuite {
     val landingRoot = s"$base/landing"
     val indexRoot = s"$base/index"
     val ivfRoot = s"$base/ivf"
+    val lshRoot = s"$base/lsh"
     val streamDir = java.nio.file.Files.createDirectory(
       java.nio.file.Paths.get(s"$base/stream"))
 
@@ -377,6 +378,8 @@ class CorpusRefreshSpec extends AnyFunSuite {
           IncrementalIvf.applyBatch(bs, ivfRoot,
             staged.select(col("doc_id").as("vec_id"), embedCol.as("e"),
               lit("I").as("op")), id)
+          IncrementalLsh.applyBatch(bs, lshRoot,
+            staged.withColumn("op", lit("I")), id, nBuckets = 8)
           Materialize.releaseAll()
         } finally staged.unpersist(blocking = false)
       }
@@ -418,6 +421,22 @@ class CorpusRefreshSpec extends AnyFunSuite {
       .select("vec_id", "cell").collect()
       .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
     assert(liveIvf === fullIvf && liveIvf.size === all.size)
+    // LSH candidate index == a from-scratch one-batch index over the
+    // union, probed with everything that arrived (the FIFTH store —
+    // near-dup lookup stays batch-synchronous with the rest)
+    def lshPairs(root: String) = IncrementalLsh
+      .candidates(spark, root, docsDF(all).select("doc_id", "text"),
+        nBuckets = 8)
+      .select(least(col("probe_id"), col("doc_id")),
+        greatest(col("probe_id"), col("doc_id")), col("minhash_sim"))
+      .distinct().collect().map(_.toString).toSet
+    val scratchLsh = s"$base/lsh_scratch"
+    IncrementalLsh.applyBatch(spark, scratchLsh,
+      docsDF(all).select("doc_id", "text").withColumn("op", lit("I")),
+      0L, nBuckets = 8)
+    assert(lshPairs(lshRoot) === lshPairs(scratchLsh))
+    assert(lshPairs(lshRoot).nonEmpty,
+      "the fixture's exact dups must band together")
     Materialize.releaseAll()
   }
 

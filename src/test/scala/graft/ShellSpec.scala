@@ -413,6 +413,35 @@ class ShellSpec extends AnyFunSuite {
     assert(after === shell)
   }
 
+  test("lsh commands drive the incremental candidate index end to end") {
+    import graft.operators.IncrementalLsh
+    import graft.sources.Tables
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-shell-lsh").toString + "/lsh"
+
+    // index the even half, then probe with the odd half from the REPL
+    Shell.run(spark, sf0001, s"lsh apply $root 0 2 0").head
+    val shell = Shell.run(spark, sf0001, s"lsh candidates $root 2 1")
+      .collect().map(_.toString).toSeq
+    val direct = IncrementalLsh.candidates(spark, root,
+        Tables.documents(spark, sf0001)
+          .filter(col("doc_id") % 2 === 1).select("doc_id", "text"))
+      .orderBy("probe_id", "doc_id")
+      .collect().map(_.toString).toSeq
+    Materialize.releaseAll()
+    assert(shell === direct && shell.nonEmpty)
+
+    // maintenance from the REPL: the horizon folds batch 0
+    val segRows = Shell.run(spark, sf0001, s"lsh compact $root 0")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(segRows.values.forall(_ === 0L),
+      s"every segment is at/below the horizon: $segRows")
+    val after = Shell.run(spark, sf0001, s"lsh candidates $root 2 1")
+      .collect().map(_.toString).toSeq
+    Materialize.releaseAll()
+    assert(after === shell)
+  }
+
   test("ivf commands drive the aliased incremental IVF end to end") {
     import graft.operators.IncrementalIvf
     import graft.sources.Tables
