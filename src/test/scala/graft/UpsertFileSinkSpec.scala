@@ -562,6 +562,13 @@ class UpsertFileSinkSpec extends AnyFunSuite {
     // still true after vacuum drops the superseded v=0
     UpsertFileSink.vacuumBucketed(spark, root)
     assert(bucketedSnapshot(root) === expect)
+    // a later batch merging ON TOP of the empty version reads it as an
+    // empty base — the key returns without resurrecting its dead peers
+    UpsertFileSink.upsertBatchBucketed(
+      Seq((b0keys.head, "back", "I", 3L)).toDF("key", "value", "op", "seq"),
+      2L, root, Seq("key"), nB)
+    assert(bucketedSnapshot(root) ===
+      ((b0keys.head -> "back") +: expect).sorted)
   }
 
   test("staged bucketed merge: constant job count regardless of touched buckets") {
