@@ -35,23 +35,32 @@ object ControlFiles {
     val tmp = new Path(dst.getParent, "." + dst.getName + ".tmp")
     val out = f.create(tmp, true)
     try out.write(content.getBytes("UTF-8")) finally out.close()
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      f.getUri, f.getConf)
-    fc.rename(f.makeQualified(tmp), f.makeQualified(dst),
-      Options.Rename.OVERWRITE)
-    // The tmp was created through `f` (possibly a ChecksumFileSystem,
+    // The tmp is created through `f` (possibly a ChecksumFileSystem,
     // which writes a `.<name>.crc` sidecar) but renamed through raw
-    // FileContext, which moves only the data file. Drop both sidecars:
-    // the tmp's (orphaned every write) and any stale `.<dst>.crc` left
-    // by a pre-FileContext writer — a stale sidecar describes the OLD
-    // content and makes a later checksummed open of `dst` throw
-    // ChecksumException against fully-valid data.
+    // FileContext, which moves only the data file — so sidecars must
+    // be managed by hand. Any stale `.<dst>.crc` left by a
+    // pre-FileContext writer describes the OLD content and makes a
+    // checksummed open of the renamed file throw ChecksumException
+    // against fully-valid data; it is deleted BEFORE the rename (old
+    // content with no sidecar always reads fine, so a crash between
+    // the delete and the rename is safe — deleting it after would
+    // leave a crash window that recreates the very mismatch). The
+    // tmp's sidecar is orphaned by the rename and reaped last (pure
+    // hygiene; a crash before it merely leaves the orphan for the
+    // next write).
     val raw = f match {
       case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
       case other => other
     }
-    Seq(tmp, dst)
-      .map(p => new Path(p.getParent, "." + p.getName + ".crc"))
-      .foreach(p => if (raw.exists(p)) raw.delete(p, false))
+    def dropSidecar(p: Path): Unit = {
+      val crc = new Path(p.getParent, "." + p.getName + ".crc")
+      if (raw.exists(crc)) raw.delete(crc, false)
+    }
+    dropSidecar(dst)
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      f.getUri, f.getConf)
+    fc.rename(f.makeQualified(tmp), f.makeQualified(dst),
+      Options.Rename.OVERWRITE)
+    dropSidecar(tmp)
   }
 }

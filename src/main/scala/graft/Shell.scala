@@ -190,6 +190,17 @@ object Shell {
     parted.sortWithinPartitions(sortCols: _*)
   }
 
+  /** Fresh `seq=` segment count of an incremental-index log dir —
+    * through the Hadoop filesystem, so scheme-qualified roots
+    * (file:/, hdfs:/) report correctly, not 0.
+    */
+  private def segCount(s: SparkSession, root: String, sub: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/$sub")
+    val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!f.exists(p)) 0L
+    else f.listStatus(p).count(_.getPath.getName.startsWith("seq=")).toLong
+  }
+
   private def load(s: SparkSession, dir: String, table: String): DataFrame =
     table match {
       case "events" => Tables.events(s, dir) // ns-timestamp handling
@@ -553,14 +564,9 @@ object Shell {
         noKnob()
         import s.implicits._
         graft.operators.IncrementalIndex.compact(s, root, upTo.toLong)
-        def segs(sub: String) = new java.io.File(s"$root/$sub")
-          .listFiles() match {
-            case null => 0L
-            case fs => fs.count(_.getName.startsWith("seq=")).toLong
-          }
-        Seq(("df", upTo.toLong, segs("df")),
-          ("docs", upTo.toLong, segs("docs")),
-          ("postings", upTo.toLong, segs("postings")))
+        Seq(("df", upTo.toLong, segCount(s, root, "df")),
+          ("docs", upTo.toLong, segCount(s, root, "docs")),
+          ("postings", upTo.toLong, segCount(s, root, "postings")))
           .toDF("log", "horizon", "fresh_segments")
       case List("ivf", "init", parent, k, iters) =>
         noKnob()
@@ -630,13 +636,8 @@ object Shell {
         noKnob()
         import s.implicits._
         graft.operators.IncrementalLsh.compact(s, root, upTo.toLong)
-        def segs(sub: String) = new java.io.File(s"$root/$sub")
-          .listFiles() match {
-            case null => 0L
-            case fs => fs.count(_.getName.startsWith("seq=")).toLong
-          }
-        Seq(("docs", upTo.toLong, segs("docs")),
-          ("members", upTo.toLong, segs("members")))
+        Seq(("docs", upTo.toLong, segCount(s, root, "docs")),
+          ("members", upTo.toLong, segCount(s, root, "members")))
           .toDF("log", "horizon", "fresh_segments")
       // incremental corpus refresh, end to end: bulk-load verdict state
       // from a deterministic ~80% of the documents table, feed the

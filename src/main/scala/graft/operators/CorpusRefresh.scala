@@ -327,6 +327,16 @@ object CorpusRefresh {
     require(lastCommitted.forall(_ <= batchId),
       s"refresh batch $batchId is older than committed state batch " +
         s"${lastCommitted.get} at $stateRoot")
+    // the pruned state pulls hash group keys with nBuckets — a value
+    // different from the one the projections were created with would
+    // read the wrong buckets and silently miss state rows; the sink's
+    // layout pin makes that loud
+    Seq(byId(stateRoot), byDigest(stateRoot), byNorm(stateRoot),
+      bySg(stateRoot))
+      .flatMap(r => UpsertFileSink.bucketCount(s, r)).foreach(nb =>
+        require(nb == nBuckets,
+          s"state at $stateRoot was created with nBuckets=$nb, " +
+            s"got $nBuckets — the bucket layout is frozen at creation"))
     if (SegmentLog.hfs(s, stateRoot).exists(
         new org.apache.hadoop.fs.Path(stateRoot, "_initialized")))
       require(batchId >= 1L,
@@ -445,7 +455,7 @@ object CorpusRefresh {
         // combined frame's own quality_ok is null on delta rows)
         .join(olds.select(col("doc_id"),
           col("quality_ok").as("__old_ok")), Seq("doc_id"), "left")
-      val result = graft.Materialize.checkpoint(aff
+      val recomputed = aff
         .withColumn("r_e",
           max(col("is_delta").cast("int"))
             .over(Window.partitionBy("digest")) === 1 ||
@@ -477,12 +487,7 @@ object CorpusRefresh {
           col("quality_ok2").as("quality_ok"), col("quality_score"),
           col("contamination"),
           coalesce(col("quality_ok"), col("__old_ok")).as("was_kept"),
-          col("is_delta")))
-
-      // the checkpoint above materialized every consumer of the key
-      // frames — release them now, not at session end
-      normKeys.unpersist(blocking = false)
-      sgKeys.unpersist(blocking = false)
+          col("is_delta"))
 
       // deleted docs: return-only rows (their state is tombstoned, not
       // rewritten) — every verdict false, was_kept = the old verdict
@@ -497,27 +502,42 @@ object CorpusRefresh {
           col("quality_score"), col("contamination"),
           col("quality_ok").as("was_kept"), lit(true).as("is_delta"))
 
+      // checkpoint the FULL returned delta (recomputed rows ∪ deleted
+      // rows ∪ the op tags) so it is self-contained: the caller's
+      // later actions must never re-derive rows from `olds`/`arr`
+      // plans after those caches release — a post-upsert re-read of
+      // state, or a vacuum racing the delta's consumption, could
+      // otherwise change what the caller applies downstream
+      val outCols = stateCols.map(col) :+ col("was_kept") :+
+        col("quality_ok").as("now_kept") :+ col("is_delta")
+      val opOf = arr.select(col("doc_id"), col("op").as("__arr_op"))
+      val returned = graft.Materialize.checkpoint(
+        recomputed.select(outCols: _*)
+          .unionByName(deletedOut.select(outCols: _*))
+          .join(opOf, Seq("doc_id"), "left")
+          .withColumn("op",
+            when(col("is_delta"), col("__arr_op"))
+              .otherwise(lit(null).cast("string")))
+          .drop("__arr_op"))
+
+      // the checkpoint above materialized every consumer of the key
+      // frames — release them now, not at session end
+      normKeys.unpersist(blocking = false)
+      sgKeys.unpersist(blocking = false)
+
       // changelog into the four projections: tombstone every arrival's
-      // old row at seq 0, land every recomputed row at seq 1
+      // old row at seq 0, land every non-deleted new row at seq 1
       val tomb = olds.select(stateCols.map(col): _*)
         .withColumn("op", lit("D")).withColumn("seq", lit(0L))
-      val ups = result.select(stateCols.map(col): _*)
+      val ups = returned
+        .filter(col("op").isNull || col("op") =!= "D")
+        .select(stateCols.map(col): _*)
         .withColumn("op", lit("U")).withColumn("seq", lit(1L))
       upsertAll(ups.unionByName(tomb), batchId, stateRoot, nBuckets,
         checkpointEvery)
       olds.unpersist(blocking = false)
 
-      val opOf = arr.select(col("doc_id"), col("op").as("__arr_op"))
-      result.select((stateCols.map(col) :+ col("was_kept") :+
-        col("quality_ok").as("now_kept") :+ col("is_delta")): _*)
-        .unionByName(deletedOut.select((stateCols.map(col) :+
-          col("was_kept") :+ col("quality_ok").as("now_kept") :+
-          col("is_delta")): _*))
-        .join(opOf, Seq("doc_id"), "left")
-        .withColumn("op",
-          when(col("is_delta"), col("__arr_op"))
-            .otherwise(lit(null).cast("string")))
-        .drop("__arr_op")
+      returned
     } finally {
       delta.unpersist(blocking = false)
       arr.unpersist(blocking = false)

@@ -170,6 +170,11 @@ object IncrementalIndex {
     // segment the readers prune — the CDC feed must stay monotone
     require(compactedUpTo(spark, root).forall(_ < batchId),
       s"batch $batchId is at or below $root's compaction horizon")
+    // the bucket count is physical layout: freeze at creation, fail
+    // loudly on a mismatch — a silently different value would compute
+    // touched-bucket manifests that miss the updated docs' OLD
+    // postings (their −1 df side vanishes, frequencies corrupt)
+    SegmentLog.pinLayout(spark, root, "_nbuckets", nBuckets.toLong)
     val hasState = fs.exists(new org.apache.hadoop.fs.Path(s"$root/docs"))
 
     val staged = batch.select(col("doc_id"), col("text"), col("op"))
@@ -289,10 +294,20 @@ object IncrementalIndex {
       nBuckets: Int = 16): Unit = {
     require(compactedUpTo(spark, root).forall(_ <= upTo),
       s"cannot compact $root backwards past its marker")
+    // a re-run AT the published horizon is the crashed-cleanup retry:
+    // the fold already committed (the marker is the proof), and
+    // re-folding would overwrite the very _compact tree the read plan
+    // now resolves from — finish the cleanup and converge instead
+    if (compactedUpTo(spark, root).contains(upTo)) {
+      cleanupCompacted(spark, root); return
+    }
     // refuse to fold past a torn first delivery — its redelivery would
     // wedge behind the horizon guard ([[SegmentLog.requireNoTornAtOrBelow]])
     SegmentLog.requireNoTornAtOrBelow(spark, root,
       Seq("postings", "df"), "docs", upTo)
+    // the fold re-buckets the live postings: its constant must match
+    // the one every batch wrote with
+    SegmentLog.pinLayout(spark, root, "_nbuckets", nBuckets.toLong)
     val latest = latestDocVersions(spark, root)
     val liveOld = latest
       .filter(col("seq") <= upTo && col("op") =!= "D")
@@ -383,11 +398,21 @@ object IncrementalIndex {
     val oldRoot = activeRoot(spark, parent)
     val gen = SegmentLog.Alias.nextGen(spark, parent)
     val newRoot = s"$parent/$gen"
-    val lastBatch = readLog(spark, oldRoot, "docs")
-      .agg(max(col("seq"))).head.getLong(0)
+    // 0 for a never-fed generation (an analyzer change before ingest
+    // started): the rebuild then simply IS batch 0 of the new root
+    val lastBatch = SegmentLog.lastSeq(spark, oldRoot, "docs")
     applyBatch(spark, newRoot,
       docs.select(col("doc_id"), col("text")).withColumn("op", lit("I")),
       lastBatch, nBuckets)
+    // write fence before the flip: the cutover assumes a single writer
+    // (reindex in the feed's quiesce window) — if a concurrent feed
+    // landed batches on the old generation during the rebuild,
+    // flipping would silently lose them; abort loudly instead (the old
+    // generation stays active, a re-run picks up the newer corpus)
+    val nowLast = SegmentLog.lastSeq(spark, oldRoot, "docs")
+    require(nowLast == lastBatch,
+      s"batch(es) landed on $oldRoot during the rebuild (last id " +
+        s"$lastBatch -> $nowLast) — flip aborted; re-run the cutover")
     SegmentLog.Alias.publish(spark, parent, gen)
     newRoot
   }

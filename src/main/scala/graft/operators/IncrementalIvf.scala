@@ -207,6 +207,11 @@ object IncrementalIvf {
   def compact(spark: SparkSession, root: String, upTo: Long): Unit = {
     require(SegmentLog.compactedUpTo(spark, root).forall(_ <= upTo),
       s"cannot compact $root backwards past its marker")
+    // re-run at the published horizon = crashed-cleanup retry: finish
+    // the cleanup, never re-fold over the tree readers resolve from
+    if (SegmentLog.compactedUpTo(spark, root).contains(upTo)) {
+      cleanupCompacted(spark, root); return
+    }
     // refuse to fold past a torn first delivery — its redelivery would
     // wedge behind the horizon guard ([[SegmentLog.requireNoTornAtOrBelow]])
     SegmentLog.requireNoTornAtOrBelow(spark, root,
@@ -490,11 +495,20 @@ object IncrementalIvf {
     // re-add, and the new training-fit baseline
     val live = liveMembers(spark, oldRoot).select("vec_id", "e").persist()
     try {
-      val lastBatch = SegmentLog.readLog(spark, oldRoot, "vecs")
-        .agg(max(col("seq"))).head.getLong(0)
+      val lastBatch = SegmentLog.lastSeq(spark, oldRoot, "vecs")
       initializeQuantizer(spark, live, newRoot, k, iters)
       applyBatch(spark, newRoot,
         live.withColumn("op", lit("I")), lastBatch)
+      // WRITE FENCE before the flip: the cutover assumes a single
+      // writer (retrain in the feed's quiesce window). If a concurrent
+      // feed landed batches on the old generation after the live-set
+      // snapshot, flipping would silently lose them — abort loudly
+      // instead; the old generation stays active and a re-run picks up
+      // the newer state.
+      val nowLast = SegmentLog.lastSeq(spark, oldRoot, "vecs")
+      require(nowLast == lastBatch,
+        s"batch(es) landed on $oldRoot during the rebuild (last id " +
+          s"$lastBatch -> $nowLast) — flip aborted; re-run the cutover")
       // the commit point: readers cut over here, atomically
       SegmentLog.Alias.publish(spark, parent, gen)
     } finally live.unpersist(blocking = false)
@@ -520,8 +534,7 @@ object IncrementalIvf {
     val live = vectors.join(liveIds, Seq("vec_id"))
       .select("vec_id", "e").persist()
     try {
-      val lastBatch = SegmentLog.readLog(spark, oldRoot, "vecs")
-        .agg(max(col("seq"))).head.getLong(0)
+      val lastBatch = SegmentLog.lastSeq(spark, oldRoot, "vecs")
       initializeQuantizer(spark, live, newRoot, k, iters)
       val codebook = ProductQuantizer.trainFrom(spark, live, m, ksub,
         pqIters)
@@ -529,6 +542,11 @@ object IncrementalIvf {
       graft.Materialize.release(codebook)
       applyBatchCoded(spark, newRoot,
         live.withColumn("op", lit("I")), lastBatch)
+      // write fence before the flip — see [[retrainCutover]]
+      val nowLast = SegmentLog.lastSeq(spark, oldRoot, "vecs")
+      require(nowLast == lastBatch,
+        s"batch(es) landed on $oldRoot during the rebuild (last id " +
+          s"$lastBatch -> $nowLast) — flip aborted; re-run the cutover")
       SegmentLog.Alias.publish(spark, parent, gen)
     } finally live.unpersist(blocking = false)
     newRoot

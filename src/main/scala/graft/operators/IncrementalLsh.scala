@@ -88,6 +88,11 @@ object IncrementalLsh {
         s"$root/docs/seq=$batchId/_SUCCESS"))) return
     require(SegmentLog.compactedUpTo(spark, root).forall(_ < batchId),
       s"batch $batchId is at or below $root's compaction horizon")
+    // the bucket count is part of the physical layout: freeze it at
+    // creation and fail loudly on a mismatch — a silently different
+    // value would send this batch's band rows to buckets the pruned
+    // candidate lookup never reads (false negatives with no error)
+    SegmentLog.pinLayout(spark, root, "_nbuckets", nBuckets.toLong)
     val staged = batch.select(col("doc_id"), col("text"), col("op"))
       .persist()
     try {
@@ -124,10 +129,16 @@ object IncrementalLsh {
     * verify statistic as `q_dedup_minhash` — computed from the carried
     * arrays with no second lookup. Cost: the probes' own signature
     * pass + a member read PRUNED to the ≤ 4·|probes| band buckets the
-    * probes hash into, never a corpus scan.
+    * probes hash into, never a corpus scan. The bucket count comes
+    * from the root's own layout pin, so a lookup can never hash probes
+    * with a different constant than the members were written with.
     */
-  def candidates(spark: SparkSession, root: String, probes: DataFrame,
-      nBuckets: Int = 16): DataFrame = {
+  def candidates(spark: SparkSession, root: String,
+      probes: DataFrame): DataFrame = {
+    val nBuckets = SegmentLog.layoutOf(spark, root, "_nbuckets")
+      .getOrElse(sys.error(
+        s"$root has no _nbuckets layout pin — apply a batch first"))
+      .toInt
     val probeRows = bandRows(spark, probes)
       .withColumn("bb", bucketCol(nBuckets))
       .persist()
@@ -161,6 +172,11 @@ object IncrementalLsh {
   def compact(spark: SparkSession, root: String, upTo: Long): Unit = {
     require(SegmentLog.compactedUpTo(spark, root).forall(_ <= upTo),
       s"cannot compact $root backwards past its marker")
+    // re-run at the published horizon = crashed-cleanup retry: finish
+    // the cleanup, never re-fold over the tree readers resolve from
+    if (SegmentLog.compactedUpTo(spark, root).contains(upTo)) {
+      SegmentLog.cleanup(spark, root, Seq("members", "docs")); return
+    }
     SegmentLog.requireNoTornAtOrBelow(spark, root,
       Seq("members"), "docs", upTo)
     val liveOld = latestDocVersions(spark, root)

@@ -138,6 +138,51 @@ private[operators] object SegmentLog {
         "lose the batch; redeliver first or compact strictly below")
   }
 
+  /** Freeze-or-verify a LAYOUT CONSTANT stored as a control file at
+    * the root (e.g. the bucket count the partition dirs were hashed
+    * with): the first writer records it, every later call must match —
+    * a silent mismatch would make bucket-pruned reads miss rows with
+    * no error at all, the worst failure class. Single-writer, like
+    * every other control file here.
+    */
+  def pinLayout(spark: SparkSession, root: String, name: String,
+      value: Long): Unit = {
+    val f = hfs(spark, root)
+    val p = new org.apache.hadoop.fs.Path(root, name)
+    if (!f.exists(p)) {
+      f.mkdirs(new org.apache.hadoop.fs.Path(root))
+      graft.ControlFiles.atomicWrite(f, p, value.toString)
+    } else {
+      val stored = readSmallFile(f, p).trim.toLong
+      require(stored == value,
+        s"$root was created with $name=$stored, got $value — layout " +
+          "constants are frozen at creation")
+    }
+  }
+
+  /** The pinned layout constant, if the root has recorded one. */
+  def layoutOf(spark: SparkSession, root: String,
+      name: String): Option[Long] = {
+    val f = hfs(spark, root)
+    val p = new org.apache.hadoop.fs.Path(root, name)
+    if (!f.exists(p)) None else Some(readSmallFile(f, p).trim.toLong)
+  }
+
+  /** Newest seq present in `root/sub`, 0 for a virgin or empty log —
+    * the batch id a generation cutover re-adds the live set at (so the
+    * external feed's strictly-monotone ids keep working across a
+    * flip), and the baseline its pre-flip write-fence compares
+    * against. Compaction-aware (a folded log answers its horizon even
+    * if every fresh segment dir is gone).
+    */
+  def lastSeq(spark: SparkSession, root: String, sub: String): Long = {
+    val f = hfs(spark, root)
+    if (compactedUpTo(spark, root).isEmpty &&
+        !f.exists(new org.apache.hadoop.fs.Path(s"$root/$sub"))) return 0L
+    val r = readLog(spark, root, sub).agg(max(col("seq"))).head
+    if (r.isNullAt(0)) 0L else r.getLong(0)
+  }
+
   /** ALIASED GENERATIONS — the blue/green cutover both incremental
     * indexes share: an `_active` marker at a PARENT root names the
     * live generation directory (`g<N>`), a rebuild lands in a FRESH
@@ -164,32 +209,50 @@ private[operators] object SegmentLog {
       graft.ControlFiles.atomicWrite(hfs(spark, parent), marker(parent),
         gen)
 
-    /** A fresh generation name: max existing g<n> + 1 (a crashed
-      * attempt's orphan just bumps the counter).
+    /** A fresh generation name: 1 + max over existing g<n> dirs AND
+      * the alias target (a crashed attempt's orphan just bumps the
+      * counter; the alias floor matters for a virgin aliased parent
+      * whose active generation has no directory yet — allocating the
+      * active name itself would build in place of the live root).
       */
     def nextGen(spark: SparkSession, parent: String): String = {
       val f = hfs(spark, parent)
-      val next = 1 + f.listStatus(
+      def genN(n: String): Option[Long] =
+        if (n.startsWith("g") && n.drop(1).nonEmpty &&
+          n.drop(1).forall(_.isDigit)) Some(n.drop(1).toLong) else None
+      val dirNs = f.listStatus(
         new org.apache.hadoop.fs.Path(parent)).toSeq
-        .map(_.getPath.getName)
-        .filter(n => n.startsWith("g") && n.drop(1).nonEmpty &&
-          n.drop(1).forall(_.isDigit))
-        .map(_.drop(1).toLong).maxOption.getOrElse(-1L)
-      s"g$next"
+        .map(_.getPath.getName).flatMap(genN)
+      val aliasN =
+        if (f.exists(marker(parent)))
+          genN(new org.apache.hadoop.fs.Path(
+            resolve(spark, parent)).getName)
+        else None
+      s"g${1 + (dirNs ++ aliasN).maxOption.getOrElse(-1L)}"
     }
 
-    /** Delete every non-active generation under `parent` — run once no
-      * in-flight reader can still hold the old alias (the caller's
-      * quiesce window, like vacuum retention).
+    /** Delete every generation STRICTLY BELOW the active one — run
+      * once no in-flight reader can still hold the old alias (the
+      * caller's quiesce window, like vacuum retention). Generations
+      * NEWER than the active one are never touched: a rebuild in
+      * flight always carries a newer name ([[nextGen]] allocates above
+      * every existing one), so deleting only below the alias can never
+      * race a concurrent builder — a crashed newer orphan is reclaimed
+      * by the cleanup after the NEXT successful flip moves the alias
+      * past it.
       */
     def cleanup(spark: SparkSession, parent: String): Unit = {
       val f = hfs(spark, parent)
       val active = new org.apache.hadoop.fs.Path(
         resolve(spark, parent)).getName
+      val activeN =
+        if (active.startsWith("g") && active.drop(1).forall(_.isDigit))
+          active.drop(1).toLong
+        else return // a non-gN alias target: nothing is provably stale
       f.listStatus(new org.apache.hadoop.fs.Path(parent)).toSeq
         .map(_.getPath.getName)
         .filter(n => n.startsWith("g") && n.drop(1).nonEmpty &&
-          n.drop(1).forall(_.isDigit) && n != active)
+          n.drop(1).forall(_.isDigit) && n.drop(1).toLong < activeN)
         .foreach(n => f.delete(
           new org.apache.hadoop.fs.Path(s"$parent/$n"), true))
     }

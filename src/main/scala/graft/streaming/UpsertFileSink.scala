@@ -209,6 +209,40 @@ object UpsertFileSink {
   def bucketCol(keyCols: Seq[String], nBuckets: Int) =
     pmod(hash(keyCols.map(col): _*), lit(nBuckets))
 
+  private val NBucketsFile = "_nbuckets"
+
+  /** The bucket count this table's layout was written with, if pinned
+    * (tables predating the pin return None and pin on their next
+    * write). A PRUNED reader ([[readBucketsBucketed]] callers) must
+    * hash its lookup keys with exactly this value or the manifest
+    * misses buckets silently — consult it instead of re-supplying the
+    * constant.
+    */
+  def bucketCount(spark: SparkSession, root: String): Option[Int] = {
+    val f = fs(spark, root)
+    val p = new Path(root, NBucketsFile)
+    if (!f.exists(p)) None else Some(readSmallFile(f, p).trim.toInt)
+  }
+
+  /** Freeze nBuckets at table creation; fail loudly on a mismatch —
+    * rows hashed with a different constant would land in buckets no
+    * pruned lookup ever reads (silent false negatives, the worst
+    * failure class).
+    */
+  private def pinBuckets(f: org.apache.hadoop.fs.FileSystem,
+      root: String, nBuckets: Int): Unit = {
+    val p = new Path(root, NBucketsFile)
+    if (!f.exists(p)) {
+      f.mkdirs(new Path(root))
+      atomicWrite(f, p, nBuckets.toString)
+    } else {
+      val stored = readSmallFile(f, p).trim.toInt
+      require(stored == nBuckets,
+        s"$root was created with nBuckets=$stored, got $nBuckets — " +
+          "the bucket layout is frozen at creation")
+    }
+  }
+
   /** Write `content` to a dot-prefixed temp name and rename into
     * place — readers listing `_commits` never observe a torn file
     * (dot-names are excluded by every listing filter here).
@@ -384,6 +418,7 @@ object UpsertFileSink {
     val f = fs(spark, root)
     require(!f.exists(commitsDir(root)),
       s"bulk load requires an empty table, but $root has commits")
+    pinBuckets(f, root, nBuckets)
     val staging = new Path(root, "_bulk")
     df.withColumn("__b", bucketCol(bucketCols, nBuckets))
       .write.mode("overwrite").partitionBy("__b")
@@ -551,6 +586,7 @@ object UpsertFileSink {
     require(nBuckets > 0, s"nBuckets=$nBuckets")
     val spark = batch.sparkSession
     val f = fs(spark, root)
+    pinBuckets(f, root, nBuckets)
     val marker = new Path(commitsDir(root), batchId.toString)
     val staged = batch.persist()
     try {

@@ -425,8 +425,7 @@ class CorpusRefreshSpec extends AnyFunSuite {
     // union, probed with everything that arrived (the FIFTH store —
     // near-dup lookup stays batch-synchronous with the rest)
     def lshPairs(root: String) = IncrementalLsh
-      .candidates(spark, root, docsDF(all).select("doc_id", "text"),
-        nBuckets = 8)
+      .candidates(spark, root, docsDF(all).select("doc_id", "text"))
       .select(least(col("probe_id"), col("doc_id")),
         greatest(col("probe_id"), col("doc_id")), col("minhash_sim"))
       .distinct().collect().map(_.toString).toSet

@@ -319,11 +319,27 @@ class IncrementalIndexSpec extends AnyFunSuite {
         (corpus + (4L -> "new dog")).toSeq.toDF("doc_id", "text"),
         "doc_id", "text")))
 
-    // generation GC keeps only the active root
+    // generation GC reclaims only generations BELOW the active one —
+    // a NEWER directory may be a concurrent rebuild in flight and must
+    // survive (it is reclaimed after the next successful flip)
+    f.mkdirs(new org.apache.hadoop.fs.Path(s"$parent/g11"))
     IncrementalIndex.cleanupGenerations(spark, parent)
     val gens = f.listStatus(new org.apache.hadoop.fs.Path(parent)).toSeq
       .map(_.getPath.getName).filter(_.startsWith("g")).sorted
-    assert(gens === Seq("g10"))
+    assert(gens === Seq("g10", "g11"),
+      "below-active reclaimed, in-flight newer build untouched")
+
+    // a cutover on a never-fed aliased index bulk-loads as batch 0
+    // instead of crashing on the missing log
+    val virgin = java.nio.file.Files
+      .createTempDirectory("graft-incidx-virgin").toString + "/index"
+    IncrementalIndex.initializeAliased(spark, virgin)
+    val vRoot = IncrementalIndex.rebuildCutover(spark, virgin,
+      Seq((1L, "hello world")).toDF("doc_id", "text"))
+    assert(vRoot.endsWith("/g1"))
+    assert(rows(IncrementalIndex.currentPostingsActive(spark, virgin)) ===
+      rows(InvertedIndex.build(Seq((1L, "hello world"))
+        .toDF("doc_id", "text"), "doc_id", "text")))
   }
 
   test("compact refuses to fold past a torn batch (redelivery would wedge)") {
@@ -366,5 +382,18 @@ class IncrementalIndexSpec extends AnyFunSuite {
         .toDF("doc_id", "text"), "doc_id", "text")
     assert(rows(IncrementalIndex.currentPostings(spark, root)) ===
       rows(full))
+    // re-running compact AT the published horizon is the
+    // crashed-cleanup retry: it must converge (finish cleanup), never
+    // re-fold over the _compact tree the read plan resolves from
+    IncrementalIndex.compact(spark, root, upTo = 5L)
+    assert(rows(IncrementalIndex.currentPostings(spark, root)) ===
+      rows(full))
+    // the bucket count is frozen at creation: a mismatched batch or
+    // fold fails loudly instead of silently mis-pruning old postings
+    intercept[IllegalArgumentException] {
+      IncrementalIndex.applyBatch(spark, root,
+        Seq((9L, "x y", "I")).toDF("doc_id", "text", "op"), 9L,
+        nBuckets = 64)
+    }
   }
 }

@@ -453,5 +453,10 @@ class IncrementalIvfSpec extends AnyFunSuite {
     val got = IncrementalIvf.search(spark, root, vec(99L), 5, 2)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(got === expected(root, live, vec(99L), 5, 2))
+    // re-run AT the published horizon = crashed-cleanup retry: must
+    // converge without re-folding over the tree readers resolve from
+    IncrementalIvf.compact(spark, root, upTo = 4L)
+    assert(IncrementalIvf.search(spark, root, vec(99L), 5, 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq === got)
   }
 }

@@ -93,9 +93,20 @@ class IncrementalLshSpec extends AnyFunSuite {
         (p._1 == victim || p._2 == victim) && p._3 == 1.0),
       "the updated doc must match the probe carrying its new text")
 
-    // compaction folds the log without changing any candidate
+    // compaction folds the log without changing any candidate; a
+    // re-run at the published horizon is the crashed-cleanup retry and
+    // must converge, never re-fold over the live tree
     IncrementalLsh.compact(spark, inc, upTo = 1L)
     check(probes)
+    IncrementalLsh.compact(spark, inc, upTo = 1L)
+    check(probes)
+    // the bucket count is frozen at creation — a mismatched writer
+    // fails loudly instead of stranding rows in unreadable buckets
+    intercept[IllegalArgumentException] {
+      IncrementalLsh.applyBatch(spark, inc,
+        Seq((900009L, stolenText, "I")).toDF("doc_id", "text", "op"),
+        9L, nBuckets = 64)
+    }
     // and later batches land on the compacted base
     IncrementalLsh.applyBatch(spark, inc,
       Seq((900002L, stolenText, "I")).toDF("doc_id", "text", "op"), 2L)
