@@ -613,16 +613,13 @@ object Shell {
       case List("lsh", "apply", root, batchId, mod, rem) =>
         noKnob()
         import s.implicits._
+        val slice = Tables.documents(s, dir)
+          .filter(pmod(col("doc_id"), lit(mod.toLong)) === rem.toLong)
+          .select("doc_id", "text")
         graft.operators.IncrementalLsh.applyBatch(s, root,
-          Tables.documents(s, dir)
-            .filter(pmod(col("doc_id"), lit(mod.toLong)) === rem.toLong)
-            .select(col("doc_id"), col("text"), lit("I").as("op")),
-          batchId.toLong)
+          slice.withColumn("op", lit("I")), batchId.toLong)
         Seq((batchId.toLong,
-          graft.operators.IncrementalLsh
-            .candidates(s, root, Tables.documents(s, dir)
-              .filter(pmod(col("doc_id"), lit(mod.toLong)) === rem.toLong)
-              .select("doc_id", "text"))
+          graft.operators.IncrementalLsh.candidates(s, root, slice)
             .count()))
           .toDF("batch", "batch_candidate_pairs")
       case List("lsh", "candidates", root, mod, rem) =>

@@ -305,9 +305,13 @@ object IncrementalIndex {
     // wedge behind the horizon guard ([[SegmentLog.requireNoTornAtOrBelow]])
     SegmentLog.requireNoTornAtOrBelow(spark, root,
       Seq("postings", "df"), "docs", upTo)
-    // the fold re-buckets the live postings: its constant must match
-    // the one every batch wrote with
-    SegmentLog.pinLayout(spark, root, "_nbuckets", nBuckets.toLong)
+    // the fold re-buckets the live postings: USE the root's pinned
+    // constant (the parameter is only the fallback for pre-pin roots —
+    // re-requiring it here would make a non-default index
+    // uncompactable from any caller without a knob, e.g. the Shell)
+    val nb = SegmentLog.layoutOf(spark, root, "_nbuckets")
+      .map(_.toInt).getOrElse(nBuckets)
+    SegmentLog.pinLayout(spark, root, "_nbuckets", nb.toLong)
     val latest = latestDocVersions(spark, root)
     val liveOld = latest
       .filter(col("seq") <= upTo && col("op") =!= "D")
@@ -321,10 +325,10 @@ object IncrementalIndex {
       // an emptied index folds to a plain (schema-carrying) empty file
       // — partitionBy of zero rows would write nothing readable
       if (foldPost.isEmpty)
-        foldPost.withColumn("db", bucketCol(nBuckets))
+        foldPost.withColumn("db", bucketCol(nb))
           .write.mode("overwrite").parquet(s"$tmp/postings")
       else
-        foldPost.withColumn("db", bucketCol(nBuckets))
+        foldPost.withColumn("db", bucketCol(nb))
           .write.mode("overwrite").partitionBy("db")
           .parquet(s"$tmp/postings")
       liveOld.select("doc_id", "op")
@@ -389,21 +393,32 @@ object IncrementalIndex {
     * bloated log wholesale. Searches during the rebuild serve the old
     * generation unchanged; a crash before the flip leaves it active;
     * the bulk load lands at the old log's newest batch id so the CDC
-    * feed's strictly-monotone ids keep working across the flip; the
-    * old generation stays for in-flight readers until
-    * [[cleanupGenerations]].
+    * feed's strictly-monotone ids keep working across the flip (safe
+    * precisely because that id's old content is contained in the
+    * rebuild — which is why a NEVER-FED generation refuses: reusing an
+    * id the feed hasn't issued yet would make the feed's real first
+    * batch a silent idempotence no-op; an empty index has nothing
+    * stale, feed it directly); the old generation stays for in-flight
+    * readers until [[cleanupGenerations]]. `nBuckets` 0 (the default)
+    * inherits the old generation's pinned bucket count.
     */
   def rebuildCutover(spark: SparkSession, parent: String,
-      docs: DataFrame, nBuckets: Int = 16): String = {
+      docs: DataFrame, nBuckets: Int = 0): String = {
     val oldRoot = activeRoot(spark, parent)
+    require(SegmentLog.hasBatches(spark, oldRoot, "docs"),
+      s"nothing to rebuild: $oldRoot never received a batch — an empty " +
+        "generation has no stale postings; feed it directly " +
+        "(applyBatchActive)")
     val gen = SegmentLog.Alias.nextGen(spark, parent)
     val newRoot = s"$parent/$gen"
-    // 0 for a never-fed generation (an analyzer change before ingest
-    // started): the rebuild then simply IS batch 0 of the new root
+    val nb =
+      if (nBuckets > 0) nBuckets
+      else SegmentLog.layoutOf(spark, oldRoot, "_nbuckets")
+        .map(_.toInt).getOrElse(16)
     val lastBatch = SegmentLog.lastSeq(spark, oldRoot, "docs")
     applyBatch(spark, newRoot,
       docs.select(col("doc_id"), col("text")).withColumn("op", lit("I")),
-      lastBatch, nBuckets)
+      lastBatch, nb)
     // write fence before the flip: the cutover assumes a single writer
     // (reindex in the feed's quiesce window) — if a concurrent feed
     // landed batches on the old generation during the rebuild,

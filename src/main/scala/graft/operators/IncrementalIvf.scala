@@ -489,6 +489,12 @@ object IncrementalIvf {
   def retrainCutover(spark: SparkSession, parent: String, k: Int,
       iters: Int): String = {
     val oldRoot = activeRoot(spark, parent)
+    // a never-fed generation has nothing stale and no issued batch id
+    // to reuse — rebuilding would claim id 0 and silently swallow the
+    // feed's real first batch as an idempotence no-op
+    require(SegmentLog.hasBatches(spark, oldRoot, "vecs"),
+      s"nothing to rebuild: $oldRoot never received a batch — feed it " +
+        "directly (applyBatchActive)")
     val gen = SegmentLog.Alias.nextGen(spark, parent)
     val newRoot = s"$parent/$gen"
     // materialize the live set ONCE: it feeds the k-means passes, the
@@ -527,6 +533,9 @@ object IncrementalIvf {
       vectors: DataFrame, k: Int, iters: Int, m: Int = 8, ksub: Int = 16,
       pqIters: Int = 4): String = {
     val oldRoot = activeRoot(spark, parent)
+    require(SegmentLog.hasBatches(spark, oldRoot, "vecs"),
+      s"nothing to rebuild: $oldRoot never received a batch — feed it " +
+        "directly (applyBatchCoded on the active root)")
     val gen = SegmentLog.Alias.nextGen(spark, parent)
     val newRoot = s"$parent/$gen"
     val liveIds = latestVecVersions(spark, oldRoot)

@@ -139,6 +139,19 @@ object IncrementalLsh {
       .getOrElse(sys.error(
         s"$root has no _nbuckets layout pin — apply a batch first"))
       .toInt
+    // an index fed only empty/delete-only batches has no members
+    // segment at all (the zero-row-partitionBy discipline skips it):
+    // that is a legitimate empty index, not a read error
+    if (!SegmentLog.hasBatches(spark, root, "members"))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("probe_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("minhash_sim",
+            org.apache.spark.sql.types.DoubleType))))
     val probeRows = bandRows(spark, probes)
       .withColumn("bb", bucketCol(nBuckets))
       .persist()

@@ -177,11 +177,30 @@ private[operators] object SegmentLog {
     */
   def lastSeq(spark: SparkSession, root: String, sub: String): Long = {
     val f = hfs(spark, root)
-    if (compactedUpTo(spark, root).isEmpty &&
+    val h = compactedUpTo(spark, root)
+    if (h.isEmpty &&
         !f.exists(new org.apache.hadoop.fs.Path(s"$root/$sub"))) return 0L
     val r = readLog(spark, root, sub).agg(max(col("seq"))).head
-    if (r.isNullAt(0)) 0L else r.getLong(0)
+    // floor at the horizon: a folded log whose live set emptied (every
+    // doc deleted, zero folded rows) still consumed ids up to the
+    // horizon — answering below it would let a cutover reuse an id an
+    // old batch already holds, turning its redelivery into fresh data
+    if (r.isNullAt(0)) h.getOrElse(0L)
+    else math.max(r.getLong(0), h.getOrElse(0L))
   }
+
+  /** Whether any batch has ever committed into `root/sub` (segment
+    * dirs present, or a compaction horizon proving folded history) —
+    * distinguishes "last seq is 0 because batch 0 exists" from a
+    * virgin log.
+    */
+  def hasBatches(spark: SparkSession, root: String, sub: String): Boolean =
+    compactedUpTo(spark, root).isDefined || {
+      val f = hfs(spark, root)
+      val dir = new org.apache.hadoop.fs.Path(s"$root/$sub")
+      f.exists(dir) &&
+        f.listStatus(dir).exists(_.getPath.getName.startsWith("seq="))
+    }
 
   /** ALIASED GENERATIONS — the blue/green cutover both incremental
     * indexes share: an `_active` marker at a PARENT root names the
@@ -246,7 +265,8 @@ private[operators] object SegmentLog {
       val active = new org.apache.hadoop.fs.Path(
         resolve(spark, parent)).getName
       val activeN =
-        if (active.startsWith("g") && active.drop(1).forall(_.isDigit))
+        if (active.startsWith("g") && active.drop(1).nonEmpty &&
+          active.drop(1).forall(_.isDigit))
           active.drop(1).toLong
         else return // a non-gN alias target: nothing is provably stale
       f.listStatus(new org.apache.hadoop.fs.Path(parent)).toSeq

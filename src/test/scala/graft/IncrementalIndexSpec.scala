@@ -329,14 +329,20 @@ class IncrementalIndexSpec extends AnyFunSuite {
     assert(gens === Seq("g10", "g11"),
       "below-active reclaimed, in-flight newer build untouched")
 
-    // a cutover on a never-fed aliased index bulk-loads as batch 0
-    // instead of crashing on the missing log
+    // a cutover on a never-fed aliased index REFUSES: it would claim
+    // batch id 0 the feed never issued, and the feed's real first
+    // batch would then no-op on the idempotence marker — an empty
+    // generation has nothing stale, so the fix is to just feed it
     val virgin = java.nio.file.Files
       .createTempDirectory("graft-incidx-virgin").toString + "/index"
     IncrementalIndex.initializeAliased(spark, virgin)
-    val vRoot = IncrementalIndex.rebuildCutover(spark, virgin,
-      Seq((1L, "hello world")).toDF("doc_id", "text"))
-    assert(vRoot.endsWith("/g1"))
+    val e = intercept[IllegalArgumentException] {
+      IncrementalIndex.rebuildCutover(spark, virgin,
+        Seq((1L, "hello world")).toDF("doc_id", "text"))
+    }
+    assert(e.getMessage.contains("never received a batch"))
+    IncrementalIndex.applyBatchActive(spark, virgin,
+      Seq((1L, "hello world", "I")).toDF("doc_id", "text", "op"), 0L)
     assert(rows(IncrementalIndex.currentPostingsActive(spark, virgin)) ===
       rows(InvertedIndex.build(Seq((1L, "hello world"))
         .toDF("doc_id", "text"), "doc_id", "text")))

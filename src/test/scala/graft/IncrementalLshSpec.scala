@@ -43,6 +43,20 @@ class IncrementalLshSpec extends AnyFunSuite {
       "the index's candidate set must be the contract operator's")
   }
 
+  test("an index with no member segments answers empty, not an error") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-inclsh-empty").toString + "/lsh"
+    // a delete-only first batch pins the layout and writes the
+    // changelog but (correctly) no members segment at all
+    IncrementalLsh.applyBatch(spark, root,
+      Seq((1L, "", "D")).toDF("doc_id", "text", "op"), 0L)
+    val got = IncrementalLsh.candidates(spark, root,
+      docs().limit(5))
+    assert(got.collect().isEmpty)
+    assert(got.columns.toSeq === Seq("probe_id", "doc_id", "minhash_sim"))
+  }
+
   test("CDC batches track the from-scratch index; compaction preserves answers") {
     val inc = java.nio.file.Files
       .createTempDirectory("graft-inclsh-cdc").toString + "/lsh"
