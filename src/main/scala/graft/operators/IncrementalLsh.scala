@@ -142,16 +142,11 @@ object IncrementalLsh {
     // an index fed only empty/delete-only batches has no members
     // segment at all (the zero-row-partitionBy discipline skips it):
     // that is a legitimate empty index, not a read error
-    if (!SegmentLog.hasBatches(spark, root, "members"))
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("probe_id",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("doc_id",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("minhash_sim",
-            org.apache.spark.sql.types.DoubleType))))
+    if (!SegmentLog.hasBatches(spark, root, "members")) {
+      import spark.implicits._
+      return Seq.empty[(Long, Long, Double)]
+        .toDF("probe_id", "doc_id", "minhash_sim")
+    }
     val probeRows = bandRows(spark, probes)
       .withColumn("bb", bucketCol(nBuckets))
       .persist()
@@ -194,7 +189,18 @@ object IncrementalLsh {
       Seq("members"), "docs", upTo)
     val liveOld = latestDocVersions(spark, root)
       .filter(col("seq") <= upTo && col("op") =!= "D")
-    val foldMembers = SegmentLog.readLog(spark, root, "members")
+    // an index fed only empty/delete-only batches never created the
+    // members dir (candidates() treats that as a legitimate empty
+    // index — so must the fold, which still bounds the CHANGELOG)
+    val memberLog =
+      if (SegmentLog.hasBatches(spark, root, "members"))
+        SegmentLog.readLog(spark, root, "members")
+      else {
+        import spark.implicits._
+        Seq.empty[(Long, Int, String, Seq[String], Int, Long)]
+          .toDF("doc_id", "band_id", "bk", "sg", "bb", "seq")
+      }
+    val foldMembers = memberLog
       .join(liveOld.select("doc_id", "seq"), Seq("doc_id", "seq"))
       .drop("seq")
       .persist()

@@ -175,32 +175,50 @@ private[operators] object SegmentLog {
     * against. Compaction-aware (a folded log answers its horizon even
     * if every fresh segment dir is gone).
     */
-  def lastSeq(spark: SparkSession, root: String, sub: String): Long = {
+  /** Seq ids of COMMITTED segments under `root/sub` — dirs whose
+    * `_SUCCESS` landed (the commit-log marker discipline). A torn
+    * first delivery's partial dir is NOT a batch: counting it would
+    * let a cutover reuse its id, and the torn batch's redelivery would
+    * then no-op against the new root's marker — the silent-swallow
+    * loss the never-fed guards exist to prevent.
+    */
+  private def committedSeqIds(spark: SparkSession, root: String,
+      sub: String): Seq[Long] = {
     val f = hfs(spark, root)
-    val h = compactedUpTo(spark, root)
-    if (h.isEmpty &&
-        !f.exists(new org.apache.hadoop.fs.Path(s"$root/$sub"))) return 0L
-    val r = readLog(spark, root, sub).agg(max(col("seq"))).head
-    // floor at the horizon: a folded log whose live set emptied (every
-    // doc deleted, zero folded rows) still consumed ids up to the
-    // horizon — answering below it would let a cutover reuse an id an
-    // old batch already holds, turning its redelivery into fresh data
-    if (r.isNullAt(0)) h.getOrElse(0L)
-    else math.max(r.getLong(0), h.getOrElse(0L))
+    val dir = new org.apache.hadoop.fs.Path(s"$root/$sub")
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).toSeq.map(_.getPath)
+      .filter { p =>
+        val n = p.getName
+        n.startsWith("seq=") && n.stripPrefix("seq=").forall(_.isDigit) &&
+          f.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
+      }
+      .map(_.getName.stripPrefix("seq=").toLong)
   }
 
-  /** Whether any batch has ever committed into `root/sub` (segment
-    * dirs present, or a compaction horizon proving folded history) —
-    * distinguishes "last seq is 0 because batch 0 exists" from a
-    * virgin log.
+  /** Newest COMMITTED seq in `root/sub`, 0 for a virgin or empty log —
+    * the batch id a generation cutover re-adds the live set at (so the
+    * external feed's strictly-monotone ids keep working across a
+    * flip), and the baseline its pre-flip write-fence compares
+    * against. Floored at the compaction horizon (a folded log whose
+    * live set emptied still consumed ids up to it — answering below
+    * would let a cutover reuse an id an old batch holds, turning its
+    * redelivery into fresh data); torn uncommitted segments never
+    * count. Pure directory listing — no Spark job.
+    */
+  def lastSeq(spark: SparkSession, root: String, sub: String): Long =
+    (committedSeqIds(spark, root, sub) :+
+      compactedUpTo(spark, root).getOrElse(0L)).max
+
+  /** Whether any batch has ever COMMITTED into `root/sub` (a
+    * `_SUCCESS`-marked segment, or a compaction horizon proving folded
+    * history) — distinguishes "last seq is 0 because batch 0 exists"
+    * from a virgin log, and never mistakes a torn first delivery for
+    * history.
     */
   def hasBatches(spark: SparkSession, root: String, sub: String): Boolean =
-    compactedUpTo(spark, root).isDefined || {
-      val f = hfs(spark, root)
-      val dir = new org.apache.hadoop.fs.Path(s"$root/$sub")
-      f.exists(dir) &&
-        f.listStatus(dir).exists(_.getPath.getName.startsWith("seq="))
-    }
+    compactedUpTo(spark, root).isDefined ||
+      committedSeqIds(spark, root, sub).nonEmpty
 
   /** ALIASED GENERATIONS — the blue/green cutover both incremental
     * indexes share: an `_active` marker at a PARENT root names the

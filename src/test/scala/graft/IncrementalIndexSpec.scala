@@ -394,12 +394,25 @@ class IncrementalIndexSpec extends AnyFunSuite {
     IncrementalIndex.compact(spark, root, upTo = 5L)
     assert(rows(IncrementalIndex.currentPostings(spark, root)) ===
       rows(full))
-    // the bucket count is frozen at creation: a mismatched batch or
-    // fold fails loudly instead of silently mis-pruning old postings
+    // the bucket count is frozen at creation: a mismatched BATCH fails
+    // loudly instead of silently mis-pruning old postings...
     intercept[IllegalArgumentException] {
       IncrementalIndex.applyBatch(spark, root,
         Seq((9L, "x y", "I")).toDF("doc_id", "text", "op"), 9L,
         nBuckets = 64)
     }
+    // ...while the FOLD inherits the root's pinned constant (a caller
+    // with no knob — e.g. the Shell — must still be able to compact a
+    // non-default-bucket root; the parameter is only a pre-pin
+    // fallback)
+    IncrementalIndex.applyBatch(spark, root,
+      Seq((9L, "x y", "I")).toDF("doc_id", "text", "op"), 9L)
+    IncrementalIndex.compact(spark, root, upTo = 9L, nBuckets = 64)
+    val full2 = InvertedIndex.build(
+      Seq((1L, "the quick fox"), (2L, "the lazy dog"), (3L, "fox den"),
+        (9L, "x y")).toDF("doc_id", "text"), "doc_id", "text")
+    assert(rows(IncrementalIndex.currentPostings(spark, root)) ===
+      rows(full2),
+      "a fold invoked with a mismatched parameter must use the pin")
   }
 }

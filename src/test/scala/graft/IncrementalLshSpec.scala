@@ -55,6 +55,23 @@ class IncrementalLshSpec extends AnyFunSuite {
       docs().limit(5))
     assert(got.collect().isEmpty)
     assert(got.columns.toSeq === Seq("probe_id", "doc_id", "minhash_sim"))
+    // compaction over the changelog-only state must not crash either —
+    // the inline compactEvery cadence reaches it on delete-heavy feeds
+    IncrementalLsh.applyBatch(spark, root,
+      Seq((2L, "", "D")).toDF("doc_id", "text", "op"), 1L,
+      compactEvery = 1)
+    IncrementalLsh.compact(spark, root, upTo = 1L)
+    assert(IncrementalLsh.candidates(spark, root, docs().limit(5))
+      .collect().isEmpty)
+    // and a later real batch lands on the folded-empty base
+    val someDoc = docs().limit(1).collect().head
+    IncrementalLsh.applyBatch(spark, root,
+      Seq((900100L, someDoc.getString(1), "I"))
+        .toDF("doc_id", "text", "op"), 2L)
+    val hit = IncrementalLsh.candidates(spark, root,
+      Seq((900101L, someDoc.getString(1))).toDF("doc_id", "text"))
+      .collect()
+    assert(hit.nonEmpty && hit.head.getDouble(2) === 1.0)
   }
 
   test("CDC batches track the from-scratch index; compaction preserves answers") {
