@@ -337,8 +337,9 @@ object CorpusRefresh {
         require(nb == nBuckets,
           s"state at $stateRoot was created with nBuckets=$nb, " +
             s"got $nBuckets — the bucket layout is frozen at creation"))
-    if (SegmentLog.hfs(s, stateRoot).exists(
-        new org.apache.hadoop.fs.Path(stateRoot, "_initialized")))
+    val initialized = SegmentLog.hfs(s, stateRoot).exists(
+      new org.apache.hadoop.fs.Path(stateRoot, "_initialized"))
+    if (initialized)
       require(batchId >= 1L,
         s"state at $stateRoot was bulk-initialized as batch 0 — " +
           "refresh ids must start at 1")
@@ -348,6 +349,19 @@ object CorpusRefresh {
     val arr = arrivals
       .select(col("doc_id"), col("lang"), col("text"), col("op"))
       .persist()
+    // mutation batches need the by_id primary index: on a state root
+    // initialized BEFORE that projection shipped, an op=D takedown of
+    // an existing doc would resolve no old row and silently no-op, and
+    // an op=U would strand the old row in any projection whose
+    // bucketing key changed — fail loudly instead of degrading (adds
+    // are fine: a fresh doc_id legitimately has no old row)
+    if (initialized &&
+      UpsertFileSink.lastCommittedBucketed(s, byId(stateRoot)).isEmpty)
+      require(arr.filter(col("op").isin("U", "D")).isEmpty,
+        s"state at $stateRoot has no committed by_id projection " +
+          "(initialized before doc mutations shipped) but the batch " +
+          "carries U/D ops — re-initialize the state root to enable " +
+          "updates/deletes")
     val delta = thinInputs(s,
       arr.filter(col("op") =!= "D").select("doc_id", "lang", "text"),
       scorer, scrub)
@@ -358,6 +372,12 @@ object CorpusRefresh {
       .select(stateCols.map(col): _*)
       .persist()
 
+    // persisted intermediates released in the finally: an exception
+    // anywhere below (state pulls, recompute, any projection upsert)
+    // must not leave blocks resident for the session lifetime — the
+    // success path still releases each as early as it can (unpersist
+    // is idempotent)
+    val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     try {
       // ---- old rows: the by_id primary-index pull -------------------
       // every arrival's previous flags row (empty for fresh ids), read
@@ -373,6 +393,7 @@ object CorpusRefresh {
         .join(arr.select("doc_id"), Seq("doc_id"), "left_semi")
         .select(stateCols.map(col): _*)
         .persist()
+      cached += olds
 
       // ---- cascade expansion: three pruned whole-group pulls --------
       // (bucket-id manifests are ≤ nBuckets ints, driver-side by
@@ -401,6 +422,7 @@ object CorpusRefresh {
       val normKeys = delta.select("norm_sig")
         .unionAll(e.select("norm_sig"))
         .unionAll(olds.select("norm_sig")).distinct().persist()
+      cached += normKeys
       val nB = normKeys.select(bk(col("norm_sig")).as("b")).distinct()
         .collect().map(_.getInt(0)).toSeq
       val n = UpsertFileSink
@@ -412,6 +434,7 @@ object CorpusRefresh {
       val sgKeys = delta.select("sg_key").unionAll(e.select("sg_key"))
         .unionAll(n.select("sg_key"))
         .unionAll(olds.select("sg_key")).distinct().persist()
+      cached += sgKeys
       val sB = sgKeys.select(bk(col("sg_key")).as("b")).distinct()
         .collect().map(_.getInt(0)).toSeq
       val sRows = UpsertFileSink
@@ -539,6 +562,7 @@ object CorpusRefresh {
 
       returned
     } finally {
+      cached.foreach(_.unpersist(blocking = false))
       delta.unpersist(blocking = false)
       arr.unpersist(blocking = false)
     }

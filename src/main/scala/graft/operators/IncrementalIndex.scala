@@ -106,26 +106,33 @@ object IncrementalIndex {
     // a USING join lists the key column first — re-select into the
     // log's own order before the positional union
     val cols = dfLog.columns.toSeq.map(col)
+    // the commit gate only ever has to judge FRESH seqs (≤ horizon
+    // passes ungated), so the evidence read lists fresh docs segments
+    // only — never the folded corpus changelog
+    val committedSeqs = SegmentLog.readFreshSegs(spark, root, "docs")
+      .map(_.select("seq").distinct())
+      .getOrElse {
+        import spark.implicits._
+        Seq.empty[Long].toDF("seq")
+      }
     dfLog.filter(col("seq") <= horizon).unionAll(
       dfLog.filter(col("seq") > horizon)
-        .join(readLog(spark, root, "docs").select("seq").distinct(),
-          Seq("seq"), "left_semi")
+        .join(committedSeqs, Seq("seq"), "left_semi")
         .select(cols: _*))
   }
 
   /** The doc changelog resolved to each doc's newest (seq, op);
     * `beforeSeq` bounds the view to versions strictly below it (the
-    * pre-batch view a replay needs).
+    * pre-batch view a replay needs). The rank-1 window runs over the
+    * FRESH segments only — folded rows (live at the horizon by
+    * construction) enter via a broadcast anti-join
+    * ([[SegmentLog.latestVersionsSplit]]), so changelog resolution
+    * never shuffles the folded corpus.
     */
   private def latestDocVersions(spark: SparkSession, root: String,
-      beforeSeq: Option[Long] = None): DataFrame = {
-    val w = Window.partitionBy("doc_id").orderBy(col("seq").desc)
-    val base = readLog(spark, root, "docs")
-    beforeSeq.fold(base)(b => base.filter(col("seq") < b))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select("doc_id", "seq", "op")
-  }
+      beforeSeq: Option[Long] = None): DataFrame =
+    SegmentLog.latestVersionsSplit(spark, root, "docs", "doc_id",
+      beforeSeq)
 
   /** Apply one CDC batch of documents to the index at `root`.
     * `batch` carries (doc_id, text, op): op `I`/`U` upserts the doc's
@@ -166,10 +173,14 @@ object IncrementalIndex {
     // would leave the folded +1s uncancelled forever.
     if (fs.exists(new org.apache.hadoop.fs.Path(
         s"$root/docs/seq=$batchId/_SUCCESS"))) return
-    // a batch at or below the compaction horizon would land in a
-    // segment the readers prune — the CDC feed must stay monotone
-    require(compactedUpTo(spark, root).forall(_ < batchId),
-      s"batch $batchId is at or below $root's compaction horizon")
+    // a batch at or below the horizon is a PROVABLY committed replay
+    // whose segment dirs (and _SUCCESS evidence) compaction cleaned
+    // up: the fold refuses torn batches
+    // ([[SegmentLog.requireNoTornAtOrBelow]]) and feed ids are
+    // contractually monotone, so the only path here is a lost ack —
+    // no-op, exactly like the landing zone's checkpoint-head rule
+    // ([[graft.streaming.UpsertFileSink.upsertBatchBucketed]]).
+    if (compactedUpTo(spark, root).exists(batchId <= _)) return
     // the bucket count is physical layout: freeze at creation, fail
     // loudly on a mismatch — a silently different value would compute
     // touched-bucket manifests that miss the updated docs' OLD
@@ -250,20 +261,35 @@ object IncrementalIndex {
     }
   }
 
+  private def emptyPostings(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(String, Long, Long, Long, Int)]
+      .toDF("token", "doc_id", "tf", "dl", "db")
+  }
+
+  /** The LIVE postings rows (token, doc_id, tf, dl) — the liveness
+    * fold pruned like the other indexes' lookups
+    * ([[SegmentLog.liveMembersPruned]]): folded postings are live at
+    * the horizon by construction, so they pay a broadcast anti-join
+    * against the fresh-key set instead of a corpus-wide changelog
+    * window + shuffle join. `prune` pre-filters the postings scan
+    * (e.g. to touched `db=` buckets).
+    */
+  private def livePostings(spark: SparkSession, root: String,
+      prune: DataFrame => DataFrame = identity): DataFrame =
+    SegmentLog.liveMembersPruned(spark, root, "postings", "docs",
+      "doc_id", prune, emptyPostings(spark))
+      .select("token", "doc_id", "tf", "dl")
+
   /** The index's current postings — (token, doc_id, tf, dl, df), the
     * exact shape [[InvertedIndex.build]] returns, so
     * `andQuery`/`rankedQuery`/`bm25Query` run on it unchanged.
     */
   def currentPostings(spark: SparkSession, root: String): DataFrame = {
-    val live = latestDocVersions(spark, root)
-      .filter(col("op") =!= "D").select("doc_id", "seq")
-    val cur = readLog(spark, root, "postings")
-      .join(live, Seq("doc_id", "seq"))
-      .select("token", "doc_id", "tf", "dl")
     val dfNow = committedDf(spark, root)
       .groupBy("token").agg(sum("delta").as("df"))
       .filter(col("df") > 0L)
-    cur.join(dfNow, Seq("token"))
+    livePostings(spark, root).join(dfNow, Seq("token"))
       .select("token", "doc_id", "tf", "dl", "df")
   }
 
@@ -291,7 +317,7 @@ object IncrementalIndex {
     * converges.
     */
   def compact(spark: SparkSession, root: String, upTo: Long,
-      nBuckets: Int = 16): Unit = {
+      nBuckets: Int = 0): Unit = {
     require(compactedUpTo(spark, root).forall(_ <= upTo),
       s"cannot compact $root backwards past its marker")
     // a re-run AT the published horizon is the crashed-cleanup retry:
@@ -306,11 +332,22 @@ object IncrementalIndex {
     SegmentLog.requireNoTornAtOrBelow(spark, root,
       Seq("postings", "df"), "docs", upTo)
     // the fold re-buckets the live postings: USE the root's pinned
-    // constant (the parameter is only the fallback for pre-pin roots —
-    // re-requiring it here would make a non-default index
-    // uncompactable from any caller without a knob, e.g. the Shell)
+    // constant (every root [[applyBatch]] ever touched has one). On a
+    // legacy pre-pin root the caller MUST name the count explicitly —
+    // guessing a default and then freezing it would land the folded
+    // rows in buckets that targeted reads under the feed's true count
+    // never list: silent false negatives, the exact failure class the
+    // pin exists to prevent, surfacing only at the next applyBatch's
+    // pin mismatch.
     val nb = SegmentLog.layoutOf(spark, root, "_nbuckets")
-      .map(_.toInt).getOrElse(nBuckets)
+      .map(_.toInt).getOrElse {
+        require(nBuckets > 0,
+          s"$root has no _nbuckets layout pin (pre-pin root): pass the " +
+            "bucket count it was actually fed with explicitly — " +
+            "compacting under a guessed default would silently strand " +
+            "re-bucketed postings outside every pruned read")
+        nBuckets
+      }
     SegmentLog.pinLayout(spark, root, "_nbuckets", nb.toLong)
     val latest = latestDocVersions(spark, root)
     val liveOld = latest
@@ -443,10 +480,7 @@ object IncrementalIndex {
     * over the thin changelog-resolved doc set.
     */
   def stats(spark: SparkSession, root: String): (Long, Double) = {
-    val live = latestDocVersions(spark, root)
-      .filter(col("op") =!= "D").select("doc_id", "seq")
-    val dls = readLog(spark, root, "postings")
-      .join(live, Seq("doc_id", "seq"))
+    val dls = livePostings(spark, root)
       .groupBy("doc_id").agg(first("dl").as("dl"))
     val r = dls.agg(count(lit(1)), avg("dl")).head
     // an emptied index (all docs deleted) has a null mean length

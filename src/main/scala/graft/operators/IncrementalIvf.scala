@@ -47,13 +47,24 @@ import graft.plans.CosineSimilarity
   */
 object IncrementalIvf {
 
+  /** Each vector's newest (vec_id, seq, op) — the rank-1 window runs
+    * over the FRESH segments only; folded rows (live at the horizon by
+    * construction) enter via a broadcast anti-join
+    * ([[SegmentLog.latestVersionsSplit]]), so the changelog resolution
+    * never shuffles the folded corpus.
+    */
   private def latestVecVersions(spark: SparkSession,
-      root: String): DataFrame = {
-    val w = Window.partitionBy("vec_id").orderBy(col("seq").desc)
-    SegmentLog.readLog(spark, root, "vecs")
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select("vec_id", "seq", "op")
+      root: String): DataFrame =
+    SegmentLog.latestVersionsSplit(spark, root, "vecs", "vec_id")
+
+  private def emptyPlainMembers(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(Long, Seq[Double], Int)].toDF("vec_id", "e", "cell")
+  }
+
+  private def emptyCodedMembers(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(Long, Seq[Int], Int)].toDF("vec_id", "codes", "cell")
   }
 
   /** Train the fixed quantizer only — the bootstrap for a CONTINUOUS
@@ -105,10 +116,16 @@ object IncrementalIvf {
     // the two indexes' replay contracts identical)
     if (SegmentLog.hfs(spark, root).exists(new org.apache.hadoop.fs.Path(
         s"$root/vecs/seq=$batchId/_SUCCESS"))) return
-    // a batch at or below the compaction horizon would land in a
-    // segment the readers prune — the feed must stay monotone
-    require(SegmentLog.compactedUpTo(spark, root).forall(_ < batchId),
-      s"batch $batchId is at or below $root's compaction horizon")
+    // a batch at or below the horizon is a PROVABLY committed replay:
+    // compaction refuses to fold a torn (present-but-uncommitted)
+    // batch and the feed's ids are contractually monotone, so the only
+    // way an id reaches ≤ horizon is a committed-then-compacted first
+    // delivery whose ack was lost — an at-least-once redelivery this
+    // no-op absorbs, exactly like the landing zone's checkpoint-head
+    // rule ([[graft.streaming.UpsertFileSink.upsertBatchBucketed]]).
+    // Its own _SUCCESS marker is gone (cleanup deleted the segment),
+    // which is why the horizon itself must carry the idempotence.
+    if (SegmentLog.compactedUpTo(spark, root).exists(batchId <= _)) return
     val centroids = spark.read.parquet(s"$root/centroids")
     val staged = batch.select(col("vec_id"), col("e"), col("op")).persist()
     try {
@@ -147,19 +164,21 @@ object IncrementalIvf {
 
   /** The live member set — (vec_id, e, cell), each vector exactly once
     * at its newest assignment. `cellFilter` prunes the member scan to
-    * the named cells BEFORE the liveness fold (partition dirs).
+    * the named cells BEFORE the liveness fold (partition dirs), and on
+    * a compacted root the liveness side is pruned too
+    * ([[SegmentLog.liveMembersPruned]]): folded member rows are live at
+    * the horizon by construction, so they pay only a broadcast
+    * anti-join against the ≤ compactEvery-batches fresh-key set —
+    * lookup shuffle volume is independent of the folded-corpus size.
+    * A root fed only delete-only batches (no member segment at all) is
+    * a legitimate empty index, not a read error.
     */
   def liveMembers(spark: SparkSession, root: String,
-      cellFilter: Option[Seq[Int]] = None): DataFrame = {
-    // compaction-aware: the folded tree keeps its cell= partition dirs,
-    // so the cell filter partition-prunes both sides of the union
-    val raw = SegmentLog.readLog(spark, root, "members")
-    val pruned = cellFilter.fold(raw)(cs => raw.filter(col("cell").isin(cs: _*)))
-    val live = latestVecVersions(spark, root)
-      .filter(col("op") =!= "D").select("vec_id", "seq")
-    pruned.join(live, Seq("vec_id", "seq"))
+      cellFilter: Option[Seq[Int]] = None): DataFrame =
+    SegmentLog.liveMembersPruned(spark, root, "members", "vecs", "vec_id",
+      raw => cellFilter.fold(raw)(cs => raw.filter(col("cell").isin(cs: _*))),
+      emptyPlainMembers(spark))
       .select("vec_id", "e", "cell")
-  }
 
   /** Top-k by cosine against a literal probe vector: rank the k fixed
     * centroids (k rows — the cheap step IVF exists for), prune the
@@ -220,8 +239,21 @@ object IncrementalIvf {
       .filter(col("seq") <= upTo && col("op") =!= "D")
     // payload-agnostic fold (drop the seq only): the member schema is
     // (vec_id, e, cell) on plain roots and (vec_id, codes, cell) on
-    // coded roots — the liveness fold is identical
-    val foldMembers = SegmentLog.readLog(spark, root, "members")
+    // coded roots — the liveness fold is identical. A root fed only
+    // delete-only/empty batches never created the members dir
+    // ([[liveMembers]] treats that as a legitimate empty index — so
+    // must the fold, which still bounds the CHANGELOG); the
+    // substituted schema follows the root's flavor.
+    val memberLog =
+      if (SegmentLog.hasBatches(spark, root, "members"))
+        SegmentLog.readLog(spark, root, "members")
+      else {
+        val coded = SegmentLog.hfs(spark, root).exists(
+          new org.apache.hadoop.fs.Path(s"$root/pq_codebook"))
+        (if (coded) emptyCodedMembers(spark) else emptyPlainMembers(spark))
+          .withColumn("seq", lit(0L))
+      }
+    val foldMembers = memberLog
       .join(liveOld.select("vec_id", "seq"), Seq("vec_id", "seq"))
       .drop("seq")
       .persist()
@@ -332,8 +364,9 @@ object IncrementalIvf {
       batchId: Long, compactEvery: Int = 0): Unit = {
     if (SegmentLog.hfs(spark, root).exists(new org.apache.hadoop.fs.Path(
         s"$root/vecs/seq=$batchId/_SUCCESS"))) return
-    require(SegmentLog.compactedUpTo(spark, root).forall(_ < batchId),
-      s"batch $batchId is at or below $root's compaction horizon")
+    // committed-then-compacted redelivery no-ops at/below the horizon
+    // (see [[applyBatch]] — the checkpoint-head rule)
+    if (SegmentLog.compactedUpTo(spark, root).exists(batchId <= _)) return
     val centroids = spark.read.parquet(s"$root/centroids")
     val codebook = spark.read.parquet(s"$root/pq_codebook")
     val m = pqM(codebook)
@@ -372,15 +405,12 @@ object IncrementalIvf {
     * partition level like [[liveMembers]].
     */
   def liveCodedMembers(spark: SparkSession, root: String,
-      cellFilter: Option[Seq[Int]] = None): DataFrame = {
-    val raw = SegmentLog.readLog(spark, root, "members")
-    val pruned = cellFilter.fold(raw)(cs =>
-      raw.filter(col("cell").isin(cs: _*)))
-    val live = latestVecVersions(spark, root)
-      .filter(col("op") =!= "D").select("vec_id", "seq")
-    pruned.join(live, Seq("vec_id", "seq"))
+      cellFilter: Option[Seq[Int]] = None): DataFrame =
+    SegmentLog.liveMembersPruned(spark, root, "members", "vecs", "vec_id",
+      raw => cellFilter.fold(raw)(cs =>
+        raw.filter(col("cell").isin(cs: _*))),
+      emptyCodedMembers(spark))
       .select("vec_id", "codes", "cell")
-  }
 
   /** ADC top-k over a coded root: rank the k fixed centroids against
     * the probe (k rows), prune the member scan to the `nprobe` best

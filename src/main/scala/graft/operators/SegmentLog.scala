@@ -89,6 +89,136 @@ private[operators] object SegmentLog {
         }
     }
 
+  /** The folded tree of `sub` at the published horizon, its `seq`
+    * column restored (= the horizon), or None without a marker.
+    */
+  def readFoldedTree(spark: SparkSession, root: String,
+      sub: String): Option[DataFrame] =
+    compactedUpTo(spark, root).map { c =>
+      spark.read.parquet(s"$root/_compact/$c/$sub")
+        .withColumn("seq", lit(c).cast("long"))
+    }
+
+  /** Only the segments STRICTLY above the horizon (every segment when
+    * no marker exists), or None when no fresh segment dir holds data.
+    */
+  def readFreshSegs(spark: SparkSession, root: String,
+      sub: String): Option[DataFrame] = {
+    val c = compactedUpTo(spark, root).getOrElse(-1L)
+    val dirs = freshSegDirs(spark, root, sub, c)
+    if (dirs.isEmpty) None
+    else Some(spark.read.option("basePath", s"$root/$sub")
+      .parquet(dirs: _*)
+      .withColumn("seq", col("seq").cast("long")))
+  }
+
+  /** Each key's newest (key, seq, op) changelog row WITHOUT a
+    * corpus-wide window: on a compacted root the folded tree holds
+    * exactly one LIVE row per pre-horizon key (compaction's own
+    * invariant), and only the ≤ compactEvery fresh batches can
+    * supersede it — so the rank-1 window runs over the FRESH segments
+    * alone and the folded side enters via a broadcast anti-join on the
+    * small fresh-key set. Result is row-identical to windowing the
+    * whole log (a key in fresh has its global newest row there; a
+    * folded-only key's newest row IS its folded row; keys deleted
+    * at/below the horizon are absent from both, matching the full
+    * window's view after the op != 'D' fold). Without a marker this is
+    * the plain one-window read — the pre-first-compaction log is
+    * bounded by the compaction cadence anyway.
+    */
+  def latestVersionsSplit(spark: SparkSession, root: String,
+      commitSub: String, key: String,
+      beforeSeq: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def bound(log: DataFrame): DataFrame =
+      beforeSeq.fold(log)(b => log.filter(col("seq") < b))
+    def latestOver(log: DataFrame): DataFrame = {
+      val w = Window.partitionBy(key).orderBy(col("seq").desc)
+      bound(log).withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col(key), col("seq"), col("op"))
+    }
+    compactedUpTo(spark, root) match {
+      case None => latestOver(readLog(spark, root, commitSub))
+      case Some(c) =>
+        // a beforeSeq at or below the horizon would need pre-fold
+        // history the folded tree no longer carries — the fold's own
+        // horizon guard makes this unreachable from the apply paths
+        require(beforeSeq.forall(_ > c),
+          s"beforeSeq ${beforeSeq.get} is at or below $root's " +
+            s"compaction horizon $c: that view is folded away")
+        val folded = readFoldedTree(spark, root, commitSub).get
+          .select(col(key), col("seq"), col("op"))
+        readFreshSegs(spark, root, commitSub) match {
+          case None => folded
+          case Some(fl) =>
+            val fresh = latestOver(fl)
+            folded
+              .join(broadcast(fresh.select(key)), Seq(key), "left_anti")
+              .unionByName(fresh)
+        }
+    }
+  }
+
+  /** The LIVE member rows of a segment-log index, pruned BEFORE the
+    * liveness resolution and with shuffle volume independent of the
+    * folded-corpus size (the read-side twin of [[latestVersionsSplit]],
+    * shared by the IVF / LSH / inverted-index lookups): folded member
+    * rows are live-by-construction at the horizon, so they need only a
+    * broadcast ANTI-join against the fresh changelog's key set; fresh
+    * member rows fold against the latest FRESH changelog version via a
+    * broadcast join. `prune` applies partition-dir pruning (`cell=` /
+    * `bb=` / `db=` filters) to each member side before any join;
+    * `emptyMembers` supplies the schema when the member log never
+    * materialized (a root fed only delete-only batches skips the
+    * member segment — a legitimate empty index, not a read error).
+    * Returns member payload columns WITHOUT `seq`.
+    */
+  def liveMembersPruned(spark: SparkSession, root: String,
+      memberSub: String, commitSub: String, key: String,
+      prune: DataFrame => DataFrame,
+      emptyMembers: => DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def latestOver(log: DataFrame): DataFrame = {
+      val w = Window.partitionBy(key).orderBy(col("seq").desc)
+      log.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col(key), col("seq"), col("op"))
+    }
+    if (!hasBatches(spark, root, memberSub) &&
+      !hasBatches(spark, root, commitSub)) return emptyMembers
+    compactedUpTo(spark, root) match {
+      case None =>
+        val mem =
+          if (hasBatches(spark, root, memberSub))
+            readLog(spark, root, memberSub)
+          else emptyMembers.withColumn("seq", lit(0L))
+        val live = latestOver(readLog(spark, root, commitSub))
+          .filter(col("op") =!= "D").select(key, "seq")
+        prune(mem).join(live, Seq(key, "seq")).drop("seq")
+      case Some(_) =>
+        // the folded member tree always exists post-compaction (an
+        // emptied index folds to a schema-carrying empty file)
+        val foldedM = prune(readFoldedTree(spark, root, memberSub).get)
+          .drop("seq")
+        readFreshSegs(spark, root, commitSub) match {
+          case None => foldedM
+          case Some(fl) =>
+            val fresh = latestOver(fl)
+            val freshLive = fresh.filter(col("op") =!= "D")
+              .select(key, "seq")
+            val foldedLive = foldedM
+              .join(broadcast(fresh.select(key)), Seq(key), "left_anti")
+            readFreshSegs(spark, root, memberSub) match {
+              case None => foldedLive
+              case Some(fm) => foldedLive.unionByName(
+                prune(fm).join(broadcast(freshLive), Seq(key, "seq"))
+                  .drop("seq"))
+            }
+        }
+    }
+  }
+
   /** Seq ids of segment dirs present under `root/sub` STRICTLY above
     * the published horizon (pre-horizon survivors are superseded
     * garbage a crashed cleanup left — invisible to readers, not

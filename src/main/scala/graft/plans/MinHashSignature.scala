@@ -12,21 +12,29 @@ import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native MinHash signature expression: `minhash_sig(shingles)` →
-  * array of 8 hex strings, where component j is the lexicographic min
-  * over shingles of md5(j || ':' || shingle).
+  * array of `k` hex strings (default 8 — the contract scheme; an
+  * optional second LITERAL argument overrides it:
+  * `minhash_sig(shingles, 16)`), where component j is the
+  * lexicographic min over shingles of md5(j || ':' || shingle).
   *
   * Semantically identical to the nested higher-order-function
   * formulation in graft.operators.DedupExtras (same md5-of-UTF8,
   * same lowercase hex, same min), but evaluated as one tight JVM loop
-  * with a reused MessageDigest instead of 8 × |shingles| interpreted
+  * with a reused MessageDigest instead of k × |shingles| interpreted
   * lambda frames — the hot-path form for the 100 TB dedup sweep.
   * CodegenFallback is fine here: the cost is the digest loop itself,
   * which is compiled JVM code either way.
+  *
+  * The k parameter exists for [[graft.operators.LshPlanner]]-chosen
+  * banding schemes (a b × r factorization needs k = b·r signature
+  * components); components are INDEX-STABLE across k — component j is
+  * the same hash family member at any k, so a k=8 signature is a
+  * prefix of the k=16 one.
   */
-case class MinHashSignature(child: Expression)
+case class MinHashSignature(child: Expression, k: Int = 8)
     extends UnaryExpression with CodegenFallback {
 
-  private val k = 8
+  require(k >= 1, s"minhash_sig: k=$k")
 
   // containsNull: an empty shingle array yields null components — the
   // same behavior as array_min(transform(empty)) in the HOF form.
@@ -79,10 +87,17 @@ case class MinHashSignature(child: Expression)
 }
 
 object MinHashSignature {
-  /** Register `minhash_sig(shingles)`. Idempotent. */
+  /** Register `minhash_sig(shingles[, k])`. Idempotent. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_sig",
-      exprs => MinHashSignature(exprs.head),
+      {
+        case Seq(c) => MinHashSignature(c)
+        case Seq(c, org.apache.spark.sql.catalyst.expressions
+            .Literal(k: Int, org.apache.spark.sql.types.IntegerType)) =>
+          MinHashSignature(c, k)
+        case other => throw new IllegalArgumentException(
+          s"minhash_sig(shingles[, k-literal]): got ${other.size} args")
+      },
       "built-in")
 }

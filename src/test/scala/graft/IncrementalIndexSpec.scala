@@ -155,11 +155,15 @@ class IncrementalIndexSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSet
     assert(hits.subsetOf(corpus.keySet) && hits.nonEmpty)
 
-    // a batch below the compaction horizon is rejected loudly
-    intercept[IllegalArgumentException] {
-      IncrementalIndex.applyBatch(spark, root,
-        Seq((9L, "too old", "I")).toDF("doc_id", "text", "op"), 2L)
-    }
+    // a batch id at/below the compaction horizon is a PROVABLY
+    // committed redelivery whose segment dirs (and _SUCCESS evidence)
+    // cleanup removed: the apply absorbs it as a no-op (the landing
+    // zone's checkpoint-head rule) — state untouched, nothing thrown
+    IncrementalIndex.applyBatch(spark, root,
+      Seq((9L, "too old", "I")).toDF("doc_id", "text", "op"), 2L)
+    check()
+    assert(!new java.io.File(s"$root/docs/seq=2").exists,
+      "a below-horizon redelivery must not write a segment")
 
     // cleanup is idempotent and safe to re-run any time
     IncrementalIndex.cleanupCompacted(spark, root)

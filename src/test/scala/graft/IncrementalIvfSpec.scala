@@ -177,12 +177,15 @@ class IncrementalIvfSpec extends AnyFunSuite {
     assert(!new java.io.File(s"$root/members/seq=4").exists,
       "a delete-only batch must not leave a member husk")
 
-    // the horizon is a floor: stale batch ids and backwards compaction
-    // are rejected loudly
-    intercept[IllegalArgumentException] {
-      IncrementalIvf.applyBatch(spark, root,
-        df(Seq((99L, vec(99L), "I"))), 3L)
-    }
+    // a batch id at/below the horizon is a PROVABLY committed
+    // redelivery (compaction refuses torn folds, ids are monotone):
+    // the apply absorbs it as a no-op — state untouched, no segment
+    // written; backwards compaction stays rejected loudly
+    IncrementalIvf.applyBatch(spark, root,
+      df(Seq((99L, vec(99L), "I"))), 3L)
+    check()
+    assert(!new java.io.File(s"$root/vecs/seq=3").exists,
+      "a below-horizon redelivery must not write a segment")
     intercept[IllegalArgumentException] {
       IncrementalIvf.compact(spark, root, 1L)
     }

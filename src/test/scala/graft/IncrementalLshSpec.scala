@@ -143,5 +143,13 @@ class IncrementalLshSpec extends AnyFunSuite {
       Seq((900002L, stolenText, "I")).toDF("doc_id", "text", "op"), 2L)
     live += 900002L -> stolenText
     check(probes)
+    // a redelivered batch at/below the horizon (its segments and
+    // _SUCCESS evidence compacted away) no-ops instead of wedging —
+    // state untouched, no segment written
+    IncrementalLsh.applyBatch(spark, inc,
+      Seq((900777L, stolenText, "I")).toDF("doc_id", "text", "op"), 1L)
+    check(probes)
+    assert(!new java.io.File(s"$inc/docs/seq=1").exists,
+      "a below-horizon redelivery must not write a segment")
   }
 }
