@@ -274,10 +274,15 @@ object IncrementalIvf {
   }
 
   /** Delete segment dirs and compact trees the `_compacted` marker has
-    * superseded. Safe any time; a no-op without a marker.
+    * superseded. Safe any time; a no-op without a marker. The coded
+    * fit log folds with the rest: fit rows at/below the horizon are
+    * committed history the [[retrainSignalCoded]] window no longer
+    * needs (with an inline `compactEvery` cadence the monitor
+    * effectively sees the post-horizon batches — a drift decision is
+    * about RECENT arrivals by definition).
     */
   def cleanupCompacted(spark: SparkSession, root: String): Unit =
-    SegmentLog.cleanup(spark, root, Seq("members", "vecs"))
+    SegmentLog.cleanup(spark, root, Seq("members", "vecs", "fit"))
 
   /** The RETRAIN monitor: per-cell live population and mean assignment
     * similarity, plus the overall row (cell = -1). Under a fixed
@@ -350,8 +355,25 @@ object IncrementalIvf {
     val codebook = ProductQuantizer.trainFrom(spark, vectors, m, ksub,
       pqIters)
     codebook.write.mode("overwrite").parquet(s"$root/pq_codebook")
+    recordAdcBaseline(spark, root, vectors, codebook, m)
     graft.Materialize.release(codebook)
     applyBatchCoded(spark, root, vectors.withColumn("op", lit("I")), 0L)
+  }
+
+  /** Record the training sample's mean PQ reconstruction cosine as the
+    * CODED root's drift baseline (`_adc_fit`) — the coded twin of
+    * `_train_fit`: a coded root stores no vectors, so its drift
+    * monitor compares WRITE-time fit partials
+    * ([[applyBatchCoded]]'s per-batch fit log) against this value.
+    */
+  private def recordAdcBaseline(spark: SparkSession, root: String,
+      sample: DataFrame, codebook: DataFrame, m: Int): Unit = {
+    val r = ProductQuantizer.reconFitStats(sample, codebook, m).head
+    val fit0 =
+      if (r.getLong(0) == 0L) 1.0
+      else r.getDouble(1) / r.getLong(0)
+    graft.ControlFiles.atomicWrite(SegmentLog.hfs(spark, root),
+      new org.apache.hadoop.fs.Path(root, "_adc_fit"), fit0.toString)
   }
 
   /** [[applyBatch]] for a CODED root: I/U assigns the vector's nearest
@@ -381,16 +403,29 @@ object IncrementalIvf {
       try {
         val memberDir = new org.apache.hadoop.fs.Path(
           s"$root/members/seq=$batchId")
+        val fitDir = new org.apache.hadoop.fs.Path(
+          s"$root/fit/seq=$batchId")
         val f = SegmentLog.hfs(spark, root)
         if (coded.isEmpty) {
           if (f.exists(memberDir)) f.delete(memberDir, true)
-        } else coded.write.mode("overwrite").partitionBy("cell")
-          .parquet(s"$root/members/seq=$batchId")
+          if (f.exists(fitDir)) f.delete(fitDir, true)
+        } else {
+          coded.write.mode("overwrite").partitionBy("cell")
+            .parquet(s"$root/members/seq=$batchId")
+          // per-batch ADC-fit partials (one tiny (n, fit_sum) row):
+          // the coded root stores no vectors, so drift is measured NOW
+          // while the batch still carries its embeddings — the data
+          // the [[retrainSignalCoded]] monitor folds. Written before
+          // the changelog like every data segment (the torn-write
+          // discipline: an uncommitted fit row is never read).
+          ProductQuantizer.reconFitStats(upserts, codebook, m)
+            .write.mode("overwrite").parquet(s"$root/fit/seq=$batchId")
+        }
         staged.select("vec_id", "op").write.mode("overwrite")
           .parquet(s"$root/vecs/seq=$batchId")
       } finally coded.unpersist(blocking = false)
     } finally staged.unpersist(blocking = false)
-    Seq("members", "vecs")
+    Seq("members", "vecs", "fit")
       .foreach(sub => spark.catalog.refreshByPath(s"$root/$sub"))
     if (compactEvery > 0) {
       val h = SegmentLog.compactedUpTo(spark, root).getOrElse(-1L)
@@ -578,6 +613,10 @@ object IncrementalIvf {
       val codebook = ProductQuantizer.trainFrom(spark, live, m, ksub,
         pqIters)
       codebook.write.mode("overwrite").parquet(s"$newRoot/pq_codebook")
+      // the rebuilt generation gets a FRESH drift baseline: the live
+      // set's fit under the codebook just trained on it — the next
+      // [[retrainSignalCoded]] judges arrivals against this
+      recordAdcBaseline(spark, newRoot, live, codebook, m)
       graft.Materialize.release(codebook)
       applyBatchCoded(spark, newRoot,
         live.withColumn("op", lit("I")), lastBatch)
@@ -624,6 +663,50 @@ object IncrementalIvf {
     if (rows.isEmpty || rows.head.isNullAt(0))
       return (false, baseline, baseline)
     val current = rows.head.getDouble(0)
+    (baseline - current > tolerance, baseline, current)
+  }
+
+  /** The CODED root's retrain decision: (fire?, baseline, current) —
+    * the weighted mean PQ reconstruction cosine of the newest `window`
+    * committed upsert batches (the per-batch fit partials
+    * [[applyBatchCoded]] logged at write time) against the
+    * training-time `_adc_fit` baseline [[initializeCoded]] /
+    * [[retrainCutoverCoded]] recorded. The coded members hold codes,
+    * never vectors, so this is the drift monitor such a root CAN run:
+    * O(window) one-row reads, no corpus pass, no external store.
+    * Fired, the loop closes with [[retrainCutoverCoded]]. Quiet (and
+    * baseline-reported) when no committed upsert batch is visible —
+    * a scheduled monitor must not crash on a virgin or delete-only
+    * root.
+    */
+  def retrainSignalCoded(spark: SparkSession, root: String,
+      tolerance: Double = 0.05, window: Int = 3)
+      : (Boolean, Double, Double) = {
+    val f = SegmentLog.hfs(spark, root)
+    val bp = new org.apache.hadoop.fs.Path(root, "_adc_fit")
+    require(f.exists(bp),
+      s"$root has no recorded ADC fit baseline (not a coded root?)")
+    val baseline = graft.ControlFiles.readFully(f, bp).trim.toDouble
+    val fitDir = new org.apache.hadoop.fs.Path(s"$root/fit")
+    if (!f.exists(fitDir)) return (false, baseline, baseline)
+    val horizon = SegmentLog.compactedUpTo(spark, root).getOrElse(-1L)
+    // commit gating: a fit segment counts iff its batch's changelog
+    // committed (vecs _SUCCESS) or the horizon proves it — a torn
+    // first delivery's fit partial must never skew the monitor
+    val ids = f.listStatus(fitDir).toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith("seq=") &&
+        n.stripPrefix("seq=").forall(_.isDigit))
+      .map(_.stripPrefix("seq=").toLong)
+      .filter(id => id <= horizon || f.exists(
+        new org.apache.hadoop.fs.Path(s"$root/vecs/seq=$id/_SUCCESS")))
+      .sorted.takeRight(window)
+    if (ids.isEmpty) return (false, baseline, baseline)
+    val r = spark.read
+      .parquet(ids.map(id => s"$root/fit/seq=$id"): _*)
+      .agg(sum("n"), sum("fit_sum")).head
+    if (r.isNullAt(0) || r.getLong(0) == 0L)
+      return (false, baseline, baseline)
+    val current = r.getDouble(1) / r.getLong(0)
     (baseline - current > tolerance, baseline, current)
   }
 }

@@ -161,6 +161,32 @@ object ProductQuantizer {
       .agg(array_sort(collect_list(struct(col("sub"), col("code")))).as("sc"))
       .select(col("vec_id"), expr("transform(sc, x -> x.code)").as("codes"))
 
+  /** Reconstruction-fit statistics of an arbitrary (vec_id, e) frame
+    * under a FROZEN codebook: ONE row (n, fit_sum), where `fit_sum`
+    * accumulates each vector's cosine against its own PQ
+    * reconstruction — cos(v, r) = Σⱼ dot(svⱼ, cⱼ) / √(Σⱼ |cⱼ|²) for
+    * unit-normalized v (the geometry [[subvectorsOf]] fixes). This is
+    * the quantization-error monitor a CODED deployment can afford: the
+    * index stores codes, never vectors, so fit must be measured at
+    * WRITE time while the batch still carries its embeddings
+    * ([[IncrementalIvf.applyBatchCoded]] logs one such row per batch;
+    * [[IncrementalIvf.retrainSignalCoded]] compares recent batches to
+    * the training-time baseline). Map-side except the per-vector
+    * partial-sum aggregate; the final row is the only driver value.
+    */
+  def reconFitStats(emb: DataFrame, codebook: DataFrame, m: Int)
+      : DataFrame =
+    assign(subvectorsOf(emb, m), codebook)
+      .join(broadcast(codebook), Seq("sub", "code"))
+      .select(col("vec_id"),
+        expr(dotSql.format("sv", "c")).as("d"),
+        expr(dotSql.format("c", "c")).as("c2"))
+      .groupBy("vec_id")
+      .agg(sum("d").as("d"), sum("c2").as("c2"))
+      .select(col("vec_id"),
+        (col("d") / sqrt(greatest(col("c2"), lit(1e-300)))).as("fit"))
+      .agg(count(lit(1)).as("n"), sum("fit").as("fit_sum"))
+
   /** The probe's ADC lookup table for a LITERAL query vector
     * (normalized here with the same geometry as the corpus): one
     * (sub, lut) row per subspace, lut = the ksub partial dots —

@@ -328,9 +328,25 @@ class IncrementalIvfSpec extends AnyFunSuite {
       val v = Array.fill(dim)(0.0); v(3) = 1.0; v(2) = 0.01 * (i % 5)
       v.toSeq
     }
+    // the coded drift signal: the write-time fit log of the training
+    // batch matches its own baseline — quiet before any drift
+    val g0 = IncrementalIvf.activeRoot(spark, parent)
+    val (fire0, base0, cur0) = IncrementalIvf.retrainSignalCoded(spark, g0)
+    assert(!fire0 && math.abs(base0 - cur0) < 1e-6,
+      s"in-distribution state must stay quiet: $base0 vs $cur0")
+
     IncrementalIvf.applyBatchCoded(spark,
       IncrementalIvf.activeRoot(spark, parent),
       df((31L to 40L).map(i => (i, oodVec(i), "I"))), 1L)
+
+    // arrivals from a subspace the frozen codebook never saw degrade
+    // their write-time reconstruction fit — the CODED retrain trigger
+    // (no vectors in the index, no external store touched: the monitor
+    // reads only the per-batch one-row fit partials)
+    val (fire1, base1, cur1) =
+      IncrementalIvf.retrainSignalCoded(spark, g0, window = 1)
+    assert(fire1 && base1 - cur1 > 0.05,
+      s"OOD arrivals must fire the coded signal: $base1 -> $cur1")
 
     // the external full-vector store is the rebuild's vector source
     val store = ((1L to 30L).map(i => (i, vec(i))) ++
@@ -339,6 +355,13 @@ class IncrementalIvfSpec extends AnyFunSuite {
       store, k = 4, iters = 2, m = m, ksub = 4, pqIters = 2)
     assert(newRoot.endsWith("/g1") &&
       IncrementalIvf.activeRoot(spark, parent) === newRoot)
+
+    // the loop closes: the rebuilt generation's codebook was trained
+    // on the drifted live set, its baseline re-recorded — quiet again
+    val (fire2, base2, cur2) =
+      IncrementalIvf.retrainSignalCoded(spark, newRoot)
+    assert(!fire2 && base2 - cur2 < 0.05,
+      s"post-cutover fit must match the fresh baseline: $base2 vs $cur2")
 
     // the rebuilt coded index equals a from-scratch coded init on the
     // same live set with the same parameters (both trainers are
