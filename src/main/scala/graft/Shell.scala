@@ -636,6 +636,24 @@ object Shell {
         Seq(("docs", upTo.toLong, segCount(s, root, "docs")),
           ("members", upTo.toLong, segCount(s, root, "members")))
           .toDF("log", "horizon", "fresh_segments")
+      // one-call steady-state maintenance per store kind — compaction
+      // to the safe horizon, cleanup convergence, generation GC /
+      // checkpoint + retention vacuum, in the documented safe order
+      // ([[graft.operators.Maintenance]])
+      case List("maintain", kind, root) =>
+        noKnob()
+        kind match {
+          case "index" => graft.operators.Maintenance.maintainIndex(s, root)
+          case "ivf" => graft.operators.Maintenance.maintainIvf(s, root)
+          case "lsh" => graft.operators.Maintenance.maintainLsh(s, root)
+          case "landing" =>
+            graft.operators.Maintenance.maintainLanding(s, root)
+          case "refresh-state" =>
+            graft.operators.Maintenance.maintainRefreshState(s, root)
+          case other => throw new IllegalArgumentException(
+            s"maintain: unknown store kind '$other' " +
+              "(index|ivf|lsh|landing|refresh-state)")
+        }
       // incremental corpus refresh, end to end: bulk-load verdict state
       // from a deterministic ~80% of the documents table, feed the
       // other ~20% in as an arrival batch, and account for the delta —

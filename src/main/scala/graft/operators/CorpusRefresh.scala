@@ -113,6 +113,41 @@ object CorpusRefresh {
   final case class EvalScrub(evalSet: DataFrame, w: Int = 13,
       maxFraction: Double = 0.0)
 
+  /** BANDED near-dup verification for the refresh path — the
+    * composition of the [[IncrementalLsh]] dedup-at-ingest index into
+    * curation verdicts. The cascade's own near stage keys on exact
+    * full-signature equality (`sg_key`), which misses pairs whose
+    * signatures agree in only SOME bands — precisely the recall the
+    * banded index exists to provide. With a `BandedVerify` configured,
+    * each arrival additionally probes `lshRoot` (fed by the same
+    * production loop that feeds the other stores), its band-bucket
+    * candidates are verified by EXACT token-3-shingle Jaccard (the
+    * `q_dedup_jaccard` set algebra — candidate texts come from
+    * `textSource`, the authoritative doc store, pruned to the ≤
+    * b·|batch| candidate ids), and an arrival with a verified
+    * candidate ≥ `threshold` that is KEPT in the state as of the
+    * previous batch is demoted (k_near and quality_ok forced false).
+    *
+    * Semantics and bounds: the stage fires only on pairs the cascade
+    * CANNOT see (all three cascade keys differ — pairs sharing a
+    * digest/norm_sig/sg_key stay the cascade's jurisdiction, where the
+    * smaller-id keeper rule may legitimately favor the arrival; the
+    * banded stage ADDS recall, it never overrides a keeper decision),
+    * CROSS-BATCH only (within-batch near-dups are the sg_key cascade's
+    * job; a candidate first seen in this same batch has no prior-state
+    * row and is ignored), judged
+    * against the PREVIOUS committed state (a keeper deleted in the
+    * same batch still demotes this once — one-batch lag), and
+    * DROP-ONLY monotone: a banded demotion is never re-promoted when
+    * its keeper later leaves the corpus (the standard production
+    * near-dup posture — re-admitting text that once duplicated the
+    * corpus needs a human decision, not a cascade). Cost per refresh:
+    * one O(|batch|) index probe + one pruned by_id read + Jaccard over
+    * candidate pairs — never a corpus scan.
+    */
+  final case class BandedVerify(lshRoot: String, textSource: DataFrame,
+      threshold: Double = 0.5)
+
   private val stateCols = stateSchema.fieldNames.toSeq
 
   private def byId(root: String) = s"$root/by_id"
@@ -274,11 +309,81 @@ object CorpusRefresh {
       batchId: Long, nBuckets: Int = 64,
       checkpointEvery: Int = 0, scorer: Option[Scorer] = None,
       tau: Option[Double] = None,
-      scrub: Option[EvalScrub] = None): DataFrame =
+      scrub: Option[EvalScrub] = None,
+      banded: Option[BandedVerify] = None): DataFrame =
     refreshCdc(s, stateRoot,
       arrivals.select(col("doc_id"), col("lang"), col("text"))
         .withColumn("op", lit("I")),
-      batchId, nBuckets, checkpointEvery, scorer, tau, scrub)
+      batchId, nBuckets, checkpointEvery, scorer, tau, scrub, banded)
+
+  /** Arrival doc_ids a [[BandedVerify]] demotes this batch: probe the
+    * banded index with the batch's upserts, keep candidates that are
+    * KEPT in the state as of the previous batch AND invisible to the
+    * cascade (all three cascade keys differ — a pair sharing a digest
+    * / norm_sig / sg_key is the cascade's jurisdiction, where keeper
+    * choice is smaller-id and may legitimately go to the ARRIVAL; the
+    * banded stage only ever ADDS recall, never overrides a cascade
+    * keeper decision), verify by exact shingle Jaccard against the
+    * authoritative texts, threshold.
+    */
+  private def bandedDemotions(s: SparkSession, stateRoot: String,
+      bv: BandedVerify, arr: DataFrame, delta: DataFrame, nBuckets: Int,
+      asOf: Long, cached: scala.collection.mutable.ArrayBuffer[DataFrame])
+      : DataFrame = {
+    val probes = arr.filter(col("op") =!= "D").select("doc_id", "text")
+    // persisted: the probe pass feeds the bucket manifest AND the
+    // verify joins below; released by the caller's finally once the
+    // returned delta has materialized
+    val cands = IncrementalLsh.candidates(s, bv.lshRoot, probes)
+      .select(col("probe_id"), col("doc_id").as("cand_id"))
+      .persist()
+    cached.append(cands)
+    // candidate keptness as of the PREVIOUS batch (pruned by_id
+    // read — the ≤ nBuckets manifest discipline); a candidate with
+    // no prior-state row (same-batch arrival) drops out here
+    val candIds = cands.select(col("cand_id").as("doc_id")).distinct()
+    val cB = candIds
+      .select(pmod(hash(col("doc_id")), lit(nBuckets)).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val kept = UpsertFileSink
+      .readBucketsBucketedAsOf(s, byId(stateRoot), stateSchema, cB,
+        asOf)
+      .filter(col("quality_ok"))
+      .join(candIds, Seq("doc_id"), "left_semi")
+      .select(col("doc_id").as("cand_id"), col("digest").as("c_digest"),
+        col("norm_sig").as("c_norm"), col("sg_key").as("c_sg"))
+    val probeKeys = delta.select(col("doc_id").as("probe_id"),
+      col("digest").as("p_digest"), col("norm_sig").as("p_norm"),
+      col("sg_key").as("p_sg"))
+    // exact-Jaccard verify on token 3-shingle sets — byte-identical
+    // algebra to q_dedup_jaccard's verify stage; shingle frames are
+    // bounded by the batch and by the candidate id set respectively
+    def shinglesOf(docs: DataFrame, idAs: String) = docs
+      .select(col("doc_id").as(idAs), split(col("text"), " ").as("toks"))
+      .repartition(s.sparkContext.defaultParallelism, col(idAs))
+      .select(col(idAs), expr(DedupExtras.shinglesSql).as("sh"))
+    val pSh = shinglesOf(probes, "probe_id")
+      .select(col("probe_id"), col("sh").as("p_sh"))
+    val candTexts = bv.textSource.select("doc_id", "text")
+      .join(cands.select(col("cand_id").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_semi")
+    val cSh = shinglesOf(candTexts, "cand_id")
+      .select(col("cand_id"), col("sh").as("c_sh"))
+    cands
+      .join(kept, Seq("cand_id"))
+      .join(probeKeys, Seq("probe_id"))
+      // cascade-jurisdiction exclusion: only pairs the exact-signature
+      // stages CANNOT see reach the banded verdict
+      .filter(col("c_digest") =!= col("p_digest") &&
+        col("c_norm") =!= col("p_norm") && col("c_sg") =!= col("p_sg"))
+      .join(pSh, Seq("probe_id"))
+      .join(cSh, Seq("cand_id"))
+      .filter(
+        expr("size(filter(p_sh, x -> array_contains(c_sh, x)))") * lit(1.0) /
+          expr("size(array_distinct(concat(p_sh, c_sh)))") >=
+          lit(bv.threshold))
+      .select(col("probe_id").as("doc_id")).distinct()
+  }
 
   /** Apply one CDC batch of documents — (doc_id, lang, text, op) with
     * op I/U/D, at most one row per doc_id (compact the feed first:
@@ -312,7 +417,8 @@ object CorpusRefresh {
       batchId: Long, nBuckets: Int = 64,
       checkpointEvery: Int = 0, scorer: Option[Scorer] = None,
       tau: Option[Double] = None,
-      scrub: Option[EvalScrub] = None): DataFrame = {
+      scrub: Option[EvalScrub] = None,
+      banded: Option[BandedVerify] = None): DataFrame = {
     require(scorer.isDefined == tau.isDefined,
       "a learned refresh needs BOTH the frozen scorer and tau")
     // fail fast on mis-numbered batches: a STALE id would read state
@@ -512,6 +618,26 @@ object CorpusRefresh {
           coalesce(col("quality_ok"), col("__old_ok")).as("was_kept"),
           col("is_delta"))
 
+      // ---- banded near-dup demotion ([[BandedVerify]]) --------------
+      // applied AFTER the cascade: an arrival that survived the
+      // exact-signature stages but has a verified banded near-dup in
+      // the prior KEPT corpus loses k_near (and with it quality_ok) —
+      // bystander rows are untouched (drop-only, cross-batch)
+      val verdicts = banded match {
+        case None => recomputed
+        case Some(bv) =>
+          val dem = bandedDemotions(s, stateRoot, bv, arr, delta,
+            nBuckets, asOf, cached).withColumn("__bdup", lit(true))
+          recomputed.join(dem, Seq("doc_id"), "left")
+            .withColumn("__bhit",
+              col("is_delta") && coalesce(col("__bdup"), lit(false)))
+            .withColumn("k_near",
+              when(col("__bhit"), lit(false)).otherwise(col("k_near")))
+            .withColumn("quality_ok",
+              when(col("__bhit"), lit(false)).otherwise(col("quality_ok")))
+            .drop("__bdup", "__bhit")
+      }
+
       // deleted docs: return-only rows (their state is tombstoned, not
       // rewritten) — every verdict false, was_kept = the old verdict
       val deletedOut = olds
@@ -535,7 +661,7 @@ object CorpusRefresh {
         col("quality_ok").as("now_kept") :+ col("is_delta")
       val opOf = arr.select(col("doc_id"), col("op").as("__arr_op"))
       val returned = graft.Materialize.checkpoint(
-        recomputed.select(outCols: _*)
+        verdicts.select(outCols: _*)
           .unionByName(deletedOut.select(outCols: _*))
           .join(opOf, Seq("doc_id"), "left")
           .withColumn("op",
@@ -582,6 +708,19 @@ object CorpusRefresh {
     Seq(byId(stateRoot), byDigest(stateRoot), byNorm(stateRoot),
       bySg(stateRoot))
       .foreach(r => UpsertFileSink.vacuumBucketed(s, r, minRetainBatches))
+
+  /** Steady-state hygiene for all four projections in the safe order
+    * (checkpoint the manifest, THEN vacuum with replay retention) —
+    * [[graft.operators.Maintenance.maintainRefreshState]]'s body, one
+    * call per cadence.
+    */
+  def maintainState(s: SparkSession, stateRoot: String,
+      minRetainBatches: Int = 1): Unit = {
+    Seq(byId(stateRoot), byDigest(stateRoot), byNorm(stateRoot),
+      bySg(stateRoot))
+      .foreach(r => UpsertFileSink.writeBucketedCheckpoint(s, r))
+    vacuumState(s, stateRoot, minRetainBatches)
+  }
 
   /** The verdict state as of refresh batch `batchId` — bucketed time
     * travel over the by_digest projection (bounded by vacuum

@@ -57,21 +57,22 @@ object IncrementalLsh {
   private def bucketCol(nBuckets: Int) =
     pmod(hash(col("band_id"), col("bk")), lit(nBuckets))
 
-  /** The pinned (nBuckets, bands, rows) layout of a root; defaults
-    * describe a pre-parameterization root (always the contract
-    * scheme — pins for it shipped with the scheme knob).
+  /** The pinned (nBuckets, bands, rows) layout of a root, None for a
+    * VIRGIN root (no batch ever pinned it — an empty index, which a
+    * bootstrap loop legitimately probes before the first feed batch).
+    * Missing band pins on a pinned root describe a
+    * pre-parameterization root (always the contract scheme — pins for
+    * it shipped with the scheme knob).
     */
-  private def schemeOf(spark: SparkSession, root: String): (Int, Int, Int) = {
-    val nBuckets = SegmentLog.layoutOf(spark, root, "_nbuckets")
-      .getOrElse(sys.error(
-        s"$root has no _nbuckets layout pin — apply a batch first"))
-      .toInt
-    val b = SegmentLog.layoutOf(spark, root, "_bands")
-      .map(_.toInt).getOrElse(DefaultBands)
-    val r = SegmentLog.layoutOf(spark, root, "_rows")
-      .map(_.toInt).getOrElse(DefaultRows)
-    (nBuckets, b, r)
-  }
+  private def schemeOf(spark: SparkSession,
+      root: String): Option[(Int, Int, Int)] =
+    SegmentLog.layoutOf(spark, root, "_nbuckets").map { nb =>
+      (nb.toInt,
+        SegmentLog.layoutOf(spark, root, "_bands")
+          .map(_.toInt).getOrElse(DefaultBands),
+        SegmentLog.layoutOf(spark, root, "_rows")
+          .map(_.toInt).getOrElse(DefaultRows))
+    }
 
   /** md5 band key of band `band_id` under a b × r scheme: the r
     * signature components of the band joined with '|' separators —
@@ -185,16 +186,22 @@ object IncrementalLsh {
     */
   def candidates(spark: SparkSession, root: String,
       probes: DataFrame): DataFrame = {
-    val (nBuckets, bands, rows) = schemeOf(spark, root)
-    val k = bands * rows
-    // an index fed only empty/delete-only batches has no members
-    // segment at all (the zero-row-partitionBy discipline skips it):
-    // that is a legitimate empty index, not a read error
-    if (!SegmentLog.hasBatches(spark, root, "members")) {
+    def emptyAnswer: DataFrame = {
       import spark.implicits._
-      return Seq.empty[(Long, Long, Double)]
+      Seq.empty[(Long, Long, Double)]
         .toDF("probe_id", "doc_id", "minhash_sim")
     }
+    // a VIRGIN root (no batch ever pinned a layout) and an index fed
+    // only empty/delete-only batches (no members segment — the
+    // zero-row-partitionBy discipline skips it) are both legitimate
+    // empty indexes, not read errors: a bootstrap loop probes before
+    // its first feed batch lands
+    val scheme = schemeOf(spark, root)
+    if (scheme.isEmpty) return emptyAnswer
+    val (nBuckets, bands, rows) = scheme.get
+    val k = bands * rows
+    if (!SegmentLog.hasBatches(spark, root, "members"))
+      return emptyAnswer
     val probeRows = bandRows(spark, probes, bands, rows)
       .withColumn("bb", bucketCol(nBuckets))
       .persist()

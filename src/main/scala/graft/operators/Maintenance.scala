@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.streaming.UpsertFileSink
+
+/** ONE maintenance entry point per store. The continuous-ingest
+  * capstone runs five stores (landing zone, curation state, inverted
+  * index, IVF, LSH), and each store's steady-state hygiene is 2–4
+  * calls that must run in a specific safe order — compaction before
+  * cleanup, checkpoint before vacuum, generation GC last and only
+  * below the active alias. An operator hand-sequencing those per
+  * store per cadence WILL eventually invert one; this module owns the
+  * order so a scheduler calls exactly one function per store.
+  *
+  * Shared posture:
+  *  - maintenance NEVER fails on in-flight work: an out-of-band fold
+  *    targets [[SegmentLog.safeCompactionTarget]] — the newest
+  *    committed batch strictly below any torn redelivery — instead of
+  *    tripping the wedge guard, and a store with nothing to do
+  *    reports "noop";
+  *  - aliased parents resolve to the ACTIVE generation; generation GC
+  *    (reclaim below-active) runs only when `gcGenerations` — callers
+  *    must own the reader quiesce window, exactly like vacuum
+  *    retention;
+  *  - every function returns a small (store, action, detail) report
+  *    frame (driver-literal rows — bounded by the store's sub count)
+  *    so the Shell / a cron log can show what happened.
+  */
+object Maintenance {
+
+  private def report(spark: SparkSession,
+      rows: Seq[(String, String, String)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("store", "action", "detail")
+  }
+
+  /** Resolve a path that may be an aliased parent to its active
+    * generation root.
+    */
+  private def resolveActive(spark: SparkSession, path: String): String = {
+    val f = SegmentLog.hfs(spark, path)
+    if (f.exists(SegmentLog.Alias.marker(path)))
+      SegmentLog.Alias.resolve(spark, path)
+    else path
+  }
+
+  /** The shared segment-log recipe: fold to the safe target (if the
+    * cadence says so), finish any crashed cleanup, then reclaim
+    * below-active generations when the path is an aliased parent.
+    */
+  private def maintainSegmented(spark: SparkSession, path: String,
+      name: String, dataSubs: Seq[String], commitSub: String,
+      minFresh: Int, gcGenerations: Boolean,
+      compactFn: (SparkSession, String, Long) => Unit,
+      cleanupFn: (SparkSession, String) => Unit): DataFrame = {
+    val root = resolveActive(spark, path)
+    val aliased = root != path
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, String)]
+    SegmentLog.safeCompactionTarget(spark, root, dataSubs, commitSub,
+      minFresh) match {
+      case Some(upTo) =>
+        compactFn(spark, root, upTo)
+        out += ((name, "compact", s"folded to horizon $upTo"))
+      case None =>
+        // converge a crashed post-publish cleanup even on a no-op pass
+        cleanupFn(spark, root)
+        out += ((name, "noop",
+          s"horizon ${SegmentLog.compactedUpTo(spark, root)
+            .getOrElse(-1L)}, nothing safely foldable"))
+    }
+    if (aliased && gcGenerations) {
+      SegmentLog.Alias.cleanup(spark, path)
+      out += ((name, "gc-generations", "reclaimed below-active"))
+    }
+    report(spark, out.toSeq)
+  }
+
+  /** Maintain an [[IncrementalIndex]] root or aliased parent: fold the
+    * postings/docs/df log when more than `minFresh` committed fresh
+    * segments have accumulated, finish cleanups, reclaim old
+    * generations.
+    */
+  def maintainIndex(spark: SparkSession, path: String, minFresh: Int = 0,
+      gcGenerations: Boolean = true): DataFrame =
+    maintainSegmented(spark, path, "index",
+      Seq("postings", "df"), "docs", minFresh, gcGenerations,
+      (s, r, u) => IncrementalIndex.compact(s, r, u),
+      (s, r) => IncrementalIndex.cleanupCompacted(s, r))
+
+  /** Maintain an [[IncrementalIvf]] root or aliased parent (plain or
+    * coded — the fold is payload-agnostic and the fit log rides the
+    * same horizon).
+    */
+  def maintainIvf(spark: SparkSession, path: String, minFresh: Int = 0,
+      gcGenerations: Boolean = true): DataFrame =
+    maintainSegmented(spark, path, "ivf",
+      Seq("members", "fit"), "vecs", minFresh, gcGenerations,
+      (s, r, u) => IncrementalIvf.compact(s, r, u),
+      (s, r) => IncrementalIvf.cleanupCompacted(s, r))
+
+  /** Maintain an [[IncrementalLsh]] root or aliased parent. */
+  def maintainLsh(spark: SparkSession, path: String, minFresh: Int = 0,
+      gcGenerations: Boolean = true): DataFrame =
+    maintainSegmented(spark, path, "lsh",
+      Seq("members"), "docs", minFresh, gcGenerations,
+      (s, r, u) => IncrementalLsh.compact(s, r, u),
+      (s, r) => SegmentLog.cleanup(s, r, Seq("members", "docs")))
+
+  /** Maintain a BUCKETED landing zone ([[UpsertFileSink]]): roll the
+    * manifest checkpoint, then vacuum with replay retention — in that
+    * order (vacuum's marker reclamation leans on the checkpoint
+    * covering old ids).
+    */
+  def maintainLanding(spark: SparkSession, root: String,
+      minRetainBatches: Int = 1): DataFrame = {
+    UpsertFileSink.writeBucketedCheckpoint(spark, root)
+    UpsertFileSink.vacuumBucketed(spark, root, minRetainBatches)
+    val head = UpsertFileSink.lastCommittedBucketed(spark, root)
+    report(spark, Seq(("landing", "checkpoint+vacuum",
+      s"head ${head.getOrElse(-1L)}, retained $minRetainBatches " +
+        "predecessor batch(es)")))
+  }
+
+  /** Maintain a [[CorpusRefresh]] state root: checkpoint + vacuum all
+    * four projections with the same replay retention (don't vacuum a
+    * batch's predecessors before its delta is consumed).
+    */
+  def maintainRefreshState(spark: SparkSession, stateRoot: String,
+      minRetainBatches: Int = 1): DataFrame = {
+    CorpusRefresh.maintainState(spark, stateRoot, minRetainBatches)
+    report(spark, Seq(("refresh-state", "checkpoint+vacuum",
+      s"4 projections, retained $minRetainBatches predecessor " +
+        "batch(es)")))
+  }
+}

@@ -268,6 +268,31 @@ private[operators] object SegmentLog {
         "lose the batch; redeliver first or compact strictly below")
   }
 
+  /** The highest horizon an OUT-OF-BAND compaction can safely fold to:
+    * the newest committed seq, capped strictly below the lowest torn
+    * (present-but-uncommitted) batch above the current horizon — the
+    * wedge [[requireNoTornAtOrBelow]] would refuse, avoided instead of
+    * tripped, so a scheduled maintenance job degrades to folding less
+    * rather than failing while a redelivery is pending. None when
+    * nothing newer than the current horizon can fold (also when fewer
+    * than `minFresh` committed fresh segments exist — the caller's
+    * "don't bother yet" cadence knob).
+    */
+  def safeCompactionTarget(spark: SparkSession, root: String,
+      dataSubs: Seq[String], commitSub: String,
+      minFresh: Int = 0): Option[Long] = {
+    val f = hfs(spark, root)
+    val h = compactedUpTo(spark, root).getOrElse(-1L)
+    val committed = freshIds(spark, root, commitSub).filter(id =>
+      f.exists(new org.apache.hadoop.fs.Path(
+        s"$root/$commitSub/seq=$id/_SUCCESS")))
+    if (committed.size < math.max(minFresh, 1)) return None
+    val torn = (dataSubs :+ commitSub)
+      .flatMap(s => freshIds(spark, root, s)).toSet -- committed
+    val cap = torn.minOption.map(_ - 1).getOrElse(Long.MaxValue)
+    committed.filter(_ <= cap).maxOption.filter(_ > h)
+  }
+
   /** Freeze-or-verify a LAYOUT CONSTANT stored as a control file at
     * the root (e.g. the bucket count the partition dirs were hashed
     * with): the first writer records it, every later call must match —

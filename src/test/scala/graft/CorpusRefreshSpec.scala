@@ -339,9 +339,14 @@ class CorpusRefreshSpec extends AnyFunSuite {
     def embedCol = array((0 until 4).map(a =>
       when(pmod(col("doc_id"), lit(3)) === a, 1.0).otherwise(0.0)): _*)
 
+    // 60/61: a cross-batch BANDED pair (1 of 4 bands agree, full
+    // signatures differ — see the banded-verify test) the sg cascade
+    // cannot couple; the LSH store routes it into the verdicts
+    val bandedBase = vocab.slice(500, 524)
     val batch0 = Seq(10L -> textA, 11L -> textA, 30L -> textC,
-      40L -> textDshort)
-    val batch1 = Seq(50L -> textE, 5L -> textC, 52L -> textF)
+      40L -> textDshort, 60L -> txt(bandedBase))
+    val batch1 = Seq(50L -> textE, 5L -> textC, 52L -> textF,
+      61L -> txt(bandedBase.updated(22, "aajfd")))
     def stage(name: String, mtime: Long, rows: Seq[(Long, String)]): Unit = {
       val tmp = s"$base/_$name"
       docsDF(rows).coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -372,7 +377,13 @@ class CorpusRefreshSpec extends AnyFunSuite {
         try {
           staged.count()
           UpsertFileSink.upsertsOnly(staged, id, landingRoot, Seq("doc_id"))
-          CorpusRefresh.refresh(bs, stateRoot, staged, id, nBuckets = 8)
+          // dedup-at-ingest COMPOSED: the refresh probes the LSH store
+          // (as of the previous batch — its own apply runs below) and
+          // verifies candidates against the landed corpus texts
+          CorpusRefresh.refresh(bs, stateRoot, staged, id, nBuckets = 8,
+            banded = Some(CorpusRefresh.BandedVerify(lshRoot,
+              textSource = UpsertFileSink.readSnapshot(bs, landingRoot,
+                docsDF(batch0).schema))))
           IncrementalIndex.applyBatch(bs, indexRoot,
             staged.withColumn("op", lit("I")), id, nBuckets = 8)
           IncrementalIvf.applyBatch(bs, ivfRoot,
@@ -395,13 +406,21 @@ class CorpusRefreshSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
     assert(landed === all.sortBy(_._1))
     // curation state == full curate of the union (incl. the batch-1
-    // demotion of doc 30 by the smaller-id duplicate 5)
+    // demotion of doc 30 by the smaller-id duplicate 5), PLUS the one
+    // verdict only the composed banded stage can produce: 61 is a
+    // cross-batch banded near-dup of kept 60 (full signatures differ,
+    // so the cascade-only fullFlags keeps it) and must come out
+    // demoted at the near stage
+    val expected = flagsRows(CorpusRefresh.fullFlags(spark, docsDF(all)))
+      .map(r => if (r._1 == 61L) r.copy(_7 = false, _8 = false) else r)
     assert(flagsRows(CorpusRefresh.currentFlags(spark, stateRoot)) ===
-      flagsRows(CorpusRefresh.fullFlags(spark, docsDF(all))))
+      expected)
     val verdicts = flagsRows(CorpusRefresh.currentFlags(spark, stateRoot))
       .map(r => r._1 -> r._8).toMap
     assert(verdicts(5L) && !verdicts(30L),
       "the streaming refresh must carry the cross-batch demotion")
+    assert(verdicts(60L) && !verdicts(61L),
+      "the LSH store must route the banded pair into the verdicts")
     // index == from-scratch rebuild over the same corpus
     val inc = IncrementalIndex.currentPostings(spark, indexRoot)
       .select("token", "doc_id", "tf", "dl", "df").collect()
@@ -659,5 +678,79 @@ class CorpusRefreshSpec extends AnyFunSuite {
     val row60 = CorpusRefresh.currentFlags(spark, root)
       .filter(col("doc_id") === 60L).head
     assert(row60.getDouble(12) === 0.0 && row60.getBoolean(10))
+  }
+
+  test("banded verify: LSH candidates demote a cross-batch near-dup the sg cascade misses") {
+    import graft.operators.IncrementalLsh
+    val nB = 8
+    // crafted offline: replacing token 22 of the 24-token base with
+    // "aajfd" changes 3 of the 8 MinHash components — the full sg_keys
+    // DIFFER (the cascade's exact-signature stage cannot see the
+    // pair), yet band 4 still agrees and the true shingle Jaccard is
+    // 10/12 = 0.8333 — exactly the recall the banded index provides
+    val baseToks = vocab.slice(500, 524)
+    val keeperText = txt(baseToks)
+    val nearDupText = txt(baseToks.updated(22, "aajfd"))
+
+    val initial = Seq(10L -> keeperText, 30L -> textC)
+    def mkRoot(tag: String) = java.nio.file.Files
+      .createTempDirectory(s"graft-banded-$tag").toString + "/state"
+    val ctl = mkRoot("ctl")
+    val cmp = mkRoot("cmp")
+    val hi = mkRoot("hi")
+    Seq(ctl, cmp, hi).foreach(r =>
+      CorpusRefresh.initialize(spark, docsDF(initial), r, nB))
+    // the production loop feeds the banded index alongside the state
+    val lshRoot = java.nio.file.Files
+      .createTempDirectory("graft-banded-lsh").toString + "/lsh"
+    IncrementalLsh.applyBatch(spark, lshRoot,
+      docsDF(initial).select(col("doc_id"), col("text"))
+        .withColumn("op", lit("I")), 0L)
+    val texts = docsDF(initial).select("doc_id", "text")
+
+    val arrivals = docsDF(Seq(200L -> nearDupText, 210L -> textE))
+    def keptOf(d: DataFrame): Map[Long, Boolean] = {
+      val m = d.filter(col("is_delta"))
+        .select("doc_id", "now_kept").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      Materialize.releaseAll()
+      m
+    }
+
+    // CONTROL: without the banded stage the exact-signature cascade
+    // keeps the near-dup — the documented recall gap
+    val k0 = keptOf(CorpusRefresh.refresh(spark, ctl, arrivals, 1L, nB))
+    assert(k0 === Map(200L -> true, 210L -> true),
+      s"the sg cascade alone must miss the banded pair: $k0")
+
+    // COMPOSED: banded candidates + exact-Jaccard verify demote the
+    // arrival; the unrelated arrival is untouched
+    val d1 = CorpusRefresh.refresh(spark, cmp, arrivals, 1L, nB,
+      banded = Some(CorpusRefresh.BandedVerify(lshRoot, texts,
+        threshold = 0.5)))
+    val row200 = d1.filter(col("doc_id") === 200L).head
+    assert(!row200.getBoolean(d1.columns.indexOf("k_near")) &&
+      !row200.getBoolean(d1.columns.indexOf("now_kept")),
+      "the verified banded near-dup must lose k_near and the kept bit")
+    assert(keptOf(d1) === Map(200L -> false, 210L -> true))
+    // the sg_keys really differ (the cascade could not have done this)
+    val keeperSg = CorpusRefresh.currentFlags(spark, cmp)
+      .filter(col("doc_id") === 10L).select("sg_key").head.getString(0)
+    assert(row200.getString(d1.columns.indexOf("sg_key")) !== keeperSg)
+    // the demotion is PERSISTED state, not just a delta annotation
+    val st200 = CorpusRefresh.currentFlags(spark, cmp)
+      .filter(col("doc_id") === 200L).head
+    assert(!st200.getBoolean(9) && !st200.getBoolean(10),
+      "k_near=false / quality_ok=false must land in all projections")
+    Materialize.releaseAll()
+
+    // a threshold above the pair's true Jaccard (0.8333): the verify
+    // stage rejects the candidate and the arrival stays kept — banded
+    // recall never bypasses the exact verify
+    val k2 = keptOf(CorpusRefresh.refresh(spark, hi, arrivals, 1L, nB,
+      banded = Some(CorpusRefresh.BandedVerify(lshRoot, texts,
+        threshold = 0.9))))
+    assert(k2 === Map(200L -> true, 210L -> true),
+      s"sub-threshold candidates must not demote: $k2")
   }
 }

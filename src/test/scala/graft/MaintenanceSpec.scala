@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{IncrementalIndex, IncrementalIvf, Maintenance}
+
+/** One maintenance call per store, never failing on in-flight work:
+  * the out-of-band fold picks the safe target below any torn
+  * redelivery instead of tripping the wedge guard, cleanup converges,
+  * and generation GC reclaims only below the active alias.
+  */
+class MaintenanceSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  test("maintain folds to the newest committed batch and converges cleanup") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-maint-idx").toString
+    IncrementalIndex.applyBatch(spark, root,
+      Seq((1L, "alpha beta", "I"), (2L, "beta gamma", "I"))
+        .toDF("doc_id", "text", "op"), 0L)
+    IncrementalIndex.applyBatch(spark, root,
+      Seq((3L, "gamma delta", "I")).toDF("doc_id", "text", "op"), 1L)
+    val before = IncrementalIndex.currentPostings(spark, root)
+      .collect().map(_.toString).sorted.toSeq
+
+    val rep = Maintenance.maintainIndex(spark, root)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(rep.exists(r => r._1 == "compact" && r._2.contains("horizon 1")),
+      s"both committed batches must fold: $rep")
+    assert(IncrementalIndex.currentPostings(spark, root)
+      .collect().map(_.toString).sorted.toSeq === before)
+
+    // nothing new: the next pass is an explicit noop (and still safe)
+    val rep2 = Maintenance.maintainIndex(spark, root)
+      .collect().map(_.getString(1)).toSeq
+    assert(rep2 === Seq("noop"))
+  }
+
+  test("maintain degrades below a torn redelivery instead of wedging") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-maint-torn").toString
+    IncrementalIndex.applyBatch(spark, root,
+      Seq((1L, "alpha beta", "I")).toDF("doc_id", "text", "op"), 0L)
+    IncrementalIndex.applyBatch(spark, root,
+      Seq((2L, "beta gamma", "I")).toDF("doc_id", "text", "op"), 1L)
+    // batch 3's first delivery died before its docs commit — a direct
+    // compact(3) would refuse (the wedge guard); maintain must fold
+    // everything SAFELY below it instead
+    Seq(("torn", 9L, 1L, 2L)).toDF("token", "doc_id", "tf", "dl")
+      .withColumn("db", pmod(hash(col("doc_id")), lit(16)))
+      .write.partitionBy("db").parquet(s"$root/postings/seq=3")
+    val rep = Maintenance.maintainIndex(spark, root)
+      .collect().map(r => (r.getString(1), r.getString(2))).head
+    assert(rep._1 === "compact" && rep._2.contains("horizon 1"),
+      s"the fold must stop below the torn batch: $rep")
+    // the torn segment survives for its redelivery, which then lands
+    IncrementalIndex.applyBatch(spark, root,
+      Seq((9L, "torn twice", "I")).toDF("doc_id", "text", "op"), 3L)
+    val rep2 = Maintenance.maintainIndex(spark, root)
+      .collect().map(r => (r.getString(1), r.getString(2))).head
+    assert(rep2._1 === "compact" && rep2._2.contains("horizon 3"))
+  }
+
+  test("maintain on a bucketed landing zone checkpoints then vacuums") {
+    import spark.implicits._
+    import graft.streaming.UpsertFileSink
+    import org.apache.spark.sql.types._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-maint-land").toString + "/zone"
+    val nB = 4
+    (0L to 3L).foreach { b =>
+      UpsertFileSink.upsertBatchBucketed(
+        (1L to 8L).map(k => (k, s"v$k-b$b", "U", 1L))
+          .toDF("key", "value", "op", "seq"),
+        b, root, Seq("key"), nB)
+    }
+    val schema = StructType(Seq(StructField("key", LongType),
+      StructField("value", StringType)))
+    val before = UpsertFileSink.readSnapshotBucketed(spark, root, schema)
+      .collect().map(_.toString).sorted.toSeq
+
+    val rep = Maintenance.maintainLanding(spark, root).head
+    assert(rep.getString(1) === "checkpoint+vacuum" &&
+      rep.getString(2).contains("head 3"))
+    // a checkpoint rolled up, old versions vacuumed beyond retention,
+    // the snapshot unchanged, and an as-of read of the retained
+    // predecessor still resolves (the anchored-retention contract)
+    assert(new java.io.File(s"$root/_commits").listFiles()
+      .exists(_.getName.startsWith("checkpoint.")))
+    assert(UpsertFileSink.readSnapshotBucketed(spark, root, schema)
+      .collect().map(_.toString).sorted.toSeq === before)
+    assert(UpsertFileSink
+      .readSnapshotBucketedAsOf(spark, root, schema, 2L).count() === 8L)
+  }
+
+  test("maintain on an aliased parent compacts the active generation and GCs") {
+    import spark.implicits._
+    val parent = java.nio.file.Files
+      .createTempDirectory("graft-maint-ivf").toString + "/ann"
+    def vec(i: Long): Seq[Double] =
+      Seq(1.0 + (i % 3), (i % 5).toDouble, 1.0)
+    IncrementalIvf.initializeAliased(spark,
+      (1L to 20L).map(i => (i, vec(i))).toDF("vec_id", "e"),
+      parent, k = 2, iters = 1)
+    IncrementalIvf.applyBatchActive(spark, parent,
+      (21L to 25L).map(i => (i, vec(i), "I")).toDF("vec_id", "e", "op"),
+      1L)
+    // a stale generation to reclaim (below the active one)
+    IncrementalIvf.retrainCutover(spark, parent, k = 2, iters = 1)
+    assert(new java.io.File(s"$parent/g0").exists)
+
+    val rep = Maintenance.maintainIvf(spark, parent)
+      .collect().map(_.getString(1)).toSeq
+    assert(rep.contains("compact") && rep.contains("gc-generations"),
+      s"active-generation fold + GC expected: $rep")
+    assert(!new java.io.File(s"$parent/g0").exists,
+      "the below-active generation must be reclaimed")
+    assert(IncrementalIvf.searchActive(spark, parent, vec(3L), 3, 2)
+      .count() === 3L)
+    // and the safe target really was the active root's head batch
+    // (the cutover re-adds the live set at the old head id, 1)
+    val active = IncrementalIvf.activeRoot(spark, parent)
+    val marker = new java.io.File(s"$active/_compacted")
+    val src = scala.io.Source.fromFile(marker)
+    try assert(marker.exists && src.mkString.trim === "1")
+    finally src.close()
+  }
+}

@@ -473,4 +473,57 @@ class ShellSpec extends AnyFunSuite {
     assert(IncrementalIvf.activeRoot(spark, parent).endsWith("/g1"))
     assert(r.getDouble(3) > 0.0, "the live fit must be measurable")
   }
+
+  test("maintain runs each store kind's hygiene against live roots") {
+    import graft.operators.{CorpusRefresh, IncrementalIvf}
+    import graft.sources.Tables
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-shell-maint").toString
+
+    // index: two slices, one maintenance call — folded to the head,
+    // answers unchanged
+    Shell.run(spark, sf0001, s"index apply $base/idx 0 2 0")
+    Shell.run(spark, sf0001, s"index apply $base/idx 1 2 1")
+    val before = Shell
+      .run(spark, sf0001, s"index search $base/idx data,model 5")
+      .collect().map(_.toString).toSeq
+    val mi = Shell.run(spark, sf0001, s"maintain index $base/idx").head
+    assert(mi.getString(1) === "compact" &&
+      mi.getString(2).contains("horizon 1"))
+    assert(Shell.run(spark, sf0001, s"index search $base/idx data,model 5")
+      .collect().map(_.toString).toSeq === before)
+
+    // aliased ivf: compaction of the active generation + generation GC
+    Shell.run(spark, sf0001, s"ivf init $base/ann 4 2")
+    Shell.run(spark, sf0001, s"ivf retrain $base/ann 4 2")
+    val acts = Shell.run(spark, sf0001, s"maintain ivf $base/ann")
+      .collect().map(_.getString(1)).toSeq
+    assert(acts.contains("gc-generations"))
+    assert(!new java.io.File(s"$base/ann/g0").exists)
+    assert(IncrementalIvf.activeRoot(spark, base + "/ann").endsWith("/g1"))
+
+    // lsh: fold + unchanged candidates
+    Shell.run(spark, sf0001, s"lsh apply $base/lsh 0 2 0")
+    val cands = Shell.run(spark, sf0001, s"lsh candidates $base/lsh 2 1")
+      .collect().map(_.toString).toSeq
+    val ml = Shell.run(spark, sf0001, s"maintain lsh $base/lsh").head
+    assert(ml.getString(1) === "compact")
+    assert(Shell.run(spark, sf0001, s"lsh candidates $base/lsh 2 1")
+      .collect().map(_.toString).toSeq === cands)
+    Materialize.releaseAll()
+
+    // refresh state: checkpoint + vacuum across the four projections
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "lang", "text").limit(40)
+    CorpusRefresh.initialize(spark, docs, s"$base/state", nBuckets = 8)
+    val mr = Shell
+      .run(spark, sf0001, s"maintain refresh-state $base/state").head
+    assert(mr.getString(0) === "refresh-state")
+    assert(CorpusRefresh.currentFlags(spark, s"$base/state").count() > 0)
+    Materialize.releaseAll()
+
+    // unknown store kinds fail loudly
+    intercept[IllegalArgumentException](
+      Shell.run(spark, sf0001, s"maintain warehouse $base/idx"))
+  }
 }
