@@ -201,6 +201,18 @@ object Shell {
     else f.listStatus(p).count(_.getPath.getName.startsWith("seq=")).toLong
   }
 
+  /** Resolve a path that may be an aliased parent (`_active` marker)
+    * to its live generation root, so every index/lsh command works on
+    * bare roots AND blue/green parents alike.
+    */
+  private def actRoot(s: SparkSession, path: String): String = {
+    val marker = new org.apache.hadoop.fs.Path(path, "_active")
+    val f = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (f.exists(marker))
+      s"$path/${graft.ControlFiles.readFully(f, marker).trim}"
+    else path
+  }
+
   private def load(s: SparkSession, dir: String, table: String): DataFrame =
     table match {
       case "events" => Tables.events(s, dir) // ns-timestamp handling
@@ -541,9 +553,15 @@ object Shell {
       // ---- incremental-index operational surface (REPL twin of the
       // IncrementalIndex / IncrementalIvf modules: apply a CDC slice,
       // query the maintained state, run maintenance) -------------------
-      case List("index", "apply", root, batchId, mod, rem) =>
+      case List("index", "init", parent) =>
         noKnob()
         import s.implicits._
+        graft.operators.IncrementalIndex.initializeAliased(s, parent)
+        Seq((parent, "g0")).toDF("parent", "active_gen")
+      case List("index", "apply", root0, batchId, mod, rem) =>
+        noKnob()
+        import s.implicits._
+        val root = actRoot(s, root0)
         graft.operators.IncrementalIndex.applyBatch(s, root,
           Tables.documents(s, dir)
             .filter(pmod(col("doc_id"), lit(mod.toLong)) === rem.toLong)
@@ -553,21 +571,41 @@ object Shell {
         Seq((batchId.toLong, nLive, BigDecimal(avgDl)
           .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble))
           .toDF("batch", "live_docs", "avg_dl")
-      case List("index", "search", root, terms, k) =>
+      case List("index", "search", root0, terms, k) =>
         noKnob()
+        val root = actRoot(s, root0)
         val idx = graft.operators.IncrementalIndex.currentPostings(s, root)
         val (nLive, avgDl) = graft.operators.IncrementalIndex.stats(s, root)
         graft.operators.InvertedIndex
           .bm25Query(idx, nLive, avgDl, terms.split(",").toSeq, k.toInt)
           .withColumn("score", round(col("score"), 4))
-      case List("index", "compact", root, upTo) =>
+      case List("index", "compact", root0, upTo) =>
         noKnob()
         import s.implicits._
+        val root = actRoot(s, root0)
         graft.operators.IncrementalIndex.compact(s, root, upTo.toLong)
         Seq(("df", upTo.toLong, segCount(s, root, "df")),
           ("docs", upTo.toLong, segCount(s, root, "docs")),
           ("postings", upTo.toLong, segCount(s, root, "postings")))
           .toDF("log", "horizon", "fresh_segments")
+      // blue/green REINDEX from the REPL: rebuild the ACTIVE
+      // generation's live corpus (texts re-joined from the documents
+      // table — the authoritative store) into a fresh generation and
+      // flip the alias atomically
+      case List("index", "rebuild", parent) =>
+        noKnob()
+        import s.implicits._
+        val oldGen = new org.apache.hadoop.fs.Path(
+          graft.operators.IncrementalIndex.activeRoot(s, parent)).getName
+        val live = graft.operators.IncrementalIndex.liveDocIds(s,
+          graft.operators.IncrementalIndex.activeRoot(s, parent))
+        val docs = Tables.documents(s, dir).select("doc_id", "text")
+          .join(live, Seq("doc_id"), "left_semi")
+        val newRoot = graft.operators.IncrementalIndex
+          .rebuildCutover(s, parent, docs)
+        val (nLive, _) = graft.operators.IncrementalIndex.stats(s, newRoot)
+        Seq((oldGen, new org.apache.hadoop.fs.Path(newRoot).getName,
+          nLive)).toDF("old_gen", "new_gen", "live_docs")
       case List("ivf", "init", parent, k, iters) =>
         noKnob()
         graft.operators.IncrementalIvf.initializeAliased(s,
@@ -610,9 +648,15 @@ object Shell {
           BigDecimal(current).setScale(4,
             BigDecimal.RoundingMode.HALF_UP).toDouble))
           .toDF("old_gen", "new_gen", "train_fit", "live_fit")
-      case List("lsh", "apply", root, batchId, mod, rem) =>
+      case List("lsh", "init", parent) =>
         noKnob()
         import s.implicits._
+        graft.operators.IncrementalLsh.initializeAliased(s, parent)
+        Seq((parent, "g0")).toDF("parent", "active_gen")
+      case List("lsh", "apply", root0, batchId, mod, rem) =>
+        noKnob()
+        import s.implicits._
+        val root = actRoot(s, root0)
         val slice = Tables.documents(s, dir)
           .filter(pmod(col("doc_id"), lit(mod.toLong)) === rem.toLong)
           .select("doc_id", "text")
@@ -622,20 +666,41 @@ object Shell {
           graft.operators.IncrementalLsh.candidates(s, root, slice)
             .count()))
           .toDF("batch", "batch_candidate_pairs")
-      case List("lsh", "candidates", root, mod, rem) =>
+      case List("lsh", "candidates", root0, mod, rem) =>
         noKnob()
-        graft.operators.IncrementalLsh.candidates(s, root,
+        graft.operators.IncrementalLsh.candidates(s, actRoot(s, root0),
           Tables.documents(s, dir)
             .filter(pmod(col("doc_id"), lit(mod.toLong)) === rem.toLong)
             .select("doc_id", "text"))
           .orderBy("probe_id", "doc_id")
-      case List("lsh", "compact", root, upTo) =>
+      case List("lsh", "compact", root0, upTo) =>
         noKnob()
         import s.implicits._
+        val root = actRoot(s, root0)
         graft.operators.IncrementalLsh.compact(s, root, upTo.toLong)
         Seq(("docs", upTo.toLong, segCount(s, root, "docs")),
           ("members", upTo.toLong, segCount(s, root, "members")))
           .toDF("log", "horizon", "fresh_segments")
+      // planner-driven SCHEME rebuild from the REPL: choose (b, r) for
+      // the signature budget + target threshold, rebuild the active
+      // generation's live corpus under it, flip atomically
+      case List("lsh", "rebuild", parent, nPerm, threshold) =>
+        noKnob()
+        import s.implicits._
+        val (b, r) = graft.operators.LshPlanner
+          .choose(nPerm.toInt, threshold.toDouble)
+        val oldGen = new org.apache.hadoop.fs.Path(
+          graft.operators.IncrementalLsh.activeRoot(s, parent)).getName
+        val live = graft.operators.IncrementalLsh.liveDocIds(s,
+          graft.operators.IncrementalLsh.activeRoot(s, parent))
+        val docs = Tables.documents(s, dir).select("doc_id", "text")
+          .join(live, Seq("doc_id"), "left_semi")
+        val newRoot = graft.operators.IncrementalLsh
+          .rebuildCutover(s, parent, docs, b, r)
+        Seq((oldGen, new org.apache.hadoop.fs.Path(newRoot).getName,
+          b, r, BigDecimal(graft.operators.LshPlanner.thresholdOf(b, r))
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+          .toDF("old_gen", "new_gen", "bands", "rows", "knee")
       // one-call steady-state maintenance per store kind — compaction
       // to the safe horizon, cleanup convergence, generation GC /
       // checkpoint + retention vacuum, in the documented safe order

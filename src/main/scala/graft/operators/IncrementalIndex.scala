@@ -276,20 +276,39 @@ object IncrementalIndex {
     * (e.g. to touched `db=` buckets).
     */
   private def livePostings(spark: SparkSession, root: String,
-      prune: DataFrame => DataFrame = identity): DataFrame =
+      prune: DataFrame => DataFrame = identity,
+      asOf: Option[Long] = None): DataFrame =
     SegmentLog.liveMembersPruned(spark, root, "postings", "docs",
-      "doc_id", prune, emptyPostings(spark))
+      "doc_id", prune, emptyPostings(spark), asOf)
       .select("token", "doc_id", "tf", "dl")
 
   /** The index's current postings — (token, doc_id, tf, dl, df), the
     * exact shape [[InvertedIndex.build]] returns, so
     * `andQuery`/`rankedQuery`/`bm25Query` run on it unchanged.
     */
-  def currentPostings(spark: SparkSession, root: String): DataFrame = {
-    val dfNow = committedDf(spark, root)
+  def currentPostings(spark: SparkSession, root: String): DataFrame =
+    postingsView(spark, root, None)
+
+  /** TIME TRAVEL: the postings exactly as they stood after batch
+    * `asOf` committed — each doc at its newest version ≤ asOf, df from
+    * the delta partial sums ≤ asOf. Bounded by compaction exactly like
+    * the landing zone's as-of read is bounded by vacuum retention: a
+    * view at/below the `_compacted` horizon is folded history and
+    * fails loudly. The repro/debug read an index regression needs
+    * ("what did yesterday's ranking see?"), and the read a replayed
+    * downstream consumer uses to resolve pre-batch state.
+    */
+  def currentPostingsAsOf(spark: SparkSession, root: String,
+      asOf: Long): DataFrame =
+    postingsView(spark, root, Some(asOf))
+
+  private def postingsView(spark: SparkSession, root: String,
+      asOf: Option[Long]): DataFrame = {
+    val dfLog = committedDf(spark, root)
+    val dfNow = asOf.fold(dfLog)(a => dfLog.filter(col("seq") <= a))
       .groupBy("token").agg(sum("delta").as("df"))
       .filter(col("df") > 0L)
-    livePostings(spark, root).join(dfNow, Seq("token"))
+    livePostings(spark, root, asOf = asOf).join(dfNow, Seq("token"))
       .select("token", "doc_id", "tf", "dl", "df")
   }
 
@@ -474,6 +493,14 @@ object IncrementalIndex {
     */
   def cleanupGenerations(spark: SparkSession, parent: String): Unit =
     SegmentLog.Alias.cleanup(spark, parent)
+
+  /** The live doc_ids of the index — what a reindex joins against the
+    * authoritative text store to reconstruct its corpus. Split-resolved
+    * like every other changelog read.
+    */
+  def liveDocIds(spark: SparkSession, root: String): DataFrame =
+    latestDocVersions(spark, root)
+      .filter(col("op") =!= "D").select("doc_id")
 
   /** Corpus stats for [[InvertedIndex.bm25Query]] from the index state
     * alone: (live doc count, mean live doc length) in ONE aggregate

@@ -174,10 +174,11 @@ object IncrementalIvf {
     * a legitimate empty index, not a read error.
     */
   def liveMembers(spark: SparkSession, root: String,
-      cellFilter: Option[Seq[Int]] = None): DataFrame =
+      cellFilter: Option[Seq[Int]] = None,
+      asOf: Option[Long] = None): DataFrame =
     SegmentLog.liveMembersPruned(spark, root, "members", "vecs", "vec_id",
       raw => cellFilter.fold(raw)(cs => raw.filter(col("cell").isin(cs: _*))),
-      emptyPlainMembers(spark))
+      emptyPlainMembers(spark), asOf)
       .select("vec_id", "e", "cell")
 
   /** Top-k by cosine against a literal probe vector: rank the k fixed
@@ -187,7 +188,22 @@ object IncrementalIvf {
     * (the touched-bucket discipline).
     */
   def search(spark: SparkSession, root: String, probe: Seq[Double],
-      topK: Int, nprobe: Int): DataFrame = {
+      topK: Int, nprobe: Int): DataFrame =
+    searchView(spark, root, probe, topK, nprobe, None)
+
+  /** TIME TRAVEL: [[search]] against the member set exactly as it
+    * stood after batch `asOf` committed (each vector at its newest
+    * assignment ≤ asOf) — bounded by compaction like every as-of read
+    * in this repo. Reproduces yesterday's retrieval for a ranking
+    * regression without restoring anything.
+    */
+  def searchAsOf(spark: SparkSession, root: String, probe: Seq[Double],
+      topK: Int, nprobe: Int, asOf: Long): DataFrame =
+    searchView(spark, root, probe, topK, nprobe, Some(asOf))
+
+  private def searchView(spark: SparkSession, root: String,
+      probe: Seq[Double], topK: Int, nprobe: Int,
+      asOf: Option[Long]): DataFrame = {
     CosineSimilarity.register(spark)
     val p = array(probe.map(lit): _*)
     val ranked = spark.read.parquet(s"$root/centroids")
@@ -196,7 +212,7 @@ object IncrementalIvf {
       .orderBy(col("cell_sim").desc, col("cell"))
       .limit(nprobe)
       .select("cell").collect().map(_.getInt(0)).toSeq
-    liveMembers(spark, root, Some(ranked))
+    liveMembers(spark, root, Some(ranked), asOf)
       .withColumn("__p", p)
       .withColumn("sim", round(expr("cosine_sim(e, __p)"), 4))
       .orderBy(col("sim").desc, col("vec_id"))

@@ -185,7 +185,20 @@ object IncrementalLsh {
     * were written with.
     */
   def candidates(spark: SparkSession, root: String,
-      probes: DataFrame): DataFrame = {
+      probes: DataFrame): DataFrame =
+    candidatesView(spark, root, probes, None)
+
+  /** TIME TRAVEL: [[candidates]] against the index exactly as it stood
+    * after batch `asOf` committed — bounded by compaction like every
+    * as-of read in this repo. "Which near-dups would yesterday's
+    * corpus have surfaced for this batch?" without restoring state.
+    */
+  def candidatesAsOf(spark: SparkSession, root: String,
+      probes: DataFrame, asOf: Long): DataFrame =
+    candidatesView(spark, root, probes, Some(asOf))
+
+  private def candidatesView(spark: SparkSession, root: String,
+      probes: DataFrame, asOf: Option[Long]): DataFrame = {
     def emptyAnswer: DataFrame = {
       import spark.implicits._
       Seq.empty[(Long, Long, Double)]
@@ -211,7 +224,7 @@ object IncrementalLsh {
       val members = SegmentLog.liveMembersPruned(spark, root,
         "members", "docs", "doc_id",
         raw => raw.filter(col("bb").isin(touched: _*)),
-        emptyMembers(spark))
+        emptyMembers(spark), asOf)
       members.as("m")
         .join(probeRows.as("p"),
           col("m.band_id") === col("p.band_id") &&
@@ -225,6 +238,15 @@ object IncrementalLsh {
         .distinct()
     } finally probeRows.unpersist(blocking = false)
   }
+
+  /** The live doc_ids of the index — what a scheme rebuild joins
+    * against the authoritative text store to reconstruct its corpus
+    * (the index stores band rows, never text). Split-resolved like
+    * every other changelog read.
+    */
+  def liveDocIds(spark: SparkSession, root: String): DataFrame =
+    SegmentLog.latestVersionsSplit(spark, root, "docs", "doc_id")
+      .filter(col("op") =!= "D").select("doc_id")
 
   /** COMPACTION — fold every member/changelog segment ≤ `upTo` into
     * one tree (live band rows only, still `bb`-partitioned so probe

@@ -177,11 +177,14 @@ private[operators] object SegmentLog {
   def liveMembersPruned(spark: SparkSession, root: String,
       memberSub: String, commitSub: String, key: String,
       prune: DataFrame => DataFrame,
-      emptyMembers: => DataFrame): DataFrame = {
+      emptyMembers: => DataFrame,
+      asOf: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    def bound(log: DataFrame): DataFrame =
+      asOf.fold(log)(a => log.filter(col("seq") <= a))
     def latestOver(log: DataFrame): DataFrame = {
       val w = Window.partitionBy(key).orderBy(col("seq").desc)
-      log.withColumn("__rn", row_number().over(w))
+      bound(log).withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1)
         .select(col(key), col("seq"), col("op"))
     }
@@ -196,7 +199,13 @@ private[operators] object SegmentLog {
         val live = latestOver(readLog(spark, root, commitSub))
           .filter(col("op") =!= "D").select(key, "seq")
         prune(mem).join(live, Seq(key, "seq")).drop("seq")
-      case Some(_) =>
+      case Some(c) =>
+        // time travel is BOUNDED BY COMPACTION, exactly like the
+        // sink's vacuum-retention caveat: a view at/below the horizon
+        // is folded history that no longer exists
+        require(asOf.forall(_ > c),
+          s"asOf ${asOf.get} is at or below $root's compaction " +
+            s"horizon $c: that view is folded away")
         // the folded member tree always exists post-compaction (an
         // emptied index folds to a schema-carrying empty file)
         val foldedM = prune(readFoldedTree(spark, root, memberSub).get)

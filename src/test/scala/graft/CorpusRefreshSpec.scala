@@ -458,6 +458,91 @@ class CorpusRefreshSpec extends AnyFunSuite {
     Materialize.releaseAll()
   }
 
+  test("a mid-batch crash across the five stores converges on replay") {
+    // The capstone body commits its five stores SEQUENTIALLY; a crash
+    // mid-body leaves them at different batches. There is no
+    // cross-store coordinator on purpose: every store's apply is
+    // replay-idempotent (markers / changelog _SUCCESS / as-of state
+    // pulls), so the at-least-once redelivery of the SAME batch
+    // re-runs the whole body and every store converges — this pins
+    // that end to end, not just per store.
+    import spark.implicits._
+    import graft.streaming.UpsertFileSink
+    import graft.operators.{IncrementalIndex, IncrementalIvf,
+      IncrementalLsh, InvertedIndex, IvfIndex}
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-crash5").toString
+    def embedCol = array((0 until 4).map(a =>
+      when(pmod(col("doc_id"), lit(3)) === a, 1.0).otherwise(0.0)): _*)
+    val batch0 = Seq(10L -> textA, 30L -> textC)
+    val batch1 = Seq(50L -> textE, 5L -> textC)
+    IncrementalIvf.initializeQuantizer(spark,
+      docsDF(batch0).select(col("doc_id").as("vec_id"), embedCol.as("e")),
+      s"$base/ivf", k = 2, iters = 1)
+
+    def land(rows: Seq[(Long, String)], id: Long): Unit =
+      UpsertFileSink.upsertsOnly(docsDF(rows), id, s"$base/landing",
+        Seq("doc_id"))
+    def refreshStep(rows: Seq[(Long, String)], id: Long): Unit = {
+      CorpusRefresh.refresh(spark, s"$base/state", docsDF(rows), id,
+        nBuckets = 8)
+      Materialize.releaseAll()
+    }
+    def indexStep(rows: Seq[(Long, String)], id: Long): Unit =
+      IncrementalIndex.applyBatch(spark, s"$base/index",
+        docsDF(rows).withColumn("op", lit("I")), id, nBuckets = 8)
+    def ivfStep(rows: Seq[(Long, String)], id: Long): Unit =
+      IncrementalIvf.applyBatch(spark, s"$base/ivf",
+        docsDF(rows).select(col("doc_id").as("vec_id"), embedCol.as("e"),
+          lit("I").as("op")), id)
+    def lshStep(rows: Seq[(Long, String)], id: Long): Unit =
+      IncrementalLsh.applyBatch(spark, s"$base/lsh",
+        docsDF(rows).withColumn("op", lit("I")), id, nBuckets = 8)
+    def body(rows: Seq[(Long, String)], id: Long): Unit = {
+      land(rows, id); refreshStep(rows, id); indexStep(rows, id)
+      ivfStep(rows, id); lshStep(rows, id)
+    }
+
+    body(batch0, 0L)
+    // CRASH: batch 1 dies after the landing zone and the refresh
+    // committed — the three indexes never saw it
+    land(batch1, 1L)
+    refreshStep(batch1, 1L)
+    // the redelivery re-runs the WHOLE body with the same id
+    body(batch1, 1L)
+
+    val all = batch0 ++ batch1
+    assert(UpsertFileSink.readSnapshot(spark, s"$base/landing",
+        docsDF(all).schema)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ===
+      all.map(_._1).sorted)
+    assert(flagsRows(CorpusRefresh.currentFlags(spark, s"$base/state")) ===
+      flagsRows(CorpusRefresh.fullFlags(spark, docsDF(all))))
+    assert(IncrementalIndex.currentPostings(spark, s"$base/index")
+      .collect().map(_.toString).sorted.toSeq ===
+      InvertedIndex.build(docsDF(all), "doc_id", "text")
+        .collect().map(_.toString).sorted.toSeq)
+    assert(IncrementalIvf.liveMembers(spark, s"$base/ivf")
+      .select("vec_id", "cell").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq ===
+      IvfIndex.assignTo(
+          docsDF(all).select(col("doc_id").as("vec_id"), embedCol.as("e")),
+          spark.read.parquet(s"$base/ivf/centroids"))
+        .select("vec_id", "cell").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq)
+    val scratchLsh = s"$base/lsh_scratch"
+    IncrementalLsh.applyBatch(spark, scratchLsh,
+      docsDF(all).select("doc_id", "text").withColumn("op", lit("I")),
+      0L, nBuckets = 8)
+    def pairs(root: String) = IncrementalLsh
+      .candidates(spark, root, docsDF(all).select("doc_id", "text"))
+      .select(least(col("probe_id"), col("doc_id")),
+        greatest(col("probe_id"), col("doc_id")), col("minhash_sim"))
+      .distinct().collect().map(_.toString).toSet
+    assert(pairs(s"$base/lsh") === pairs(scratchLsh))
+    Materialize.releaseAll()
+  }
+
   test("a replayed refresh returns the identical delta after a partial commit") {
     // The delta is what a trainer APPLIES — if the first attempt
     // crashed after committing one projection, the replay must still

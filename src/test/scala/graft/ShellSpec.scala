@@ -474,6 +474,48 @@ class ShellSpec extends AnyFunSuite {
     assert(r.getDouble(3) > 0.0, "the live fit must be measurable")
   }
 
+  test("aliased index/lsh commands resolve the active generation; rebuilds flip it") {
+    import graft.operators.{IncrementalIndex, IncrementalLsh}
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-shell-bg").toString
+
+    // inverted index: init an aliased parent, feed THROUGH the parent
+    // path, rebuild — the reindex keeps only the live slice
+    Shell.run(spark, sf0001, s"index init $base/idx")
+    Shell.run(spark, sf0001, s"index apply $base/idx 0 2 0")
+    val before = Shell
+      .run(spark, sf0001, s"index search $base/idx data,model 5")
+      .collect().map(_.toString).toSeq
+    val rb = Shell.run(spark, sf0001, s"index rebuild $base/idx").head
+    assert(rb.getString(0) === "g0" && rb.getString(1) === "g1")
+    assert(IncrementalIndex.activeRoot(spark, s"$base/idx")
+      .endsWith("/g1"))
+    assert(Shell.run(spark, sf0001, s"index search $base/idx data,model 5")
+      .collect().map(_.toString).toSeq === before,
+      "a reindex of the same corpus must not move the ranking")
+
+    // LSH: planner-driven scheme rebuild from the REPL — the flipped
+    // generation answers under the chosen banding, and the commands
+    // keep addressing the parent transparently
+    Shell.run(spark, sf0001, s"lsh init $base/lsh")
+    Shell.run(spark, sf0001, s"lsh apply $base/lsh 0 2 0")
+    val r = Shell.run(spark, sf0001, s"lsh rebuild $base/lsh 12 0.7").head
+    assert(r.getString(0) === "g0" && r.getString(1) === "g1")
+    assert((r.getInt(2), r.getInt(3)) ===
+      graft.operators.LshPlanner.choose(12, 0.7))
+    val viaParent = Shell
+      .run(spark, sf0001, s"lsh candidates $base/lsh 2 1")
+      .collect().map(_.toString).toSeq
+    val direct = IncrementalLsh.candidates(spark,
+        IncrementalLsh.activeRoot(spark, s"$base/lsh"),
+        graft.sources.Tables.documents(spark, sf0001)
+          .filter(col("doc_id") % 2 === 1).select("doc_id", "text"))
+      .orderBy("probe_id", "doc_id")
+      .collect().map(_.toString).toSeq
+    assert(viaParent === direct)
+    Materialize.releaseAll()
+  }
+
   test("maintain runs each store kind's hygiene against live roots") {
     import graft.operators.{CorpusRefresh, IncrementalIvf}
     import graft.sources.Tables
