@@ -201,17 +201,13 @@ object Shell {
     else f.listStatus(p).count(_.getPath.getName.startsWith("seq=")).toLong
   }
 
-  /** Resolve a path that may be an aliased parent (`_active` marker)
-    * to its live generation root, so every index/lsh command works on
-    * bare roots AND blue/green parents alike.
+  /** Resolve a path that may be an aliased parent to its live
+    * generation root, so every index/lsh command works on bare roots
+    * AND blue/green parents alike — delegates to the one shared
+    * resolver ([[graft.operators.Maintenance.activeOrSelf]]).
     */
-  private def actRoot(s: SparkSession, path: String): String = {
-    val marker = new org.apache.hadoop.fs.Path(path, "_active")
-    val f = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (f.exists(marker))
-      s"$path/${graft.ControlFiles.readFully(f, marker).trim}"
-    else path
-  }
+  private def actRoot(s: SparkSession, path: String): String =
+    graft.operators.Maintenance.activeOrSelf(s, path)
 
   private def load(s: SparkSession, dir: String, table: String): DataFrame =
     table match {
@@ -660,8 +656,18 @@ object Shell {
         val slice = Tables.documents(s, dir)
           .filter(pmod(col("doc_id"), lit(mod.toLong)) === rem.toLong)
           .select("doc_id", "text")
+        // feed under the root's OWN pinned scheme — after a planner
+        // rebuild the active generation is no longer the contract
+        // default, and hardcoding (16, 4, 2) would trip the pins on
+        // every subsequent apply (the REPL feed path must survive a
+        // scheme cutover)
+        val (nb, bd, rw) = graft.operators.IncrementalLsh
+          .pinnedScheme(s, root)
+          .getOrElse((16, graft.operators.IncrementalLsh.DefaultBands,
+            graft.operators.IncrementalLsh.DefaultRows))
         graft.operators.IncrementalLsh.applyBatch(s, root,
-          slice.withColumn("op", lit("I")), batchId.toLong)
+          slice.withColumn("op", lit("I")), batchId.toLong,
+          nBuckets = nb, bands = bd, rows = rw)
         Seq((batchId.toLong,
           graft.operators.IncrementalLsh.candidates(s, root, slice)
             .count()))

@@ -88,7 +88,15 @@ object CorpusRefresh {
     // eval-set contaminated-token fraction ([[Decontaminate.report]]),
     // stored so a refresh never re-scrubs unaffected docs; null when
     // the pipeline runs without an eval scrub
-    StructField("contamination", DoubleType)))
+    StructField("contamination", DoubleType),
+    // [[BandedVerify]]'s verdict, stored as FIRST-CLASS state: the
+    // demotion must survive later rank-1 recomputes of the doc's
+    // cascade groups (a new group member or a lost member re-ranks the
+    // group, and without this flag the banded near-dup would silently
+    // re-promote — the drop-only invariant enforced, not advised).
+    // False on cascade-only pipelines; a doc it marks also keeps its
+    // group-mates demoted (they near-duplicate a demoted doc).
+    StructField("banded_dup", BooleanType)))
 
   /** A per-row quality scorer: (docs with doc_id, text) →
     * (doc_id, quality_score). MUST be deterministic and map-side
@@ -233,6 +241,7 @@ object CorpusRefresh {
       .withColumn("k_near", rank1("sg_key", col("k_norm")))
       .withColumn("quality_ok",
         col("k_near") && qualityVerdict(tau) && contamVerdict(scrub))
+      .withColumn("banded_dup", lit(false))
       .select(stateCols.map(col): _*)
 
   /** Upsert one changelog batch (stateCols + op + seq) into all four
@@ -475,6 +484,9 @@ object CorpusRefresh {
       .withColumn("k_norm", lit(null).cast("boolean"))
       .withColumn("k_near", lit(null).cast("boolean"))
       .withColumn("quality_ok", lit(null).cast("boolean"))
+      // resolved after the cascade (the banded stage); an arrival with
+      // no BandedVerify configured lands false
+      .withColumn("banded_dup", lit(null).cast("boolean"))
       .select(stateCols.map(col): _*)
       .persist()
 
@@ -604,7 +616,16 @@ object CorpusRefresh {
             .over(Window.partitionBy("sg_key")) === 1 ||
             coalesce(col("__lost_s"), lit(false)))
         .withColumn("k_near2",
-          when(col("r_s"), rank1("sg_key", col("k_norm2")))
+          // a STORED banded demotion survives the group recompute: the
+          // rank window may re-rank the group (and this doc may even
+          // win its slot, keeping its group-mates demoted — they
+          // near-duplicate a demoted doc), but a banded_dup doc itself
+          // can never re-enter the kept set through a cascade re-rank.
+          // Without this the drop-only invariant would silently break
+          // the first time a later batch touched the demoted doc's
+          // group (the round-16 review catch).
+          when(col("r_s"), rank1("sg_key", col("k_norm2")) &&
+            !coalesce(col("banded_dup"), lit(false)))
             .otherwise(col("k_near")))
         .withColumn("quality_ok2",
           col("k_near2") && qualityVerdict(tau) && contamVerdict(scrub))
@@ -614,7 +635,7 @@ object CorpusRefresh {
           col("k_exact2").as("k_exact"), col("k_norm2").as("k_norm"),
           col("k_near2").as("k_near"),
           col("quality_ok2").as("quality_ok"), col("quality_score"),
-          col("contamination"),
+          col("contamination"), col("banded_dup"),
           coalesce(col("quality_ok"), col("__old_ok")).as("was_kept"),
           col("is_delta"))
 
@@ -622,8 +643,10 @@ object CorpusRefresh {
       // applied AFTER the cascade: an arrival that survived the
       // exact-signature stages but has a verified banded near-dup in
       // the prior KEPT corpus loses k_near (and with it quality_ok) —
-      // bystander rows are untouched (drop-only, cross-batch)
-      val verdicts = banded match {
+      // bystander rows are untouched (drop-only, cross-batch). The
+      // verdict PERSISTS as the banded_dup state flag so later group
+      // recomputes cannot resurrect the doc.
+      val verdicts = (banded match {
         case None => recomputed
         case Some(bv) =>
           val dem = bandedDemotions(s, stateRoot, bv, arr, delta,
@@ -635,8 +658,11 @@ object CorpusRefresh {
               when(col("__bhit"), lit(false)).otherwise(col("k_near")))
             .withColumn("quality_ok",
               when(col("__bhit"), lit(false)).otherwise(col("quality_ok")))
+            .withColumn("banded_dup",
+              when(col("is_delta"), col("__bhit"))
+                .otherwise(col("banded_dup")))
             .drop("__bdup", "__bhit")
-      }
+      }).withColumn("banded_dup", coalesce(col("banded_dup"), lit(false)))
 
       // deleted docs: return-only rows (their state is tombstoned, not
       // rewritten) — every verdict false, was_kept = the old verdict
@@ -648,7 +674,7 @@ object CorpusRefresh {
           col("sg_key"),
           lit(false).as("k_exact"), lit(false).as("k_norm"),
           lit(false).as("k_near"), lit(false).as("quality_ok"),
-          col("quality_score"), col("contamination"),
+          col("quality_score"), col("contamination"), col("banded_dup"),
           col("quality_ok").as("was_kept"), lit(true).as("is_delta"))
 
       // checkpoint the FULL returned delta (recomputed rows ∪ deleted

@@ -368,9 +368,14 @@ object IncrementalIndex {
         nBuckets
       }
     SegmentLog.pinLayout(spark, root, "_nbuckets", nb.toLong)
-    val latest = latestDocVersions(spark, root)
-    val liveOld = latest
-      .filter(col("seq") <= upTo && col("op") =!= "D")
+    // state AS OF the horizon (newest version ≤ upTo per key, later
+    // supersessions notwithstanding): the live read's anti-join
+    // suppresses a folded copy a fresh batch superseded, the next fold
+    // retires it, and as-of reads above the horizon stay EXACT — see
+    // [[IncrementalIvf.compact]] for the failure the global-newest
+    // filter ordering caused
+    val liveOld = latestDocVersions(spark, root, Some(upTo + 1))
+      .filter(col("op") =!= "D")
 
     val foldPost = readLog(spark, root, "postings")
       .join(liveOld.select("doc_id", "seq"), Seq("doc_id", "seq"))
@@ -426,7 +431,7 @@ object IncrementalIndex {
     * [[applyBatch]] bootstraps it like any root.
     */
   def initializeAliased(spark: SparkSession, parent: String): Unit =
-    SegmentLog.Alias.publish(spark, parent, "g0")
+    SegmentLog.Alias.publishInitial(spark, parent, "g0")
 
   /** [[applyBatch]] against the live generation. */
   def applyBatchActive(spark: SparkSession, parent: String,

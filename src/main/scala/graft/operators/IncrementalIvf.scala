@@ -251,8 +251,18 @@ object IncrementalIvf {
     // wedge behind the horizon guard ([[SegmentLog.requireNoTornAtOrBelow]])
     SegmentLog.requireNoTornAtOrBelow(spark, root,
       Seq("members"), "vecs", upTo)
-    val liveOld = latestVecVersions(spark, root)
-      .filter(col("seq") <= upTo && col("op") =!= "D")
+    // the fold is the STATE AS OF the horizon — each key's newest
+    // version with seq ≤ upTo, even when a fresh (> upTo) batch later
+    // superseded it: the live read's anti-join suppresses the folded
+    // copy and the next fold retires it, while as-of reads between the
+    // horizon and the supersession stay EXACT. (Ranking the global
+    // newest first and then filtering ≤ upTo would silently drop such
+    // keys from the fold and destroy the history their as-of view
+    // needs — the round-16 review catch.)
+    val liveOld = SegmentLog
+      .latestVersionsSplit(spark, root, "vecs", "vec_id",
+        beforeSeq = Some(upTo + 1))
+      .filter(col("op") =!= "D")
     // payload-agnostic fold (drop the seq only): the member schema is
     // (vec_id, e, cell) on plain roots and (vec_id, codes, cell) on
     // coded roots — the liveness fold is identical. A root fed only
@@ -373,8 +383,20 @@ object IncrementalIvf {
     codebook.write.mode("overwrite").parquet(s"$root/pq_codebook")
     recordAdcBaseline(spark, root, vectors, codebook, m)
     graft.Materialize.release(codebook)
+    recordBootstrapSeq(spark, root, 0L)
     applyBatchCoded(spark, root, vectors.withColumn("op", lit("I")), 0L)
   }
+
+  /** Record the corpus-sized BULK-LOAD batch id so
+    * [[retrainSignalCoded]] can exclude it: its fit is the baseline by
+    * construction, and n-weighting it into the recent-arrivals window
+    * would mask drift for the first window−1 batches after every init
+    * or retrain (100k baseline rows drown 1k drifted ones).
+    */
+  private def recordBootstrapSeq(spark: SparkSession, root: String,
+      seq: Long): Unit =
+    graft.ControlFiles.atomicWrite(SegmentLog.hfs(spark, root),
+      new org.apache.hadoop.fs.Path(root, "_bootstrap_seq"), seq.toString)
 
   /** Record the training sample's mean PQ reconstruction cosine as the
     * CODED root's drift baseline (`_adc_fit`) — the coded twin of
@@ -530,6 +552,7 @@ object IncrementalIvf {
     */
   def initializeAliased(spark: SparkSession, vectors: DataFrame,
       parent: String, k: Int, iters: Int): Unit = {
+    SegmentLog.Alias.requireUnaliased(spark, parent)
     initialize(spark, vectors, s"$parent/g0", k, iters)
     SegmentLog.Alias.publish(spark, parent, "g0")
   }
@@ -540,6 +563,7 @@ object IncrementalIvf {
   def initializeCodedAliased(spark: SparkSession, vectors: DataFrame,
       parent: String, k: Int, iters: Int, m: Int = 8, ksub: Int = 16,
       pqIters: Int = 4): Unit = {
+    SegmentLog.Alias.requireUnaliased(spark, parent)
     initializeCoded(spark, vectors, s"$parent/g0", k, iters, m, ksub,
       pqIters)
     SegmentLog.Alias.publish(spark, parent, "g0")
@@ -634,6 +658,7 @@ object IncrementalIvf {
       // [[retrainSignalCoded]] judges arrivals against this
       recordAdcBaseline(spark, newRoot, live, codebook, m)
       graft.Materialize.release(codebook)
+      recordBootstrapSeq(spark, newRoot, lastBatch)
       applyBatchCoded(spark, newRoot,
         live.withColumn("op", lit("I")), lastBatch)
       // write fence before the flip — see [[retrainCutover]]
@@ -706,6 +731,16 @@ object IncrementalIvf {
     val fitDir = new org.apache.hadoop.fs.Path(s"$root/fit")
     if (!f.exists(fitDir)) return (false, baseline, baseline)
     val horizon = SegmentLog.compactedUpTo(spark, root).getOrElse(-1L)
+    // the corpus-sized bootstrap batch (init / cutover bulk load) is
+    // the baseline by construction — n-weighting it into the window
+    // would let 100k baseline rows drown 1k drifted arrivals and mask
+    // drift for the first window−1 batches after every retrain
+    val bootSeq = {
+      val p = new org.apache.hadoop.fs.Path(root, "_bootstrap_seq")
+      if (f.exists(p))
+        Some(graft.ControlFiles.readFully(f, p).trim.toLong)
+      else None
+    }
     // commit gating: a fit segment counts iff its batch's changelog
     // committed (vecs _SUCCESS) or the horizon proves it — a torn
     // first delivery's fit partial must never skew the monitor
@@ -713,6 +748,7 @@ object IncrementalIvf {
       .filter(n => n.startsWith("seq=") &&
         n.stripPrefix("seq=").forall(_.isDigit))
       .map(_.stripPrefix("seq=").toLong)
+      .filter(id => !bootSeq.contains(id))
       .filter(id => id <= horizon || f.exists(
         new org.apache.hadoop.fs.Path(s"$root/vecs/seq=$id/_SUCCESS")))
       .sorted.takeRight(window)

@@ -74,6 +74,14 @@ object IncrementalLsh {
           .map(_.toInt).getOrElse(DefaultRows))
     }
 
+  /** The root's pinned (nBuckets, bands, rows), None for a virgin
+    * root — what a FEEDER that didn't create the root must pass to
+    * [[applyBatch]] (a planner-rebuilt generation is no longer the
+    * contract default, and guessing trips the pins by design).
+    */
+  def pinnedScheme(spark: SparkSession,
+      root: String): Option[(Int, Int, Int)] = schemeOf(spark, root)
+
   /** md5 band key of band `band_id` under a b × r scheme: the r
     * signature components of the band joined with '|' separators —
     * the exact generalization of the contract formula (concat, not
@@ -263,9 +271,11 @@ object IncrementalLsh {
     }
     SegmentLog.requireNoTornAtOrBelow(spark, root,
       Seq("members"), "docs", upTo)
+    // state AS OF the horizon (newest version ≤ upTo per key, later
+    // supersessions notwithstanding) — see [[IncrementalIvf.compact]]
     val liveOld = SegmentLog.latestVersionsSplit(spark, root, "docs",
-        "doc_id")
-      .filter(col("seq") <= upTo && col("op") =!= "D")
+        "doc_id", beforeSeq = Some(upTo + 1))
+      .filter(col("op") =!= "D")
     // an index fed only empty/delete-only batches never created the
     // members dir (candidates() treats that as a legitimate empty
     // index — so must the fold, which still bounds the CHANGELOG)
@@ -310,7 +320,7 @@ object IncrementalLsh {
     * scheme the first batch carries.
     */
   def initializeAliased(spark: SparkSession, parent: String): Unit =
-    SegmentLog.Alias.publish(spark, parent, "g0")
+    SegmentLog.Alias.publishInitial(spark, parent, "g0")
 
   /** [[applyBatch]] against the live generation. */
   def applyBatchActive(spark: SparkSession, parent: String,

@@ -35,10 +35,11 @@ object Maintenance {
     rows.toDF("store", "action", "detail")
   }
 
-  /** Resolve a path that may be an aliased parent to its active
-    * generation root.
+  /** Resolve a path that may be an aliased parent (`_active` marker)
+    * to its live generation root — the ONE shared resolver (the Shell
+    * delegates here; [[SegmentLog]] is package-private by design).
     */
-  private def resolveActive(spark: SparkSession, path: String): String = {
+  def activeOrSelf(spark: SparkSession, path: String): String = {
     val f = SegmentLog.hfs(spark, path)
     if (f.exists(SegmentLog.Alias.marker(path)))
       SegmentLog.Alias.resolve(spark, path)
@@ -54,7 +55,7 @@ object Maintenance {
       minFresh: Int, gcGenerations: Boolean,
       compactFn: (SparkSession, String, Long) => Unit,
       cleanupFn: (SparkSession, String) => Unit): DataFrame = {
-    val root = resolveActive(spark, path)
+    val root = activeOrSelf(spark, path)
     val aliased = root != path
     val out = scala.collection.mutable.ArrayBuffer
       .empty[(String, String, String)]

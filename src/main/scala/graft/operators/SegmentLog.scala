@@ -112,6 +112,18 @@ private[operators] object SegmentLog {
       .withColumn("seq", col("seq").cast("long")))
   }
 
+  /** Rank-1 resolution of a changelog frame: each key's newest
+    * (key, seq, op) row — the one shared window both split readers
+    * bound and rank with.
+    */
+  private def rank1Latest(log: DataFrame, key: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(key).orderBy(col("seq").desc)
+    log.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(key), col("seq"), col("op"))
+  }
+
   /** Each key's newest (key, seq, op) changelog row WITHOUT a
     * corpus-wide window: on a compacted root the folded tree holds
     * exactly one LIVE row per pre-horizon key (compaction's own
@@ -129,15 +141,9 @@ private[operators] object SegmentLog {
   def latestVersionsSplit(spark: SparkSession, root: String,
       commitSub: String, key: String,
       beforeSeq: Option[Long] = None): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     def bound(log: DataFrame): DataFrame =
       beforeSeq.fold(log)(b => log.filter(col("seq") < b))
-    def latestOver(log: DataFrame): DataFrame = {
-      val w = Window.partitionBy(key).orderBy(col("seq").desc)
-      bound(log).withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
-        .select(col(key), col("seq"), col("op"))
-    }
+    def latestOver(log: DataFrame): DataFrame = rank1Latest(bound(log), key)
     compactedUpTo(spark, root) match {
       case None => latestOver(readLog(spark, root, commitSub))
       case Some(c) =>
@@ -179,15 +185,9 @@ private[operators] object SegmentLog {
       prune: DataFrame => DataFrame,
       emptyMembers: => DataFrame,
       asOf: Option[Long] = None): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     def bound(log: DataFrame): DataFrame =
       asOf.fold(log)(a => log.filter(col("seq") <= a))
-    def latestOver(log: DataFrame): DataFrame = {
-      val w = Window.partitionBy(key).orderBy(col("seq").desc)
-      bound(log).withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
-        .select(col(key), col("seq"), col("op"))
-    }
+    def latestOver(log: DataFrame): DataFrame = rank1Latest(bound(log), key)
     if (!hasBatches(spark, root, memberSub) &&
       !hasBatches(spark, root, commitSub)) return emptyMembers
     compactedUpTo(spark, root) match {
@@ -201,10 +201,12 @@ private[operators] object SegmentLog {
         prune(mem).join(live, Seq(key, "seq")).drop("seq")
       case Some(c) =>
         // time travel is BOUNDED BY COMPACTION, exactly like the
-        // sink's vacuum-retention caveat: a view at/below the horizon
-        // is folded history that no longer exists
-        require(asOf.forall(_ > c),
-          s"asOf ${asOf.get} is at or below $root's compaction " +
+        // sink's vacuum-retention caveat: a view strictly below the
+        // horizon is folded history that no longer exists. The view AT
+        // the horizon is exactly the folded tree (the fold is the
+        // state as of its horizon), so asOf == c answers.
+        require(asOf.forall(_ >= c),
+          s"asOf ${asOf.get} is below $root's compaction " +
             s"horizon $c: that view is folded away")
         // the folded member tree always exists post-compaction (an
         // emptied index folds to a schema-carrying empty file)
@@ -283,9 +285,10 @@ private[operators] object SegmentLog {
     * wedge [[requireNoTornAtOrBelow]] would refuse, avoided instead of
     * tripped, so a scheduled maintenance job degrades to folding less
     * rather than failing while a redelivery is pending. None when
-    * nothing newer than the current horizon can fold (also when fewer
-    * than `minFresh` committed fresh segments exist — the caller's
-    * "don't bother yet" cadence knob).
+    * nothing newer than the current horizon can fold (also when no
+    * MORE THAN `minFresh` committed fresh segments exist — strict,
+    * matching the inline `compactEvery` cadence's comparison, so the
+    * two knobs mean the same thing).
     */
   def safeCompactionTarget(spark: SparkSession, root: String,
       dataSubs: Seq[String], commitSub: String,
@@ -295,7 +298,7 @@ private[operators] object SegmentLog {
     val committed = freshIds(spark, root, commitSub).filter(id =>
       f.exists(new org.apache.hadoop.fs.Path(
         s"$root/$commitSub/seq=$id/_SUCCESS")))
-    if (committed.size < math.max(minFresh, 1)) return None
+    if (committed.size <= math.max(minFresh, 0)) return None
     val torn = (dataSubs :+ commitSub)
       .flatMap(s => freshIds(spark, root, s)).toSet -- committed
     val cap = torn.minOption.map(_ - 1).getOrElse(Long.MaxValue)
@@ -409,6 +412,35 @@ private[operators] object SegmentLog {
     def publish(spark: SparkSession, parent: String, gen: String): Unit =
       graft.ControlFiles.atomicWrite(hfs(spark, parent), marker(parent),
         gen)
+
+    /** BOOTSTRAP guard: refuse to initialize a parent that is already
+      * aliased. A re-run of an init command on a live parent would
+      * otherwise clobber g0's data and/or atomically cut production
+      * over to an empty (possibly already-GC'd) g0: lookups go
+      * silently empty, the next feed batch creates a fresh g0, and the
+      * real corpus sits stranded in the old generation. Called FIRST
+      * (fail fast, before any write) so a crash between a bootstrap's
+      * data writes and its publish stays retryable — the marker only
+      * lands at the end, via the plain [[publish]]. Rebuilding is the
+      * cutover protocols; bootstrapping twice is an error.
+      */
+    def requireUnaliased(spark: SparkSession, parent: String): Unit = {
+      val f = hfs(spark, parent)
+      require(!f.exists(marker(parent)),
+        s"$parent is already aliased (active generation " +
+          s"'${graft.ControlFiles.readFully(f, marker(parent)).trim}') — " +
+          "re-initializing would cut production over to an empty " +
+          "generation; use the rebuild/retrain cutover instead")
+    }
+
+    /** [[requireUnaliased]] + [[publish]] — the bootstrap publish for
+      * inits with no data writes of their own.
+      */
+    def publishInitial(spark: SparkSession, parent: String,
+        gen: String): Unit = {
+      requireUnaliased(spark, parent)
+      publish(spark, parent, gen)
+    }
 
     /** A fresh generation name: 1 + max over existing g<n> dirs AND
       * the alias target (a crashed attempt's orphan just bumps the

@@ -837,5 +837,26 @@ class CorpusRefreshSpec extends AnyFunSuite {
         threshold = 0.9))))
     assert(k2 === Map(200L -> true, 210L -> true),
       s"sub-threshold candidates must not demote: $k2")
+
+    // DROP-ONLY survives group recomputes: batch 2 lands an exact
+    // duplicate of the demoted doc 200, marking 200's digest (and
+    // cascading) groups for re-rank — WITHOUT a BandedVerify
+    // configured. The stored banded_dup flag alone must keep 200
+    // demoted (a bare rank-1 re-rank would silently re-promote it —
+    // the round-16 review catch), and 300, a dup of a demoted doc,
+    // must not enter the kept set either.
+    val d3 = CorpusRefresh.refresh(spark, cmp,
+      docsDF(Seq(300L -> nearDupText)), 2L, nB)
+    assert(keptOf(d3) === Map(300L -> false))
+    val st200b = CorpusRefresh.currentFlags(spark, cmp)
+      .filter(col("doc_id") === 200L).head
+    assert(!st200b.getBoolean(9) && !st200b.getBoolean(10) &&
+      st200b.getBoolean(13),
+      "the banded demotion must survive its group's re-rank")
+    val st300 = CorpusRefresh.currentFlags(spark, cmp)
+      .filter(col("doc_id") === 300L).head
+    assert(!st300.getBoolean(10),
+      "an exact dup of a banded-demoted doc stays out of the kept set")
+    Materialize.releaseAll()
   }
 }

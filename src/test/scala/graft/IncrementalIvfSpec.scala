@@ -342,9 +342,12 @@ class IncrementalIvfSpec extends AnyFunSuite {
     // arrivals from a subspace the frozen codebook never saw degrade
     // their write-time reconstruction fit — the CODED retrain trigger
     // (no vectors in the index, no external store touched: the monitor
-    // reads only the per-batch one-row fit partials)
+    // reads only the per-batch one-row fit partials). The DEFAULT
+    // window fires because the corpus-sized bootstrap batch is
+    // excluded — n-weighting it in would drown the drifted arrivals
+    // and mask the signal for the first window−1 batches
     val (fire1, base1, cur1) =
-      IncrementalIvf.retrainSignalCoded(spark, g0, window = 1)
+      IncrementalIvf.retrainSignalCoded(spark, g0)
     assert(fire1 && base1 - cur1 > 0.05,
       s"OOD arrivals must fire the coded signal: $base1 -> $cur1")
 

@@ -42,16 +42,40 @@ class SegmentAsOfSpec extends AnyFunSuite {
       rows(IncrementalIndex.currentPostings(spark, root)),
       "as-of head == the live read")
 
-    // compaction bounds the travel: views at/below the horizon are
-    // folded history and fail loudly; views above still resolve
+    // compaction bounds the travel: views BELOW the horizon are folded
+    // history and fail loudly; the view AT the horizon is exactly the
+    // folded tree, and views above still resolve
     IncrementalIndex.compact(spark, root, upTo = 1L)
     val e = intercept[IllegalArgumentException] {
-      IncrementalIndex.currentPostingsAsOf(spark, root, 1L).collect()
+      IncrementalIndex.currentPostingsAsOf(spark, root, 0L).collect()
     }
     assert(e.getMessage.contains("folded away"))
+    assert(rows(IncrementalIndex.currentPostingsAsOf(spark, root, 1L)) ===
+      rows(InvertedIndex.build(states(1).toSeq.toDF("doc_id", "text"),
+        "doc_id", "text")),
+      "the at-horizon view is the folded tree itself")
     assert(rows(IncrementalIndex.currentPostingsAsOf(spark, root, 2L)) ===
       rows(InvertedIndex.build(states(2).toSeq.toDF("doc_id", "text"),
         "doc_id", "text")))
+
+    // the fold keeps a key's AT-HORIZON version even when a fresh
+    // batch later superseded it (ranking the global newest first and
+    // then filtering by the horizon would silently drop it and destroy
+    // the as-of view between horizon and supersession — the round-16
+    // review catch): doc 3 updates at batch 3, the log folds to 2, and
+    // the as-of-2 view must still show doc 3's old text
+    IncrementalIndex.applyBatch(spark, root,
+      Seq((3L, "dog kennel", "U")).toDF("doc_id", "text", "op"), 3L)
+    IncrementalIndex.compact(spark, root, upTo = 2L)
+    assert(rows(IncrementalIndex.currentPostingsAsOf(spark, root, 2L)) ===
+      rows(InvertedIndex.build(states(2).toSeq.toDF("doc_id", "text"),
+        "doc_id", "text")),
+      "the at-horizon version of a later-superseded key must survive the fold")
+    assert(rows(IncrementalIndex.currentPostings(spark, root)) ===
+      rows(InvertedIndex.build(
+        (states(2) + (3L -> "dog kennel")).toSeq.toDF("doc_id", "text"),
+        "doc_id", "text")),
+      "and the live view serves the superseding version")
   }
 
   test("IVF searchAsOf reproduces each historical member set") {

@@ -514,6 +514,19 @@ class ShellSpec extends AnyFunSuite {
       .collect().map(_.toString).toSeq
     assert(viaParent === direct)
     Materialize.releaseAll()
+
+    // the REPL feed path survives the scheme cutover: apply resolves
+    // the active root's PINNED scheme instead of hardcoding the
+    // contract default (which the pins would rightly refuse)
+    Shell.run(spark, sf0001, s"lsh apply $base/lsh 1 7 0")
+    Materialize.releaseAll()
+
+    // re-initializing a LIVE parent is refused — it would cut
+    // production over to an empty (even GC'd) g0 with no error
+    intercept[IllegalArgumentException](
+      Shell.run(spark, sf0001, s"index init $base/idx"))
+    intercept[IllegalArgumentException](
+      Shell.run(spark, sf0001, s"lsh init $base/lsh"))
   }
 
   test("maintain runs each store kind's hygiene against live roots") {
