@@ -123,6 +123,28 @@ import graft.sources.Tables
   *                                        lookup, never a corpus scan)
   *   lsh compact <root> <upTo>            fold the LSH log up to the
   *                                        horizon
+  *   index init <parent>                  alias an empty blue/green
+  *                                        inverted-index parent at g0
+  *   index rebuild <parent>               blue/green reindex of the
+  *                                        active generation's live
+  *                                        corpus + atomic alias flip
+  *   lsh init <parent>                    alias an empty blue/green
+  *                                        LSH parent at g0
+  *   lsh rebuild <parent> <nPerm> <thr>   planner-chosen (bands, rows)
+  *                                        scheme rebuild + atomic flip
+  *   msearch <idxPath> <ivfPath>          hybrid BM25 + IVF-cosine RRF
+  *           <t1,t2> <probeId> <k> <np>   over the MAINTAINED stores
+  *                                        (aliased parents resolve)
+  *   maintain <kind> <root>               one-call store hygiene
+  *                                        (index|ivf|lsh|landing|
+  *                                        refresh-state): safe-horizon
+  *                                        fold / checkpoint + vacuum /
+  *                                        generation GC, reported
+  *
+  *   (index/ivf/lsh paths may be bare roots OR aliased parents — every
+  *   command resolves `_active` transparently; `lsh apply` feeds under
+  *   the root's pinned scheme)
+  *
   *   refresh                              incremental-curation demo:
   *                                        initialize verdict state from
   *                                        ~80% of the corpus, refresh
@@ -707,6 +729,21 @@ object Shell {
           b, r, BigDecimal(graft.operators.LshPlanner.thresholdOf(b, r))
             .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
           .toDF("old_gen", "new_gen", "bands", "rows", "knee")
+      // hybrid retrieval over the MAINTAINED stores (the production
+      // query path of the ingest loop): BM25 over the incremental
+      // inverted index fused by RRF with cosine top-k over the
+      // incremental IVF — both legs resolve aliased parents, so the
+      // query rides through blue/green cutovers untouched
+      case List("msearch", idxPath, ivfPath, terms, probeId, k, nprobe) =>
+        noKnob()
+        val probe = Tables.embeddings(s, dir)
+          .filter(col("vec_id") === probeId.toLong)
+          .select(col("embedding").cast("array<double>"))
+          .head.getSeq[Double](0).toSeq
+        graft.operators.HybridSearch.searchMaintained(s, idxPath,
+            ivfPath, terms.split(",").toSeq, probe, k.toInt,
+            nprobe.toInt)
+          .withColumn("rrf", round(col("rrf"), 6))
       // one-call steady-state maintenance per store kind — compaction
       // to the safe horizon, cleanup convergence, generation GC /
       // checkpoint + retention vacuum, in the documented safe order

@@ -95,4 +95,31 @@ object HybridSearch {
 
     rrf(Seq(lexical, semantic), "doc_id", k)
   }
+
+  /** Hybrid retrieval over the MAINTAINED stores — the production
+    * query path of the continuous-ingest loop: BM25 over the
+    * incremental inverted index (each leg resolves an aliased parent
+    * to its active generation, so searches ride through blue/green
+    * cutovers untouched) fused with cosine top-k over the incremental
+    * IVF index for a literal probe vector, by the same retriever-
+    * agnostic [[rrf]]. Per query: one pruned posting read + one
+    * nprobe-pruned member read + a fusion over ≤ 2k rows — the batch
+    * [[searchDocuments]]'s cost WITHOUT its corpus-sized index build,
+    * which is the whole point of maintaining the stores incrementally.
+    * The doc_id/vec_id alignment is the ingest loop's own contract
+    * (the capstone lands both under the document's id).
+    */
+  def searchMaintained(spark: SparkSession, indexPath: String,
+      ivfPath: String, terms: Seq[String], probe: Seq[Double], k: Int,
+      nprobe: Int = 4): DataFrame = {
+    val idxRoot = Maintenance.activeOrSelf(spark, indexPath)
+    val postings = IncrementalIndex.currentPostings(spark, idxRoot)
+    val (n, avgDl) = IncrementalIndex.stats(spark, idxRoot)
+    val lexical = InvertedIndex.bm25Query(postings, n, avgDl, terms, k)
+    val semantic = IncrementalIvf
+      .search(spark, Maintenance.activeOrSelf(spark, ivfPath), probe, k,
+        nprobe)
+      .select(col("vec_id").as("doc_id"), col("sim").as("score"))
+    rrf(Seq(lexical, semantic), "doc_id", k)
+  }
 }

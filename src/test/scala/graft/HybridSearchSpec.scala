@@ -70,4 +70,52 @@ class HybridSearchSpec extends AnyFunSuite {
     // retrievers' top-k lists (15 + 15 candidates → top 15)
     assert(got.map(_._1).toSet.size === 15)
   }
+
+  test("hybrid search over the MAINTAINED stores equals its legs fused directly") {
+    import graft.operators.{IncrementalIndex, IncrementalIvf,
+      InvertedIndex}
+    import graft.sources.Tables
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-msearch").toString
+    val docs = Tables.documents(spark, SparkTestBase.sf0001)
+      .select("doc_id", "text")
+    val emb = Tables.embeddings(spark, SparkTestBase.sf0001)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+
+    // the ingest loop's stores: an ALIASED index fed in two CDC
+    // batches, an aliased IVF bootstrapped from the embeddings
+    IncrementalIndex.initializeAliased(spark, s"$base/idx")
+    IncrementalIndex.applyBatchActive(spark, s"$base/idx",
+      docs.filter(col("doc_id") % 2 === 0).withColumn("op", lit("I")), 0L)
+    IncrementalIndex.applyBatchActive(spark, s"$base/idx",
+      docs.filter(col("doc_id") % 2 === 1).withColumn("op", lit("I")), 1L)
+    IncrementalIvf.initializeAliased(spark, emb, s"$base/ann",
+      k = 4, iters = 2)
+
+    val probe = emb.filter(col("vec_id") === 3L)
+      .head.getSeq[Double](1).toSeq
+    val got = HybridSearch.searchMaintained(spark, s"$base/idx",
+        s"$base/ann", Seq("data", "model"), probe, k = 10, nprobe = 2)
+      .collect().map(_.toString).toSeq
+
+    // the same legs, fused directly — the composition adds only glue
+    // (alias resolution, stats derivation, column mapping), and the
+    // legs' own equality with from-scratch builds is pinned elsewhere
+    val idxRoot = IncrementalIndex.activeRoot(spark, s"$base/idx")
+    val (n, avgDl) = IncrementalIndex.stats(spark, idxRoot)
+    val lexical = InvertedIndex.bm25Query(
+      IncrementalIndex.currentPostings(spark, idxRoot), n, avgDl,
+      Seq("data", "model"), 10)
+    val semantic = IncrementalIvf.searchActive(spark, s"$base/ann",
+        probe, 10, 2)
+      .select(col("vec_id").as("doc_id"), col("sim").as("score"))
+    val expect = HybridSearch.rrf(Seq(lexical, semantic), "doc_id", 10)
+      .collect().map(_.toString).toSeq
+    assert(got === expect && got.nonEmpty)
+    // and the maintained lexical leg really is the full-rebuild BM25
+    val full = InvertedIndex.build(docs, "doc_id", "text")
+    val fullLex = InvertedIndex.bm25Query(full, n, avgDl,
+      Seq("data", "model"), 10).collect().map(_.toString).toSeq
+    assert(lexical.collect().map(_.toString).toSeq === fullLex)
+  }
 }

@@ -527,6 +527,23 @@ class ShellSpec extends AnyFunSuite {
       Shell.run(spark, sf0001, s"index init $base/idx"))
     intercept[IllegalArgumentException](
       Shell.run(spark, sf0001, s"lsh init $base/lsh"))
+
+    // the maintained-store hybrid query rides the same aliased paths:
+    // REPL fusion == the module fusion over identical legs
+    Shell.run(spark, sf0001, s"ivf init $base/ann2 4 2")
+    val viaShell = Shell.run(spark, sf0001,
+        s"msearch $base/idx $base/ann2 data,model 3 5 2")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val probe = graft.sources.Tables.embeddings(spark, sf0001)
+      .filter(col("vec_id") === 3L)
+      .select(col("embedding").cast("array<double>"))
+      .head.getSeq[Double](0).toSeq
+    val directFused = graft.operators.HybridSearch.searchMaintained(
+        spark, s"$base/idx", s"$base/ann2", Seq("data", "model"), probe,
+        5, 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(viaShell === directFused && viaShell.nonEmpty)
+    Materialize.releaseAll()
   }
 
   test("maintain runs each store kind's hygiene against live roots") {
