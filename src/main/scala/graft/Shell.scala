@@ -754,13 +754,15 @@ object Shell {
           case "index" => graft.operators.Maintenance.maintainIndex(s, root)
           case "ivf" => graft.operators.Maintenance.maintainIvf(s, root)
           case "lsh" => graft.operators.Maintenance.maintainLsh(s, root)
+          case "embedlsh" =>
+            graft.operators.Maintenance.maintainEmbedLsh(s, root)
           case "landing" =>
             graft.operators.Maintenance.maintainLanding(s, root)
           case "refresh-state" =>
             graft.operators.Maintenance.maintainRefreshState(s, root)
           case other => throw new IllegalArgumentException(
             s"maintain: unknown store kind '$other' " +
-              "(index|ivf|lsh|landing|refresh-state)")
+              "(index|ivf|lsh|embedlsh|landing|refresh-state)")
         }
       // incremental corpus refresh, end to end: bulk-load verdict state
       // from a deterministic ~80% of the documents table, feed the

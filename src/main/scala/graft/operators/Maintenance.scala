@@ -109,6 +109,14 @@ object Maintenance {
       (s, r, u) => IncrementalLsh.compact(s, r, u),
       (s, r) => SegmentLog.cleanup(s, r, Seq("members", "docs")))
 
+  /** Maintain an [[IncrementalEmbedLsh]] root or aliased parent. */
+  def maintainEmbedLsh(spark: SparkSession, path: String,
+      minFresh: Int = 0, gcGenerations: Boolean = true): DataFrame =
+    maintainSegmented(spark, path, "embedlsh",
+      Seq("members"), "vecs", minFresh, gcGenerations,
+      (s, r, u) => IncrementalEmbedLsh.compact(s, r, u),
+      (s, r) => SegmentLog.cleanup(s, r, Seq("members", "vecs")))
+
   /** Maintain a BUCKETED landing zone ([[UpsertFileSink]]): roll the
     * manifest checkpoint, then vacuum with replay retention — in that
     * order (vacuum's marker reclamation leans on the checkpoint
