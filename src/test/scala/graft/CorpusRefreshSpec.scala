@@ -316,12 +316,14 @@ class CorpusRefreshSpec extends AnyFunSuite {
     // absorbs the same batch incrementally, and each doc's embedding
     // lands in the incremental IVF index (quantizer bootstrapped from
     // a training sample before the stream — the FAISS discipline).
-    // After the stream drains, all FOUR stores must agree with their
-    // from-scratch twins over the union of everything that arrived.
+    // After the stream drains, all SIX stores (landing zone, curation
+    // state, inverted index, IVF, text-LSH, embedding-LSH) must agree
+    // with their from-scratch twins over the union of everything that
+    // arrived.
     import spark.implicits._
     import graft.streaming.{StreamingWindows, UpsertFileSink}
-    import graft.operators.{IncrementalIndex, IncrementalIvf,
-      IncrementalLsh, InvertedIndex, IvfIndex}
+    import graft.operators.{IncrementalEmbedLsh, IncrementalIndex,
+      IncrementalIvf, IncrementalLsh, InvertedIndex, IvfIndex}
 
     val base = java.nio.file.Files
       .createTempDirectory("graft-ingest").toString
@@ -330,6 +332,7 @@ class CorpusRefreshSpec extends AnyFunSuite {
     val indexRoot = s"$base/index"
     val ivfRoot = s"$base/ivf"
     val lshRoot = s"$base/lsh"
+    val elshRoot = s"$base/elsh"
     val streamDir = java.nio.file.Files.createDirectory(
       java.nio.file.Paths.get(s"$base/stream"))
 
@@ -391,6 +394,9 @@ class CorpusRefreshSpec extends AnyFunSuite {
               lit("I").as("op")), id)
           IncrementalLsh.applyBatch(bs, lshRoot,
             staged.withColumn("op", lit("I")), id, nBuckets = 8)
+          IncrementalEmbedLsh.applyBatch(bs, elshRoot,
+            staged.select(col("doc_id").as("vec_id"), embedCol.as("e"),
+              lit("I").as("op")), id, nBuckets = 8, bandBits = 4)
           Materialize.releaseAll()
         } finally staged.unpersist(blocking = false)
       }
@@ -455,6 +461,22 @@ class CorpusRefreshSpec extends AnyFunSuite {
     assert(lshPairs(lshRoot) === lshPairs(scratchLsh))
     assert(lshPairs(lshRoot).nonEmpty,
       "the fixture's exact dups must band together")
+    // embedding near-dup candidates == a from-scratch one-batch embed
+    // index over the union (the SIXTH store — embedding dedup stays
+    // batch-synchronous too; verified against the landed embeddings)
+    val allEmb = docsDF(all)
+      .select(col("doc_id").as("vec_id"), embedCol.as("e"))
+    def elshPairs(root: String) = IncrementalEmbedLsh
+      .candidatesVerified(spark, root, allEmb, allEmb, 0.4)
+      .select(least(col("probe_id"), col("vec_id")),
+        greatest(col("probe_id"), col("vec_id")), col("sim"))
+      .distinct().collect().map(_.toString).toSet
+    val scratchElsh = s"$base/elsh_scratch"
+    IncrementalEmbedLsh.applyBatch(spark, scratchElsh,
+      allEmb.withColumn("op", lit("I")), 0L, nBuckets = 8, bandBits = 4)
+    assert(elshPairs(elshRoot) === elshPairs(scratchElsh))
+    assert(elshPairs(elshRoot).nonEmpty,
+      "axis-aligned embeddings must collide in the hyperplane bands")
     Materialize.releaseAll()
   }
 
