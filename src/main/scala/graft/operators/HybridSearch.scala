@@ -113,9 +113,10 @@ object HybridSearch {
       ivfPath: String, terms: Seq[String], probe: Seq[Double], k: Int,
       nprobe: Int = 4): DataFrame = {
     val idxRoot = Maintenance.activeOrSelf(spark, indexPath)
-    val postings = IncrementalIndex.currentPostings(spark, idxRoot)
-    val (n, avgDl) = IncrementalIndex.stats(spark, idxRoot)
-    val lexical = InvertedIndex.bm25Query(postings, n, avgDl, terms, k)
+    // the lexical leg at TERM-LOOKUP cost: tb-pruned postings + the
+    // O(batches) stats fold — never a corpus-sized postings pass
+    // (TokenPrunedIndexSpec pins the plan shape)
+    val lexical = IncrementalIndex.bm25Search(spark, idxRoot, terms, k)
     val semantic = IncrementalIvf
       .search(spark, Maintenance.activeOrSelf(spark, ivfPath), probe, k,
         nprobe)

@@ -12,9 +12,10 @@ import org.apache.spark.sql.functions._
   * doc upserts/deletes WITHOUT the corpus pass. The classic recipe
   * (Lucene segments, reduced to its parquet core):
   *
-  *  - each batch appends a SEGMENT `postings/seq=<batch>/db=<bucket>/`
-  *    holding the postings of the docs that batch (re)wrote — never a
-  *    rewrite of existing segments;
+  *  - each batch appends a SEGMENT
+  *    `postings/seq=<batch>/db=<bucket>/tb=<bucket>/` holding the
+  *    postings of the docs that batch (re)wrote — never a rewrite of
+  *    existing segments;
   *  - a thin doc changelog `docs/seq=<batch>/` records (doc_id, op);
   *    a doc's LIVE postings are the segment matching its newest seq —
   *    an update's older segments and a delete's every segment become
@@ -22,30 +23,51 @@ import org.apache.spark.sql.functions._
   *    the changelog joined back on (doc_id, seq);
   *  - document frequency cannot be read off live postings without a
   *    token-wide pass, so each batch also appends ADDITIVE df deltas
-  *    `df/seq=<batch>/`: +1 per distinct (token) in a doc's new
-  *    version, −1 per distinct token in the version it replaced; the
-  *    current df of a token is the sum of its deltas.
+  *    `df/seq=<batch>/tb=<bucket>/`: +1 per distinct (token) in a
+  *    doc's new version, −1 per distinct token in the version it
+  *    replaced; the current df of a token is the sum of its deltas;
+  *  - the BM25 corpus stats (live doc count N, total live token mass
+  *    Σdl) likewise cannot be read without a doc-wide pass, so each
+  *    batch appends ONE additive `stats/seq=<batch>/` row
+  *    (n_delta, dl_delta): ±(1, dl) per new/replaced live doc version
+  *    — [[stats]] is then an O(batches) thin fold, never a postings
+  *    scan.
+  *
+  * TWO partition dimensions, one per access path:
+  *
+  *  - `db = pmod(hash(doc_id), nBuckets)` serves the WRITE path: an
+  *    update's fold of its old postings reads only the touched doc
+  *    buckets (the landing zone's touched-bucket manifest discipline);
+  *  - `tb = pmod(hash(token), nTokenBuckets)` serves the READ path: a
+  *    term lookup ([[postingsForTerms]], the BM25 query shape) lists
+  *    only the probed terms' `tb=` dirs of every segment and the
+  *    folded tree — per-query I/O proportional to the touched posting
+  *    lists, independent of corpus size. The df log carries the same
+  *    `tb` dimension so the per-term df fold prunes identically.
   *
   * Scale shape: a batch's work is bounded by the batch, never the
   * corpus (except batches on the `compactEvery` cadence, which pay
-  * the live-set fold) — the only state read is the previous postings
-  * of the updated docs themselves, pruned by hash-bucketed partition dirs
-  * (`db=pmod(hash(doc_id), nBuckets)`, the same discipline as the
-  * bucketed landing zone: the parquet scan lists only touched
-  * buckets). Read-time folding costs one thin changelog window plus
-  * one df aggregation, both over logs whose growth [[compact]] bounds
-  * (fold every segment at or below a horizon into one, published by
-  * the [[SegmentLog]] marker; `applyBatch(compactEvery = K)` runs it
-  * inline at a fixed cadence).
+  * the live-set fold). Read-time folding costs one thin changelog
+  * window plus one df aggregation, both over logs whose growth
+  * [[compact]] bounds (fold every segment at or below a horizon into
+  * one, published by the [[SegmentLog]] marker; `applyBatch
+  * (compactEvery = K)` runs it inline at a fixed cadence).
   *
   * IncrementalIndexSpec pins the contract that matters: after any
   * batch sequence, [[currentPostings]] row-for-row equals
   * [[InvertedIndex.build]] over the corpus state those batches
   * produce — so every query in [[InvertedIndex]] (and the BM25/RRF
   * stack above it) runs unchanged on the incrementally-maintained
-  * index.
+  * index. TokenPrunedIndexSpec pins the read-path plan shape: a term
+  * lookup's postings/df scans carry `tb` partition filters, and
+  * [[statsFrame]] never scans postings at all.
   */
 object IncrementalIndex {
+
+  /** Default token-bucket count for the term-addressable dimension —
+    * frozen per root at creation like `nBuckets` (`_ntbuckets` pin).
+    */
+  val DefaultTokenBuckets = 16
 
   /** Bucket count for the postings partition dirs. Fixed at index
     * creation (like the landing zone's nBuckets): changing it would
@@ -57,13 +79,31 @@ object IncrementalIndex {
   private def bucketCol(nBuckets: Int) =
     pmod(hash(col("doc_id")), lit(nBuckets))
 
+  /** Token-hash bucket — the TERM-addressable partition dimension a
+    * posting lookup prunes on. Same frozen-layout discipline as `db`.
+    */
+  private def tokenBucketCol(nT: Int) =
+    pmod(hash(col("token")), lit(nT))
+
+  /** The `tb` buckets a term set hashes into — evaluated over a local
+    * relation (ConvertToLocalRelation folds the projection at
+    * optimization time; no corpus work), ≤ min(|terms|, nT) ints.
+    */
+  private def tokenBucketsOf(spark: SparkSession, terms: Seq[String],
+      nT: Int): Seq[Int] = {
+    import spark.implicits._
+    terms.distinct.toDF("token")
+      .select(tokenBucketCol(nT).as("tb")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+  }
+
   // ---- compaction-aware log readers ---------------------------------
   //
   // [[compact]] folds every segment with seq ≤ c into one tree under
-  // `_compact/<c>/{postings,docs,df}` and publishes it with a marker
-  // file `_compacted` (temp + rename — never torn). Readers take the
-  // marker's view: folded tree ∪ only the segments NEWER than c; any
-  // surviving seq ≤ c directory is invisible (partition-pruned), so
+  // `_compact/<c>/{postings,docs,df,stats}` and publishes it with a
+  // marker file `_compacted` (temp + rename — never torn). Readers take
+  // the marker's view: folded tree ∪ only the segments NEWER than c;
+  // any surviving seq ≤ c directory is invisible (partition-pruned), so
   // the post-publish cleanup can crash anywhere and merely leave
   // garbage to delete next time. No marker → plain log view.
   // The mechanics live in [[SegmentLog]], shared with the IVF index's
@@ -88,24 +128,41 @@ object IncrementalIndex {
       .groupBy("token", "doc_id")
       .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
 
-  /** The df delta log gated on COMMITTED batches only: the docs
-    * changelog is the batch commit point (written last), so a FRESH df
-    * segment whose batch has no docs segment is a torn write — summing
-    * it would corrupt document frequencies (a torn −1 can drive a live
-    * token's df to 0 and drop its postings from every query). Rows at
-    * or below the compaction horizon pass ungated: the `_compacted`
-    * marker IS their commit evidence, and the folded docs tree can be
+  private def emptyDfLog(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(String, Long, Int, Long)].toDF("token", "delta", "tb", "seq")
+  }
+
+  private def emptyStatsLog(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(Long, Long, Long)].toDF("n_delta", "dl_delta", "seq")
+  }
+
+  /** An ADDITIVE delta log (`df` or `stats`) gated on COMMITTED batches
+    * only: the docs changelog is the batch commit point (written last),
+    * so a FRESH delta segment whose batch has no docs segment is a torn
+    * write — summing it would corrupt the partial sums (a torn −1 can
+    * drive a live token's df to 0 and drop its postings from every
+    * query; a torn stats row skews every BM25 score). Rows at or below
+    * the compaction horizon pass ungated: the `_compacted` marker IS
+    * their commit evidence, and the folded docs tree can be
     * legitimately empty (every doc superseded after the horizon) while
-    * the folded df partial sums must still count — gating those on the
+    * the folded partial sums must still count — gating those on the
     * changelog's seqs would zero live tokens' df and a later compact
-    * would bake the corruption in.
+    * would bake the corruption in. A missing log dir (every batch
+    * netted zero deltas — the zero-row segment is SKIPPED, never a
+    * partitionBy husk) reads as the typed empty frame.
     */
-  private def committedDf(spark: SparkSession, root: String): DataFrame = {
-    val dfLog = readLog(spark, root, "df")
+  private def committedAdditive(spark: SparkSession, root: String,
+      sub: String, empty: => DataFrame): DataFrame = {
+    val hasDir = SegmentLog.hfs(spark, root)
+      .exists(new org.apache.hadoop.fs.Path(s"$root/$sub"))
+    if (!hasDir && compactedUpTo(spark, root).isEmpty) return empty
+    val log = readLog(spark, root, sub)
     val horizon = compactedUpTo(spark, root).getOrElse(-1L)
     // a USING join lists the key column first — re-select into the
     // log's own order before the positional union
-    val cols = dfLog.columns.toSeq.map(col)
+    val cols = log.columns.toSeq.map(col)
     // the commit gate only ever has to judge FRESH seqs (≤ horizon
     // passes ungated), so the evidence read lists fresh docs segments
     // only — never the folded corpus changelog
@@ -115,11 +172,17 @@ object IncrementalIndex {
         import spark.implicits._
         Seq.empty[Long].toDF("seq")
       }
-    dfLog.filter(col("seq") <= horizon).unionAll(
-      dfLog.filter(col("seq") > horizon)
+    log.filter(col("seq") <= horizon).unionAll(
+      log.filter(col("seq") > horizon)
         .join(committedSeqs, Seq("seq"), "left_semi")
         .select(cols: _*))
   }
+
+  private def committedDf(spark: SparkSession, root: String): DataFrame =
+    committedAdditive(spark, root, "df", emptyDfLog(spark))
+
+  private def committedStats(spark: SparkSession, root: String): DataFrame =
+    committedAdditive(spark, root, "stats", emptyStatsLog(spark))
 
   /** The doc changelog resolved to each doc's newest (seq, op);
     * `beforeSeq` bounds the view to versions strictly below it (the
@@ -159,8 +222,10 @@ object IncrementalIndex {
     * live-set-sized work landing inside every cadence batch.
     */
   def applyBatch(spark: SparkSession, root: String, batch: DataFrame,
-      batchId: Long, nBuckets: Int = 16, compactEvery: Int = 0): Unit = {
+      batchId: Long, nBuckets: Int = 16, compactEvery: Int = 0,
+      nTokenBuckets: Int = DefaultTokenBuckets): Unit = {
     require(nBuckets > 0, s"nBuckets=$nBuckets")
+    require(nTokenBuckets > 0, s"nTokenBuckets=$nTokenBuckets")
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     // REDELIVERY is a full-batch no-op: the docs changelog (written
@@ -181,11 +246,14 @@ object IncrementalIndex {
     // no-op, exactly like the landing zone's checkpoint-head rule
     // ([[graft.streaming.UpsertFileSink.upsertBatchBucketed]]).
     if (compactedUpTo(spark, root).exists(batchId <= _)) return
-    // the bucket count is physical layout: freeze at creation, fail
+    // the bucket counts are physical layout: freeze at creation, fail
     // loudly on a mismatch — a silently different value would compute
     // touched-bucket manifests that miss the updated docs' OLD
-    // postings (their −1 df side vanishes, frequencies corrupt)
+    // postings (their −1 df side vanishes, frequencies corrupt), or
+    // hash term lookups into `tb=` dirs the postings were never
+    // written with (silent false negatives)
     SegmentLog.pinLayout(spark, root, "_nbuckets", nBuckets.toLong)
+    SegmentLog.pinLayout(spark, root, "_ntbuckets", nTokenBuckets.toLong)
     val hasState = fs.exists(new org.apache.hadoop.fs.Path(s"$root/docs"))
 
     val staged = batch.select(col("doc_id"), col("text"), col("op"))
@@ -197,10 +265,12 @@ object IncrementalIndex {
       // then keep each doc's newest PRE-batch version. Everything is
       // bounded strictly below batchId — the seq filter also partition-
       // prunes a TORN first attempt's own postings dir out of the scan,
-      // so the rewrite below can clobber it while this plan is pending
-      val oldTokens: DataFrame = if (!hasState) {
+      // so the rewrite below can clobber it while this plan is pending.
+      // Persisted: it feeds the df delta's −1 side AND the stats
+      // delta's replaced-version side.
+      val oldPost: DataFrame = (if (!hasState) {
         import spark.implicits._
-        Seq.empty[(String, Long)].toDF("token", "doc_id")
+        Seq.empty[(String, Long, Long)].toDF("token", "doc_id", "dl")
       } else {
         val touched = staged.select(bucketCol(nBuckets).as("__b"))
           .distinct().collect().map(_.getInt(0)).toSeq
@@ -210,12 +280,12 @@ object IncrementalIndex {
           .filter(col("op") =!= "D")
           .join(staged.select("doc_id"), Seq("doc_id"), "left_semi")
         prev.join(live.select("doc_id", "seq"), Seq("doc_id", "seq"))
-          .select("token", "doc_id")
-      }
+          .select("token", "doc_id", "dl")
+      }).persist()
 
       // persisted: the tokenize+count aggregate feeds the emptiness
-      // probe, the df deltas AND the postings write — unpersisted it
-      // would re-shuffle three times per batch
+      // probe, the df deltas, the stats delta AND the postings write —
+      // unpersisted it would re-shuffle four times per batch
       val newPostings = postingsOf(
         staged.filter(col("op") =!= "D"), "doc_id", "text").persist()
 
@@ -223,35 +293,58 @@ object IncrementalIndex {
       // −1 per distinct token of the replaced one (an unchanged token
       // nets 0; a delete contributes only the −1 side)
       val dfDelta = newPostings.select(col("token"), lit(1L).as("delta"))
-        .unionAll(oldTokens.select(col("token"), lit(-1L).as("delta")))
+        .unionAll(oldPost.select(col("token"), lit(-1L).as("delta")))
         .groupBy("token").agg(sum("delta").as("delta"))
         .filter(col("delta") =!= 0L)
 
-      // a delete-only batch has no postings: skip the segment entirely
-      // (and drop a previous attempt's husk) — a zero-row partitionBy
-      // writes nothing readable, and a later compaction's targeted
-      // read of that dir would fail schema inference
+      // ONE additive corpus-stats row per batch: ±(1, dl) per
+      // new/replaced live doc version. A doc counts iff it has ≥ 1
+      // token — exactly the population the postings-derived BM25
+      // stats always measured (an empty-text doc has no posting row).
+      val statsDelta = newPostings.groupBy("doc_id")
+          .agg(first("dl").as("dl")).select(lit(1L).as("s"), col("dl"))
+        .unionAll(oldPost.groupBy("doc_id")
+          .agg(first("dl").as("dl")).select(lit(-1L).as("s"), col("dl")))
+        .agg(coalesce(sum("s"), lit(0L)).as("n_delta"),
+          coalesce(sum(col("s") * col("dl")), lit(0L)).as("dl_delta"))
+
+      // a delete-only batch has no postings, and a zero-net batch has
+      // no df deltas: skip those segments entirely (and drop a
+      // previous attempt's husk) — a zero-row partitionBy writes
+      // nothing readable, and a later compaction's targeted read of
+      // that dir would fail schema inference
       val postingsDir = new org.apache.hadoop.fs.Path(
         s"$root/postings/seq=$batchId")
+      val dfDir = new org.apache.hadoop.fs.Path(s"$root/df/seq=$batchId")
       try {
         if (newPostings.isEmpty) {
           if (fs.exists(postingsDir)) fs.delete(postingsDir, true)
         } else newPostings.withColumn("db", bucketCol(nBuckets))
-          .write.mode("overwrite").partitionBy("db")
+          .withColumn("tb", tokenBucketCol(nTokenBuckets))
+          .write.mode("overwrite").partitionBy("db", "tb")
           .parquet(s"$root/postings/seq=$batchId")
-        dfDelta.write.mode("overwrite").parquet(s"$root/df/seq=$batchId")
+        if (dfDelta.isEmpty) {
+          if (fs.exists(dfDir)) fs.delete(dfDir, true)
+        } else dfDelta.withColumn("tb", tokenBucketCol(nTokenBuckets))
+          .write.mode("overwrite").partitionBy("tb")
+          .parquet(s"$root/df/seq=$batchId")
+        statsDelta.write.mode("overwrite")
+          .parquet(s"$root/stats/seq=$batchId")
         // the docs changelog commits LAST: readers resolve liveness
-        // (and gate the df sum — [[committedDf]]) from it, so a crash
-        // before this write leaves the new postings AND df segments
-        // invisible (the torn-write discipline again)
+        // (and gate the additive sums — [[committedAdditive]]) from
+        // it, so a crash before this write leaves the new postings,
+        // df and stats segments invisible (the torn-write discipline)
         staged.select("doc_id", "op").write.mode("overwrite")
           .parquet(s"$root/docs/seq=$batchId")
-      } finally newPostings.unpersist(blocking = false)
+      } finally {
+        newPostings.unpersist(blocking = false)
+        oldPost.unpersist(blocking = false)
+      }
     } finally staged.unpersist(blocking = false)
     // a REPLAYED batch overwrites its own segment in place; a
     // long-lived session's shared file-status cache would otherwise
     // keep serving the first attempt's (deleted) part files
-    Seq("postings", "df", "docs")
+    Seq("postings", "df", "stats", "docs")
       .foreach(sub => spark.catalog.refreshByPath(s"$root/$sub"))
     if (compactEvery > 0) {
       val h = compactedUpTo(spark, root).getOrElse(-1L)
@@ -263,8 +356,8 @@ object IncrementalIndex {
 
   private def emptyPostings(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    Seq.empty[(String, Long, Long, Long, Int)]
-      .toDF("token", "doc_id", "tf", "dl", "db")
+    Seq.empty[(String, Long, Long, Long, Int, Int)]
+      .toDF("token", "doc_id", "tf", "dl", "db", "tb")
   }
 
   /** The LIVE postings rows (token, doc_id, tf, dl) — the liveness
@@ -273,7 +366,8 @@ object IncrementalIndex {
     * the horizon by construction, so they pay a broadcast anti-join
     * against the fresh-key set instead of a corpus-wide changelog
     * window + shuffle join. `prune` pre-filters the postings scan
-    * (e.g. to touched `db=` buckets).
+    * (e.g. to touched `db=` buckets, or a term lookup's `tb=`
+    * buckets).
     */
   private def livePostings(spark: SparkSession, root: String,
       prune: DataFrame => DataFrame = identity,
@@ -312,18 +406,71 @@ object IncrementalIndex {
       .select("token", "doc_id", "tf", "dl", "df")
   }
 
+  /** TERM-ADDRESSABLE postings read — the lookup [[InvertedIndex]]'s
+    * query shapes actually need: the live (token, doc_id, tf, dl, df)
+    * rows of ONLY the given terms, with every postings and df scan
+    * pruned to the `tb=` buckets the terms hash into. Per-query I/O is
+    * proportional to the touched posting lists (bucket granularity),
+    * independent of corpus size — the read-side twin of the liveness
+    * split, and the fix for the round-16 "term lookups read the whole
+    * postings store" scale finding. On a root without the token
+    * dimension (virgin/legacy) it degrades to the unpruned view
+    * filtered. `asOf` time-travels like [[currentPostingsAsOf]].
+    */
+  def postingsForTerms(spark: SparkSession, root: String,
+      terms: Seq[String], asOf: Option[Long] = None): DataFrame = {
+    require(terms.nonEmpty, "postingsForTerms needs at least one term")
+    val tset = terms.distinct
+    SegmentLog.layoutOf(spark, root, "_ntbuckets").map(_.toInt) match {
+      case None =>
+        postingsView(spark, root, asOf)
+          .filter(col("token").isin(tset: _*))
+      case Some(nt) =>
+        val buckets = tokenBucketsOf(spark, tset, nt)
+        val dfLog = committedDf(spark, root)
+          .filter(col("tb").isin(buckets: _*) &&
+            col("token").isin(tset: _*))
+        val dfNow = asOf.fold(dfLog)(a => dfLog.filter(col("seq") <= a))
+          .groupBy("token").agg(sum("delta").as("df"))
+          .filter(col("df") > 0L)
+        livePostings(spark, root,
+          prune = raw => raw.filter(col("tb").isin(buckets: _*) &&
+            col("token").isin(tset: _*)),
+          asOf = asOf)
+          .join(dfNow, Seq("token"))
+          .select("token", "doc_id", "tf", "dl", "df")
+    }
+  }
+
+  /** BM25 top-k straight off the maintained index at term-lookup cost:
+    * `tb`-pruned postings ([[postingsForTerms]]) + the O(batches)
+    * stats fold ([[stats]]) feeding [[InvertedIndex.bm25Query]]
+    * unchanged. This is the production query path —
+    * [[graft.operators.HybridSearch.searchMaintained]]'s lexical leg.
+    */
+  def bm25Search(spark: SparkSession, root: String, terms: Seq[String],
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val (n, avgDl) = stats(spark, root)
+    InvertedIndex.bm25Query(postingsForTerms(spark, root, terms), n,
+      avgDl, terms, k, k1, b)
+  }
+
   /** COMPACTION — fold every segment with seq ≤ `upTo` into one
     * equivalent tree, so read-time folding cost stops growing with
     * batch count (the landing zone's checkpoint recipe, applied to the
     * index log):
     *
     *  - folded postings = the live postings of docs whose newest
-    *    GLOBAL version is ≤ upTo (a doc superseded or deleted later
-    *    keeps nothing here — its old segments were dead weight);
+    *    version ≤ upTo (a doc superseded or deleted later keeps
+    *    nothing here — its old segments were dead weight), re-written
+    *    under BOTH partition dimensions so doc-bucket and term-bucket
+    *    pruning cost the same after compaction as before;
     *  - folded docs = one live (doc_id, op) row each; tombstones and
     *    superseded entries vanish;
     *  - folded df = the partial sums of all deltas with seq ≤ upTo
-    *    (token-level and additive, so liveness never enters).
+    *    (token-level and additive, so liveness never enters), still
+    *    `tb`-partitioned;
+    *  - folded stats = ONE partial-sum row of the ≤ upTo stats deltas.
     *
     * Crash safety mirrors the marker discipline everywhere else in
     * this repo: the folded tree lands OUT OF PLACE under
@@ -349,7 +496,7 @@ object IncrementalIndex {
     // refuse to fold past a torn first delivery — its redelivery would
     // wedge behind the horizon guard ([[SegmentLog.requireNoTornAtOrBelow]])
     SegmentLog.requireNoTornAtOrBelow(spark, root,
-      Seq("postings", "df"), "docs", upTo)
+      Seq("postings", "df", "stats"), "docs", upTo)
     // the fold re-buckets the live postings: USE the root's pinned
     // constant (every root [[applyBatch]] ever touched has one). On a
     // legacy pre-pin root the caller MUST name the count explicitly —
@@ -368,6 +515,13 @@ object IncrementalIndex {
         nBuckets
       }
     SegmentLog.pinLayout(spark, root, "_nbuckets", nb.toLong)
+    // the token dimension shipped WITH its pin, so every root holding
+    // tb-partitioned segments has one; a root predating both folds
+    // safely under the default (its folded tree gains the dimension,
+    // recomputed from the tokens themselves, and the pin freezes it)
+    val nt = SegmentLog.layoutOf(spark, root, "_ntbuckets")
+      .map(_.toInt).getOrElse(DefaultTokenBuckets)
+    SegmentLog.pinLayout(spark, root, "_ntbuckets", nt.toLong)
     // state AS OF the horizon (newest version ≤ upTo per key, later
     // supersessions notwithstanding): the live read's anti-join
     // suppresses a folded copy a fresh batch superseded, the next fold
@@ -381,27 +535,43 @@ object IncrementalIndex {
       .join(liveOld.select("doc_id", "seq"), Seq("doc_id", "seq"))
       .select("token", "doc_id", "tf", "dl")
       .persist()
+    val foldDf = committedDf(spark, root).filter(col("seq") <= upTo)
+      .groupBy("token").agg(sum("delta").as("delta"))
+      .filter(col("delta") =!= 0L)
+      .persist()
     try {
       val tmp = s"$root/_compact/$upTo"
       // an emptied index folds to a plain (schema-carrying) empty file
       // — partitionBy of zero rows would write nothing readable
       if (foldPost.isEmpty)
         foldPost.withColumn("db", bucketCol(nb))
+          .withColumn("tb", tokenBucketCol(nt))
           .write.mode("overwrite").parquet(s"$tmp/postings")
       else
         foldPost.withColumn("db", bucketCol(nb))
-          .write.mode("overwrite").partitionBy("db")
+          .withColumn("tb", tokenBucketCol(nt))
+          .write.mode("overwrite").partitionBy("db", "tb")
           .parquet(s"$tmp/postings")
       liveOld.select("doc_id", "op")
         .write.mode("overwrite").parquet(s"$tmp/docs")
-      committedDf(spark, root).filter(col("seq") <= upTo)
-        .groupBy("token").agg(sum("delta").as("delta"))
-        .filter(col("delta") =!= 0L)
-        .write.mode("overwrite").parquet(s"$tmp/df")
+      if (foldDf.isEmpty)
+        foldDf.withColumn("tb", tokenBucketCol(nt))
+          .write.mode("overwrite").parquet(s"$tmp/df")
+      else
+        foldDf.withColumn("tb", tokenBucketCol(nt))
+          .write.mode("overwrite").partitionBy("tb")
+          .parquet(s"$tmp/df")
+      committedStats(spark, root).filter(col("seq") <= upTo)
+        .agg(coalesce(sum("n_delta"), lit(0L)).as("n_delta"),
+          coalesce(sum("dl_delta"), lit(0L)).as("dl_delta"))
+        .write.mode("overwrite").parquet(s"$tmp/stats")
 
       // publish: the marker flip is the commit point
       SegmentLog.publishMarker(spark, root, upTo)
-    } finally foldPost.unpersist(blocking = false)
+    } finally {
+      foldPost.unpersist(blocking = false)
+      foldDf.unpersist(blocking = false)
+    }
     cleanupCompacted(spark, root)
   }
 
@@ -410,7 +580,7 @@ object IncrementalIndex {
     * [[compact]]'s publish); a no-op without a marker.
     */
   def cleanupCompacted(spark: SparkSession, root: String): Unit =
-    SegmentLog.cleanup(spark, root, Seq("postings", "docs", "df"))
+    SegmentLog.cleanup(spark, root, Seq("postings", "docs", "df", "stats"))
 
   // ---- aliased generations: the blue/green REINDEX --------------------
   //
@@ -436,9 +606,10 @@ object IncrementalIndex {
   /** [[applyBatch]] against the live generation. */
   def applyBatchActive(spark: SparkSession, parent: String,
       batch: DataFrame, batchId: Long, nBuckets: Int = 16,
-      compactEvery: Int = 0): Unit =
+      compactEvery: Int = 0,
+      nTokenBuckets: Int = DefaultTokenBuckets): Unit =
     applyBatch(spark, activeRoot(spark, parent), batch, batchId,
-      nBuckets, compactEvery)
+      nBuckets, compactEvery, nTokenBuckets)
 
   /** [[currentPostings]] of the live generation. */
   def currentPostingsActive(spark: SparkSession,
@@ -460,11 +631,13 @@ object IncrementalIndex {
     * id the feed hasn't issued yet would make the feed's real first
     * batch a silent idempotence no-op; an empty index has nothing
     * stale, feed it directly); the old generation stays for in-flight
-    * readers until [[cleanupGenerations]]. `nBuckets` 0 (the default)
-    * inherits the old generation's pinned bucket count.
+    * readers until [[cleanupGenerations]]. `nBuckets` /
+    * `nTokenBuckets` 0 (the defaults) inherit the old generation's
+    * pinned counts.
     */
   def rebuildCutover(spark: SparkSession, parent: String,
-      docs: DataFrame, nBuckets: Int = 0): String = {
+      docs: DataFrame, nBuckets: Int = 0,
+      nTokenBuckets: Int = 0): String = {
     val oldRoot = activeRoot(spark, parent)
     require(SegmentLog.hasBatches(spark, oldRoot, "docs"),
       s"nothing to rebuild: $oldRoot never received a batch — an empty " +
@@ -476,10 +649,14 @@ object IncrementalIndex {
       if (nBuckets > 0) nBuckets
       else SegmentLog.layoutOf(spark, oldRoot, "_nbuckets")
         .map(_.toInt).getOrElse(16)
+    val nt =
+      if (nTokenBuckets > 0) nTokenBuckets
+      else SegmentLog.layoutOf(spark, oldRoot, "_ntbuckets")
+        .map(_.toInt).getOrElse(DefaultTokenBuckets)
     val lastBatch = SegmentLog.lastSeq(spark, oldRoot, "docs")
     applyBatch(spark, newRoot,
       docs.select(col("doc_id"), col("text")).withColumn("op", lit("I")),
-      lastBatch, nb)
+      lastBatch, nb, compactEvery = 0, nTokenBuckets = nt)
     // write fence before the flip: the cutover assumes a single writer
     // (reindex in the feed's quiesce window) — if a concurrent feed
     // landed batches on the old generation during the rebuild,
@@ -507,15 +684,27 @@ object IncrementalIndex {
     latestDocVersions(spark, root)
       .filter(col("op") =!= "D").select("doc_id")
 
-  /** Corpus stats for [[InvertedIndex.bm25Query]] from the index state
-    * alone: (live doc count, mean live doc length) in ONE aggregate
-    * over the thin changelog-resolved doc set.
+  /** Corpus stats for [[InvertedIndex.bm25Query]] as a ONE-ROW frame
+    * (n_docs, sum_dl) folded from the additive stats log — O(batches)
+    * thin one-row segments (folded to a single partial-sum row by
+    * [[compact]]), NEVER a postings scan. `asOf` bounds the fold for
+    * replayed consumers.
+    */
+  def statsFrame(spark: SparkSession, root: String,
+      asOf: Option[Long] = None): DataFrame = {
+    val log = committedStats(spark, root)
+    asOf.fold(log)(a => log.filter(col("seq") <= a))
+      .agg(coalesce(sum("n_delta"), lit(0L)).as("n_docs"),
+        coalesce(sum("dl_delta"), lit(0L)).as("sum_dl"))
+  }
+
+  /** (live doc count, mean live doc length) for
+    * [[InvertedIndex.bm25Query]] — one [[statsFrame]] fold.
     */
   def stats(spark: SparkSession, root: String): (Long, Double) = {
-    val dls = livePostings(spark, root)
-      .groupBy("doc_id").agg(first("dl").as("dl"))
-    val r = dls.agg(count(lit(1)), avg("dl")).head
-    // an emptied index (all docs deleted) has a null mean length
-    (r.getLong(0), if (r.isNullAt(1)) 0.0 else r.getDouble(1))
+    val r = statsFrame(spark, root).head
+    val n = r.getLong(0)
+    // an emptied index (all docs deleted) has no mean length
+    (n, if (n == 0L) 0.0 else r.getLong(1).toDouble / n)
   }
 }

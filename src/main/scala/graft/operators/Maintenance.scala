@@ -86,7 +86,7 @@ object Maintenance {
   def maintainIndex(spark: SparkSession, path: String, minFresh: Int = 0,
       gcGenerations: Boolean = true): DataFrame =
     maintainSegmented(spark, path, "index",
-      Seq("postings", "df"), "docs", minFresh, gcGenerations,
+      Seq("postings", "df", "stats"), "docs", minFresh, gcGenerations,
       (s, r, u) => IncrementalIndex.compact(s, r, u),
       (s, r) => IncrementalIndex.cleanupCompacted(s, r))
 

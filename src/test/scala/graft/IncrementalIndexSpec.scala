@@ -250,7 +250,8 @@ class IncrementalIndexSpec extends AnyFunSuite {
     // ungated sum would take df("the") to 0 and drop its live
     // postings from every query; the committed-seq gate must hide it
     Seq(("the", -2L)).toDF("token", "delta")
-      .write.parquet(s"$root/df/seq=9")
+      .withColumn("tb", pmod(hash(col("token")), lit(16)))
+      .write.partitionBy("tb").parquet(s"$root/df/seq=9")
     check()
 
     // replaying the batch overwrites the torn segment; delete-only
@@ -368,9 +369,11 @@ class IncrementalIndexSpec extends AnyFunSuite {
     // redelivery then hits the horizon guard and the batch is lost
     Seq(("fox", 3L, 1L, 3L)).toDF("token", "doc_id", "tf", "dl")
       .withColumn("db", pmod(hash(col("doc_id")), lit(16)))
-      .write.partitionBy("db").parquet(s"$root/postings/seq=5")
+      .withColumn("tb", pmod(hash(col("token")), lit(16)))
+      .write.partitionBy("db", "tb").parquet(s"$root/postings/seq=5")
     Seq(("fox", 1L)).toDF("token", "delta")
-      .write.parquet(s"$root/df/seq=5")
+      .withColumn("tb", pmod(hash(col("token")), lit(16)))
+      .write.partitionBy("tb").parquet(s"$root/df/seq=5")
 
     val e = intercept[IllegalArgumentException] {
       IncrementalIndex.compact(spark, root, upTo = 5L)

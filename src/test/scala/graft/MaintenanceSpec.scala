@@ -51,7 +51,8 @@ class MaintenanceSpec extends AnyFunSuite {
     // everything SAFELY below it instead
     Seq(("torn", 9L, 1L, 2L)).toDF("token", "doc_id", "tf", "dl")
       .withColumn("db", pmod(hash(col("doc_id")), lit(16)))
-      .write.partitionBy("db").parquet(s"$root/postings/seq=3")
+      .withColumn("tb", pmod(hash(col("token")), lit(16)))
+      .write.partitionBy("db", "tb").parquet(s"$root/postings/seq=3")
     val rep = Maintenance.maintainIndex(spark, root)
       .collect().map(r => (r.getString(1), r.getString(2))).head
     assert(rep._1 === "compact" && rep._2.contains("horizon 1"),

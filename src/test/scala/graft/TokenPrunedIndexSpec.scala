@@ -1,0 +1,162 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.window.WindowExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{HybridSearch, IncrementalIndex, IncrementalIvf,
+  InvertedIndex}
+
+/** PLAN-SHAPE pins for the TERM-ADDRESSABLE read path (round 17): a
+  * BM25-shaped lookup against the incremental inverted index must do
+  * I/O proportional to the probed terms' posting lists, never the
+  * corpus. Concretely:
+  *
+  *  - every postings/df scan in a [[IncrementalIndex.postingsForTerms]]
+  *    plan carries a `tb` PARTITION filter (the probed terms' token
+  *    buckets reach the scan as partition pruning, on fresh segments
+  *    AND the folded tree);
+  *  - [[IncrementalIndex.statsFrame]] never scans postings at all —
+  *    (N, Σdl) folds from the one-row-per-batch additive stats log;
+  *  - [[HybridSearch.searchMaintained]]'s whole plan inherits both,
+  *    plus the liveness-split pins (no window over `_compact`).
+  *
+  * These are the physical-plan encodings of round-16's "weak" scale
+  * finding #1; value-level equivalences ride alongside.
+  */
+class TokenPrunedIndexSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  private def postingsScans(df: DataFrame): Seq[FileSourceScanExec] =
+    df.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec if f.relation.location.rootPaths
+        .exists(p => p.toString.contains("postings") ||
+          p.toString.contains("/df")) => f
+    }
+
+  private def tbPruned(f: FileSourceScanExec): Boolean =
+    f.partitionFilters.exists(_.references.exists(_.name == "tb"))
+
+  private def rows(df: DataFrame) =
+    df.select("token", "doc_id", "tf", "dl", "df")
+      .orderBy("token", "doc_id").collect().toSeq
+
+  test("term lookups prune every postings/df scan to token buckets") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-tbprune").toString
+    var corpus = Map.empty[Long, String]
+    def apply(id: Long, batch: Seq[(Long, String, String)]): Unit = {
+      IncrementalIndex.applyBatch(spark, root,
+        batch.toDF("doc_id", "text", "op"), id)
+      batch.foreach { case (d, t, op) =>
+        corpus = if (op == "D") corpus - d else corpus + (d -> t)
+      }
+    }
+    apply(0L, (1L to 20L).map(i =>
+      (i, s"alpha w$i shared tail${i % 3}", "I")))
+    IncrementalIndex.compact(spark, root, 0L)
+    // fresh segments on top of the folded base: the mixed view
+    apply(1L, Seq((21L, "alpha fresh beta", "I"), (3L, "", "D")))
+    apply(2L, Seq((5L, "gamma alpha rewritten", "U")))
+
+    val terms = Seq("alpha", "beta", "nosuchtoken")
+    val pruned = IncrementalIndex.postingsForTerms(spark, root, terms)
+
+    // value: identical to filtering the unpruned corpus view
+    val oracle = IncrementalIndex.currentPostings(spark, root)
+      .filter(col("token").isin(terms: _*))
+    assert(rows(pruned) === rows(oracle))
+    assert(rows(pruned).nonEmpty)
+
+    // plan: every postings/df scan (fresh segments AND the folded
+    // tree) carries the tb partition filter
+    val scans = postingsScans(pruned)
+    assert(scans.nonEmpty, "expected postings/df scans in the plan")
+    scans.foreach(s => assert(tbPruned(s),
+      s"unpruned postings/df scan: ${s.relation.location.rootPaths}"))
+
+    // stats never touch postings: the additive one-row-per-batch log
+    val sf = IncrementalIndex.statsFrame(spark, root)
+    assert(postingsScans(sf).forall(f => !f.relation.location.rootPaths
+        .exists(_.toString.contains("postings"))),
+      "statsFrame must not scan postings")
+    val (n, avgDl) = IncrementalIndex.stats(spark, root)
+    assert(n === corpus.size.toLong)
+    val dls = corpus.values.map(t =>
+      t.toLowerCase.split("[^a-z0-9]+").count(_.nonEmpty))
+    assert(math.abs(avgDl - dls.sum.toDouble / dls.size) < 1e-9)
+
+    // bm25Search ≡ bm25Query over the unpruned view + the same stats
+    val viaPruned = IncrementalIndex.bm25Search(spark, root,
+      Seq("alpha", "beta"), k = 5)
+    val viaFull = InvertedIndex.bm25Query(
+      IncrementalIndex.currentPostings(spark, root), n, avgDl,
+      Seq("alpha", "beta"), k = 5)
+    assert(viaPruned.collect().toSeq === viaFull.collect().toSeq)
+
+    // time travel prunes identically and answers the historical view
+    val asOf = IncrementalIndex.postingsForTerms(spark, root,
+      Seq("alpha"), asOf = Some(1L))
+    val asOfOracle = IncrementalIndex.currentPostingsAsOf(spark, root, 1L)
+      .filter(col("token") === "alpha")
+    assert(rows(asOf) === rows(asOfOracle))
+    postingsScans(asOf).foreach(s => assert(tbPruned(s)))
+    Materialize.releaseAll()
+  }
+
+  test("searchMaintained's plan is term-pruned and stats-thin") {
+    import spark.implicits._
+    val idxRoot = java.nio.file.Files
+      .createTempDirectory("graft-tbprune-hybrid").toString + "/idx"
+    val ivfRoot = java.nio.file.Files
+      .createTempDirectory("graft-tbprune-hybrid2").toString + "/ivf"
+    def vec(i: Long): Seq[Double] =
+      Seq(math.cos(i * 0.7), math.sin(i * 0.7), (i % 5).toDouble / 5.0)
+    IncrementalIndex.applyBatch(spark, idxRoot,
+      (1L to 30L).map(i => (i, s"alpha common w$i", "I"))
+        .toDF("doc_id", "text", "op"), 0L)
+    IncrementalIndex.compact(spark, idxRoot, 0L)
+    IncrementalIndex.applyBatch(spark, idxRoot,
+      Seq((31L, "alpha fresh", "I")).toDF("doc_id", "text", "op"), 1L)
+    IncrementalIvf.initialize(spark,
+      (1L to 31L).map(i => (i, vec(i))).toDF("vec_id", "e"),
+      ivfRoot, k = 3, iters = 2)
+
+    val fused = HybridSearch.searchMaintained(spark, idxRoot, ivfRoot,
+      Seq("alpha", "fresh"), vec(7L), k = 5)
+    // the answer is sane (both legs contribute)
+    assert(fused.count() === 5L)
+    // every postings/df scan in the WHOLE fused plan is tb-pruned —
+    // i.e. neither the BM25 leg nor the stats fold reads the corpus
+    val scans = postingsScans(fused)
+    assert(scans.exists(_.relation.location.rootPaths
+      .exists(_.toString.contains("postings"))),
+      "expected a postings scan in the lexical leg")
+    scans.filter(_.relation.location.rootPaths
+        .exists(_.toString.contains("postings")))
+      .foreach(s => assert(tbPruned(s),
+        s"unpruned postings scan in searchMaintained: " +
+          s"${s.relation.location.rootPaths}"))
+    // liveness-split pin inherited: no UNBOUNDED window over the
+    // folded tree — the only windows allowed above a `_compact` scan
+    // are the RRF rank windows, whose input a TakeOrdered top-k
+    // bounds (HybridSearch's MaxFuse contract); a corpus-sized rank
+    // window would have no limit between it and the scan
+    val foldedWindows = fused.queryExecution.sparkPlan.collect {
+      case w: WindowExec if w.collect { case f: FileSourceScanExec => f }
+        .exists(_.relation.location.rootPaths
+          .exists(_.toString.contains("_compact"))) => w
+    }
+    foldedWindows.foreach { w =>
+      assert(w.collect {
+        case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+      }.nonEmpty,
+        "a window over the folded corpus must sit above a bounded " +
+          "top-k, never the raw scan")
+    }
+    Materialize.releaseAll()
+  }
+}
