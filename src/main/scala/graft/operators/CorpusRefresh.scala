@@ -147,14 +147,75 @@ object CorpusRefresh {
     * against the PREVIOUS committed state (a keeper deleted in the
     * same batch still demotes this once — one-batch lag), and
     * DROP-ONLY monotone: a banded demotion is never re-promoted when
-    * its keeper later leaves the corpus (the standard production
-    * near-dup posture — re-admitting text that once duplicated the
-    * corpus needs a human decision, not a cascade). Cost per refresh:
-    * one O(|batch|) index probe + one pruned by_id read + Jaccard over
-    * candidate pairs — never a corpus scan.
+    * its keeper later leaves the corpus, and an op=U re-arrival of the
+    * demoted doc inherits the stored flag rather than re-judging (a
+    * byte-identical redelivered U must not re-admit; the sanctioned
+    * re-admission path is an explicit D followed by a fresh I — the
+    * standard production near-dup posture: re-admitting text that once
+    * duplicated the corpus needs a human decision, not a cascade).
+    *
+    * REPLAY DETERMINISM: the index probe and every state/text pull run
+    * AS OF the previous batch — a redelivered refresh that re-runs
+    * after the LSH store absorbed the same batch id (lost ack after
+    * the capstone body's lsh step) sees the identical band rows and
+    * returns the identical delta. This assumes the composed stores
+    * share the feed's batch ids (the capstone's own contract) and is
+    * bounded by the LSH store's compaction horizon exactly like every
+    * as-of read.
+    *
+    * Candidate texts come from `textStore` when given — a BUCKETED
+    * handle to the authoritative doc store, read as-of via the
+    * ≤ nBuckets manifest so the fetch I/O is proportional to the
+    * candidate set, never the store ([[graft.streaming.UpsertFileSink
+    * .fetchByKeys]]) — or from the bare `textSource` frame otherwise
+    * (semi-join row-pruned but scanned map-side, and a LIVE view: a
+    * replay may see updated texts; prefer the handle).
+    *
+    * Cost per refresh: one O(|batch|) index probe + one pruned by_id
+    * read + one bucket-pruned text fetch + Jaccard over candidate
+    * pairs — never a corpus scan.
     */
-  final case class BandedVerify(lshRoot: String, textSource: DataFrame,
-      threshold: Double = 0.5)
+  final case class BandedVerify(lshRoot: String,
+      textSource: DataFrame = null,
+      threshold: Double = 0.5,
+      textStore: Option[graft.streaming.UpsertFileSink.BucketedStore] =
+        None) {
+    require(textStore.isDefined || textSource != null,
+      "BandedVerify needs a candidate text source: a bucketed " +
+        "textStore handle (preferred) or a bare textSource frame")
+  }
+
+  /** EMBEDDING near-dup verification for the refresh path — the
+    * [[BandedVerify]] recipe on the vector modality, composing the
+    * [[IncrementalEmbedLsh]] dedup-at-ingest index into curation
+    * verdicts: the multimodal corpus this engine targets dedups on
+    * embeddings precisely where text differs (re-encodes,
+    * translations, crops). `probeVectors` carries THIS batch's
+    * arrival embeddings as (doc_id, e) — the ingest loop lands
+    * vectors under the document's id (the capstone contract); an
+    * arrival with no vector row simply never probes. Band-bucket
+    * candidates are verified by EXACT cosine against the external
+    * vector store — `vectorStore` (a bucketed handle, fetch pruned to
+    * the candidate ids' buckets, read as-of) or the bare
+    * `vectorSource` frame — and an arrival with a verified candidate
+    * ≥ `minSim` that is KEPT as of the previous batch is demoted.
+    *
+    * Jurisdiction, cross-batch-only, one-batch lag, drop-only
+    * monotonicity (persisted through the SAME `banded_dup` state flag
+    * — "demoted by an out-of-band near-dup verify", whichever
+    * modality produced it) and as-of replay determinism are all
+    * byte-identical to [[BandedVerify]]'s.
+    */
+  final case class EmbedVerify(elshRoot: String,
+      probeVectors: DataFrame,
+      vectorSource: DataFrame = null,
+      minSim: Double = 0.9,
+      vectorStore: Option[graft.streaming.UpsertFileSink.BucketedStore] =
+        None) {
+    require(vectorStore.isDefined || vectorSource != null,
+      "EmbedVerify needs a candidate vector source: a bucketed " +
+        "vectorStore handle (preferred) or a bare vectorSource frame")
+  }
 
   private val stateCols = stateSchema.fieldNames.toSeq
 
@@ -319,11 +380,13 @@ object CorpusRefresh {
       checkpointEvery: Int = 0, scorer: Option[Scorer] = None,
       tau: Option[Double] = None,
       scrub: Option[EvalScrub] = None,
-      banded: Option[BandedVerify] = None): DataFrame =
+      banded: Option[BandedVerify] = None,
+      embed: Option[EmbedVerify] = None): DataFrame =
     refreshCdc(s, stateRoot,
       arrivals.select(col("doc_id"), col("lang"), col("text"))
         .withColumn("op", lit("I")),
-      batchId, nBuckets, checkpointEvery, scorer, tau, scrub, banded)
+      batchId, nBuckets, checkpointEvery, scorer, tau, scrub, banded,
+      embed)
 
   /** Arrival doc_ids a [[BandedVerify]] demotes this batch: probe the
     * banded index with the batch's upserts, keep candidates that are
@@ -335,6 +398,37 @@ object CorpusRefresh {
     * keeper decision), verify by exact shingle Jaccard against the
     * authoritative texts, threshold.
     */
+  /** Candidate keptness + cascade keys as of the PREVIOUS batch
+    * (pruned by_id read — the ≤ nBuckets manifest discipline); a
+    * candidate with no prior-state row (same-batch arrival) drops out
+    * here. Shared by both verify modalities.
+    */
+  private def keptAsOf(s: SparkSession, stateRoot: String,
+      candIds: DataFrame, nBuckets: Int, asOf: Long): DataFrame = {
+    val cB = candIds
+      .select(pmod(hash(col("doc_id")), lit(nBuckets)).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    UpsertFileSink
+      .readBucketsBucketedAsOf(s, byId(stateRoot), stateSchema, cB,
+        asOf)
+      .filter(col("quality_ok"))
+      .join(candIds, Seq("doc_id"), "left_semi")
+      .select(col("doc_id").as("cand_id"), col("digest").as("c_digest"),
+        col("norm_sig").as("c_norm"), col("sg_key").as("c_sg"))
+  }
+
+  /** The cascade-jurisdiction exclusion: only pairs the
+    * exact-signature stages CANNOT see reach an out-of-band verify
+    * verdict.
+    */
+  private def outsideCascade = col("c_digest") =!= col("p_digest") &&
+    col("c_norm") =!= col("p_norm") && col("c_sg") =!= col("p_sg")
+
+  private def probeKeysOf(delta: DataFrame) =
+    delta.select(col("doc_id").as("probe_id"),
+      col("digest").as("p_digest"), col("norm_sig").as("p_norm"),
+      col("sg_key").as("p_sg"))
+
   private def bandedDemotions(s: SparkSession, stateRoot: String,
       bv: BandedVerify, arr: DataFrame, delta: DataFrame, nBuckets: Int,
       asOf: Long, cached: scala.collection.mutable.ArrayBuffer[DataFrame])
@@ -342,28 +436,14 @@ object CorpusRefresh {
     val probes = arr.filter(col("op") =!= "D").select("doc_id", "text")
     // persisted: the probe pass feeds the bucket manifest AND the
     // verify joins below; released by the caller's finally once the
-    // returned delta has materialized
-    val cands = IncrementalLsh.candidates(s, bv.lshRoot, probes)
+    // returned delta has materialized. The probe is AS OF the previous
+    // batch (replay determinism — see [[BandedVerify]]).
+    val cands = IncrementalLsh.candidatesAsOf(s, bv.lshRoot, probes, asOf)
       .select(col("probe_id"), col("doc_id").as("cand_id"))
       .persist()
     cached.append(cands)
-    // candidate keptness as of the PREVIOUS batch (pruned by_id
-    // read — the ≤ nBuckets manifest discipline); a candidate with
-    // no prior-state row (same-batch arrival) drops out here
     val candIds = cands.select(col("cand_id").as("doc_id")).distinct()
-    val cB = candIds
-      .select(pmod(hash(col("doc_id")), lit(nBuckets)).as("b"))
-      .distinct().collect().map(_.getInt(0)).toSeq
-    val kept = UpsertFileSink
-      .readBucketsBucketedAsOf(s, byId(stateRoot), stateSchema, cB,
-        asOf)
-      .filter(col("quality_ok"))
-      .join(candIds, Seq("doc_id"), "left_semi")
-      .select(col("doc_id").as("cand_id"), col("digest").as("c_digest"),
-        col("norm_sig").as("c_norm"), col("sg_key").as("c_sg"))
-    val probeKeys = delta.select(col("doc_id").as("probe_id"),
-      col("digest").as("p_digest"), col("norm_sig").as("p_norm"),
-      col("sg_key").as("p_sg"))
+    val kept = keptAsOf(s, stateRoot, candIds, nBuckets, asOf)
     // exact-Jaccard verify on token 3-shingle sets — byte-identical
     // algebra to q_dedup_jaccard's verify stage; shingle frames are
     // bounded by the batch and by the candidate id set respectively
@@ -373,24 +453,71 @@ object CorpusRefresh {
       .select(col(idAs), expr(DedupExtras.shinglesSql).as("sh"))
     val pSh = shinglesOf(probes, "probe_id")
       .select(col("probe_id"), col("sh").as("p_sh"))
-    val candTexts = bv.textSource.select("doc_id", "text")
-      .join(cands.select(col("cand_id").as("doc_id")).distinct(),
-        Seq("doc_id"), "left_semi")
+    // candidate texts: bucket-pruned as-of fetch from the handle, or
+    // the bare-frame semi-join fallback (row-pruned, live view)
+    val candTexts = bv.textStore match {
+      case Some(st) => UpsertFileSink
+        .fetchByKeys(s, st, candIds, Some(asOf))
+        .select("doc_id", "text")
+      case None => bv.textSource.select("doc_id", "text")
+        .join(candIds, Seq("doc_id"), "left_semi")
+    }
     val cSh = shinglesOf(candTexts, "cand_id")
       .select(col("cand_id"), col("sh").as("c_sh"))
     cands
       .join(kept, Seq("cand_id"))
-      .join(probeKeys, Seq("probe_id"))
-      // cascade-jurisdiction exclusion: only pairs the exact-signature
-      // stages CANNOT see reach the banded verdict
-      .filter(col("c_digest") =!= col("p_digest") &&
-        col("c_norm") =!= col("p_norm") && col("c_sg") =!= col("p_sg"))
+      .join(probeKeysOf(delta), Seq("probe_id"))
+      .filter(outsideCascade)
       .join(pSh, Seq("probe_id"))
       .join(cSh, Seq("cand_id"))
       .filter(
         expr("size(filter(p_sh, x -> array_contains(c_sh, x)))") * lit(1.0) /
           expr("size(array_distinct(concat(p_sh, c_sh)))") >=
           lit(bv.threshold))
+      .select(col("probe_id").as("doc_id")).distinct()
+  }
+
+  /** Arrival doc_ids an [[EmbedVerify]] demotes this batch — the
+    * banded recipe on the vector modality: probe the embed-LSH index
+    * as of the previous batch with the arrivals' vectors, keep
+    * candidates KEPT as of the previous batch and outside the
+    * cascade's jurisdiction, verify by exact cosine against the
+    * external vector store (bucket-pruned as-of fetch under a handle),
+    * threshold.
+    */
+  private def embedDemotions(s: SparkSession, stateRoot: String,
+      ev: EmbedVerify, arr: DataFrame, delta: DataFrame, nBuckets: Int,
+      asOf: Long, cached: scala.collection.mutable.ArrayBuffer[DataFrame])
+      : DataFrame = {
+    val probes = ev.probeVectors
+      .select(col("doc_id").as("vec_id"), col("e"))
+      .join(arr.filter(col("op") =!= "D")
+        .select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+    val cands = IncrementalEmbedLsh
+      .candidatesAsOf(s, ev.elshRoot, probes, asOf)
+      .select(col("probe_id"), col("vec_id").as("cand_id"))
+      .persist()
+    cached.append(cands)
+    val candIds = cands.select(col("cand_id").as("doc_id")).distinct()
+    val kept = keptAsOf(s, stateRoot, candIds, nBuckets, asOf)
+    val candVecs = ev.vectorStore match {
+      case Some(st) => UpsertFileSink
+        .fetchByKeys(s, st, candIds.select(col("doc_id").as("vec_id")),
+          Some(asOf))
+        .select(col("vec_id").as("cand_id"), col("e").as("ce"))
+      case None => ev.vectorSource
+        .select(col("vec_id").as("cand_id"), col("e").as("ce"))
+        .join(candIds.select(col("doc_id").as("cand_id")),
+          Seq("cand_id"), "left_semi")
+    }
+    cands
+      .join(kept, Seq("cand_id"))
+      .join(probeKeysOf(delta), Seq("probe_id"))
+      .filter(outsideCascade)
+      .join(probes.select(col("vec_id").as("probe_id"),
+        col("e").as("pe")), Seq("probe_id"))
+      .join(candVecs, Seq("cand_id"))
+      .filter(expr(SimilarityExtras.cosPair("pe", "ce")) >= ev.minSim)
       .select(col("probe_id").as("doc_id")).distinct()
   }
 
@@ -427,7 +554,8 @@ object CorpusRefresh {
       checkpointEvery: Int = 0, scorer: Option[Scorer] = None,
       tau: Option[Double] = None,
       scrub: Option[EvalScrub] = None,
-      banded: Option[BandedVerify] = None): DataFrame = {
+      banded: Option[BandedVerify] = None,
+      embed: Option[EmbedVerify] = None): DataFrame = {
     require(scorer.isDefined == tau.isDefined,
       "a learned refresh needs BOTH the frozen scorer and tau")
     // fail fast on mis-numbered batches: a STALE id would read state
@@ -595,7 +723,17 @@ object CorpusRefresh {
         // was_kept source for updated docs: the OLD row's verdict (the
         // combined frame's own quality_ok is null on delta rows)
         .join(olds.select(col("doc_id"),
-          col("quality_ok").as("__old_ok")), Seq("doc_id"), "left")
+          col("quality_ok").as("__old_ok"),
+          col("banded_dup").as("__old_bdup")), Seq("doc_id"), "left")
+        // a re-arrival (op=U, incl. a byte-identical redelivered U)
+        // INHERITS its stored banded_dup flag BEFORE the rank
+        // recompute — re-judging from this batch's probe alone would
+        // silently re-promote a demoted doc whose keeper has since
+        // left the corpus (drop-only is enforced, not advised; the
+        // sanctioned re-admission path is an explicit D + fresh I)
+        .withColumn("banded_dup",
+          when(col("is_delta"), col("__old_bdup"))
+            .otherwise(col("banded_dup")))
       val recomputed = aff
         .withColumn("r_e",
           max(col("is_delta").cast("int"))
@@ -639,29 +777,36 @@ object CorpusRefresh {
           coalesce(col("quality_ok"), col("__old_ok")).as("was_kept"),
           col("is_delta"))
 
-      // ---- banded near-dup demotion ([[BandedVerify]]) --------------
+      // ---- out-of-band near-dup demotions ([[BandedVerify]] text,
+      // [[EmbedVerify]] vectors) -------------------------------------
       // applied AFTER the cascade: an arrival that survived the
-      // exact-signature stages but has a verified banded near-dup in
-      // the prior KEPT corpus loses k_near (and with it quality_ok) —
+      // exact-signature stages but has a verified near-dup in the
+      // prior KEPT corpus loses k_near (and with it quality_ok) —
       // bystander rows are untouched (drop-only, cross-batch). The
-      // verdict PERSISTS as the banded_dup state flag so later group
-      // recomputes cannot resurrect the doc.
-      val verdicts = (banded match {
-        case None => recomputed
-        case Some(bv) =>
-          val dem = bandedDemotions(s, stateRoot, bv, arr, delta,
-            nBuckets, asOf, cached).withColumn("__bdup", lit(true))
-          recomputed.join(dem, Seq("doc_id"), "left")
-            .withColumn("__bhit",
-              col("is_delta") && coalesce(col("__bdup"), lit(false)))
-            .withColumn("k_near",
-              when(col("__bhit"), lit(false)).otherwise(col("k_near")))
-            .withColumn("quality_ok",
-              when(col("__bhit"), lit(false)).otherwise(col("quality_ok")))
-            .withColumn("banded_dup",
-              when(col("is_delta"), col("__bhit"))
-                .otherwise(col("banded_dup")))
-            .drop("__bdup", "__bhit")
+      // verdict PERSISTS as the banded_dup state flag (whichever
+      // modality produced it) so later group recomputes cannot
+      // resurrect the doc, and a re-arrival's inherited flag (set
+      // above) ORs with this batch's fresh verdict.
+      val dems: Seq[DataFrame] =
+        banded.map(bv => bandedDemotions(s, stateRoot, bv, arr, delta,
+          nBuckets, asOf, cached)).toSeq ++
+        embed.map(ev => embedDemotions(s, stateRoot, ev, arr, delta,
+          nBuckets, asOf, cached)).toSeq
+      val verdicts = (if (dems.isEmpty) recomputed else {
+        val dem = dems.reduce(_ unionAll _).distinct()
+          .withColumn("__bdup", lit(true))
+        recomputed.join(dem, Seq("doc_id"), "left")
+          .withColumn("__bhit",
+            col("is_delta") && (coalesce(col("__bdup"), lit(false)) ||
+              coalesce(col("banded_dup"), lit(false))))
+          .withColumn("k_near",
+            when(col("__bhit"), lit(false)).otherwise(col("k_near")))
+          .withColumn("quality_ok",
+            when(col("__bhit"), lit(false)).otherwise(col("quality_ok")))
+          .withColumn("banded_dup",
+            when(col("is_delta"), col("__bhit"))
+              .otherwise(col("banded_dup")))
+          .drop("__bdup", "__bhit")
       }).withColumn("banded_dup", coalesce(col("banded_dup"), lit(false)))
 
       // deleted docs: return-only rows (their state is tombstoned, not

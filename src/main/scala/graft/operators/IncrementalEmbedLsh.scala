@@ -141,7 +141,22 @@ object IncrementalEmbedLsh {
     * bands·|probes| touched buckets + the split liveness resolution.
     */
   def candidates(spark: SparkSession, root: String,
-      probes: DataFrame): DataFrame = {
+      probes: DataFrame): DataFrame =
+    candidatesView(spark, root, probes, None)
+
+  /** TIME TRAVEL: [[candidates]] against the index exactly as it stood
+    * after batch `asOf` committed — bounded by compaction like every
+    * as-of read in this repo. The read a REPLAY-DETERMINISTIC composed
+    * consumer uses ([[CorpusRefresh.EmbedVerify]] probes as of the
+    * previous state batch, so a redelivered refresh can never see band
+    * rows its first attempt's own downstream feed wrote).
+    */
+  def candidatesAsOf(spark: SparkSession, root: String,
+      probes: DataFrame, asOf: Long): DataFrame =
+    candidatesView(spark, root, probes, Some(asOf))
+
+  private def candidatesView(spark: SparkSession, root: String,
+      probes: DataFrame, asOf: Option[Long]): DataFrame = {
     def emptyAnswer: DataFrame = {
       import spark.implicits._
       Seq.empty[(Long, Long)].toDF("probe_id", "vec_id")
@@ -160,7 +175,7 @@ object IncrementalEmbedLsh {
       val members = SegmentLog.liveMembersPruned(spark, root,
         "members", "vecs", "vec_id",
         raw => raw.filter(col("bb").isin(touched: _*)),
-        emptyMembers(spark))
+        emptyMembers(spark), asOf)
       members.as("m")
         .join(probeRows.as("p"),
           col("m.band_id") === col("p.band_id") &&
@@ -184,6 +199,35 @@ object IncrementalEmbedLsh {
     val cand = candidates(spark, root, probes)
     val candVecs = vectors.select(col("vec_id"), col("e").as("ce"))
       .join(cand.select("vec_id").distinct(), Seq("vec_id"), "left_semi")
+    verifyPairs(cand, probes, candVecs, minSim)
+  }
+
+  /** [[candidatesVerified]] with the vector store passed as a BUCKETED
+    * HANDLE instead of a bare frame: the candidate-vector fetch reads
+    * ONLY the bucket dirs the candidate ids hash into
+    * ([[graft.streaming.UpsertFileSink.fetchByKeys]]) — fetch I/O
+    * proportional to the ≤ bands·|probes| candidate set, never a
+    * map-side pass over the whole store (the round-16 "row-pruned but
+    * not I/O-pruned" scale finding). `asOf` bounds BOTH reads (index
+    * view and store version) for replayed consumers. The store rows
+    * must carry (vec_id, e).
+    */
+  def candidatesVerifiedStore(spark: SparkSession, root: String,
+      probes: DataFrame,
+      store: graft.streaming.UpsertFileSink.BucketedStore,
+      minSim: Double, asOf: Option[Long] = None): DataFrame = {
+    val cand = asOf.fold(candidates(spark, root, probes))(a =>
+      candidatesAsOf(spark, root, probes, a))
+    val candVecs = graft.streaming.UpsertFileSink
+      .fetchByKeys(spark, store,
+        cand.select(col("vec_id")).distinct(), asOf)
+      .select(col("vec_id"), col("e").as("ce"))
+    verifyPairs(cand, probes, candVecs, minSim)
+  }
+
+  /** The exact-cosine verify shared by both store shapes. */
+  private def verifyPairs(cand: DataFrame, probes: DataFrame,
+      candVecs: DataFrame, minSim: Double): DataFrame =
     cand
       .join(probes.select(col("vec_id").as("probe_id"),
         col("e").as("pe")), Seq("probe_id"))
@@ -192,7 +236,15 @@ object IncrementalEmbedLsh {
       .filter(col("sim_raw") >= minSim)
       .select(col("probe_id"), col("vec_id"),
         round(col("sim_raw"), 4).as("sim"))
-  }
+
+  /** The live vec_ids of the index — what a scheme rebuild joins
+    * against the external vector store to reconstruct its corpus (the
+    * index stores band rows, never vectors). Split-resolved like every
+    * other changelog read.
+    */
+  def liveVecIds(spark: SparkSession, root: String): DataFrame =
+    SegmentLog.latestVersionsSplit(spark, root, "vecs", "vec_id")
+      .filter(col("op") =!= "D").select("vec_id")
 
   /** COMPACTION — the shared as-of-exact fold (live band rows at the
     * horizon, still `bb`-partitioned), marker/cleanup discipline,
@@ -230,4 +282,89 @@ object IncrementalEmbedLsh {
     } finally foldMembers.unpersist(blocking = false)
     SegmentLog.cleanup(spark, root, Seq("members", "vecs"))
   }
+
+  // ---- aliased generations: the SCHEME rebuild cutover ---------------
+  //
+  // Band rows are a pure function of the vectors AND the (bands,
+  // bandBits) scheme; an operator who sized bandBits for 4k vectors
+  // needs the wider scheme once the corpus grows (the batch operator
+  // scales its width by corpus size for exactly this reason — the
+  // q_sim_lsh ladder). Same blue/green protocol as the text-LSH
+  // scheme rebuild and the IVF retrain ([[SegmentLog.Alias]]): bulk
+  // re-band the live corpus FROM THE EXTERNAL VECTOR STORE (the index
+  // never stored a vector) into a fresh generation while lookups keep
+  // serving the old scheme, then flip atomically.
+
+  /** The live generation root under `parent`. */
+  def activeRoot(spark: SparkSession, parent: String): String =
+    SegmentLog.Alias.resolve(spark, parent)
+
+  /** Alias `parent` at an (initially empty) generation `g0` —
+    * [[applyBatch]] bootstraps it like any root, pinning whatever
+    * scheme the first batch carries.
+    */
+  def initializeAliased(spark: SparkSession, parent: String): Unit =
+    SegmentLog.Alias.publishInitial(spark, parent, "g0")
+
+  /** [[applyBatch]] against the live generation. */
+  def applyBatchActive(spark: SparkSession, parent: String,
+      batch: DataFrame, batchId: Long, nBuckets: Int = 16,
+      compactEvery: Int = 0, bands: Int = DefaultBands,
+      bandBits: Int = 8): Unit =
+    applyBatch(spark, activeRoot(spark, parent), batch, batchId,
+      nBuckets, compactEvery, bands, bandBits)
+
+  /** [[candidates]] against the live generation. */
+  def candidatesActive(spark: SparkSession, parent: String,
+      probes: DataFrame): DataFrame =
+    candidates(spark, activeRoot(spark, parent), probes)
+
+  /** REBUILD the index under a NEW (bands, bandBits) scheme with
+    * atomic cutover: bulk-band the authoritative live vectors
+    * `vectors` (vec_id, e — the external store's view of the corpus; a
+    * vector absent here is gone) into a fresh generation, then flip
+    * the alias; returns the new root. Lookups during the rebuild serve
+    * the old scheme unchanged; a crash before the flip leaves it
+    * active; the bulk load lands at the old log's newest batch id so
+    * the CDC feed's strictly-monotone ids keep working across the
+    * flip; a NEVER-FED generation refuses (id-0 reuse would swallow
+    * the feed's first batch); the WRITE FENCE re-checks the old root's
+    * last batch id just before the flip so a concurrent feed batch
+    * cannot vanish silently. `nBuckets` 0 (the default) inherits the
+    * old generation's pinned bucket count. The
+    * [[IncrementalLsh.rebuildCutover]] recipe, vector-side.
+    */
+  def rebuildCutover(spark: SparkSession, parent: String,
+      vectors: DataFrame, bands: Int, bandBits: Int,
+      nBuckets: Int = 0): String = {
+    val oldRoot = activeRoot(spark, parent)
+    require(SegmentLog.hasBatches(spark, oldRoot, "vecs"),
+      s"nothing to rebuild: $oldRoot never received a batch — an empty " +
+        "generation has no stale bands; feed it directly " +
+        "(applyBatchActive at the new scheme)")
+    val gen = SegmentLog.Alias.nextGen(spark, parent)
+    val newRoot = s"$parent/$gen"
+    val nb =
+      if (nBuckets > 0) nBuckets
+      else SegmentLog.layoutOf(spark, oldRoot, "_nbuckets")
+        .map(_.toInt).getOrElse(16)
+    val lastBatch = SegmentLog.lastSeq(spark, oldRoot, "vecs")
+    applyBatch(spark, newRoot,
+      vectors.select(col("vec_id"), col("e")).withColumn("op", lit("I")),
+      lastBatch, nb, compactEvery = 0, bands = bands,
+      bandBits = bandBits)
+    // write fence before the flip — see [[IncrementalLsh.rebuildCutover]]
+    val nowLast = SegmentLog.lastSeq(spark, oldRoot, "vecs")
+    require(nowLast == lastBatch,
+      s"batch(es) landed on $oldRoot during the rebuild (last id " +
+        s"$lastBatch -> $nowLast) — flip aborted; re-run the cutover")
+    SegmentLog.Alias.publish(spark, parent, gen)
+    newRoot
+  }
+
+  /** Delete every non-active generation under `parent` (after the
+    * reader quiesce window).
+    */
+  def cleanupGenerations(spark: SparkSession, parent: String): Unit =
+    SegmentLog.Alias.cleanup(spark, parent)
 }

@@ -496,6 +496,47 @@ object UpsertFileSink {
     else spark.read.schema(schema).parquet(paths: _*)
   }
 
+  /** A HANDLE to a bucketed upsert table for ID-PRUNED payload
+    * fetches — (root, row schema, merge-key columns). The verify
+    * stages of the ingest loop ([[graft.operators.CorpusRefresh]]'s
+    * banded/embed verifies, `IncrementalEmbedLsh.candidatesVerified`)
+    * need a few candidate rows out of a 100 TB store: a bare-DataFrame
+    * semi-join still SCANS every file of the store map-side, while a
+    * handle lets [[fetchByKeys]] hash the wanted keys into a
+    * ≤ nBuckets manifest and read ONLY those bucket dirs — fetch I/O
+    * proportional to the candidate set, never the store.
+    */
+  final case class BucketedStore(root: String, schema: StructType,
+      keyCols: Seq[String] = Seq("doc_id"))
+
+  /** Fetch ONLY the rows matching `keys` (a frame carrying the
+    * store's key columns) from a bucketed table: ≤ nBuckets
+    * touched-bucket manifest (the store's own pinned count — never a
+    * caller-supplied guess), a read of just those bucket dirs (at
+    * `asOf` when given — the replay-deterministic view, bounded by
+    * vacuum retention), then the row-level semi-join. A virgin store
+    * answers the typed empty frame.
+    */
+  def fetchByKeys(spark: SparkSession, store: BucketedStore,
+      keys: DataFrame, asOf: Option[Long] = None): DataFrame = {
+    val nb = bucketCount(spark, store.root)
+    if (nb.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        store.schema)
+    val wanted = keys.select(store.keyCols.map(col): _*).distinct()
+    val buckets = wanted
+      .select(bucketCol(store.keyCols, nb.get).as("__b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val snap = asOf match {
+      case Some(a) =>
+        readBucketsBucketedAsOf(spark, store.root, store.schema, buckets, a)
+      case None =>
+        readBucketsBucketed(spark, store.root, store.schema, buckets)
+    }
+    snap.join(wanted, store.keyCols, "left_semi")
+  }
+
   /** Newest committed batch id of a bucketed table (markers ∪
     * checkpoint head), None for a virgin root. One `_commits` listing.
     */

@@ -329,27 +329,43 @@ class CorpusRefreshSpec extends AnyFunSuite {
       .createTempDirectory("graft-ingest").toString
     val stateRoot = s"$base/state"
     val landingRoot = s"$base/landing"
+    val vecRoot = s"$base/vectors"
     val indexRoot = s"$base/index"
     val ivfRoot = s"$base/ivf"
     val lshRoot = s"$base/lsh"
     val elshRoot = s"$base/elsh"
     val streamDir = java.nio.file.Files.createDirectory(
       java.nio.file.Paths.get(s"$base/stream"))
+    val docSchema = docsDF(Seq(1L -> "x")).schema
+    val vecSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("e",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType))))
 
-    // deterministic stand-in embedding: axis (doc_id % 3) of R^4 — the
-    // encode step is upstream of this pipeline; what matters here is
-    // that the IVF store tracks the stream
-    def embedCol = array((0 until 4).map(a =>
-      when(pmod(col("doc_id"), lit(3)) === a, 1.0).otherwise(0.0)): _*)
+    // deterministic stand-in embedding — the encode step is upstream
+    // of this pipeline. Distinct ids land well-separated directions of
+    // R^4 EXCEPT the designed pair 70/71 (71 embeds within 0.01 rad of
+    // 70: a re-encode/translation stand-in whose TEXT shares nothing)
+    def embedCol = {
+      val a = when(col("doc_id") === 71L, lit(70.01))
+        .otherwise(col("doc_id").cast("double"))
+      array(cos(a * 0.7), sin(a * 0.7), cos(a * 1.3), sin(a * 1.3))
+    }
 
     // 60/61: a cross-batch BANDED pair (1 of 4 bands agree, full
     // signatures differ — see the banded-verify test) the sg cascade
-    // cannot couple; the LSH store routes it into the verdicts
+    // cannot couple; the LSH store routes it into the verdicts.
+    // 70/71: a cross-batch EMBEDDING pair (unrelated texts, near-
+    // identical vectors) only the embed-LSH store can couple.
     val bandedBase = vocab.slice(500, 524)
     val batch0 = Seq(10L -> textA, 11L -> textA, 30L -> textC,
-      40L -> textDshort, 60L -> txt(bandedBase))
+      40L -> textDshort, 60L -> txt(bandedBase),
+      70L -> txt(vocab.slice(600, 624)))
     val batch1 = Seq(50L -> textE, 5L -> textC, 52L -> textF,
-      61L -> txt(bandedBase.updated(22, "aajfd")))
+      61L -> txt(bandedBase.updated(22, "aajfd")),
+      71L -> txt(vocab.slice(650, 674)))
     def stage(name: String, mtime: Long, rows: Seq[(Long, String)]): Unit = {
       val tmp = s"$base/_$name"
       docsDF(rows).coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -379,14 +395,31 @@ class CorpusRefreshSpec extends AnyFunSuite {
         val staged = df.persist()
         try {
           staged.count()
-          UpsertFileSink.upsertsOnly(staged, id, landingRoot, Seq("doc_id"))
-          // dedup-at-ingest COMPOSED: the refresh probes the LSH store
-          // (as of the previous batch — its own apply runs below) and
-          // verifies candidates against the landed corpus texts
+          // docs AND vectors land in BUCKETED zones so the verify
+          // stages below can fetch candidates id-pruned (the
+          // production shape — fetch I/O ∝ candidates, never store)
+          UpsertFileSink.upsertBatchBucketed(
+            staged.withColumn("op", lit("U")).withColumn("seq", lit(0L)),
+            id, landingRoot, Seq("doc_id"), nBuckets = 8)
+          UpsertFileSink.upsertBatchBucketed(
+            staged.select(col("doc_id").as("vec_id"), embedCol.as("e"))
+              .withColumn("op", lit("U")).withColumn("seq", lit(0L)),
+            id, vecRoot, Seq("vec_id"), nBuckets = 8)
+          // dedup-at-ingest COMPOSED, both modalities: the refresh
+          // probes the LSH stores AS OF the previous batch (replay-
+          // deterministic — their own applies run below) and verifies
+          // candidates via bucket-pruned as-of fetches from the
+          // landed stores
           CorpusRefresh.refresh(bs, stateRoot, staged, id, nBuckets = 8,
             banded = Some(CorpusRefresh.BandedVerify(lshRoot,
-              textSource = UpsertFileSink.readSnapshot(bs, landingRoot,
-                docsDF(batch0).schema))))
+              textStore = Some(UpsertFileSink.BucketedStore(
+                landingRoot, docSchema)))),
+            embed = Some(CorpusRefresh.EmbedVerify(elshRoot,
+              probeVectors = staged.select(col("doc_id"),
+                embedCol.as("e")),
+              minSim = 0.95,
+              vectorStore = Some(UpsertFileSink.BucketedStore(
+                vecRoot, vecSchema, keyCols = Seq("vec_id"))))))
           IncrementalIndex.applyBatch(bs, indexRoot,
             staged.withColumn("op", lit("I")), id, nBuckets = 8)
           IncrementalIvf.applyBatch(bs, ivfRoot,
@@ -406,19 +439,21 @@ class CorpusRefreshSpec extends AnyFunSuite {
 
     val all = batch0 ++ batch1
     // landing zone holds every raw doc exactly once
-    val landed = UpsertFileSink.readSnapshot(spark, landingRoot,
-        docsDF(all).schema)
+    val landed = UpsertFileSink.readSnapshotBucketed(spark, landingRoot,
+        docSchema)
       .select("doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
     assert(landed === all.sortBy(_._1))
     // curation state == full curate of the union (incl. the batch-1
-    // demotion of doc 30 by the smaller-id duplicate 5), PLUS the one
-    // verdict only the composed banded stage can produce: 61 is a
-    // cross-batch banded near-dup of kept 60 (full signatures differ,
-    // so the cascade-only fullFlags keeps it) and must come out
-    // demoted at the near stage
+    // demotion of doc 30 by the smaller-id duplicate 5), PLUS the two
+    // verdicts only the composed out-of-band stages can produce: 61
+    // is a cross-batch banded TEXT near-dup of kept 60 (full
+    // signatures differ, so the cascade-only fullFlags keeps it) and
+    // 71 is a cross-batch EMBEDDING near-dup of kept 70 (texts share
+    // nothing at all) — both must come out demoted at the near stage
     val expected = flagsRows(CorpusRefresh.fullFlags(spark, docsDF(all)))
-      .map(r => if (r._1 == 61L) r.copy(_7 = false, _8 = false) else r)
+      .map(r => if (r._1 == 61L || r._1 == 71L)
+        r.copy(_7 = false, _8 = false) else r)
     assert(flagsRows(CorpusRefresh.currentFlags(spark, stateRoot)) ===
       expected)
     val verdicts = flagsRows(CorpusRefresh.currentFlags(spark, stateRoot))
@@ -427,6 +462,8 @@ class CorpusRefreshSpec extends AnyFunSuite {
       "the streaming refresh must carry the cross-batch demotion")
     assert(verdicts(60L) && !verdicts(61L),
       "the LSH store must route the banded pair into the verdicts")
+    assert(verdicts(70L) && !verdicts(71L),
+      "the embed-LSH store must route the embedding pair into the verdicts")
     // index == from-scratch rebuild over the same corpus
     val inc = IncrementalIndex.currentPostings(spark, indexRoot)
       .select("token", "doc_id", "tf", "dl", "df").collect()
@@ -476,7 +513,7 @@ class CorpusRefreshSpec extends AnyFunSuite {
       allEmb.withColumn("op", lit("I")), 0L, nBuckets = 8, bandBits = 4)
     assert(elshPairs(elshRoot) === elshPairs(scratchElsh))
     assert(elshPairs(elshRoot).nonEmpty,
-      "axis-aligned embeddings must collide in the hyperplane bands")
+      "the near-identical 70/71 embeddings must collide in the bands")
     Materialize.releaseAll()
   }
 
@@ -879,6 +916,136 @@ class CorpusRefreshSpec extends AnyFunSuite {
       .filter(col("doc_id") === 300L).head
     assert(!st300.getBoolean(10),
       "an exact dup of a banded-demoted doc stays out of the kept set")
+    Materialize.releaseAll()
+
+    // DROP-ONLY under re-arrival (the round-16 ADVICE catch): delete
+    // keeper 10, then re-arrive the demoted 200 as an op=U with its
+    // byte-identical text and NO banded stage — a from-scratch
+    // re-judge would find no kept candidate and silently re-promote;
+    // the inherited banded_dup flag must keep it demoted
+    CorpusRefresh.refreshCdc(spark, cmp,
+      docsDF(Seq(10L -> keeperText)).withColumn("op", lit("D")), 3L, nB)
+    Materialize.releaseAll()
+    val d5 = CorpusRefresh.refreshCdc(spark, cmp,
+      docsDF(Seq(200L -> nearDupText)).withColumn("op", lit("U")), 4L, nB)
+    assert(keptOf(d5) === Map(200L -> false),
+      "an op=U re-arrival must inherit the stored banded demotion")
+    val st200c = CorpusRefresh.currentFlags(spark, cmp)
+      .filter(col("doc_id") === 200L).head
+    assert(!st200c.getBoolean(9) && !st200c.getBoolean(10) &&
+      st200c.getBoolean(13),
+      "the inherited flag must persist through the U re-arrival")
+
+    // the SANCTIONED re-admission path: an explicit D tombstones the
+    // flag with the row, and a fresh I re-judges from scratch — with
+    // the keeper gone, the doc enters the kept set
+    CorpusRefresh.refreshCdc(spark, cmp,
+      docsDF(Seq(200L -> nearDupText)).withColumn("op", lit("D")), 5L, nB)
+    Materialize.releaseAll()
+    val d7 = CorpusRefresh.refreshCdc(spark, cmp,
+      docsDF(Seq(200L -> nearDupText)).withColumn("op", lit("I")), 6L, nB)
+    assert(keptOf(d7) === Map(200L -> true),
+      "delete + fresh insert is the explicit re-admission decision")
+    Materialize.releaseAll()
+  }
+
+  test("embed verify: banded embedding candidates demote a cross-batch near-dup") {
+    import spark.implicits._
+    import graft.operators.IncrementalEmbedLsh
+    import graft.streaming.UpsertFileSink
+    val nB = 8
+    // texts are COMPLETELY unrelated (no shared shingles — every
+    // cascade key differs and even a BandedVerify would find nothing);
+    // only the embeddings couple the pair: e(200) is within 1e-4 rad
+    // of e(10) — a re-encode/translation stand-in
+    val initial = Seq(10L -> textA, 30L -> textC)
+    def vecOf(id: Long): Seq[Double] = id match {
+      case 10L => Seq(1.0, 0.0, 0.0, 0.0)
+      case 200L => Seq(1.0, 0.02, 0.0, 0.0) // cos vs e(10) ≈ 0.9998
+      case 30L => Seq(0.0, 1.0, 0.0, 0.0)
+      case 210L => Seq(0.0, 0.0, 1.0, 0.0)
+      case i => Seq(0.0, 0.0, 0.0, i.toDouble)
+    }
+    def vecsDF(ids: Seq[Long]) =
+      ids.map(i => (i, vecOf(i))).toDF("doc_id", "e")
+
+    def mkRoot(tag: String) = java.nio.file.Files
+      .createTempDirectory(s"graft-embedv-$tag").toString + "/state"
+    val ctl = mkRoot("ctl")
+    val cmp = mkRoot("cmp")
+    val hi = mkRoot("hi")
+    Seq(ctl, cmp, hi).foreach(r =>
+      CorpusRefresh.initialize(spark, docsDF(initial), r, nB))
+    // the production loop feeds the embed index alongside the state
+    val elshRoot = java.nio.file.Files
+      .createTempDirectory("graft-embedv-elsh").toString + "/elsh"
+    IncrementalEmbedLsh.applyBatch(spark, elshRoot,
+      vecsDF(Seq(10L, 30L))
+        .select(col("doc_id").as("vec_id"), col("e"))
+        .withColumn("op", lit("I")), 0L, bandBits = 4)
+
+    val arrivals = docsDF(Seq(200L -> textE, 210L -> textG))
+    val probeVecs = vecsDF(Seq(200L, 210L))
+    val allVecs = vecsDF(Seq(10L, 30L))
+      .select(col("doc_id").as("vec_id"), col("e"))
+    def keptOf(d: DataFrame): Map[Long, Boolean] = {
+      val m = d.filter(col("is_delta"))
+        .select("doc_id", "now_kept").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      Materialize.releaseAll()
+      m
+    }
+
+    // CONTROL: the text cascade alone cannot couple the pair
+    val k0 = keptOf(CorpusRefresh.refresh(spark, ctl, arrivals, 1L, nB))
+    assert(k0 === Map(200L -> true, 210L -> true),
+      s"the text cascade must miss the embedding pair: $k0")
+
+    // COMPOSED: embed-LSH candidates + exact-cosine verify demote the
+    // arrival; the unrelated arrival is untouched; the verdict
+    // persists as first-class banded_dup state
+    val d1 = CorpusRefresh.refresh(spark, cmp, arrivals, 1L, nB,
+      embed = Some(CorpusRefresh.EmbedVerify(elshRoot, probeVecs,
+        vectorSource = allVecs, minSim = 0.95)))
+    assert(keptOf(d1) === Map(200L -> false, 210L -> true))
+    val st200 = CorpusRefresh.currentFlags(spark, cmp)
+      .filter(col("doc_id") === 200L).head
+    assert(!st200.getBoolean(9) && !st200.getBoolean(10) &&
+      st200.getBoolean(13),
+      "the embed demotion must land in all projections as banded_dup")
+    Materialize.releaseAll()
+
+    // a threshold above the pair's true cosine: the verify stage
+    // rejects the candidate — banded recall never bypasses the verify
+    val k2 = keptOf(CorpusRefresh.refresh(spark, hi, arrivals, 1L, nB,
+      embed = Some(CorpusRefresh.EmbedVerify(elshRoot, probeVecs,
+        vectorSource = allVecs, minSim = 0.9999))))
+    assert(k2 === Map(200L -> true, 210L -> true),
+      s"sub-threshold candidates must not demote: $k2")
+
+    // the BUCKETED vector-store handle produces the identical verdict
+    // with an id-pruned fetch (the capstone's production shape)
+    val vstore = java.nio.file.Files
+      .createTempDirectory("graft-embedv-vstore").toString + "/vecs"
+    UpsertFileSink.upsertBatchBucketed(
+      vecsDF(Seq(10L, 30L)).select(col("doc_id").as("vec_id"), col("e"))
+        .withColumn("op", lit("U")).withColumn("seq", lit(0L)),
+      0L, vstore, Seq("vec_id"), nBuckets = 4)
+    val handle = UpsertFileSink.BucketedStore(vstore,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("e",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType)))),
+      keyCols = Seq("vec_id"))
+    val cmp2 = mkRoot("cmp2")
+    CorpusRefresh.initialize(spark, docsDF(initial), cmp2, nB)
+    val d2 = CorpusRefresh.refresh(spark, cmp2, arrivals, 1L, nB,
+      embed = Some(CorpusRefresh.EmbedVerify(elshRoot, probeVecs,
+        minSim = 0.95, vectorStore = Some(handle))))
+    assert(keptOf(d2) === Map(200L -> false, 210L -> true),
+      "the bucketed-handle fetch must produce the identical verdict")
     Materialize.releaseAll()
   }
 }

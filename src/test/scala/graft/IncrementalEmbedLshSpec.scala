@@ -119,4 +119,111 @@ class IncrementalEmbedLshSpec extends AnyFunSuite {
     live += 900002L -> stolen
     check(probes)
   }
+
+  test("scheme rebuild cutover: a wider banding replaces the original atomically") {
+    import spark.implicits._
+    val parent = java.nio.file.Files
+      .createTempDirectory("graft-incelsh-bg").toString + "/elsh"
+    IncrementalEmbedLsh.initializeAliased(spark, parent)
+    val all = emb().filter(col("vec_id") % 5 === 0)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+    val (h1, h2) = all.splitAt(all.length / 2)
+    // the operator sized bandBits=4 for the bootstrap corpus
+    IncrementalEmbedLsh.applyBatchActive(spark, parent,
+      h1.toSeq.toDF("vec_id", "e").withColumn("op", lit("I")), 0L,
+      bandBits = 4)
+    IncrementalEmbedLsh.applyBatchActive(spark, parent,
+      h2.toSeq.toDF("vec_id", "e").withColumn("op", lit("I")), 1L,
+      bandBits = 4)
+    val probes = (Seq((990001L, all.head._2)) ++ all.take(20).toSeq)
+      .toDF("vec_id", "e")
+    assert(IncrementalEmbedLsh.candidatesActive(spark, parent, probes)
+      .count() > 0)
+
+    // the grown corpus needs the wider scheme; the active root's pins
+    // refuse an in-place change (that is what the cutover is for)
+    intercept[IllegalArgumentException] {
+      IncrementalEmbedLsh.applyBatchActive(spark, parent,
+        Seq((991L, all.head._2, "I")).toDF("vec_id", "e", "op"), 2L,
+        bandBits = 8)
+    }
+
+    // blue/green rebuild at bandBits=8 FROM THE EXTERNAL VECTOR STORE
+    // (the index never stored a vector); lookups cut over atomically
+    val vectors = all.toSeq.toDF("vec_id", "e")
+    val newRoot = IncrementalEmbedLsh.rebuildCutover(spark, parent,
+      vectors, bands = 4, bandBits = 8)
+    assert(IncrementalEmbedLsh.activeRoot(spark, parent) === newRoot)
+    val scratch = java.nio.file.Files
+      .createTempDirectory("graft-incelsh-bgscr").toString + "/elsh"
+    IncrementalEmbedLsh.applyBatch(spark, scratch,
+      vectors.withColumn("op", lit("I")), 0L, bandBits = 8)
+    def rawPairs(df: DataFrame) = df
+      .select(least(col("probe_id"), col("vec_id")),
+        greatest(col("probe_id"), col("vec_id")))
+      .distinct().collect().map(_.toString).toSet
+    val got = rawPairs(
+      IncrementalEmbedLsh.candidatesActive(spark, parent, probes))
+    val expect = rawPairs(
+      IncrementalEmbedLsh.candidates(spark, scratch, probes))
+    Materialize.releaseAll()
+    assert(got === expect,
+      "post-flip lookups must serve the rebuilt scheme exactly")
+
+    // the feed continues with monotone ids at the NEW scheme (the
+    // bulk load landed at the old head id); the OLD scheme fails loud
+    IncrementalEmbedLsh.applyBatchActive(spark, parent,
+      Seq((990002L, all.head._2, "I")).toDF("vec_id", "e", "op"), 2L,
+      bandBits = 8)
+    intercept[IllegalArgumentException] {
+      IncrementalEmbedLsh.applyBatchActive(spark, parent,
+        Seq((990003L, all.head._2, "I")).toDF("vec_id", "e", "op"), 3L,
+        bandBits = 4)
+    }
+    val hit = IncrementalEmbedLsh.candidatesActive(spark, parent,
+      Seq((990009L, all.head._2)).toDF("vec_id", "e")).collect()
+    assert(hit.exists(r => r.getLong(1) == 990002L))
+
+    // the verify against a BUCKETED store handle equals the bare frame
+    import graft.streaming.UpsertFileSink
+    val vstore = java.nio.file.Files
+      .createTempDirectory("graft-incelsh-vstore").toString + "/v"
+    UpsertFileSink.upsertBatchBucketed(
+      (all.toSeq ++ Seq((990002L, all.head._2))).toDF("vec_id", "e")
+        .withColumn("op", lit("U")).withColumn("seq", lit(0L)),
+      0L, vstore, Seq("vec_id"), nBuckets = 4)
+    val handle = UpsertFileSink.BucketedStore(vstore,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("e",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType)))),
+      keyCols = Seq("vec_id"))
+    val active = IncrementalEmbedLsh.activeRoot(spark, parent)
+    val viaStore = pairsOf(IncrementalEmbedLsh.candidatesVerifiedStore(
+      spark, active, probes, handle, minSim = 0.4))
+    val viaFrame = pairsOf(IncrementalEmbedLsh.candidatesVerified(
+      spark, active, probes,
+      (all.toSeq ++ Seq((990002L, all.head._2))).toDF("vec_id", "e"),
+      minSim = 0.4))
+    Materialize.releaseAll()
+    assert(viaStore === viaFrame && viaStore.nonEmpty,
+      "the bucketed-handle verify must equal the bare-frame verify")
+
+    // a never-fed aliased index refuses the cutover (id-0 reuse would
+    // swallow the feed's first batch)
+    val virgin = java.nio.file.Files
+      .createTempDirectory("graft-incelsh-virgin").toString + "/elsh"
+    IncrementalEmbedLsh.initializeAliased(spark, virgin)
+    val e = intercept[IllegalArgumentException] {
+      IncrementalEmbedLsh.rebuildCutover(spark, virgin,
+        Seq((1L, Seq(1.0, 0.0))).toDF("vec_id", "e"), 4, 8)
+    }
+    assert(e.getMessage.contains("never received a batch"))
+    // generation GC reclaims the superseded g0 after the quiesce window
+    IncrementalEmbedLsh.cleanupGenerations(spark, parent)
+    assert(!new java.io.File(s"$parent/g0").exists,
+      "the superseded generation must be reclaimed")
+  }
 }

@@ -703,4 +703,53 @@ class UpsertFileSinkSpec extends AnyFunSuite {
     assert(snapshot(root) ===
       (0L to 4L).map(i => (i, s"v$i")))
   }
+
+  test("fetchByKeys reads ONLY the wanted keys' bucket files") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-fetchkeys").toString + "/t"
+    val nB = 8
+    val rows = (1L to 200L).map(i => (i, s"payload$i"))
+    UpsertFileSink.upsertBatchBucketed(
+      rows.toDF("doc_id", "text")
+        .withColumn("op", lit("U")).withColumn("seq", lit(0L)),
+      0L, root, Seq("doc_id"), nB)
+    // a second batch updates a few keys so as-of has history
+    UpsertFileSink.upsertBatchBucketed(
+      Seq((7L, "payload7b"), (9L, "payload9b")).toDF("doc_id", "text")
+        .withColumn("op", lit("U")).withColumn("seq", lit(0L)),
+      1L, root, Seq("doc_id"), nB)
+
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val store = UpsertFileSink.BucketedStore(root, schema)
+    val keys = Seq(7L, 42L).toDF("doc_id")
+    val got = UpsertFileSink.fetchByKeys(spark, store, keys)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(got === Seq((7L, "payload7b"), (42L, "payload42")))
+
+    // THE I/O PIN: the fetch plan's input files all live under the
+    // wanted keys' bucket dirs — never a store-wide listing (the
+    // round-16 "row-pruned but not I/O-pruned" finding, closed)
+    val wantedBuckets = keys
+      .select(UpsertFileSink.bucketCol(Seq("doc_id"), nB).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    assert(wantedBuckets.size < nB, "fixture must not touch all buckets")
+    val files = UpsertFileSink.fetchByKeys(spark, store, keys).inputFiles
+    assert(files.nonEmpty)
+    files.foreach(f => assert(wantedBuckets.exists(b =>
+      f.contains(s"/buckets/$b/")),
+      s"fetch read a file outside the wanted buckets: $f"))
+
+    // as-of fetch resolves the historical version, same pruning
+    val old = UpsertFileSink.fetchByKeys(spark, store, keys,
+      asOf = Some(0L))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(old === Seq((7L, "payload7"), (42L, "payload42")))
+
+    // a virgin store answers the typed empty frame
+    val virgin = UpsertFileSink.BucketedStore(s"$root-none", schema)
+    assert(UpsertFileSink.fetchByKeys(spark, virgin, keys).isEmpty)
+  }
 }
