@@ -135,11 +135,14 @@ import graft.sources.Tables
   *   msearch <idxPath> <ivfPath>          hybrid BM25 + IVF-cosine RRF
   *           <t1,t2> <probeId> <k> <np>   over the MAINTAINED stores
   *                                        (aliased parents resolve)
-  *   maintain <kind> <root>               one-call store hygiene
+  *   maintain <kind> <root> [gc]          one-call store hygiene
   *                                        (index|ivf|lsh|landing|
   *                                        refresh-state): safe-horizon
-  *                                        fold / checkpoint + vacuum /
-  *                                        generation GC, reported
+  *                                        fold / checkpoint + vacuum;
+  *                                        generation GC only under the
+  *                                        explicit `gc` token (the
+  *                                        reader quiesce window is the
+  *                                        operator's decision)
   *
   *   (index/ivf/lsh paths may be bare roots OR aliased parents — every
   *   command resolves `_active` transparently; `lsh apply` feeds under
@@ -740,22 +743,38 @@ object Shell {
           .filter(col("vec_id") === probeId.toLong)
           .select(col("embedding").cast("array<double>"))
           .head.getSeq[Double](0).toSeq
+        // the embeddings table doubles as the external vector store:
+        // a CODED (IVFADC) root reranks its ADC shortlist against it
+        // (searchMaintained detects the codebook; a plain root never
+        // touches the frame)
+        val vstore = Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
         graft.operators.HybridSearch.searchMaintained(s, idxPath,
             ivfPath, terms.split(",").toSeq, probe, k.toInt,
-            nprobe.toInt)
+            nprobe.toInt, vectors = Some(vstore))
           .withColumn("rrf", round(col("rrf"), 6))
       // one-call steady-state maintenance per store kind — compaction
-      // to the safe horizon, cleanup convergence, generation GC /
-      // checkpoint + retention vacuum, in the documented safe order
-      // ([[graft.operators.Maintenance]])
-      case List("maintain", kind, root) =>
+      // to the safe horizon, cleanup convergence, checkpoint +
+      // retention vacuum, in the documented safe order
+      // ([[graft.operators.Maintenance]]). Generation GC stays an
+      // EXPLICIT operator decision (`gc` token): the REPL cannot see
+      // in-flight readers, and reclaiming the previous generation
+      // right after a cutover would yank it from under them — the
+      // quiesce window is the caller's to own.
+      case "maintain" :: kind :: root :: rest
+          if rest.isEmpty || rest == List("gc") =>
         noKnob()
+        val gc = rest.nonEmpty
         kind match {
-          case "index" => graft.operators.Maintenance.maintainIndex(s, root)
-          case "ivf" => graft.operators.Maintenance.maintainIvf(s, root)
-          case "lsh" => graft.operators.Maintenance.maintainLsh(s, root)
+          case "index" => graft.operators.Maintenance
+            .maintainIndex(s, root, gcGenerations = gc)
+          case "ivf" => graft.operators.Maintenance
+            .maintainIvf(s, root, gcGenerations = gc)
+          case "lsh" => graft.operators.Maintenance
+            .maintainLsh(s, root, gcGenerations = gc)
           case "embedlsh" =>
-            graft.operators.Maintenance.maintainEmbedLsh(s, root)
+            graft.operators.Maintenance
+              .maintainEmbedLsh(s, root, gcGenerations = gc)
           case "landing" =>
             graft.operators.Maintenance.maintainLanding(s, root)
           case "refresh-state" =>

@@ -108,18 +108,35 @@ object HybridSearch {
     * which is the whole point of maintaining the stores incrementally.
     * The doc_id/vec_id alignment is the ingest loop's own contract
     * (the capstone lands both under the document's id).
+    *
+    * A CODED (IVFADC) deployment is detected off the resolved root's
+    * `pq_codebook` and served via
+    * [[IncrementalIvf.searchAdcRerank]] — ADC shortlists `rerankPool`
+    * candidates from the codes alone, then ONLY the shortlist's full
+    * vectors are fetched from the EXTERNAL store `vectors` for the
+    * exact-cosine rerank (the index never stores a float vector). A
+    * coded root therefore REQUIRES `vectors`; a plain root ignores it.
     */
   def searchMaintained(spark: SparkSession, indexPath: String,
       ivfPath: String, terms: Seq[String], probe: Seq[Double], k: Int,
-      nprobe: Int = 4): DataFrame = {
+      nprobe: Int = 4, vectors: Option[DataFrame] = None,
+      rerankPool: Int = 50): DataFrame = {
     val idxRoot = Maintenance.activeOrSelf(spark, indexPath)
     // the lexical leg at TERM-LOOKUP cost: tb-pruned postings + the
     // O(batches) stats fold — never a corpus-sized postings pass
     // (TokenPrunedIndexSpec pins the plan shape)
     val lexical = IncrementalIndex.bm25Search(spark, idxRoot, terms, k)
-    val semantic = IncrementalIvf
-      .search(spark, Maintenance.activeOrSelf(spark, ivfPath), probe, k,
-        nprobe)
+    val ivfRoot = Maintenance.activeOrSelf(spark, ivfPath)
+    val coded = SegmentLog.hfs(spark, ivfRoot).exists(
+      new org.apache.hadoop.fs.Path(s"$ivfRoot/pq_codebook"))
+    val semantic = (if (coded) {
+      require(vectors.isDefined,
+        s"$ivfRoot is a coded (IVFADC) root: the hybrid semantic leg " +
+          "needs the external vector store for the exact rerank — " +
+          "pass vectors = Some(store)")
+      IncrementalIvf.searchAdcRerank(spark, ivfRoot, probe,
+        vectors.get, k, nprobe, math.max(rerankPool, k))
+    } else IncrementalIvf.search(spark, ivfRoot, probe, k, nprobe))
       .select(col("vec_id").as("doc_id"), col("sim").as("score"))
     rrf(Seq(lexical, semantic), "doc_id", k)
   }

@@ -120,16 +120,22 @@ object Maintenance {
   /** Maintain a BUCKETED landing zone ([[UpsertFileSink]]): roll the
     * manifest checkpoint, then vacuum with replay retention — in that
     * order (vacuum's marker reclamation leans on the checkpoint
-    * covering old ids).
+    * covering old ids). The checkpoint rolls on a COUNTED cadence
+    * (≥ `checkpointMinFresh` committed markers above the current
+    * head — the sink's own discipline), so a frequent cron doesn't
+    * write a manifest roll-up per tick against an idle zone.
     */
   def maintainLanding(spark: SparkSession, root: String,
-      minRetainBatches: Int = 1): DataFrame = {
-    UpsertFileSink.writeBucketedCheckpoint(spark, root)
+      minRetainBatches: Int = 1, checkpointMinFresh: Int = 1): DataFrame = {
+    val fresh = UpsertFileSink.uncheckpointedBatches(spark, root)
+    val rolled = fresh >= math.max(checkpointMinFresh, 1)
+    if (rolled) UpsertFileSink.writeBucketedCheckpoint(spark, root)
     UpsertFileSink.vacuumBucketed(spark, root, minRetainBatches)
     val head = UpsertFileSink.lastCommittedBucketed(spark, root)
-    report(spark, Seq(("landing", "checkpoint+vacuum",
-      s"head ${head.getOrElse(-1L)}, retained $minRetainBatches " +
-        "predecessor batch(es)")))
+    report(spark, Seq(("landing",
+      if (rolled) "checkpoint+vacuum" else "vacuum",
+      s"head ${head.getOrElse(-1L)}, $fresh fresh marker(s), " +
+        s"retained $minRetainBatches predecessor batch(es)")))
   }
 
   /** Maintain a [[CorpusRefresh]] state root: checkpoint + vacuum all

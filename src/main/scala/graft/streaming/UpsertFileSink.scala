@@ -496,6 +496,18 @@ object UpsertFileSink {
     else spark.read.schema(schema).parquet(paths: _*)
   }
 
+  /** Committed batch markers NEWER than the manifest checkpoint head —
+    * the COUNTED cadence input an out-of-band maintenance job uses to
+    * decide whether rolling a new checkpoint would buy readers
+    * anything (the same count the inline `checkpointEvery` knob
+    * consults; batch-id arithmetic would misfire on sparse CDC ids).
+    */
+  def uncheckpointedBatches(spark: SparkSession, root: String): Int = {
+    val f = fs(spark, root)
+    val ckptId = newestCheckpoint(f, root).map(_._1).getOrElse(-1L)
+    markerIds(f, root).count(_ > ckptId)
+  }
+
   /** A HANDLE to a bucketed upsert table for ID-PRUNED payload
     * fetches — (root, row schema, merge-key columns). The verify
     * stages of the ingest loop ([[graft.operators.CorpusRefresh]]'s

@@ -118,4 +118,46 @@ class HybridSearchSpec extends AnyFunSuite {
       Seq("data", "model"), 10).collect().map(_.toString).toSeq
     assert(lexical.collect().map(_.toString).toSeq === fullLex)
   }
+
+  test("coded (IVFADC) roots serve the hybrid semantic leg via ADC + rerank") {
+    import graft.operators.{IncrementalIndex, IncrementalIvf}
+    import graft.sources.Tables
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-msearch-coded").toString
+    val docs = Tables.documents(spark, SparkTestBase.sf0001)
+      .select("doc_id", "text")
+    val emb = Tables.embeddings(spark, SparkTestBase.sf0001)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    IncrementalIndex.initializeAliased(spark, s"$base/idx")
+    IncrementalIndex.applyBatchActive(spark, s"$base/idx",
+      docs.withColumn("op", lit("I")), 0L)
+    // the SAME vectors behind a coded root and a plain root: with the
+    // rerank pool covering every probed-cell member, the ADC shortlist
+    // + exact rerank must reproduce the plain root's exact leg, so the
+    // FUSED answers agree (the done-criterion for the coded hybrid)
+    IncrementalIvf.initializeCodedAliased(spark, emb, s"$base/coded",
+      k = 4, iters = 2)
+    IncrementalIvf.initializeAliased(spark, emb, s"$base/plain",
+      k = 4, iters = 2)
+    val probe = emb.filter(col("vec_id") === 3L)
+      .head.getSeq[Double](1).toSeq
+    val got = HybridSearch.searchMaintained(spark, s"$base/idx",
+        s"$base/coded", Seq("data", "model"), probe, k = 10, nprobe = 2,
+        vectors = Some(emb), rerankPool = 1000000)
+      .collect().map(_.toString).toSeq
+    val expect = HybridSearch.searchMaintained(spark, s"$base/idx",
+        s"$base/plain", Seq("data", "model"), probe, k = 10, nprobe = 2)
+      .collect().map(_.toString).toSeq
+    assert(got === expect && got.nonEmpty,
+      "a coded root at rerank pool >= cell population must fuse " +
+        "identically to the plain root")
+    // a coded root without the external store fails LOUD — silently
+    // serving raw ADC scores as the semantic leg would skew the fusion
+    val e = intercept[IllegalArgumentException] {
+      HybridSearch.searchMaintained(spark, s"$base/idx", s"$base/coded",
+        Seq("data", "model"), probe, k = 10, nprobe = 2)
+    }
+    assert(e.getMessage.contains("coded"))
+    Materialize.releaseAll()
+  }
 }

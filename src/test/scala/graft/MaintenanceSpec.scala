@@ -95,6 +95,22 @@ class MaintenanceSpec extends AnyFunSuite {
       .collect().map(_.toString).sorted.toSeq === before)
     assert(UpsertFileSink
       .readSnapshotBucketedAsOf(spark, root, schema, 2L).count() === 8L)
+
+    // COUNTED cadence: an immediate second call sees no committed
+    // marker above the new checkpoint head — it vacuums only, never
+    // rolls a manifest per cron tick against an idle zone
+    val rep2 = Maintenance.maintainLanding(spark, root).head
+    assert(rep2.getString(1) === "vacuum",
+      s"an idle zone must not re-checkpoint: $rep2")
+    assert(new java.io.File(s"$root/_commits").listFiles()
+      .count(_.getName.startsWith("checkpoint.")) === 1,
+      "two immediate maintain calls must write exactly one checkpoint")
+    // a new committed batch re-arms the cadence
+    UpsertFileSink.upsertBatchBucketed(
+      Seq((1L, "v1-b4", "U", 1L)).toDF("key", "value", "op", "seq"),
+      4L, root, Seq("key"), nB)
+    assert(Maintenance.maintainLanding(spark, root).head.getString(1)
+      === "checkpoint+vacuum")
   }
 
   test("maintain on an aliased parent compacts the active generation and GCs") {

@@ -565,10 +565,19 @@ class ShellSpec extends AnyFunSuite {
     assert(Shell.run(spark, sf0001, s"index search $base/idx data,model 5")
       .collect().map(_.toString).toSeq === before)
 
-    // aliased ivf: compaction of the active generation + generation GC
+    // aliased ivf: compaction of the active generation; generation GC
+    // ONLY under the explicit `gc` token — the REPL default must not
+    // yank the previous generation from under in-flight readers right
+    // after a cutover (the quiesce window is the operator's decision)
     Shell.run(spark, sf0001, s"ivf init $base/ann 4 2")
     Shell.run(spark, sf0001, s"ivf retrain $base/ann 4 2")
-    val acts = Shell.run(spark, sf0001, s"maintain ivf $base/ann")
+    val actsSafe = Shell.run(spark, sf0001, s"maintain ivf $base/ann")
+      .collect().map(_.getString(1)).toSeq
+    assert(!actsSafe.contains("gc-generations"),
+      s"the default maintain must not GC generations: $actsSafe")
+    assert(new java.io.File(s"$base/ann/g0").exists,
+      "the superseded generation must survive a default maintain")
+    val acts = Shell.run(spark, sf0001, s"maintain ivf $base/ann gc")
       .collect().map(_.getString(1)).toSeq
     assert(acts.contains("gc-generations"))
     assert(!new java.io.File(s"$base/ann/g0").exists)
