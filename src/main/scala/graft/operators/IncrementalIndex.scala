@@ -455,6 +455,23 @@ object IncrementalIndex {
       avgDl, terms, k, k1, b)
   }
 
+  /** Conjunctive query ([[InvertedIndex.andQuery]]) at term-lookup
+    * cost — the `tb`-pruned postings feed the intersect-by-count.
+    */
+  def andSearch(spark: SparkSession, root: String,
+      terms: Seq[String]): DataFrame =
+    InvertedIndex.andQuery(postingsForTerms(spark, root, terms), terms)
+
+  /** tf-idf top-k ([[InvertedIndex.rankedQuery]]) at term-lookup
+    * cost; N comes off the thin stats fold, never a corpus count.
+    */
+  def rankedSearch(spark: SparkSession, root: String,
+      terms: Seq[String], k: Int): DataFrame = {
+    val (n, _) = stats(spark, root)
+    InvertedIndex.rankedQuery(postingsForTerms(spark, root, terms), n,
+      terms, k)
+  }
+
   /** COMPACTION — fold every segment with seq ≤ `upTo` into one
     * equivalent tree, so read-time folding cost stops growing with
     * batch count (the landing zone's checkpoint recipe, applied to the

@@ -478,11 +478,12 @@ object IncrementalIvf {
     * partition level like [[liveMembers]].
     */
   def liveCodedMembers(spark: SparkSession, root: String,
-      cellFilter: Option[Seq[Int]] = None): DataFrame =
+      cellFilter: Option[Seq[Int]] = None,
+      asOf: Option[Long] = None): DataFrame =
     SegmentLog.liveMembersPruned(spark, root, "members", "vecs", "vec_id",
       raw => cellFilter.fold(raw)(cs =>
         raw.filter(col("cell").isin(cs: _*))),
-      emptyCodedMembers(spark))
+      emptyCodedMembers(spark), asOf)
       .select("vec_id", "codes", "cell")
 
   /** ADC top-k over a coded root: rank the k fixed centroids against
@@ -491,7 +492,21 @@ object IncrementalIvf {
     * a sum per candidate, never a full vector read.
     */
   def searchAdc(spark: SparkSession, root: String, probe: Seq[Double],
-      topK: Int, nprobe: Int): DataFrame = {
+      topK: Int, nprobe: Int): DataFrame =
+    searchAdcView(spark, root, probe, topK, nprobe, None)
+
+  /** TIME TRAVEL for the coded root — [[searchAdc]] against the code
+    * set exactly as it stood after batch `asOf` committed, bounded by
+    * compaction like [[searchAsOf]] (the plain root's twin).
+    */
+  def searchAdcAsOf(spark: SparkSession, root: String,
+      probe: Seq[Double], topK: Int, nprobe: Int,
+      asOf: Long): DataFrame =
+    searchAdcView(spark, root, probe, topK, nprobe, Some(asOf))
+
+  private def searchAdcView(spark: SparkSession, root: String,
+      probe: Seq[Double], topK: Int, nprobe: Int,
+      asOf: Option[Long]): DataFrame = {
     CosineSimilarity.register(spark)
     val p = array(probe.map(lit): _*)
     val ranked = spark.read.parquet(s"$root/centroids")
@@ -503,7 +518,7 @@ object IncrementalIvf {
     val codebook = spark.read.parquet(s"$root/pq_codebook")
     val lut = ProductQuantizer.adcLut(codebook, probe, pqM(codebook))
     ProductQuantizer.adcScoreCodes(
-        liveCodedMembers(spark, root, Some(ranked))
+        liveCodedMembers(spark, root, Some(ranked), asOf)
           .select("vec_id", "codes"), lut)
       .select(col("vec_id"), round(col("approx_sim"), 4).as("approx_sim"))
       .orderBy(col("approx_sim").desc, col("vec_id"))

@@ -54,13 +54,14 @@ object Maintenance {
       name: String, dataSubs: Seq[String], commitSub: String,
       minFresh: Int, gcGenerations: Boolean,
       compactFn: (SparkSession, String, Long) => Unit,
-      cleanupFn: (SparkSession, String) => Unit): DataFrame = {
+      cleanupFn: (SparkSession, String) => Unit,
+      retainNewest: Int = 0): DataFrame = {
     val root = activeOrSelf(spark, path)
     val aliased = root != path
     val out = scala.collection.mutable.ArrayBuffer
       .empty[(String, String, String)]
     SegmentLog.safeCompactionTarget(spark, root, dataSubs, commitSub,
-      minFresh) match {
+      minFresh, retainNewest) match {
       case Some(upTo) =>
         compactFn(spark, root, upTo)
         out += ((name, "compact", s"folded to horizon $upTo"))
@@ -78,44 +79,57 @@ object Maintenance {
     report(spark, out.toSeq)
   }
 
-  /** Maintain an [[IncrementalIndex]] root or aliased parent: fold the
-    * postings/docs/df log when more than `minFresh` committed fresh
-    * segments have accumulated, finish cleanups, reclaim old
-    * generations.
+  /** Maintain an [[IncrementalIndex]] root or aliased parent: fold
+    * the postings/docs/df/stats log when more than `minFresh`
+    * committed fresh segments have accumulated, finish cleanups,
+    * reclaim old generations. `retainNewest` keeps that many newest
+    * committed batches below the fold — the as-of replay window; pass
+    * ≥ 1 when a composed consumer probes this store as-of its
+    * previous batch ([[SegmentLog.safeCompactionTarget]]).
     */
   def maintainIndex(spark: SparkSession, path: String, minFresh: Int = 0,
-      gcGenerations: Boolean = true): DataFrame =
+      gcGenerations: Boolean = true, retainNewest: Int = 0): DataFrame =
     maintainSegmented(spark, path, "index",
       Seq("postings", "df", "stats"), "docs", minFresh, gcGenerations,
       (s, r, u) => IncrementalIndex.compact(s, r, u),
-      (s, r) => IncrementalIndex.cleanupCompacted(s, r))
+      (s, r) => IncrementalIndex.cleanupCompacted(s, r), retainNewest)
 
   /** Maintain an [[IncrementalIvf]] root or aliased parent (plain or
     * coded — the fold is payload-agnostic and the fit log rides the
     * same horizon).
     */
   def maintainIvf(spark: SparkSession, path: String, minFresh: Int = 0,
-      gcGenerations: Boolean = true): DataFrame =
+      gcGenerations: Boolean = true, retainNewest: Int = 0): DataFrame =
     maintainSegmented(spark, path, "ivf",
       Seq("members", "fit"), "vecs", minFresh, gcGenerations,
       (s, r, u) => IncrementalIvf.compact(s, r, u),
-      (s, r) => IncrementalIvf.cleanupCompacted(s, r))
+      (s, r) => IncrementalIvf.cleanupCompacted(s, r), retainNewest)
 
-  /** Maintain an [[IncrementalLsh]] root or aliased parent. */
+  /** Maintain an [[IncrementalLsh]] root or aliased parent. A store
+    * the composed refresh probes as-of ([[CorpusRefresh.BandedVerify]])
+    * should run with `retainNewest` ≥ 1 so a replayed refresh's
+    * as-of probe never lands below the fold horizon.
+    */
   def maintainLsh(spark: SparkSession, path: String, minFresh: Int = 0,
-      gcGenerations: Boolean = true): DataFrame =
+      gcGenerations: Boolean = true, retainNewest: Int = 0): DataFrame =
     maintainSegmented(spark, path, "lsh",
       Seq("members"), "docs", minFresh, gcGenerations,
       (s, r, u) => IncrementalLsh.compact(s, r, u),
-      (s, r) => SegmentLog.cleanup(s, r, Seq("members", "docs")))
+      (s, r) => SegmentLog.cleanup(s, r, Seq("members", "docs")),
+      retainNewest)
 
-  /** Maintain an [[IncrementalEmbedLsh]] root or aliased parent. */
+  /** Maintain an [[IncrementalEmbedLsh]] root or aliased parent —
+    * same `retainNewest` guidance as [[maintainLsh]]
+    * ([[CorpusRefresh.EmbedVerify]] probes this store as-of).
+    */
   def maintainEmbedLsh(spark: SparkSession, path: String,
-      minFresh: Int = 0, gcGenerations: Boolean = true): DataFrame =
+      minFresh: Int = 0, gcGenerations: Boolean = true,
+      retainNewest: Int = 0): DataFrame =
     maintainSegmented(spark, path, "embedlsh",
       Seq("members"), "vecs", minFresh, gcGenerations,
       (s, r, u) => IncrementalEmbedLsh.compact(s, r, u),
-      (s, r) => SegmentLog.cleanup(s, r, Seq("members", "vecs")))
+      (s, r) => SegmentLog.cleanup(s, r, Seq("members", "vecs")),
+      retainNewest)
 
   /** Maintain a BUCKETED landing zone ([[UpsertFileSink]]): roll the
     * manifest checkpoint, then vacuum with replay retention — in that

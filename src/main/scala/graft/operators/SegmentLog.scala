@@ -289,10 +289,20 @@ private[operators] object SegmentLog {
     * MORE THAN `minFresh` committed fresh segments exist — strict,
     * matching the inline `compactEvery` cadence's comparison, so the
     * two knobs mean the same thing).
+    *
+    * `retainNewest` additionally EXCLUDES that many of the newest
+    * committed fresh ids from folding — the as-of REPLAY WINDOW, the
+    * segment-log twin of the landing zone's vacuum
+    * `minRetainBatches`: a composed consumer replaying batch `b`
+    * reads sibling stores AS OF `b − 1`
+    * ([[graft.operators.CorpusRefresh]]'s discipline), and a cron
+    * fold to the head would wedge that probe behind the as-of horizon
+    * guard while the batch's redelivery is still possible. Pass ≥ 1
+    * on any store a replayed consumer probes as-of.
     */
   def safeCompactionTarget(spark: SparkSession, root: String,
       dataSubs: Seq[String], commitSub: String,
-      minFresh: Int = 0): Option[Long] = {
+      minFresh: Int = 0, retainNewest: Int = 0): Option[Long] = {
     val f = hfs(spark, root)
     val h = compactedUpTo(spark, root).getOrElse(-1L)
     val committed = freshIds(spark, root, commitSub).filter(id =>
@@ -302,7 +312,9 @@ private[operators] object SegmentLog {
     val torn = (dataSubs :+ commitSub)
       .flatMap(s => freshIds(spark, root, s)).toSet -- committed
     val cap = torn.minOption.map(_ - 1).getOrElse(Long.MaxValue)
-    committed.filter(_ <= cap).maxOption.filter(_ > h)
+    val eligible = committed.toSeq.sorted
+      .dropRight(math.max(retainNewest, 0))
+    eligible.filter(_ <= cap).maxOption.filter(_ > h)
   }
 
   /** Freeze-or-verify a LAYOUT CONSTANT stored as a control file at

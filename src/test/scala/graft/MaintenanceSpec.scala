@@ -65,6 +65,39 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(rep2._1 === "compact" && rep2._2.contains("horizon 3"))
   }
 
+  test("retainNewest keeps an as-of replay window below the fold") {
+    import spark.implicits._
+    import graft.operators.IncrementalLsh
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-maint-retain").toString + "/lsh"
+    val mk = (i: Long) => (i, s"tok$i alpha beta gamma delta tok${i % 7}")
+    IncrementalLsh.applyBatch(spark, root,
+      (1L to 10L).map(mk).toDF("doc_id", "text").withColumn("op", lit("I")),
+      0L)
+    IncrementalLsh.applyBatch(spark, root,
+      (11L to 14L).map(mk).toDF("doc_id", "text").withColumn("op", lit("I")),
+      1L)
+    // a composed refresh replaying batch 1 probes this store AS OF
+    // batch 0 — maintenance with retainNewest=1 folds only to 0, so
+    // that probe keeps answering after the cron ran
+    val rep = Maintenance.maintainLsh(spark, root, retainNewest = 1)
+      .collect().map(r => (r.getString(1), r.getString(2))).head
+    assert(rep._1 === "compact" && rep._2.contains("horizon 0"),
+      s"retainNewest=1 must fold below the head: $rep")
+    val probes = Seq(mk(101L)).toDF("doc_id", "text")
+    assert(IncrementalLsh.candidatesAsOf(spark, root, probes, 0L)
+      .count() >= 0L) // resolves — no horizon wedge
+    // ...whereas a head fold would have wedged exactly that probe
+    IncrementalLsh.compact(spark, root, 1L)
+    val e = intercept[IllegalArgumentException] {
+      IncrementalLsh.candidatesAsOf(spark, root, probes, 0L).count()
+    }
+    assert(e.getMessage.contains("folded away"))
+    // nothing retainable left: the next retained pass is a noop
+    assert(Maintenance.maintainLsh(spark, root, retainNewest = 1)
+      .collect().map(_.getString(1)).head === "noop")
+  }
+
   test("maintain on a bucketed landing zone checkpoints then vacuums") {
     import spark.implicits._
     import graft.streaming.UpsertFileSink

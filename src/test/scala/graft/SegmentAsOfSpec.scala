@@ -122,6 +122,40 @@ class SegmentAsOfSpec extends AnyFunSuite {
     }
   }
 
+  test("coded IVF searchAdcAsOf reproduces the pre-batch code set") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-asof-adc").toString + "/ivf"
+    def vec(i: Long): Seq[Double] = {
+      val axis = (i % 3).toInt
+      val v = Array.fill(4)(0.0)
+      v(axis) = 1.0; v((axis + 1) % 4) = 0.01 * (i % 7)
+      v.toSeq
+    }
+    IncrementalIvf.initializeCoded(spark,
+      (1L to 20L).map(i => (i, vec(i))).toDF("vec_id", "e"),
+      root, k = 3, iters = 2, m = 2, ksub = 4, pqIters = 2)
+    // snapshot the LIVE answers before batch 1 — the as-of oracle
+    // (frozen centroids + codebook make the comparison exact)
+    val probes = Seq(5L, 9L, 21L).map(vec)
+    val before = probes.map(p =>
+      IncrementalIvf.searchAdc(spark, root, p, 5, 2)
+        .collect().map(_.toString).toSeq)
+    IncrementalIvf.applyBatchCoded(spark, root,
+      Seq((21L, vec(21L), "I"), (5L, vec(6L), "U"),
+        (9L, Seq.empty[Double], "D")).toDF("vec_id", "e", "op"), 1L)
+    probes.zip(before).foreach { case (p, want) =>
+      assert(IncrementalIvf.searchAdcAsOf(spark, root, p, 5, 2, 0L)
+        .collect().map(_.toString).toSeq === want,
+        "as-of 0 must answer exactly what the live search answered " +
+          "before batch 1")
+    }
+    // and the live view really moved (the deleted vector is gone)
+    val liveNow = IncrementalIvf.searchAdc(spark, root, vec(9L), 20, 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(!liveNow.contains(9L))
+  }
+
   test("LSH candidatesAsOf sees the pre-takedown corpus") {
     import spark.implicits._
     val root = java.nio.file.Files

@@ -104,6 +104,25 @@ class TokenPrunedIndexSpec extends AnyFunSuite {
       .filter(col("token") === "alpha")
     assert(rows(asOf) === rows(asOfOracle))
     postingsScans(asOf).foreach(s => assert(tbPruned(s)))
+
+    // the other query shapes ride the same pruned read: andSearch and
+    // rankedSearch equal their unpruned-view twins, scans tb-pruned
+    val andP = IncrementalIndex.andSearch(spark, root,
+      Seq("alpha", "shared"))
+    val andO = InvertedIndex.andQuery(
+      IncrementalIndex.currentPostings(spark, root),
+      Seq("alpha", "shared"))
+    assert(andP.collect().map(_.getLong(0)).sorted.toSeq ===
+      andO.collect().map(_.getLong(0)).sorted.toSeq)
+    postingsScans(andP).foreach(s => assert(tbPruned(s)))
+    val rkP = IncrementalIndex.rankedSearch(spark, root,
+      Seq("alpha", "beta"), 5)
+    val rkO = InvertedIndex.rankedQuery(
+      IncrementalIndex.currentPostings(spark, root), n,
+      Seq("alpha", "beta"), 5)
+    assert(rkP.collect().map(_.toString).toSeq ===
+      rkO.collect().map(_.toString).toSeq)
+    postingsScans(rkP).foreach(s => assert(tbPruned(s)))
     Materialize.releaseAll()
   }
 
