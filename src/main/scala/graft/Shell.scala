@@ -135,14 +135,18 @@ import graft.sources.Tables
   *   msearch <idxPath> <ivfPath>          hybrid BM25 + IVF-cosine RRF
   *           <t1,t2> <probeId> <k> <np>   over the MAINTAINED stores
   *                                        (aliased parents resolve)
-  *   maintain <kind> <root> [gc]          one-call store hygiene
-  *                                        (index|ivf|lsh|landing|
+  *   maintain <kind> <root>               one-call store hygiene
+  *            [gc] [retain=N]             (index|ivf|lsh|landing|
   *                                        refresh-state): safe-horizon
   *                                        fold / checkpoint + vacuum;
   *                                        generation GC only under the
   *                                        explicit `gc` token (the
   *                                        reader quiesce window is the
-  *                                        operator's decision)
+  *                                        operator's decision);
+  *                                        retain=N keeps the N newest
+  *                                        batches below the fold (the
+  *                                        as-of replay window of
+  *                                        composed consumers)
   *
   *   (index/ivf/lsh paths may be bare roots OR aliased parents — every
   *   command resolves `_active` transparently; `lsh apply` feeds under
@@ -762,22 +766,39 @@ object Shell {
       // right after a cutover would yank it from under them — the
       // quiesce window is the caller's to own.
       case "maintain" :: kind :: root :: rest
-          if rest.isEmpty || rest == List("gc") =>
+          if rest.forall(t => t == "gc" || t.matches("retain=\\d+")) =>
         noKnob()
-        val gc = rest.nonEmpty
+        val gc = rest.contains("gc")
+        // retain=N keeps the N newest committed batches below the
+        // fold — the as-of replay window a composed refresh needs on
+        // the stores it probes as-of (BandedVerify/EmbedVerify);
+        // without it a cron fold to the head wedges a replayed batch
+        val retain = rest.find(_.startsWith("retain="))
+          .map(_.stripPrefix("retain=").toInt).getOrElse(0)
+        def segmentedOnly(): Unit =
+          require(!gc && retain == 0,
+            s"maintain $kind takes no gc/retain flags: the store has " +
+              "no generations or fold horizon (its retention knob is " +
+              "vacuum's)")
         kind match {
           case "index" => graft.operators.Maintenance
-            .maintainIndex(s, root, gcGenerations = gc)
+            .maintainIndex(s, root, gcGenerations = gc,
+              retainNewest = retain)
           case "ivf" => graft.operators.Maintenance
-            .maintainIvf(s, root, gcGenerations = gc)
+            .maintainIvf(s, root, gcGenerations = gc,
+              retainNewest = retain)
           case "lsh" => graft.operators.Maintenance
-            .maintainLsh(s, root, gcGenerations = gc)
+            .maintainLsh(s, root, gcGenerations = gc,
+              retainNewest = retain)
           case "embedlsh" =>
             graft.operators.Maintenance
-              .maintainEmbedLsh(s, root, gcGenerations = gc)
+              .maintainEmbedLsh(s, root, gcGenerations = gc,
+                retainNewest = retain)
           case "landing" =>
+            segmentedOnly()
             graft.operators.Maintenance.maintainLanding(s, root)
           case "refresh-state" =>
+            segmentedOnly()
             graft.operators.Maintenance.maintainRefreshState(s, root)
           case other => throw new IllegalArgumentException(
             s"maintain: unknown store kind '$other' " +

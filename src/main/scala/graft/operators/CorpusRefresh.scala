@@ -404,18 +404,13 @@ object CorpusRefresh {
     * here. Shared by both verify modalities.
     */
   private def keptAsOf(s: SparkSession, stateRoot: String,
-      candIds: DataFrame, nBuckets: Int, asOf: Long): DataFrame = {
-    val cB = candIds
-      .select(pmod(hash(col("doc_id")), lit(nBuckets)).as("b"))
-      .distinct().collect().map(_.getInt(0)).toSeq
-    UpsertFileSink
-      .readBucketsBucketedAsOf(s, byId(stateRoot), stateSchema, cB,
-        asOf)
+      candIds: DataFrame, asOf: Long): DataFrame =
+    UpsertFileSink.fetchByKeys(s,
+      UpsertFileSink.BucketedStore(byId(stateRoot), stateSchema),
+      candIds, Some(asOf))
       .filter(col("quality_ok"))
-      .join(candIds, Seq("doc_id"), "left_semi")
       .select(col("doc_id").as("cand_id"), col("digest").as("c_digest"),
         col("norm_sig").as("c_norm"), col("sg_key").as("c_sg"))
-  }
 
   /** The cascade-jurisdiction exclusion: only pairs the
     * exact-signature stages CANNOT see reach an out-of-band verify
@@ -443,7 +438,7 @@ object CorpusRefresh {
       .persist()
     cached.append(cands)
     val candIds = cands.select(col("cand_id").as("doc_id")).distinct()
-    val kept = keptAsOf(s, stateRoot, candIds, nBuckets, asOf)
+    val kept = keptAsOf(s, stateRoot, candIds, asOf)
     // exact-Jaccard verify on token 3-shingle sets — byte-identical
     // algebra to q_dedup_jaccard's verify stage; shingle frames are
     // bounded by the batch and by the candidate id set respectively
@@ -499,7 +494,7 @@ object CorpusRefresh {
       .persist()
     cached.append(cands)
     val candIds = cands.select(col("cand_id").as("doc_id")).distinct()
-    val kept = keptAsOf(s, stateRoot, candIds, nBuckets, asOf)
+    val kept = keptAsOf(s, stateRoot, candIds, asOf)
     val candVecs = ev.vectorStore match {
       case Some(st) => UpsertFileSink
         .fetchByKeys(s, st, candIds.select(col("doc_id").as("vec_id")),

@@ -246,6 +246,24 @@ object IncrementalIndex {
     // no-op, exactly like the landing zone's checkpoint-head rule
     // ([[graft.streaming.UpsertFileSink.upsertBatchBucketed]]).
     if (compactedUpTo(spark, root).exists(batchId <= _)) return
+    // LEGACY-LAYOUT guard, BEFORE the token-bucket pin can land: a
+    // root whose postings predate the tb dimension holds segments
+    // without the tb partition; writing a tb-partitioned segment
+    // beside them would wedge every later read AND the migration fold
+    // itself (partition discovery refuses mixed trees). Migrate by
+    // compacting the root to its head under the current code first —
+    // the fold rewrites the folded tree with tb, recomputes the stats
+    // base from the live set, and only then records the pin.
+    if (SegmentLog.layoutOf(spark, root, "_ntbuckets").isEmpty) {
+      val legacyPostings =
+        fs.exists(new org.apache.hadoop.fs.Path(s"$root/postings")) ||
+          compactedUpTo(spark, root).exists(c => fs.exists(
+            new org.apache.hadoop.fs.Path(s"$root/_compact/$c/postings")))
+      require(!legacyPostings,
+        s"$root holds postings written before the token-bucket " +
+          "dimension: compact the root to its head once (the fold " +
+          "migrates the layout), then feed new batches")
+    }
     // the bucket counts are physical layout: freeze at creation, fail
     // loudly on a mismatch — a silently different value would compute
     // touched-bucket manifests that miss the updated docs' OLD
@@ -533,12 +551,14 @@ object IncrementalIndex {
       }
     SegmentLog.pinLayout(spark, root, "_nbuckets", nb.toLong)
     // the token dimension shipped WITH its pin, so every root holding
-    // tb-partitioned segments has one; a root predating both folds
-    // safely under the default (its folded tree gains the dimension,
-    // recomputed from the tokens themselves, and the pin freezes it)
+    // tb-partitioned segments has one; a LEGACY root (no pin) folds
+    // safely under the default — its flat segments read uniformly,
+    // the folded tree gains the dimension recomputed from the tokens
+    // themselves, and the pin lands only AFTER the marker publish (a
+    // crashed migration fold must not leave a pin that unlocks
+    // mixed-layout applyBatch writes against surviving flat segments)
     val nt = SegmentLog.layoutOf(spark, root, "_ntbuckets")
       .map(_.toInt).getOrElse(DefaultTokenBuckets)
-    SegmentLog.pinLayout(spark, root, "_ntbuckets", nt.toLong)
     // state AS OF the horizon (newest version ≤ upTo per key, later
     // supersessions notwithstanding): the live read's anti-join
     // suppresses a folded copy a fresh batch superseded, the next fold
@@ -578,9 +598,15 @@ object IncrementalIndex {
         foldDf.withColumn("tb", tokenBucketCol(nt))
           .write.mode("overwrite").partitionBy("tb")
           .parquet(s"$tmp/df")
-      committedStats(spark, root).filter(col("seq") <= upTo)
-        .agg(coalesce(sum("n_delta"), lit(0L)).as("n_delta"),
-          coalesce(sum("dl_delta"), lit(0L)).as("dl_delta"))
+      // folded stats derive from the LIVE SET AT THE HORIZON itself
+      // (each live doc contributes (1, dl)) — algebraically equal to
+      // the ≤ upTo delta partial sums when every batch logged one,
+      // and SELF-HEALING on a legacy root whose early batches predate
+      // the stats log (summing the incomplete log would bake the
+      // missing base into the folded row forever)
+      foldPost.groupBy("doc_id").agg(first("dl").as("dl"))
+        .agg(count(lit(1)).as("n_delta"),
+          coalesce(sum("dl"), lit(0L)).as("dl_delta"))
         .write.mode("overwrite").parquet(s"$tmp/stats")
 
       // publish: the marker flip is the commit point
@@ -589,6 +615,8 @@ object IncrementalIndex {
       foldPost.unpersist(blocking = false)
       foldDf.unpersist(blocking = false)
     }
+    // the token-dimension pin lands only after the publish (see above)
+    SegmentLog.pinLayout(spark, root, "_ntbuckets", nt.toLong)
     cleanupCompacted(spark, root)
   }
 
@@ -705,10 +733,16 @@ object IncrementalIndex {
     * (n_docs, sum_dl) folded from the additive stats log — O(batches)
     * thin one-row segments (folded to a single partial-sum row by
     * [[compact]]), NEVER a postings scan. `asOf` bounds the fold for
-    * replayed consumers.
+    * replayed consumers and is BOUNDED BY COMPACTION like every as-of
+    * read here: a view strictly below the horizon fails loudly (the
+    * folded partial-sum row carries the horizon's seq — silently
+    * filtering it out would score every BM25 query with N = 0).
     */
   def statsFrame(spark: SparkSession, root: String,
       asOf: Option[Long] = None): DataFrame = {
+    asOf.foreach(a => require(compactedUpTo(spark, root).forall(a >= _),
+      s"asOf $a is below $root's compaction horizon: that view is " +
+        "folded away"))
     val log = committedStats(spark, root)
     asOf.fold(log)(a => log.filter(col("seq") <= a))
       .agg(coalesce(sum("n_delta"), lit(0L)).as("n_docs"),
@@ -716,9 +750,25 @@ object IncrementalIndex {
   }
 
   /** (live doc count, mean live doc length) for
-    * [[InvertedIndex.bm25Query]] — one [[statsFrame]] fold.
+    * [[InvertedIndex.bm25Query]] — one [[statsFrame]] fold. A LEGACY
+    * root whose batches predate the stats log (no `stats/` dir and no
+    * folded stats tree) answers from the live postings — the
+    * pre-stats-log derivation, correct but corpus-sized; one
+    * [[compact]] migrates it (the fold derives the folded stats row
+    * from the live set itself, healing the missing history).
     */
   def stats(spark: SparkSession, root: String): (Long, Double) = {
+    val f = SegmentLog.hfs(spark, root)
+    val hasEvidence = f.exists(
+      new org.apache.hadoop.fs.Path(s"$root/stats")) ||
+      compactedUpTo(spark, root).exists(c => f.exists(
+        new org.apache.hadoop.fs.Path(s"$root/_compact/$c/stats")))
+    if (!hasEvidence && SegmentLog.hasBatches(spark, root, "docs")) {
+      val dls = livePostings(spark, root)
+        .groupBy("doc_id").agg(first("dl").as("dl"))
+      val r = dls.agg(count(lit(1)), avg("dl")).head
+      return (r.getLong(0), if (r.isNullAt(1)) 0.0 else r.getDouble(1))
+    }
     val r = statsFrame(spark, root).head
     val n = r.getLong(0)
     // an emptied index (all docs deleted) has no mean length

@@ -701,11 +701,9 @@ object UpsertFileSink {
       // never batch-id arithmetic: CDC ids need not be dense, and a
       // modulo on sparse ids can fire rarely or never, silently
       // degrading reader cost back to O(N markers)
-      if (checkpointEvery > 0) {
-        val ckptId = newestCheckpoint(f, root).map(_._1).getOrElse(-1L)
-        if (markerIds(f, root).count(_ > ckptId) >= checkpointEvery)
-          writeBucketedCheckpoint(spark, root)
-      }
+      if (checkpointEvery > 0 &&
+        uncheckpointedBatches(spark, root) >= checkpointEvery)
+        writeBucketedCheckpoint(spark, root)
     } finally staged.unpersist(blocking = false)
   }
 

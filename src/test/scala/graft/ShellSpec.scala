@@ -603,6 +603,20 @@ class ShellSpec extends AnyFunSuite {
     assert(CorpusRefresh.currentFlags(spark, s"$base/state").count() > 0)
     Materialize.releaseAll()
 
+    // retain=N keeps the as-of replay window below the fold (with a
+    // single batch there is then nothing foldable)
+    val mlr = Shell.run(spark, sf0001, s"maintain lsh $base/lsh retain=1")
+      .head
+    assert(mlr.getString(1) === "noop",
+      s"retain=1 over one fresh batch must fold nothing: $mlr")
+
+    // flags are rejected where they have no meaning — a silently
+    // ignored `gc` would let an operator believe a reclamation ran
+    intercept[IllegalArgumentException](
+      Shell.run(spark, sf0001, s"maintain landing $base/lsh gc"))
+    intercept[IllegalArgumentException](
+      Shell.run(spark, sf0001, s"maintain refresh-state $base/state retain=1"))
+
     // unknown store kinds fail loudly
     intercept[IllegalArgumentException](
       Shell.run(spark, sf0001, s"maintain warehouse $base/idx"))

@@ -126,6 +126,75 @@ class TokenPrunedIndexSpec extends AnyFunSuite {
     Materialize.releaseAll()
   }
 
+  test("a pre-tb root refuses new batches until one compact migrates it") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-tb-legacy").toString
+    // hand-build a LEGACY root the way pre-round-17 code laid it out:
+    // db-only postings, flat df deltas, docs changelog, an _nbuckets
+    // pin but NO _ntbuckets pin and NO stats log
+    val corpus = Map(1L -> "alpha beta shared", 2L -> "gamma shared tail")
+    val legacyPost = InvertedIndex.build(
+        corpus.toSeq.toDF("doc_id", "text"), "doc_id", "text")
+      .select("token", "doc_id", "tf", "dl")
+    legacyPost.withColumn("db", pmod(hash(col("doc_id")), lit(16)))
+      .write.partitionBy("db").parquet(s"$root/postings/seq=0")
+    legacyPost.select(col("token"), lit(1L).as("delta"))
+      .write.parquet(s"$root/df/seq=0")
+    corpus.keys.toSeq.toDF("doc_id").withColumn("op", lit("I"))
+      .write.parquet(s"$root/docs/seq=0")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$root/_nbuckets"),
+      "16".getBytes("UTF-8"))
+
+    // the legacy layout still answers reads, incl. the stats FALLBACK
+    // (no stats log anywhere -> live-postings derivation, not a
+    // silent N=0)
+    val (n0, avg0) = IncrementalIndex.stats(spark, root)
+    assert(n0 === 2L && math.abs(avg0 - 3.0) < 1e-9,
+      "legacy roots must answer stats from live postings, never zeros")
+
+    // a new-code batch REFUSES: a tb segment beside flat ones would
+    // wedge partition discovery for every later read
+    val e = intercept[IllegalArgumentException] {
+      IncrementalIndex.applyBatch(spark, root,
+        Seq((3L, "alpha fresh", "I")).toDF("doc_id", "text", "op"), 1L)
+    }
+    assert(e.getMessage.contains("token-bucket"))
+    assert(!new java.io.File(s"$root/_ntbuckets").exists,
+      "the refusal must not leave the pin behind")
+
+    // ONE compact migrates the layout: folded tree gains tb, the
+    // stats base derives from the live set, the pin lands — and the
+    // feed resumes
+    IncrementalIndex.compact(spark, root, 0L)
+    assert(new java.io.File(s"$root/_ntbuckets").exists)
+    IncrementalIndex.applyBatch(spark, root,
+      Seq((3L, "alpha fresh", "I")).toDF("doc_id", "text", "op"), 1L)
+    val all = corpus + (3L -> "alpha fresh")
+    val expect = InvertedIndex.build(
+        all.toSeq.toDF("doc_id", "text"), "doc_id", "text")
+      .select("token", "doc_id", "tf", "dl", "df")
+      .orderBy("token", "doc_id").collect().toSeq
+    assert(rows(IncrementalIndex.currentPostings(spark, root)) === expect)
+    val (n1, avg1) = IncrementalIndex.stats(spark, root)
+    assert(n1 === 3L && math.abs(avg1 - 8.0 / 3.0) < 1e-9,
+      "the migrated stats base must heal the pre-log history")
+    // and the pruned lookup works on the migrated root
+    val pruned = IncrementalIndex.postingsForTerms(spark, root,
+      Seq("alpha"))
+    assert(pruned.count() === 2L)
+    postingsScans(pruned).foreach(s => assert(tbPruned(s)))
+
+    // statsFrame's as-of view is bounded by compaction LOUDLY — a
+    // silent zero would score every BM25 query with N=0
+    val e2 = intercept[IllegalArgumentException] {
+      IncrementalIndex.statsFrame(spark, root, asOf = Some(-1L))
+    }
+    assert(e2.getMessage.contains("folded away"))
+    Materialize.releaseAll()
+  }
+
   test("searchMaintained's plan is term-pruned and stats-thin") {
     import spark.implicits._
     val idxRoot = java.nio.file.Files
