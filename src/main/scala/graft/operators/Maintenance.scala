@@ -152,6 +152,65 @@ object Maintenance {
         s"retained $minRetainBatches predecessor batch(es)")))
   }
 
+  /** The store set of a COMPOSED ingest pipeline (the capstone's
+    * shape): bucketed doc/vector landing zones, the curation state
+    * root, and the incremental index/IVF/LSH/embed-LSH stores. Any
+    * member may be absent.
+    */
+  final case class PipelineStores(
+      landing: Option[String] = None,
+      vectors: Option[String] = None,
+      refreshState: Option[String] = None,
+      index: Option[String] = None,
+      ivf: Option[String] = None,
+      lsh: Option[String] = None,
+      embedLsh: Option[String] = None)
+
+  /** Maintain EVERY store of a composed pipeline in one call, with
+    * the retention coupling the composition requires baked in — the
+    * knowledge an operator hand-sequencing seven maintain calls WILL
+    * eventually drop:
+    *
+    *  - the LSH and embed-LSH stores fold with `retainNewest =
+    *    asOfRetain` (≥ 1): a replayed refresh probes them AS OF its
+    *    batch − 1 ([[CorpusRefresh.BandedVerify]]/[[CorpusRefresh
+    *    .EmbedVerify]]), and a head fold would wedge that probe;
+    *  - the doc/vector zones and the refresh state vacuum with
+    *    `minRetainBatches` (≥ 1): the same replay fetches candidate
+    *    payloads and old flags rows as-of batch − 1;
+    *  - the inverted index and IVF (never probed as-of by the
+    *    refresh) fold to their safe head — replayed applies are
+    *    below-horizon no-ops by protocol;
+    *  - generation GC stays the caller's EXPLICIT decision
+    *    (`gcGenerations` — own the reader quiesce window first).
+    *
+    * Returns the union of the per-store reports.
+    */
+  def maintainPipeline(spark: SparkSession, stores: PipelineStores,
+      minRetainBatches: Int = 1, asOfRetain: Int = 1,
+      gcGenerations: Boolean = false): DataFrame = {
+    require(minRetainBatches >= 1 && asOfRetain >= 1,
+      "a composed pipeline replays: retention floors are 1 " +
+        "(see CorpusRefresh's as-of discipline)")
+    val reports =
+      stores.landing.map(r =>
+        maintainLanding(spark, r, minRetainBatches)).toSeq ++
+      stores.vectors.map(r =>
+        maintainLanding(spark, r, minRetainBatches)).toSeq ++
+      stores.refreshState.map(r =>
+        maintainRefreshState(spark, r, minRetainBatches)).toSeq ++
+      stores.index.map(r =>
+        maintainIndex(spark, r, gcGenerations = gcGenerations)).toSeq ++
+      stores.ivf.map(r =>
+        maintainIvf(spark, r, gcGenerations = gcGenerations)).toSeq ++
+      stores.lsh.map(r => maintainLsh(spark, r,
+        gcGenerations = gcGenerations, retainNewest = asOfRetain)).toSeq ++
+      stores.embedLsh.map(r => maintainEmbedLsh(spark, r,
+        gcGenerations = gcGenerations, retainNewest = asOfRetain)).toSeq
+    require(reports.nonEmpty, "maintainPipeline: no store configured")
+    reports.reduce(_ unionAll _)
+  }
+
   /** Maintain a [[CorpusRefresh]] state root: checkpoint + vacuum all
     * four projections with the same replay retention (don't vacuum a
     * batch's predecessors before its delta is consumed).

@@ -98,6 +98,51 @@ class MaintenanceSpec extends AnyFunSuite {
       .collect().map(_.getString(1)).head === "noop")
   }
 
+  test("maintainPipeline bakes the composed retention coupling in") {
+    import spark.implicits._
+    import graft.operators.{IncrementalIndex, IncrementalLsh}
+    import graft.streaming.UpsertFileSink
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-maint-pipe").toString
+    val mk = (i: Long) => (i, s"tok$i alpha beta gamma delta tok${i % 7}")
+    // landing zone (2 batches), lsh (2 batches), index (2 batches)
+    (0L to 1L).foreach { b =>
+      UpsertFileSink.upsertBatchBucketed(
+        (1L to 6L).map(k => (k, s"v$k-b$b", "U", 1L))
+          .toDF("doc_id", "text", "op", "seq"),
+        b, s"$base/landing", Seq("doc_id"), 4)
+      IncrementalLsh.applyBatch(spark, s"$base/lsh",
+        (b * 10 + 1 to b * 10 + 5).map(mk).toDF("doc_id", "text")
+          .withColumn("op", lit("I")), b)
+      IncrementalIndex.applyBatch(spark, s"$base/idx",
+        (b * 10 + 1 to b * 10 + 5).map(mk)
+          .toDF("doc_id", "text").withColumn("op", lit("I")), b)
+    }
+    val rep = Maintenance.maintainPipeline(spark,
+      Maintenance.PipelineStores(
+        landing = Some(s"$base/landing"),
+        index = Some(s"$base/idx"),
+        lsh = Some(s"$base/lsh")))
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getString(2))).toSeq
+    assert(rep.map(_._1).toSet === Set("landing", "index", "lsh"))
+    // the lsh store keeps the as-of replay window (folds to 0, not 1)
+    assert(rep.exists(r => r._1 == "lsh" && r._2 == "compact" &&
+      r._3.contains("horizon 0")), s"lsh must retain the head: $rep")
+    // ...so a replayed refresh's as-of probe still resolves
+    assert(IncrementalLsh.candidatesAsOf(spark, s"$base/lsh",
+      Seq(mk(101L)).toDF("doc_id", "text"), 0L).count() >= 0L)
+    // the index (never probed as-of by the refresh) folds to its head
+    assert(rep.exists(r => r._1 == "index" && r._2 == "compact" &&
+      r._3.contains("horizon 1")), s"index folds to the head: $rep")
+    // replays stay floored: a retention below 1 is refused loudly
+    intercept[IllegalArgumentException] {
+      Maintenance.maintainPipeline(spark,
+        Maintenance.PipelineStores(lsh = Some(s"$base/lsh")),
+        minRetainBatches = 0)
+    }
+  }
+
   test("maintain on a bucketed landing zone checkpoints then vacuums") {
     import spark.implicits._
     import graft.streaming.UpsertFileSink
