@@ -544,6 +544,24 @@ class ShellSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSeq
     assert(viaShell === directFused && viaShell.nonEmpty)
     Materialize.releaseAll()
+
+    // a CODED (IVFADC) deployment serves the same REPL command: the
+    // Shell passes the embeddings table as the external store and
+    // searchMaintained reranks the ADC shortlist against it
+    val emb = graft.sources.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    graft.operators.IncrementalIvf.initializeCodedAliased(spark, emb,
+      s"$base/ann3", k = 4, iters = 2)
+    val viaShellCoded = Shell.run(spark, sf0001,
+        s"msearch $base/idx $base/ann3 data,model 3 5 2")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val directCoded = graft.operators.HybridSearch.searchMaintained(
+        spark, s"$base/idx", s"$base/ann3", Seq("data", "model"), probe,
+        5, 2, vectors = Some(emb))
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(viaShellCoded === directCoded && viaShellCoded.nonEmpty,
+      "the REPL must serve coded roots through the rerank leg")
+    Materialize.releaseAll()
   }
 
   test("maintain runs each store kind's hygiene against live roots") {
