@@ -5,13 +5,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.streaming.UpsertFileSink
 
 /** ONE maintenance entry point per store. The continuous-ingest
-  * capstone runs five stores (landing zone, curation state, inverted
-  * index, IVF, LSH), and each store's steady-state hygiene is 2–4
-  * calls that must run in a specific safe order — compaction before
-  * cleanup, checkpoint before vacuum, generation GC last and only
-  * below the active alias. An operator hand-sequencing those per
-  * store per cadence WILL eventually invert one; this module owns the
-  * order so a scheduler calls exactly one function per store.
+  * capstone runs seven stores (doc + vector landing zones, curation
+  * state, inverted index, IVF, text-LSH, embed-LSH), and each store's
+  * steady-state hygiene is 2–4 calls that must run in a specific safe
+  * order — compaction before cleanup, checkpoint before vacuum,
+  * generation GC last and only below the active alias. An operator
+  * hand-sequencing those per store per cadence WILL eventually invert
+  * one; this module owns the order so a scheduler calls exactly one
+  * function per store — and [[maintainPipeline]] owns the CROSS-STORE
+  * retention coupling in one call.
   *
   * Shared posture:
   *  - maintenance NEVER fails on in-flight work: an out-of-band fold
