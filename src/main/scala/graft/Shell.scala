@@ -136,8 +136,9 @@ import graft.sources.Tables
   *           <t1,t2> <probeId> <k> <np>   over the MAINTAINED stores
   *                                        (aliased parents resolve)
   *   maintain <kind> <root>               one-call store hygiene
-  *            [gc] [retain=N]             (index|ivf|lsh|landing|
-  *                                        refresh-state): safe-horizon
+  *            [gc] [retain=N]             (index|ivf|lsh|embedlsh|
+  *                                        landing|refresh-state):
+  *                                        safe-horizon
   *                                        fold / checkpoint + vacuum;
   *                                        generation GC only under the
   *                                        explicit `gc` token (the
@@ -765,9 +766,16 @@ object Shell {
       // in-flight readers, and reclaiming the previous generation
       // right after a cutover would yank it from under them — the
       // quiesce window is the caller's to own.
-      case "maintain" :: kind :: root :: rest
-          if rest.forall(t => t == "gc" || t.matches("retain=\\d+")) =>
+      case "maintain" :: kind :: root :: rest =>
         noKnob()
+        // flag errors name the flag — an unguarded fall-through to
+        // the generic "unrecognized command" would hide that the
+        // command and kind were fine; the digit bound keeps toInt
+        // total
+        rest.foreach(t => require(
+          t == "gc" || t.matches("retain=\\d{1,9}"),
+          s"maintain: unknown flag '$t' (expected 'gc' or " +
+            "'retain=<n>')"))
         val gc = rest.contains("gc")
         // retain=N keeps the N newest committed batches below the
         // fold — the as-of replay window a composed refresh needs on

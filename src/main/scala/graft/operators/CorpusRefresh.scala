@@ -425,7 +425,7 @@ object CorpusRefresh {
       col("sg_key").as("p_sg"))
 
   private def bandedDemotions(s: SparkSession, stateRoot: String,
-      bv: BandedVerify, arr: DataFrame, delta: DataFrame, nBuckets: Int,
+      bv: BandedVerify, arr: DataFrame, delta: DataFrame,
       asOf: Long, cached: scala.collection.mutable.ArrayBuffer[DataFrame])
       : DataFrame = {
     val probes = arr.filter(col("op") =!= "D").select("doc_id", "text")
@@ -481,7 +481,7 @@ object CorpusRefresh {
     * threshold.
     */
   private def embedDemotions(s: SparkSession, stateRoot: String,
-      ev: EmbedVerify, arr: DataFrame, delta: DataFrame, nBuckets: Int,
+      ev: EmbedVerify, arr: DataFrame, delta: DataFrame,
       asOf: Long, cached: scala.collection.mutable.ArrayBuffer[DataFrame])
       : DataFrame = {
     val probes = ev.probeVectors
@@ -784,9 +784,9 @@ object CorpusRefresh {
       // above) ORs with this batch's fresh verdict.
       val dems: Seq[DataFrame] =
         banded.map(bv => bandedDemotions(s, stateRoot, bv, arr, delta,
-          nBuckets, asOf, cached)).toSeq ++
+          asOf, cached)).toSeq ++
         embed.map(ev => embedDemotions(s, stateRoot, ev, arr, delta,
-          nBuckets, asOf, cached)).toSeq
+          asOf, cached)).toSeq
       val verdicts = (if (dems.isEmpty) recomputed else {
         val dem = dems.reduce(_ unionAll _).distinct()
           .withColumn("__bdup", lit(true))

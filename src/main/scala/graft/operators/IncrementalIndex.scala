@@ -521,11 +521,19 @@ object IncrementalIndex {
       nBuckets: Int = 0): Unit = {
     require(compactedUpTo(spark, root).forall(_ <= upTo),
       s"cannot compact $root backwards past its marker")
-    // a re-run AT the published horizon is the crashed-cleanup retry:
+    // a re-run AT the published horizon is the crashed-EPILOGUE retry:
     // the fold already committed (the marker is the proof), and
     // re-folding would overwrite the very _compact tree the read plan
-    // now resolves from — finish the cleanup and converge instead
+    // now resolves from — converge the post-publish steps instead:
+    // the deferred `_ntbuckets` pin (a legacy-migration fold that
+    // died between the marker and the pin would otherwise leave
+    // applyBatch's legacy guard refusing forever while its remedy —
+    // "compact to the head" — lands right here as this very retry)
+    // and the cleanup
     if (compactedUpTo(spark, root).contains(upTo)) {
+      if (SegmentLog.layoutOf(spark, root, "_ntbuckets").isEmpty)
+        SegmentLog.pinLayout(spark, root, "_ntbuckets",
+          DefaultTokenBuckets.toLong)
       cleanupCompacted(spark, root); return
     }
     // refuse to fold past a torn first delivery — its redelivery would

@@ -22,9 +22,10 @@ import graft.streaming.UpsertFileSink
   *    tripping the wedge guard, and a store with nothing to do
   *    reports "noop";
   *  - aliased parents resolve to the ACTIVE generation; generation GC
-  *    (reclaim below-active) runs only when `gcGenerations` — callers
-  *    must own the reader quiesce window, exactly like vacuum
-  *    retention;
+  *    (reclaim below-active) runs ONLY when `gcGenerations` is passed
+  *    explicitly (default false on every entry point — the Shell's
+  *    posture): callers must own the reader quiesce window, exactly
+  *    like vacuum retention;
   *  - every function returns a small (store, action, detail) report
   *    frame (driver-literal rows — bounded by the store's sub count)
   *    so the Shell / a cron log can show what happened.
@@ -90,7 +91,7 @@ object Maintenance {
     * previous batch ([[SegmentLog.safeCompactionTarget]]).
     */
   def maintainIndex(spark: SparkSession, path: String, minFresh: Int = 0,
-      gcGenerations: Boolean = true, retainNewest: Int = 0): DataFrame =
+      gcGenerations: Boolean = false, retainNewest: Int = 0): DataFrame =
     maintainSegmented(spark, path, "index",
       Seq("postings", "df", "stats"), "docs", minFresh, gcGenerations,
       (s, r, u) => IncrementalIndex.compact(s, r, u),
@@ -101,7 +102,7 @@ object Maintenance {
     * same horizon).
     */
   def maintainIvf(spark: SparkSession, path: String, minFresh: Int = 0,
-      gcGenerations: Boolean = true, retainNewest: Int = 0): DataFrame =
+      gcGenerations: Boolean = false, retainNewest: Int = 0): DataFrame =
     maintainSegmented(spark, path, "ivf",
       Seq("members", "fit"), "vecs", minFresh, gcGenerations,
       (s, r, u) => IncrementalIvf.compact(s, r, u),
@@ -113,7 +114,7 @@ object Maintenance {
     * as-of probe never lands below the fold horizon.
     */
   def maintainLsh(spark: SparkSession, path: String, minFresh: Int = 0,
-      gcGenerations: Boolean = true, retainNewest: Int = 0): DataFrame =
+      gcGenerations: Boolean = false, retainNewest: Int = 0): DataFrame =
     maintainSegmented(spark, path, "lsh",
       Seq("members"), "docs", minFresh, gcGenerations,
       (s, r, u) => IncrementalLsh.compact(s, r, u),
@@ -125,7 +126,7 @@ object Maintenance {
     * ([[CorpusRefresh.EmbedVerify]] probes this store as-of).
     */
   def maintainEmbedLsh(spark: SparkSession, path: String,
-      minFresh: Int = 0, gcGenerations: Boolean = true,
+      minFresh: Int = 0, gcGenerations: Boolean = false,
       retainNewest: Int = 0): DataFrame =
     maintainSegmented(spark, path, "embedlsh",
       Seq("members"), "vecs", minFresh, gcGenerations,
@@ -142,13 +143,14 @@ object Maintenance {
     * write a manifest roll-up per tick against an idle zone.
     */
   def maintainLanding(spark: SparkSession, root: String,
-      minRetainBatches: Int = 1, checkpointMinFresh: Int = 1): DataFrame = {
+      minRetainBatches: Int = 1, checkpointMinFresh: Int = 1,
+      name: String = "landing"): DataFrame = {
     val fresh = UpsertFileSink.uncheckpointedBatches(spark, root)
     val rolled = fresh >= math.max(checkpointMinFresh, 1)
     if (rolled) UpsertFileSink.writeBucketedCheckpoint(spark, root)
     UpsertFileSink.vacuumBucketed(spark, root, minRetainBatches)
     val head = UpsertFileSink.lastCommittedBucketed(spark, root)
-    report(spark, Seq(("landing",
+    report(spark, Seq((name,
       if (rolled) "checkpoint+vacuum" else "vacuum",
       s"head ${head.getOrElse(-1L)}, $fresh fresh marker(s), " +
         s"retained $minRetainBatches predecessor batch(es)")))
@@ -190,24 +192,29 @@ object Maintenance {
     */
   def maintainPipeline(spark: SparkSession, stores: PipelineStores,
       minRetainBatches: Int = 1, asOfRetain: Int = 1,
-      gcGenerations: Boolean = false): DataFrame = {
+      gcGenerations: Boolean = false, minFresh: Int = 0): DataFrame = {
     require(minRetainBatches >= 1 && asOfRetain >= 1,
       "a composed pipeline replays: retention floors are 1 " +
         "(see CorpusRefresh's as-of discipline)")
+    // `minFresh` is the fold CADENCE: a per-batch cron should pass a
+    // value > 0 or every tick pays a live-set fold of the index/IVF
+    // for a single fresh segment (the landing zones' counted
+    // checkpoint cadence is built in)
     val reports =
       stores.landing.map(r =>
         maintainLanding(spark, r, minRetainBatches)).toSeq ++
       stores.vectors.map(r =>
-        maintainLanding(spark, r, minRetainBatches)).toSeq ++
+        maintainLanding(spark, r, minRetainBatches,
+          name = "vectors")).toSeq ++
       stores.refreshState.map(r =>
         maintainRefreshState(spark, r, minRetainBatches)).toSeq ++
-      stores.index.map(r =>
-        maintainIndex(spark, r, gcGenerations = gcGenerations)).toSeq ++
-      stores.ivf.map(r =>
-        maintainIvf(spark, r, gcGenerations = gcGenerations)).toSeq ++
-      stores.lsh.map(r => maintainLsh(spark, r,
+      stores.index.map(r => maintainIndex(spark, r, minFresh,
+        gcGenerations = gcGenerations)).toSeq ++
+      stores.ivf.map(r => maintainIvf(spark, r, minFresh,
+        gcGenerations = gcGenerations)).toSeq ++
+      stores.lsh.map(r => maintainLsh(spark, r, minFresh,
         gcGenerations = gcGenerations, retainNewest = asOfRetain)).toSeq ++
-      stores.embedLsh.map(r => maintainEmbedLsh(spark, r,
+      stores.embedLsh.map(r => maintainEmbedLsh(spark, r, minFresh,
         gcGenerations = gcGenerations, retainNewest = asOfRetain)).toSeq
     require(reports.nonEmpty, "maintainPipeline: no store configured")
     reports.reduce(_ unionAll _)

@@ -118,14 +118,22 @@ class MaintenanceSpec extends AnyFunSuite {
         (b * 10 + 1 to b * 10 + 5).map(mk)
           .toDF("doc_id", "text").withColumn("op", lit("I")), b)
     }
+    // a second bucketed zone as the vector store — its report row
+    // must be distinguishable from the doc zone's
+    UpsertFileSink.upsertBatchBucketed(
+      (1L to 4L).map(k => (k, Seq(k.toDouble), "U", 1L))
+        .toDF("vec_id", "e", "op", "seq"),
+      0L, s"$base/vecs", Seq("vec_id"), 4)
     val rep = Maintenance.maintainPipeline(spark,
       Maintenance.PipelineStores(
         landing = Some(s"$base/landing"),
+        vectors = Some(s"$base/vecs"),
         index = Some(s"$base/idx"),
         lsh = Some(s"$base/lsh")))
       .collect().map(r => (r.getString(0), r.getString(1),
         r.getString(2))).toSeq
-    assert(rep.map(_._1).toSet === Set("landing", "index", "lsh"))
+    assert(rep.map(_._1).toSet ===
+      Set("landing", "vectors", "index", "lsh"))
     // the lsh store keeps the as-of replay window (folds to 0, not 1)
     assert(rep.exists(r => r._1 == "lsh" && r._2 == "compact" &&
       r._3.contains("horizon 0")), s"lsh must retain the head: $rep")
@@ -207,10 +215,20 @@ class MaintenanceSpec extends AnyFunSuite {
     IncrementalIvf.retrainCutover(spark, parent, k = 2, iters = 1)
     assert(new java.io.File(s"$parent/g0").exists)
 
-    val rep = Maintenance.maintainIvf(spark, parent)
+    // generation GC is opt-in EVERYWHERE (the Shell's posture): the
+    // default pass folds but leaves the stale generation for
+    // in-flight readers
+    val repSafe = Maintenance.maintainIvf(spark, parent)
       .collect().map(_.getString(1)).toSeq
-    assert(rep.contains("compact") && rep.contains("gc-generations"),
-      s"active-generation fold + GC expected: $rep")
+    assert(repSafe.contains("compact") &&
+      !repSafe.contains("gc-generations"),
+      s"the default must not GC generations: $repSafe")
+    assert(new java.io.File(s"$parent/g0").exists)
+    val rep = Maintenance.maintainIvf(spark, parent,
+        gcGenerations = true)
+      .collect().map(_.getString(1)).toSeq
+    assert(rep.contains("gc-generations"),
+      s"explicit GC expected: $rep")
     assert(!new java.io.File(s"$parent/g0").exists,
       "the below-active generation must be reclaimed")
     assert(IncrementalIvf.searchActive(spark, parent, vec(3L), 3, 2)

@@ -638,5 +638,11 @@ class ShellSpec extends AnyFunSuite {
     // unknown store kinds fail loudly
     intercept[IllegalArgumentException](
       Shell.run(spark, sf0001, s"maintain warehouse $base/idx"))
+
+    // a malformed FLAG names the flag instead of falling through to
+    // the generic unrecognized-command error
+    val ef = intercept[IllegalArgumentException](
+      Shell.run(spark, sf0001, s"maintain index $base/idx retain=1x"))
+    assert(ef.getMessage.contains("unknown flag"), ef.getMessage)
   }
 }
