@@ -155,9 +155,23 @@ object IncrementalIndex {
     */
   private def committedAdditive(spark: SparkSession, root: String,
       sub: String, empty: => DataFrame): DataFrame = {
-    val hasDir = SegmentLog.hfs(spark, root)
-      .exists(new org.apache.hadoop.fs.Path(s"$root/$sub"))
-    if (!hasDir && compactedUpTo(spark, root).isEmpty) return empty
+    val f = SegmentLog.hfs(spark, root)
+    val hasDir = f.exists(new org.apache.hadoop.fs.Path(s"$root/$sub"))
+    val horizonOpt = compactedUpTo(spark, root)
+    if (!hasDir && horizonOpt.isEmpty) return empty
+    // a root compacted by code PREDATING this log carries a marker but
+    // no folded subtree — readLog's folded read would throw a raw
+    // path-not-found (and summing only the post-marker deltas would be
+    // silently missing the base). Fail with the migration remedy: a
+    // fold PAST the horizon derives the folded base from the live set
+    // itself (self-healing), exactly like [[stats]]'s legacy path.
+    horizonOpt.foreach { c =>
+      require(f.exists(new org.apache.hadoop.fs.Path(
+          s"$root/_compact/$c/$sub")),
+        s"$root's compact tree at horizon $c predates its '$sub' log " +
+          "(legacy root): compact past the horizon once — the fold " +
+          s"rebuilds the folded '$sub' base from the live set")
+    }
     val log = readLog(spark, root, sub)
     val horizon = compactedUpTo(spark, root).getOrElse(-1L)
     // a USING join lists the key column first — re-select into the
@@ -255,14 +269,19 @@ object IncrementalIndex {
     // the fold rewrites the folded tree with tb, recomputes the stats
     // base from the live set, and only then records the pin.
     if (SegmentLog.layoutOf(spark, root, "_ntbuckets").isEmpty) {
-      val legacyPostings =
-        fs.exists(new org.apache.hadoop.fs.Path(s"$root/postings")) ||
+      // evidence must cover df TOO: a delete-only legacy history can
+      // hold flat df segments with no postings dir at all (old code
+      // wrote df unconditionally), and writing tb-partitioned df
+      // beside them wedges partition discovery just the same
+      val legacyEvidence = Seq("postings", "df").exists { sub =>
+        fs.exists(new org.apache.hadoop.fs.Path(s"$root/$sub")) ||
           compactedUpTo(spark, root).exists(c => fs.exists(
-            new org.apache.hadoop.fs.Path(s"$root/_compact/$c/postings")))
-      require(!legacyPostings,
-        s"$root holds postings written before the token-bucket " +
-          "dimension: compact the root to its head once (the fold " +
-          "migrates the layout), then feed new batches")
+            new org.apache.hadoop.fs.Path(s"$root/_compact/$c/$sub")))
+      }
+      require(!legacyEvidence,
+        s"$root holds postings/df segments written before the " +
+          "token-bucket dimension: compact the root to its head once " +
+          "(the fold migrates the layout), then feed new batches")
     }
     // the bucket counts are physical layout: freeze at creation, fail
     // loudly on a mismatch — a silently different value would compute

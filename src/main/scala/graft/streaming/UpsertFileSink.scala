@@ -532,10 +532,23 @@ object UpsertFileSink {
   def fetchByKeys(spark: SparkSession, store: BucketedStore,
       keys: DataFrame, asOf: Option[Long] = None): DataFrame = {
     val nb = bucketCount(spark, store.root)
-    if (nb.isEmpty)
+    if (nb.isEmpty) {
+      // a missing pin is only a clean "no rows" answer on a VIRGIN
+      // root; a pre-pin root that already holds bucket data cannot be
+      // prune-fetched (the keys can't be hashed with the write side's
+      // count) — answering empty there would be a silent false
+      // negative, the failure class the pin exists to prevent
+      val f = fs(spark, store.root)
+      val bdir = bucketsDir(store.root)
+      require(!f.exists(bdir) || f.listStatus(bdir).isEmpty,
+        s"${store.root} holds bucket data but no $NBucketsFile pin " +
+          "(layout predates the pin): a pruned fetch cannot hash keys " +
+          "into the write side's buckets — one upsertBatchBucketed " +
+          "pins the count, or read unpruned via readSnapshotBucketed")
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         store.schema)
+    }
     val wanted = keys.select(store.keyCols.map(col): _*).distinct()
     val buckets = wanted
       .select(bucketCol(store.keyCols, nb.get).as("__b"))

@@ -195,6 +195,58 @@ class TokenPrunedIndexSpec extends AnyFunSuite {
     Materialize.releaseAll()
   }
 
+  test("a delete-only pre-tb root (flat df, no postings) also refuses new batches") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-tb-legacy-df").toString
+    // old code wrote df unconditionally — a delete-only history holds
+    // flat df segments and a docs changelog but NO postings dir at
+    // all; tb-partitioned df beside the flat segments would wedge
+    // partition discovery exactly like mixed postings layouts
+    Seq(("gone", -1L)).toDF("token", "delta")
+      .write.parquet(s"$root/df/seq=0")
+    Seq((1L, "D")).toDF("doc_id", "op")
+      .write.parquet(s"$root/docs/seq=0")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$root/_nbuckets"), "16".getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException] {
+      IncrementalIndex.applyBatch(spark, root,
+        Seq((2L, "alpha fresh", "I")).toDF("doc_id", "text", "op"), 1L)
+    }
+    assert(e.getMessage.contains("token-bucket"))
+    assert(!new java.io.File(s"$root/_ntbuckets").exists,
+      "the refusal must not leave the pin behind")
+    Materialize.releaseAll()
+  }
+
+  test("a marker predating the stats log fails statsFrame loudly, not path-not-found") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-legacy-marker").toString
+    // a root compacted by pre-stats-log code: marker at 0, folded
+    // postings/docs/df trees but NO folded stats — plus a fresh stats
+    // segment from newer code. Summing only the fresh deltas would
+    // silently miss the folded base; the raw readLog would throw an
+    // opaque path-not-found. The documented loud guard must name the
+    // remedy instead.
+    Seq(("alpha", 1L, 5L, 7L)).toDF("token", "doc_id", "tf", "dl")
+      .write.parquet(s"$root/_compact/0/postings")
+    Seq((1L, "I")).toDF("doc_id", "op")
+      .write.parquet(s"$root/_compact/0/docs")
+    Seq(("alpha", 1L)).toDF("token", "delta")
+      .write.parquet(s"$root/_compact/0/df")
+    Seq((1L, 7L, 1L)).toDF("n_delta", "dl_delta", "seq")
+      .write.parquet(s"$root/stats/seq=1")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$root/_compacted"), "0".getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException] {
+      IncrementalIndex.statsFrame(spark, root).collect()
+    }
+    assert(e.getMessage.contains("predates its 'stats' log"),
+      s"expected the legacy-migration guard, got: ${e.getMessage}")
+    Materialize.releaseAll()
+  }
+
   test("searchMaintained's plan is term-pruned and stats-thin") {
     import spark.implicits._
     val idxRoot = java.nio.file.Files

@@ -751,5 +751,17 @@ class UpsertFileSinkSpec extends AnyFunSuite {
     // a virgin store answers the typed empty frame
     val virgin = UpsertFileSink.BucketedStore(s"$root-none", schema)
     assert(UpsertFileSink.fetchByKeys(spark, virgin, keys).isEmpty)
+
+    // a PRE-PIN store that holds data is NOT a virgin store: answering
+    // the empty frame would be a silent false negative (the keys can't
+    // be hashed with the write side's count) — it must fail loudly
+    val fsys = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fsys.delete(new org.apache.hadoop.fs.Path(s"$root/_nbuckets"), false)
+    val e = intercept[IllegalArgumentException] {
+      UpsertFileSink.fetchByKeys(spark, store, keys)
+    }
+    assert(e.getMessage.contains("_nbuckets"),
+      s"expected the pre-pin refusal, got: ${e.getMessage}")
   }
 }
