@@ -134,7 +134,10 @@ import graft.sources.Tables
   *                                        scheme rebuild + atomic flip
   *   msearch <idxPath> <ivfPath>          hybrid BM25 + IVF-cosine RRF
   *           <t1,t2> <probeId> <k> <np>   over the MAINTAINED stores
-  *                                        (aliased parents resolve)
+  *           [vstore=<root>] [asof=<b>]   (aliased parents resolve;
+  *                                        vstore serves a coded rerank
+  *                                        from a bucketed vector zone,
+  *                                        asof time-travels both legs)
   *   maintain <kind> <root>               one-call store hygiene
   *            [gc] [retain=N]             (index|ivf|lsh|embedlsh|
   *                                        landing|refresh-state):
@@ -742,22 +745,52 @@ object Shell {
       // inverted index fused by RRF with cosine top-k over the
       // incremental IVF — both legs resolve aliased parents, so the
       // query rides through blue/green cutovers untouched
-      case List("msearch", idxPath, ivfPath, terms, probeId, k, nprobe) =>
+      case "msearch" :: idxPath :: ivfPath :: terms :: probeId :: k ::
+          nprobe :: rest =>
         noKnob()
+        // optional flags: `vstore=<root>` serves a coded root's rerank
+        // from a BUCKETED vector zone (I/O-pruned fetchByKeys — the
+        // production path); `asof=<batch>` answers the whole hybrid
+        // query as of that batch (searchMaintainedAsOf). Flag errors
+        // name the flag, like `maintain`'s.
+        rest.foreach(t => require(
+          t.matches("vstore=.+") || t.matches("asof=\\d{1,18}"),
+          s"msearch: unknown flag '$t' (expected 'vstore=<root>' or " +
+            "'asof=<batch>')"))
         val probe = Tables.embeddings(s, dir)
           .filter(col("vec_id") === probeId.toLong)
           .select(col("embedding").cast("array<double>"))
           .head.getSeq[Double](0).toSeq
-        // the embeddings table doubles as the external vector store:
-        // a CODED (IVFADC) root reranks its ADC shortlist against it
-        // (searchMaintained detects the codebook; a plain root never
-        // touches the frame)
-        val vstore = Tables.embeddings(s, dir)
-          .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-        graft.operators.HybridSearch.searchMaintained(s, idxPath,
-            ivfPath, terms.split(",").toSeq, probe, k.toInt,
-            nprobe.toInt, vectors = Some(vstore))
-          .withColumn("rrf", round(col("rrf"), 6))
+        val handle = rest.find(_.startsWith("vstore="))
+          .map(_.stripPrefix("vstore=")).map(root =>
+            graft.streaming.UpsertFileSink.BucketedStore(root,
+              org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField("vec_id",
+                  org.apache.spark.sql.types.LongType),
+                org.apache.spark.sql.types.StructField("e",
+                  org.apache.spark.sql.types.ArrayType(
+                    org.apache.spark.sql.types.DoubleType)))),
+              keyCols = Seq("vec_id")))
+        // without a handle the embeddings table doubles as the
+        // external vector store (fixture-scale fallback: the rerank
+        // scans the frame; searchMaintained's scaladoc owns the
+        // caveat). A plain root touches neither.
+        val vframe =
+          if (handle.isDefined) None
+          else Some(Tables.embeddings(s, dir)
+            .select(col("vec_id"),
+              col("embedding").cast("array<double>").as("e")))
+        val asOf = rest.find(_.startsWith("asof="))
+          .map(_.stripPrefix("asof=").toLong)
+        (asOf match {
+          case Some(a) => graft.operators.HybridSearch
+            .searchMaintainedAsOf(s, idxPath, ivfPath,
+              terms.split(",").toSeq, probe, k.toInt, a, nprobe.toInt,
+              vectors = vframe, vectorStore = handle)
+          case None => graft.operators.HybridSearch.searchMaintained(
+            s, idxPath, ivfPath, terms.split(",").toSeq, probe, k.toInt,
+            nprobe.toInt, vectors = vframe, vectorStore = handle)
+        }).withColumn("rrf", round(col("rrf"), 6))
       // one-call steady-state maintenance per store kind — compaction
       // to the safe horizon, cleanup convergence, checkpoint +
       // retention vacuum, in the documented safe order

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
+import graft.streaming.UpsertFileSink
 
 /** Hybrid retrieval: reciprocal-rank fusion (RRF, Cormack et al. 2009)
   * of heterogeneous top-k rankings — the standard way a modern search
@@ -110,33 +111,84 @@ object HybridSearch {
     * (the capstone lands both under the document's id).
     *
     * A CODED (IVFADC) deployment is detected off the resolved root's
-    * `pq_codebook` and served via
-    * [[IncrementalIvf.searchAdcRerank]] — ADC shortlists `rerankPool`
-    * candidates from the codes alone, then ONLY the shortlist's full
-    * vectors are fetched from the EXTERNAL store `vectors` for the
-    * exact-cosine rerank (the index never stores a float vector). A
-    * coded root therefore REQUIRES `vectors`; a plain root ignores it.
+    * `pq_codebook` and served via the ADC shortlist + exact-cosine
+    * rerank (the index never stores a float vector), so a coded root
+    * REQUIRES the external vector store; a plain root needs neither:
+    *
+    *  - `vectorStore` (PREFERRED): a bucketed handle — the rerank
+    *    fetch reads only the shortlist's bucket dirs
+    *    ([[IncrementalIvf.searchAdcRerankStore]]); per-query store I/O
+    *    proportional to the shortlist.
+    *  - `vectors`: a bare frame — fixture-scale fallback that scans
+    *    the store map-side per query
+    *    ([[IncrementalIvf.searchAdcRerank]]'s caveat). Ignored when
+    *    the handle is given.
     */
   def searchMaintained(spark: SparkSession, indexPath: String,
       ivfPath: String, terms: Seq[String], probe: Seq[Double], k: Int,
       nprobe: Int = 4, vectors: Option[DataFrame] = None,
-      rerankPool: Int = 50): DataFrame = {
+      rerankPool: Int = 50,
+      vectorStore: Option[UpsertFileSink.BucketedStore] = None)
+      : DataFrame =
+    maintainedView(spark, indexPath, ivfPath, terms, probe, k, nprobe,
+      vectors, rerankPool, vectorStore, None)
+
+  /** TIME TRAVEL for the whole hybrid path — "what did serving answer
+    * at batch `asOf`?", the one-call debugging read the per-store
+    * as-of machinery exists for. Both legs ride their stores' own
+    * as-of views (`postingsForTerms`/`statsFrame` bounded at `asOf`,
+    * the IVF member/code view at its newest assignment ≤ `asOf`, the
+    * rerank's vector fetch at the store version ≤ `asOf`), so the
+    * answer equals the live answer the moment batch `asOf` was the
+    * head — and fails LOUDLY when any store's compaction horizon or
+    * vacuum retention has folded that view away (a silently partial
+    * leg would skew the fusion, the worst failure class). Assumes the
+    * composed-pipeline contract: one feed drives both stores with the
+    * same batch ids (the capstone's shape).
+    */
+  def searchMaintainedAsOf(spark: SparkSession, indexPath: String,
+      ivfPath: String, terms: Seq[String], probe: Seq[Double], k: Int,
+      asOf: Long, nprobe: Int = 4, vectors: Option[DataFrame] = None,
+      rerankPool: Int = 50,
+      vectorStore: Option[UpsertFileSink.BucketedStore] = None)
+      : DataFrame =
+    maintainedView(spark, indexPath, ivfPath, terms, probe, k, nprobe,
+      vectors, rerankPool, vectorStore, Some(asOf))
+
+  private def maintainedView(spark: SparkSession, indexPath: String,
+      ivfPath: String, terms: Seq[String], probe: Seq[Double], k: Int,
+      nprobe: Int, vectors: Option[DataFrame], rerankPool: Int,
+      vectorStore: Option[UpsertFileSink.BucketedStore],
+      asOf: Option[Long]): DataFrame = {
     val idxRoot = Maintenance.activeOrSelf(spark, indexPath)
     // the lexical leg at TERM-LOOKUP cost: tb-pruned postings + the
     // O(batches) stats fold — never a corpus-sized postings pass
     // (TokenPrunedIndexSpec pins the plan shape)
-    val lexical = IncrementalIndex.bm25Search(spark, idxRoot, terms, k)
+    val lexical = IncrementalIndex.bm25Search(spark, idxRoot, terms, k,
+      asOf = asOf)
     val ivfRoot = Maintenance.activeOrSelf(spark, ivfPath)
     val coded = SegmentLog.hfs(spark, ivfRoot).exists(
       new org.apache.hadoop.fs.Path(s"$ivfRoot/pq_codebook"))
     val semantic = (if (coded) {
-      require(vectors.isDefined,
-        s"$ivfRoot is a coded (IVFADC) root: the hybrid semantic leg " +
-          "needs the external vector store for the exact rerank — " +
-          "pass vectors = Some(store)")
-      IncrementalIvf.searchAdcRerank(spark, ivfRoot, probe,
-        vectors.get, k, nprobe, math.max(rerankPool, k))
-    } else IncrementalIvf.search(spark, ivfRoot, probe, k, nprobe))
+      val pool = math.max(rerankPool, k)
+      vectorStore match {
+        case Some(vs) =>
+          IncrementalIvf.searchAdcRerankStore(spark, ivfRoot, probe,
+            vs, k, nprobe, pool, asOf)
+        case None =>
+          require(vectors.isDefined,
+            s"$ivfRoot is a coded (IVFADC) root: the hybrid semantic " +
+              "leg needs the external vector store for the exact " +
+              "rerank — pass vectorStore = Some(handle) (preferred; " +
+              "I/O-pruned fetch) or vectors = Some(frame)")
+          IncrementalIvf.searchAdcRerank(spark, ivfRoot, probe,
+            vectors.get, k, nprobe, pool, asOf)
+      }
+    } else asOf match {
+      case Some(a) =>
+        IncrementalIvf.searchAsOf(spark, ivfRoot, probe, k, nprobe, a)
+      case None => IncrementalIvf.search(spark, ivfRoot, probe, k, nprobe)
+    })
       .select(col("vec_id").as("doc_id"), col("sim").as("score"))
     rrf(Seq(lexical, semantic), "doc_id", k)
   }

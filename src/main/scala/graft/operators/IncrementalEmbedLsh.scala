@@ -190,8 +190,10 @@ object IncrementalEmbedLsh {
   /** [[candidates]] + the exact cosine VERIFY against the external
     * vector store `vectors` (vec_id, e — the same store the coded IVF
     * reranks from), thresholded at `minSim`: (probe_id, vec_id, sim).
-    * The store is read only for the candidate ids (a semi-join-pruned
-    * fetch), never scanned.
+    * FIXTURE-SCALE FALLBACK: the semi-join keeps only the candidate
+    * ids' ROWS but still scans every file of `vectors` map-side — at
+    * store scale use [[candidatesVerifiedStore]], whose bucketed
+    * handle prunes the fetch I/O to the candidates' buckets.
     */
   def candidatesVerified(spark: SparkSession, root: String,
       probes: DataFrame, vectors: DataFrame,

@@ -486,10 +486,11 @@ object IncrementalIndex {
     * [[graft.operators.HybridSearch.searchMaintained]]'s lexical leg.
     */
   def bm25Search(spark: SparkSession, root: String, terms: Seq[String],
-      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val (n, avgDl) = stats(spark, root)
-    InvertedIndex.bm25Query(postingsForTerms(spark, root, terms), n,
-      avgDl, terms, k, k1, b)
+      k: Int, k1: Double = 1.2, b: Double = 0.75,
+      asOf: Option[Long] = None): DataFrame = {
+    val (n, avgDl) = stats(spark, root, asOf)
+    InvertedIndex.bm25Query(postingsForTerms(spark, root, terms, asOf),
+      n, avgDl, terms, k, k1, b)
   }
 
   /** Conjunctive query ([[InvertedIndex.andQuery]]) at term-lookup
@@ -784,19 +785,22 @@ object IncrementalIndex {
     * [[compact]] migrates it (the fold derives the folded stats row
     * from the live set itself, healing the missing history).
     */
-  def stats(spark: SparkSession, root: String): (Long, Double) = {
+  def stats(spark: SparkSession, root: String,
+      asOf: Option[Long] = None): (Long, Double) = {
     val f = SegmentLog.hfs(spark, root)
     val hasEvidence = f.exists(
       new org.apache.hadoop.fs.Path(s"$root/stats")) ||
       compactedUpTo(spark, root).exists(c => f.exists(
         new org.apache.hadoop.fs.Path(s"$root/_compact/$c/stats")))
     if (!hasEvidence && SegmentLog.hasBatches(spark, root, "docs")) {
-      val dls = livePostings(spark, root)
+      // legacy derivation honors asOf too (the postings view guards
+      // the below-horizon case loudly, like everywhere else)
+      val dls = livePostings(spark, root, asOf = asOf)
         .groupBy("doc_id").agg(first("dl").as("dl"))
       val r = dls.agg(count(lit(1)), avg("dl")).head
       return (r.getLong(0), if (r.isNullAt(1)) 0.0 else r.getDouble(1))
     }
-    val r = statsFrame(spark, root).head
+    val r = statsFrame(spark, root, asOf).head
     val n = r.getLong(0)
     // an emptied index (all docs deleted) has no mean length
     (n, if (n == 0L) 0.0 else r.getLong(1).toDouble / n)

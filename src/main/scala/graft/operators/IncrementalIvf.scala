@@ -525,20 +525,54 @@ object IncrementalIvf {
       .limit(topK)
   }
 
-  /** The production coded search: ADC shortlists `pool` candidates
-    * from the codes alone, then ONLY the shortlist's full vectors are
-    * fetched from the EXTERNAL store `vectors` (vec_id, e) for the
-    * exact cosine rerank — the index never stores a float vector, the
-    * store is read `pool` rows per query.
+  /** The coded search with a BARE-FRAME vector store — a
+    * FIXTURE-SCALE FALLBACK: the broadcast semi-join keeps only the
+    * shortlist's `pool` rows but still SCANS every file of `vectors`
+    * map-side, per query. Production deployments must pass the store
+    * as a bucketed handle ([[searchAdcRerankStore]]) so the fetch I/O
+    * is proportional to the shortlist, not the store. `asOf` bounds
+    * the CODE view only (the frame is whatever version the caller
+    * resolved).
     */
   def searchAdcRerank(spark: SparkSession, root: String,
       probe: Seq[Double], vectors: DataFrame, topK: Int, nprobe: Int,
-      pool: Int = 50): DataFrame = {
-    CosineSimilarity.register(spark)
-    val shortlist = searchAdc(spark, root, probe, pool, nprobe)
+      pool: Int = 50, asOf: Option[Long] = None): DataFrame = {
+    val shortlist = searchAdcView(spark, root, probe, pool, nprobe, asOf)
       .select("vec_id")
+    rerankExact(spark, probe,
+      vectors.join(broadcast(shortlist), Seq("vec_id")), topK)
+  }
+
+  /** The PRODUCTION coded search: ADC shortlists `pool` candidates
+    * from the codes alone (cell-pruned, liveness-split), then ONLY the
+    * shortlist's full vectors are fetched from the external store via
+    * [[graft.streaming.UpsertFileSink.fetchByKeys]] — the read lists
+    * just the bucket dirs the ≤ `pool` shortlist ids hash into, so
+    * per-query store I/O is proportional to the shortlist, never the
+    * corpus (the index itself stores no float vector). The store rows
+    * must carry (vec_id, e). `asOf` bounds BOTH the code view and the
+    * store version — the replay/debug read.
+    */
+  def searchAdcRerankStore(spark: SparkSession, root: String,
+      probe: Seq[Double],
+      store: graft.streaming.UpsertFileSink.BucketedStore,
+      topK: Int, nprobe: Int, pool: Int = 50,
+      asOf: Option[Long] = None): DataFrame = {
+    val shortlist = searchAdcView(spark, root, probe, pool, nprobe, asOf)
+      .select("vec_id")
+    rerankExact(spark, probe,
+      graft.streaming.UpsertFileSink
+        .fetchByKeys(spark, store, shortlist, asOf), topK)
+  }
+
+  /** The exact-cosine rerank shared by both store shapes: score the
+    * already-pruned candidate vectors against the probe, top-k.
+    */
+  private def rerankExact(spark: SparkSession, probe: Seq[Double],
+      candVecs: DataFrame, topK: Int): DataFrame = {
+    CosineSimilarity.register(spark)
     val p = array(probe.map(lit): _*)
-    vectors.join(broadcast(shortlist), Seq("vec_id"))
+    candVecs
       .withColumn("__p", p)
       .select(col("vec_id"),
         round(expr("cosine_sim(e, __p)"), 4).as("sim"))

@@ -160,6 +160,19 @@ object Maintenance {
     * shape): bucketed doc/vector landing zones, the curation state
     * root, and the incremental index/IVF/LSH/embed-LSH stores. Any
     * member may be absent.
+    *
+    * Retention coupling: [[CorpusRefresh]] probes the LSH stores and
+    * zones AS OF its previous batch, so [[maintainPipeline]] always
+    * folds/vacuums those with the replay window (`asOfRetain` /
+    * `minRetainBatches`). The index and IVF are NOT probed by the
+    * refresh — they fold to the safe head by default — but an operator
+    * composing their OWN as-of reads over them
+    * (`postingsForTerms(asOf)`, `searchAdcAsOf`,
+    * [[HybridSearch.searchMaintainedAsOf]], the SegmentAsOfSpec
+    * shapes) must keep that window open too: pass
+    * `indexAsOfRetain` ≥ the deepest as-of lag those consumers need,
+    * or the fold's horizon overtakes the view and the read fails
+    * loudly ("folded away").
     */
   final case class PipelineStores(
       landing: Option[String] = None,
@@ -183,8 +196,11 @@ object Maintenance {
     *    `minRetainBatches` (≥ 1): the same replay fetches candidate
     *    payloads and old flags rows as-of batch − 1;
     *  - the inverted index and IVF (never probed as-of by the
-    *    refresh) fold to their safe head — replayed applies are
-    *    below-horizon no-ops by protocol;
+    *    refresh) fold to their safe head by DEFAULT — replayed applies
+    *    are below-horizon no-ops by protocol; operators whose OWN
+    *    consumers read them as-of (hybrid as-of serving, index
+    *    regression repro) pass `indexAsOfRetain` ≥ that lag (default
+    *    0 keeps today's fold-to-head; see [[PipelineStores]]);
     *  - generation GC stays the caller's EXPLICIT decision
     *    (`gcGenerations` — own the reader quiesce window first).
     *
@@ -192,10 +208,12 @@ object Maintenance {
     */
   def maintainPipeline(spark: SparkSession, stores: PipelineStores,
       minRetainBatches: Int = 1, asOfRetain: Int = 1,
-      gcGenerations: Boolean = false, minFresh: Int = 0): DataFrame = {
+      gcGenerations: Boolean = false, minFresh: Int = 0,
+      indexAsOfRetain: Int = 0): DataFrame = {
     require(minRetainBatches >= 1 && asOfRetain >= 1,
       "a composed pipeline replays: retention floors are 1 " +
         "(see CorpusRefresh's as-of discipline)")
+    require(indexAsOfRetain >= 0, s"indexAsOfRetain=$indexAsOfRetain")
     // `minFresh` is the fold CADENCE: a per-batch cron should pass a
     // value > 0 or every tick pays a live-set fold of the index/IVF
     // for a single fresh segment (the landing zones' counted
@@ -209,9 +227,11 @@ object Maintenance {
       stores.refreshState.map(r =>
         maintainRefreshState(spark, r, minRetainBatches)).toSeq ++
       stores.index.map(r => maintainIndex(spark, r, minFresh,
-        gcGenerations = gcGenerations)).toSeq ++
+        gcGenerations = gcGenerations,
+        retainNewest = indexAsOfRetain)).toSeq ++
       stores.ivf.map(r => maintainIvf(spark, r, minFresh,
-        gcGenerations = gcGenerations)).toSeq ++
+        gcGenerations = gcGenerations,
+        retainNewest = indexAsOfRetain)).toSeq ++
       stores.lsh.map(r => maintainLsh(spark, r, minFresh,
         gcGenerations = gcGenerations, retainNewest = asOfRetain)).toSeq ++
       stores.embedLsh.map(r => maintainEmbedLsh(spark, r, minFresh,

@@ -151,6 +151,25 @@ class HybridSearchSpec extends AnyFunSuite {
     assert(got === expect && got.nonEmpty,
       "a coded root at rerank pool >= cell population must fuse " +
         "identically to the plain root")
+    // the PRODUCTION store shape — a bucketed-zone HANDLE — fuses
+    // identically too (searchAdcRerankStore's I/O pruning is pinned in
+    // IncrementalIvfSpec; here we pin that the hybrid path threads it)
+    import graft.streaming.UpsertFileSink
+    import org.apache.spark.sql.types._
+    val vzone = s"$base/vzone"
+    UpsertFileSink.upsertBatchBucketed(
+      emb.withColumn("op", lit("U")).withColumn("seq", lit(0L)),
+      0L, vzone, Seq("vec_id"), 8)
+    val handle = UpsertFileSink.BucketedStore(vzone,
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("e", ArrayType(DoubleType)))),
+      keyCols = Seq("vec_id"))
+    val viaHandle = HybridSearch.searchMaintained(spark, s"$base/idx",
+        s"$base/coded", Seq("data", "model"), probe, k = 10, nprobe = 2,
+        rerankPool = 1000000, vectorStore = Some(handle))
+      .collect().map(_.toString).toSeq
+    assert(viaHandle === expect,
+      "the bucketed-handle rerank must fuse identically to the frame")
     // a coded root without the external store fails LOUD — silently
     // serving raw ADC scores as the semantic leg would skew the fusion
     val e = intercept[IllegalArgumentException] {
@@ -158,6 +177,79 @@ class HybridSearchSpec extends AnyFunSuite {
         Seq("data", "model"), probe, k = 10, nprobe = 2)
     }
     assert(e.getMessage.contains("coded"))
+    Materialize.releaseAll()
+  }
+
+  test("searchMaintainedAsOf answers what a head at that batch answered, and is horizon-bounded") {
+    import graft.operators.{IncrementalIndex, IncrementalIvf}
+    import graft.sources.Tables
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-msearch-asof").toString
+    val docs = Tables.documents(spark, SparkTestBase.sf0001)
+      .select("doc_id", "text")
+    val emb = Tables.embeddings(spark, SparkTestBase.sf0001)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val firstDocs = docs.filter(col("doc_id") % 2 === 0)
+    val firstEmb = emb.filter(col("vec_id") % 2 === 0)
+
+    // the composed pipeline's shape: ONE feed drives both stores with
+    // the same batch ids — batch 0 = the even half, batch 1 = the rest
+    IncrementalIndex.applyBatch(spark, s"$base/idx",
+      firstDocs.withColumn("op", lit("I")), 0L)
+    IncrementalIvf.initialize(spark, firstEmb, s"$base/ivf",
+      k = 4, iters = 2)
+    IncrementalIndex.applyBatch(spark, s"$base/idx",
+      docs.filter(col("doc_id") % 2 === 1).withColumn("op", lit("I")), 1L)
+    IncrementalIvf.applyBatch(spark, s"$base/ivf",
+      emb.filter(col("vec_id") % 2 === 1).withColumn("op", lit("I")), 1L)
+
+    // TWIN stores that only ever saw batch 0 — the as-of answer must
+    // equal the twins' LIVE answer (both legs time-travel coherently).
+    // The twin IVF shares the FROZEN quantizer (copy the centroids
+    // before any assignment — a re-trained quantizer would partition
+    // the space differently and the comparison would test k-means
+    // determinism, not time travel)
+    IncrementalIndex.applyBatch(spark, s"$base/idx0",
+      firstDocs.withColumn("op", lit("I")), 0L)
+    val f = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    org.apache.hadoop.fs.FileUtil.copy(
+      f, new org.apache.hadoop.fs.Path(s"$base/ivf/centroids"),
+      f, new org.apache.hadoop.fs.Path(s"$base/ivf0/centroids"),
+      false, spark.sparkContext.hadoopConfiguration)
+    IncrementalIvf.applyBatch(spark, s"$base/ivf0",
+      firstEmb.withColumn("op", lit("I")), 0L)
+
+    val probe = emb.filter(col("vec_id") === 2L).head.getSeq[Double](1).toSeq
+    val asOfAns = HybridSearch.searchMaintainedAsOf(spark, s"$base/idx",
+        s"$base/ivf", Seq("data", "model"), probe, k = 10, asOf = 0L,
+        nprobe = 2)
+      .collect().map(_.toString).toSeq
+    val twinAns = HybridSearch.searchMaintained(spark, s"$base/idx0",
+        s"$base/ivf0", Seq("data", "model"), probe, k = 10, nprobe = 2)
+      .collect().map(_.toString).toSeq
+    assert(asOfAns === twinAns && asOfAns.nonEmpty,
+      "the composed as-of view must equal a head frozen at that batch")
+    // and asOf at the live head answers the live view
+    val liveAns = HybridSearch.searchMaintained(spark, s"$base/idx",
+        s"$base/ivf", Seq("data", "model"), probe, k = 10, nprobe = 2)
+      .collect().map(_.toString).toSeq
+    val asOfHead = HybridSearch.searchMaintainedAsOf(spark, s"$base/idx",
+        s"$base/ivf", Seq("data", "model"), probe, k = 10, asOf = 1L,
+        nprobe = 2)
+      .collect().map(_.toString).toSeq
+    assert(asOfHead === liveAns)
+
+    // a view folded away by compaction fails LOUDLY on the composed
+    // path too — never a silently partial leg
+    IncrementalIndex.compact(spark, s"$base/idx", 1L)
+    val e = intercept[IllegalArgumentException] {
+      HybridSearch.searchMaintainedAsOf(spark, s"$base/idx",
+        s"$base/ivf", Seq("data", "model"), probe, k = 10, asOf = 0L,
+        nprobe = 2).collect()
+    }
+    assert(e.getMessage.contains("folded away") ||
+      e.getMessage.contains("horizon"))
     Materialize.releaseAll()
   }
 }

@@ -488,4 +488,56 @@ class IncrementalIvfSpec extends AnyFunSuite {
     assert(IncrementalIvf.search(spark, root, vec(99L), 5, 2)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq === got)
   }
+
+  test("searchAdcRerankStore: the rerank fetch is I/O-pruned to the shortlist's buckets") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    import graft.streaming.UpsertFileSink
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-incivf-rrstore").toString
+    val root = s"$base/ivf"
+    val vstore = s"$base/v"
+    val nB = 8
+    val all = (1L to 60L).map(i => (i, vec(i)))
+    IncrementalIvf.initializeCoded(spark, all.toDF("vec_id", "e"),
+      root, k = 4, iters = 2, m = 2, ksub = 4, pqIters = 2)
+    UpsertFileSink.upsertBatchBucketed(
+      all.toDF("vec_id", "e")
+        .withColumn("op", lit("U")).withColumn("seq", lit(0L)),
+      0L, vstore, Seq("vec_id"), nB)
+    val handle = UpsertFileSink.BucketedStore(vstore,
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("e", ArrayType(DoubleType)))),
+      keyCols = Seq("vec_id"))
+    val probe = vec(2L)
+
+    // the handle path answers EXACTLY what the bare-frame path does
+    // (same shortlist, same exact-cosine rerank) — the handle changes
+    // only the fetch I/O
+    val viaStore = IncrementalIvf.searchAdcRerankStore(spark, root,
+        probe, handle, topK = 5, nprobe = 2, pool = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val viaFrame = IncrementalIvf.searchAdcRerank(spark, root, probe,
+        all.toDF("vec_id", "e"), topK = 5, nprobe = 2, pool = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(viaStore === viaFrame && viaStore.nonEmpty)
+
+    // THE I/O PIN (the round-17 weak finding, closed): every file the
+    // plan reads from the STORE lives under a shortlist bucket dir —
+    // per-query store I/O proportional to the shortlist, never a
+    // store-wide listing
+    val wanted = IncrementalIvf.searchAdc(spark, root, probe, 5, 2)
+      .select(UpsertFileSink.bucketCol(Seq("vec_id"), nB).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    assert(wanted.size < nB,
+      "fixture must leave some buckets untouched for the pin to bite")
+    val storeFiles = IncrementalIvf.searchAdcRerankStore(spark, root,
+        probe, handle, topK = 5, nprobe = 2, pool = 5)
+      .inputFiles.filter(_.contains(vstore))
+    assert(storeFiles.nonEmpty)
+    storeFiles.foreach(f => assert(wanted.exists(b =>
+      f.contains(s"/buckets/$b/")),
+      s"rerank read a store file outside the shortlist's buckets: $f"))
+    Materialize.releaseAll()
+  }
 }

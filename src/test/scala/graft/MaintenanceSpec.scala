@@ -149,6 +149,34 @@ class MaintenanceSpec extends AnyFunSuite {
         Maintenance.PipelineStores(lsh = Some(s"$base/lsh")),
         minRetainBatches = 0)
     }
+
+    // an operator whose OWN consumers read the index as-of (hybrid
+    // as-of serving) opens the window with indexAsOfRetain — a twin
+    // index fed the same two batches folds only to 0, and the as-of
+    // read the default fold-to-head would have wedged keeps answering
+    (0L to 1L).foreach { b =>
+      IncrementalIndex.applyBatch(spark, s"$base/idx2",
+        (b * 10 + 1 to b * 10 + 5).map(mk)
+          .toDF("doc_id", "text").withColumn("op", lit("I")), b)
+    }
+    val rep2 = Maintenance.maintainPipeline(spark,
+      Maintenance.PipelineStores(index = Some(s"$base/idx2")),
+      indexAsOfRetain = 1)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getString(2))).toSeq
+    assert(rep2.exists(r => r._1 == "index" && r._2 == "compact" &&
+      r._3.contains("horizon 0")),
+      s"indexAsOfRetain=1 must fold below the head: $rep2")
+    assert(IncrementalIndex.statsFrame(spark, s"$base/idx2",
+      asOf = Some(0L)).head.getLong(0) === 5L,
+      "the retained as-of stats view must still answer")
+    // the default (0) on the first pipeline's index already folded to
+    // the head above — that as-of view is gone, loudly
+    val e2 = intercept[IllegalArgumentException] {
+      IncrementalIndex.statsFrame(spark, s"$base/idx",
+        asOf = Some(0L)).head
+    }
+    assert(e2.getMessage.contains("folded away"))
   }
 
   test("maintain on a bucketed landing zone checkpoints then vacuums") {

@@ -562,6 +562,34 @@ class ShellSpec extends AnyFunSuite {
     assert(viaShellCoded === directCoded && viaShellCoded.nonEmpty,
       "the REPL must serve coded roots through the rerank leg")
     Materialize.releaseAll()
+
+    // the PRODUCTION route: `vstore=<root>` serves the coded rerank
+    // from a bucketed vector zone via the I/O-pruned handle — same
+    // fusion, store-file reads bounded by the shortlist's buckets
+    val vzone = s"$base/vzone"
+    graft.streaming.UpsertFileSink.upsertBatchBucketed(
+      emb.withColumn("op", lit("U")).withColumn("seq", lit(0L)),
+      0L, vzone, Seq("vec_id"), 8)
+    val viaShellStore = Shell.run(spark, sf0001,
+        s"msearch $base/idx $base/ann3 data,model 3 5 2 vstore=$vzone")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(viaShellStore === directCoded && viaShellStore.nonEmpty,
+      "the vstore= handle route must fuse identically to the frame")
+    // flag errors name the flag
+    val ef = intercept[IllegalArgumentException](Shell.run(spark, sf0001,
+      s"msearch $base/idx $base/ann3 data,model 3 5 2 vguess=$vzone"))
+    assert(ef.getMessage.contains("vstore="))
+
+    // `asof=<b>` time-travels the whole hybrid query (the composed
+    // as-of correctness is pinned in HybridSearchSpec; here: REPL ==
+    // module, and at the head it equals the live answer)
+    val viaShellAsOf = Shell.run(spark, sf0001,
+        s"msearch $base/idx $base/ann3 data,model 3 5 2 asof=1 " +
+          s"vstore=$vzone")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(viaShellAsOf === directCoded,
+      "asof at the live head must answer the live fusion")
+    Materialize.releaseAll()
   }
 
   test("maintain runs each store kind's hygiene against live roots") {
