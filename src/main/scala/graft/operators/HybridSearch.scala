@@ -133,6 +133,75 @@ object HybridSearch {
     maintainedView(spark, indexPath, ivfPath, terms, probe, k, nprobe,
       vectors, rerankPool, vectorStore, None)
 
+  /** Per-probe RRF over probe-tagged rankings — each a
+    * (probe_id, idCol, score) frame whose per-probe row count is
+    * bounded (top-k outputs of the batched retrievers). Ranks,
+    * tie-breaks, the MaxFuse cap and the fused ordering are the
+    * per-probe [[rrf]] arithmetic, partitioned by probe_id; output is
+    * (probe_id, idCol, rrf, n_lists), top-k per probe.
+    */
+  private def rrfBatch(rankings: Seq[DataFrame], idCol: String, k: Int,
+      c: Int = 60): DataFrame = {
+    require(rankings.nonEmpty && k > 0 && k <= MaxFuse && c > 0)
+    val ranked = rankings.map { r =>
+      r.select(col("probe_id"), col(idCol),
+          row_number().over(Window.partitionBy("probe_id")
+            .orderBy(col("score").desc, col(idCol))).as("__rank"))
+        .filter(col("__rank") <= MaxFuse)
+        .select(col("probe_id"), col(idCol),
+          (lit(1.0) / (lit(c) + col("__rank"))).as("__rr"))
+    }
+    ranked.reduce(_ unionAll _)
+      .groupBy("probe_id", idCol)
+      .agg(sum(col("__rr")).as("rrf"), count(lit(1)).as("n_lists"))
+      .withColumn("__rn", row_number().over(Window.partitionBy("probe_id")
+        .orderBy(col("rrf").desc, col(idCol))))
+      .filter(col("__rn") <= k)
+      .select(col("probe_id"), col(idCol), col("rrf"), col("n_lists"))
+  }
+
+  /** BATCHED [[searchMaintained]]: every probe of a (probe_id,
+    * terms: array<string>, e: array<double>) frame answered in ONE
+    * plan — one `tb`-pruned postings pass scores all probes' BM25
+    * ([[IncrementalIndex.bm25SearchBatch]]), one cell-pruned member
+    * read serves all semantic legs ([[IncrementalIvf.searchBatch]] /
+    * the batched ADC + store rerank on coded roots), and the fusion is
+    * the per-probe [[rrf]] arithmetic under a probe_id window. Job
+    * count is O(1) in |probes| (the per-probe path pays driver/job
+    * overhead × |probes|); per-probe results are row-equal to
+    * [[searchMaintained]] (HybridSearchSpec pins both). A coded root
+    * requires the BUCKETED store handle — the batch path is the
+    * production shape, no bare-frame fallback. Output:
+    * (probe_id, doc_id, rrf, n_lists), top-k per probe.
+    */
+  def searchMaintainedBatch(spark: SparkSession, indexPath: String,
+      ivfPath: String, probes: DataFrame, k: Int, nprobe: Int = 4,
+      rerankPool: Int = 50,
+      vectorStore: Option[UpsertFileSink.BucketedStore] = None,
+      asOf: Option[Long] = None): DataFrame = {
+    val idxRoot = Maintenance.activeOrSelf(spark, indexPath)
+    val probeTerms = probes.select(col("probe_id"),
+      explode(col("terms")).as("token"))
+    val lexical = IncrementalIndex.bm25SearchBatch(spark, idxRoot,
+      probeTerms, k, asOf = asOf)
+    val ivfRoot = Maintenance.activeOrSelf(spark, ivfPath)
+    val coded = SegmentLog.hfs(spark, ivfRoot).exists(
+      new org.apache.hadoop.fs.Path(s"$ivfRoot/pq_codebook"))
+    val pvec = probes.select(col("probe_id"), col("e"))
+    val semantic = (if (coded) {
+      require(vectorStore.isDefined,
+        s"$ivfRoot is a coded (IVFADC) root: the batched semantic leg " +
+          "serves the exact rerank from a bucketed vector store — " +
+          "pass vectorStore = Some(handle)")
+      IncrementalIvf.searchAdcRerankStoreBatch(spark, ivfRoot, pvec,
+        vectorStore.get, k, nprobe, math.max(rerankPool, k), asOf)
+    } else IncrementalIvf.searchBatch(spark, ivfRoot, pvec, k, nprobe,
+      asOf))
+      .select(col("probe_id"), col("vec_id").as("doc_id"),
+        col("sim").as("score"))
+    rrfBatch(Seq(lexical, semantic), "doc_id", k)
+  }
+
   /** TIME TRAVEL for the whole hybrid path — "what did serving answer
     * at batch `asOf`?", the one-call debugging read the per-store
     * as-of machinery exists for. Both legs ride their stores' own

@@ -493,6 +493,28 @@ object IncrementalIndex {
       n, avgDl, terms, k, k1, b)
   }
 
+  /** BATCHED [[bm25Search]]: every probe's top-k in ONE plan over ONE
+    * `tb`-pruned postings read — `probeTerms` is (probe_id, token),
+    * exploded per probe. A retrieval consumer issuing thousands of
+    * probes per tick pays per-query driver/job overhead × |probes| on
+    * the per-probe path; here the job count is O(1) in |probes| (one
+    * term-set collect — bounded by the probe set, the driver-manifest
+    * discipline — one stats fold, one pruned postings pass). Per-probe
+    * scoring is [[InvertedIndex.bm25QueryBatch]], byte-identical to
+    * the single-probe formula.
+    */
+  def bm25SearchBatch(spark: SparkSession, root: String,
+      probeTerms: DataFrame, k: Int, k1: Double = 1.2,
+      b: Double = 0.75, asOf: Option[Long] = None): DataFrame = {
+    val tset = probeTerms.select("token").distinct()
+      .collect().map(_.getString(0)).toSeq
+    require(tset.nonEmpty, "bm25SearchBatch needs at least one term")
+    val (n, avgDl) = stats(spark, root, asOf)
+    InvertedIndex.bm25QueryBatch(
+      postingsForTerms(spark, root, tset, asOf), n, avgDl, probeTerms,
+      k, k1, b)
+  }
+
   /** Conjunctive query ([[InvertedIndex.andQuery]]) at term-lookup
     * cost — the `tb`-pruned postings feed the intersect-by-count.
     */

@@ -580,6 +580,116 @@ object IncrementalIvf {
       .limit(topK)
   }
 
+  // ---- BATCHED probes: one plan for a whole probe set ----------------
+  //
+  // The per-probe search functions pay driver/job overhead per call —
+  // a retrieval consumer issuing thousands of probes per tick
+  // multiplies it by |probes|. The batch twins below take a
+  // (probe_id, e) frame and answer every probe in ONE plan whose job
+  // count is O(1) in |probes|: the per-probe driver-side cell manifest
+  // becomes a per-probe rank WINDOW over the (small, broadcast)
+  // centroid table plus one UNION manifest for the partition pruning,
+  // and per-probe ordering/limits become rank windows partitioned by
+  // probe_id. Per-probe results are pinned row-equal to the
+  // single-probe functions (IncrementalIvfSpec).
+
+  /** Each probe's `nprobe` best cells: (probe_id, cell). The centroid
+    * table is k rows — broadcast, ranked per probe by the same
+    * (cell_sim desc, cell) order as the single-probe manifest.
+    */
+  private def probeCellsOf(spark: SparkSession, root: String,
+      probes: DataFrame, nprobe: Int): DataFrame = {
+    CosineSimilarity.register(spark)
+    val cent = spark.read.parquet(s"$root/centroids")
+    probes.select(col("probe_id"), col("e").as("pe"))
+      .crossJoin(broadcast(cent))
+      .withColumn("cell_sim", expr("cosine_sim(c, pe)"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("probe_id")
+          .orderBy(col("cell_sim").desc, col("cell"))))
+      .filter(col("__rn") <= nprobe)
+      .select("probe_id", "cell")
+  }
+
+  /** BATCHED [[search]]: every probe's exact top-k over its own
+    * nprobe-pruned cells, one member read pruned to the UNION of all
+    * probes' cells (a ≤ k-cell driver manifest — bounded by the
+    * centroid count, not the probe count): (probe_id, vec_id, sim).
+    */
+  def searchBatch(spark: SparkSession, root: String, probes: DataFrame,
+      topK: Int, nprobe: Int, asOf: Option[Long] = None): DataFrame = {
+    val pc = probeCellsOf(spark, root, probes, nprobe)
+    val cells = pc.select("cell").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    liveMembers(spark, root, Some(cells), asOf)
+      .join(broadcast(pc), Seq("cell"))
+      .join(broadcast(probes.select(col("probe_id"), col("e").as("pe"))),
+        Seq("probe_id"))
+      .withColumn("sim", round(expr("cosine_sim(e, pe)"), 4))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("probe_id")
+          .orderBy(col("sim").desc, col("vec_id"))))
+      .filter(col("__rn") <= topK)
+      .select("probe_id", "vec_id", "sim")
+  }
+
+  /** BATCHED [[searchAdc]]: per-probe ADC lookup tables come from
+    * [[ProductQuantizer.adcLutBatch]] (|probes| × m × ksub doubles,
+    * broadcast), candidates are scored only against the probes that
+    * shortlisted their cell: (probe_id, vec_id, approx_sim).
+    */
+  def searchAdcBatch(spark: SparkSession, root: String,
+      probes: DataFrame, topK: Int, nprobe: Int,
+      asOf: Option[Long] = None): DataFrame = {
+    val pc = probeCellsOf(spark, root, probes, nprobe)
+    val cells = pc.select("cell").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val codebook = spark.read.parquet(s"$root/pq_codebook")
+    val lut = ProductQuantizer.adcLutBatch(codebook, probes,
+      pqM(codebook))
+    ProductQuantizer.adcScoreCodesBatch(
+        liveCodedMembers(spark, root, Some(cells), asOf)
+          .join(broadcast(pc), Seq("cell"))
+          .select("probe_id", "vec_id", "codes"), lut)
+      .select(col("probe_id"), col("vec_id"),
+        round(col("approx_sim"), 4).as("approx_sim"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("probe_id")
+          .orderBy(col("approx_sim").desc, col("vec_id"))))
+      .filter(col("__rn") <= topK)
+      .select("probe_id", "vec_id", "approx_sim")
+  }
+
+  /** BATCHED [[searchAdcRerankStore]]: ADC-shortlist `pool`
+    * candidates per probe, fetch the UNION of all shortlists' vectors
+    * from the bucketed store ONCE (I/O pruned to the union's buckets),
+    * rerank each probe exactly: (probe_id, vec_id, sim). The
+    * shortlist frame is persisted for the fetch manifest + the rerank
+    * join (released by the session's `Materialize.releaseAll`).
+    */
+  def searchAdcRerankStoreBatch(spark: SparkSession, root: String,
+      probes: DataFrame,
+      store: graft.streaming.UpsertFileSink.BucketedStore,
+      topK: Int, nprobe: Int, pool: Int = 50,
+      asOf: Option[Long] = None): DataFrame = {
+    val shortlist = graft.Materialize.checkpointLazy(
+      searchAdcBatch(spark, root, probes, pool, nprobe, asOf)
+        .select("probe_id", "vec_id"))
+    val fetched = graft.streaming.UpsertFileSink.fetchByKeys(spark,
+      store, shortlist.select("vec_id"), asOf)
+      .select(col("vec_id"), col("e"))
+    shortlist
+      .join(fetched, Seq("vec_id"))
+      .join(broadcast(probes.select(col("probe_id"), col("e").as("pe"))),
+        Seq("probe_id"))
+      .withColumn("sim", round(expr("cosine_sim(e, pe)"), 4))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("probe_id")
+          .orderBy(col("sim").desc, col("vec_id"))))
+      .filter(col("__rn") <= topK)
+      .select("probe_id", "vec_id", "sim")
+  }
+
   // ---- aliased generations: the retrain CUTOVER protocol -------------
   //
   // A retrain is a bulk rebuild to a FRESH generation root while

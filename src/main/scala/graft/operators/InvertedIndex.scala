@@ -117,4 +117,35 @@ object InvertedIndex {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
   }
+
+  /** [[bm25Query]] for a whole PROBE SET in one plan: `probeTerms`
+    * carries (probe_id, token) — each probe's term list, exploded —
+    * and the result is each probe's top-k (probe_id, doc_id, score).
+    * The per-probe formula, tie-break and k-cap are byte-identical to
+    * [[bm25Query]]'s (the per-probe `terms.distinct` dedup becomes the
+    * frame-side `distinct()` here); the win is ONE pass over the
+    * matched posting lists for ALL probes instead of |probes| separate
+    * jobs — the retrieval consumer issuing thousands of probes per
+    * tick ([[graft.operators.HybridSearch.searchMaintainedBatch]]).
+    * The probe set is broadcast (bounded by contract: probes × terms,
+    * never a corpus).
+    */
+  def bm25QueryBatch(index: DataFrame, nDocs: Long, avgDl: Double,
+      probeTerms: DataFrame, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k > 0)
+    val idf = log(lit(1.0) +
+      (lit(nDocs.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfNorm = (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgDl)))
+    index
+      .join(broadcast(probeTerms.select("probe_id", "token").distinct()),
+        Seq("token"))
+      .groupBy("probe_id", "doc_id")
+      .agg(sum(idf * tfNorm).as("score"))
+      .withColumn("__rn", row_number().over(Window.partitionBy("probe_id")
+        .orderBy(col("score").desc, col("doc_id"))))
+      .filter(col("__rn") <= k)
+      .select("probe_id", "doc_id", "score")
+  }
 }

@@ -209,6 +209,49 @@ object ProductQuantizer {
       .select(col("sub"), expr("transform(cp, x -> x.pdot)").as("lut"))
   }
 
+  /** [[adcLut]] for a whole PROBE SET in one frame: `probes` is
+    * (probe_id, e — raw, normalized here with the corpus geometry,
+    * the same left-fold norm arithmetic as the single-probe path), the
+    * result one (probe_id, sub, lut) row per probe × subspace —
+    * |probes| × m × ksub doubles, broadcastable for any bounded probe
+    * batch. The per-probe rows are value-identical to [[adcLut]]'s.
+    */
+  def adcLutBatch(codebook: DataFrame, probes: DataFrame,
+      m: Int): DataFrame = {
+    val unit = probes
+      .withColumn("n", expr(s"sqrt(${dotSql.format("e", "e")})"))
+      .select(col("probe_id"), expr("transform(e, x -> x / n)").as("e"))
+    val dsub = s"(size(e) div $m)"
+    val probeSub = unit.select(col("probe_id"),
+        explode(expr(s"transform(sequence(0, ${m - 1}), " +
+          s"s -> struct(s as sub, slice(e, s * $dsub + 1, $dsub) as qv))"))
+          .as("x"))
+      .select(col("probe_id"), col("x.sub").as("sub"), col("x.qv").as("qv"))
+    codebook.join(broadcast(probeSub), "sub")
+      .select(col("probe_id"), col("sub"), col("code"),
+        expr(dotSql.format("qv", "c")).as("pdot"))
+      .groupBy("probe_id", "sub")
+      .agg(array_sort(collect_list(struct(col("code"), col("pdot"))))
+        .as("cp"))
+      .select(col("probe_id"), col("sub"),
+        expr("transform(cp, x -> x.pdot)").as("lut"))
+  }
+
+  /** [[adcScoreCodes]] for a probe-tagged candidate frame
+    * (probe_id, vec_id, codes) against a broadcast batched LUT
+    * ([[adcLutBatch]]): (probe_id, vec_id, approx_sim) — each
+    * candidate scored only against the probes that shortlisted it.
+    */
+  def adcScoreCodesBatch(codes: DataFrame, lut: DataFrame): DataFrame =
+    codes
+      .select(col("probe_id"), col("vec_id"),
+        posexplode(col("codes")).as(Seq("sub", "code")))
+      .join(broadcast(lut), Seq("probe_id", "sub"))
+      .select(col("probe_id"), col("vec_id"),
+        expr("element_at(lut, code + 1)").as("pdot"))
+      .groupBy("probe_id", "vec_id")
+      .agg(sum("pdot").as("approx_sim"))
+
   /** ADC scoring of a (vec_id, codes) frame against a broadcast
     * (sub, lut) table: m `element_at`s + one sum per candidate —
     * (vec_id, approx_sim).

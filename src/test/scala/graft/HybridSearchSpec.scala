@@ -180,6 +180,126 @@ class HybridSearchSpec extends AnyFunSuite {
     Materialize.releaseAll()
   }
 
+  test("searchMaintainedBatch: row-equal to per-probe searchMaintained, O(1) jobs in |probes|") {
+    import graft.operators.{IncrementalIndex, IncrementalIvf}
+    import graft.sources.Tables
+    import graft.streaming.UpsertFileSink
+    import org.apache.spark.sql.types._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-msearch-batch").toString
+    val docs = Tables.documents(spark, SparkTestBase.sf0001)
+      .select("doc_id", "text")
+    val emb = Tables.embeddings(spark, SparkTestBase.sf0001)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    IncrementalIndex.applyBatch(spark, s"$base/idx",
+      docs.withColumn("op", lit("I")), 0L)
+    IncrementalIvf.initialize(spark, emb, s"$base/ivf", k = 4, iters = 2)
+    IncrementalIvf.initializeCoded(spark, emb, s"$base/coded",
+      k = 4, iters = 2, m = 2, ksub = 4, pqIters = 2)
+    val vzone = s"$base/vzone"
+    UpsertFileSink.upsertBatchBucketed(
+      emb.withColumn("op", lit("U")).withColumn("seq", lit(0L)),
+      0L, vzone, Seq("vec_id"), 8)
+    val handle = UpsertFileSink.BucketedStore(vzone,
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("e", ArrayType(DoubleType)))),
+      keyCols = Seq("vec_id"))
+
+    val termsOf = Map(2L -> Seq("data", "model"),
+      3L -> Seq("filter", "window"), 5L -> Seq("data", "window"),
+      7L -> Seq("model", "model", "data"), 11L -> Seq("window"),
+      13L -> Seq("filter", "data"))
+    val pids = termsOf.keys.toSeq.sorted
+    val embOf = emb.filter(col("vec_id").isin(pids: _*))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toMap
+    import spark.implicits._
+    def probesOf(ids: Seq[Long]) =
+      ids.map(i => (i, termsOf(i), embOf(i)))
+        .toDF("probe_id", "terms", "e")
+
+    def norm(rows: Array[org.apache.spark.sql.Row], offset: Int)
+        : Map[Long, Seq[(Long, Double, Long)]] =
+      rows.map(r => (r.getLong(0), r.getLong(offset),
+          BigDecimal(r.getDouble(offset + 1))
+            .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble,
+          r.getLong(offset + 2)))
+        .groupBy(_._1)
+        .map { case (p, rs) =>
+          p -> rs.map(t => (t._2, t._3, t._4))
+            .sortBy(t => (-t._2, t._1)).toSeq
+        }
+
+    // PLAIN root: batch == per-probe, probe by probe
+    val batchPlain = norm(HybridSearch.searchMaintainedBatch(spark,
+      s"$base/idx", s"$base/ivf", probesOf(pids), k = 8, nprobe = 2)
+      .collect(), 1)
+    pids.foreach { p =>
+      val per = HybridSearch.searchMaintained(spark, s"$base/idx",
+          s"$base/ivf", termsOf(p), embOf(p), k = 8, nprobe = 2)
+        .collect().map(r => (r.getLong(0),
+          BigDecimal(r.getDouble(1))
+            .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble,
+          r.getLong(2))).toSeq
+      assert(batchPlain(p) === per && per.nonEmpty,
+        s"plain-root batch answer for probe $p must equal per-probe")
+    }
+
+    // CODED root through the bucketed handle: batch == per-probe
+    val batchCoded = norm(HybridSearch.searchMaintainedBatch(spark,
+      s"$base/idx", s"$base/coded", probesOf(pids), k = 8, nprobe = 2,
+      rerankPool = 40, vectorStore = Some(handle))
+      .collect(), 1)
+    pids.foreach { p =>
+      val per = HybridSearch.searchMaintained(spark, s"$base/idx",
+          s"$base/coded", termsOf(p), embOf(p), k = 8, nprobe = 2,
+          rerankPool = 40, vectorStore = Some(handle))
+        .collect().map(r => (r.getLong(0),
+          BigDecimal(r.getDouble(1))
+            .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble,
+          r.getLong(2))).toSeq
+      assert(batchCoded(p) === per && per.nonEmpty,
+        s"coded-root batch answer for probe $p must equal per-probe")
+    }
+    // a coded root without the handle fails LOUD on the batch path
+    val e = intercept[IllegalArgumentException] {
+      HybridSearch.searchMaintainedBatch(spark, s"$base/idx",
+        s"$base/coded", probesOf(pids), k = 8, nprobe = 2)
+    }
+    assert(e.getMessage.contains("vectorStore"))
+    Materialize.releaseAll()
+
+    // THE SCALE PIN: job count is O(1) in |probes| — tripling the
+    // probe set must not add jobs beyond plan noise (the per-probe
+    // path pays its full job chain per probe)
+    def countJobs(body: => Unit): Int = {
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet(); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(l)
+      try body finally {
+        Thread.sleep(400)
+        spark.sparkContext.removeSparkListener(l)
+      }
+      jobs.get()
+    }
+    val j2 = countJobs {
+      HybridSearch.searchMaintainedBatch(spark, s"$base/idx",
+        s"$base/ivf", probesOf(pids.take(2)), k = 8, nprobe = 2).collect()
+      Materialize.releaseAll()
+    }
+    val j6 = countJobs {
+      HybridSearch.searchMaintainedBatch(spark, s"$base/idx",
+        s"$base/ivf", probesOf(pids), k = 8, nprobe = 2).collect()
+      Materialize.releaseAll()
+    }
+    assert(j6 <= j2 + 2,
+      s"3x the probes must not grow the job count: $j2 -> $j6")
+  }
+
   test("searchMaintainedAsOf answers what a head at that batch answered, and is horizon-bounded") {
     import graft.operators.{IncrementalIndex, IncrementalIvf}
     import graft.sources.Tables
