@@ -49,6 +49,21 @@ object SpanDedup {
     * `slice(_, 0, _)` throws (bit round 13's fixpoint over rewritten
     * lineage). The total form is safe to evaluate on any row; the
     * filter stays for row pruning.
+    *
+    * The explode is OUTER for cost, not semantics:
+    * InferFiltersFromGenerate fires only on inner generates, and the
+    * predicate it derives here is `size(spans) > 0 AND isnotnull
+    * (spans)` with the WHOLE span construction (transform + slice +
+    * concat_ws + xxhash64 per window, tokenizer re-inlined) copied
+    * into BOTH conjuncts — the r18 plan audit showed every doc paying
+    * the span build three times (twice in the derived Filter, once in
+    * the real Project). With explode_outer no filter is derived and
+    * the build runs once; the trailing `isnotnull(__s)` keeps the
+    * row contract identical (the size-≥-w filter already guarantees a
+    * non-empty array, so the outer explode emits no null rows to
+    * drop — the guard is for callers that relax that filter).
+    * A/B at sf0.1 (graft.Profile, paired control): see
+    * OPTIMIZATION_r18.md.
     */
   def spanHashes(docs: DataFrame, idCol: String, textCol: String,
       w: Int): DataFrame = {
@@ -64,7 +79,8 @@ object SpanDedup {
                      'h', xxhash64(concat_ws(' ', slice(__t, i + 1, $w))))),
                  array())""")
           .as("__spans"))
-      .select(col("doc_id"), explode(col("__spans")).as("__s"))
+      .select(col("doc_id"), explode_outer(col("__spans")).as("__s"))
+      .filter(col("__s").isNotNull)
       .select(col("doc_id"), col("__s.off").as("off"), col("__s.h").as("h"))
   }
 

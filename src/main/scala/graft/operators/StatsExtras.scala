@@ -361,10 +361,21 @@ object StatsExtras {
         .groupBy(col("pr.pa").as("pa"), col("pr.pb").as("pb"))
         .agg(count(lit(1)).as("sup_ab"))
         .filter(col("sup_ab") >= 2)
+      // Both rule directions come from ONE explode over the pair
+      // aggregate, not a union of two selects: the union's branches are
+      // separate plan subtrees, so the pair explode + partial aggregate
+      // ran TWICE (AQE stage reuse dedupes the shuffle read, not the
+      // map-side explode work — r18 plan audit: two Generate+
+      // HashAggregate chains over the sets cache). One generate halves
+      // that map work; spark-shell A/B at sf0.1: cold 5.1 → 2.3 s,
+      // warm 1.41 → 1.20 s, rows identical.
       val rules = pairs
-        .select(col("pa").as("ante"), col("pb").as("cons"), col("sup_ab"))
-        .unionAll(pairs
-          .select(col("pb").as("ante"), col("pa").as("cons"), col("sup_ab")))
+        .select(explode(array(
+          struct(col("pa").as("ante"), col("pb").as("cons"), col("sup_ab")),
+          struct(col("pb").as("ante"), col("pa").as("cons"), col("sup_ab"))))
+          .as("r"))
+        .select(col("r.ante").as("ante"), col("r.cons").as("cons"),
+          col("r.sup_ab").as("sup_ab"))
       rules
         .join(isup.select(col("p").as("ante"), col("sup").as("sa")), "ante")
         .join(isup.select(col("p").as("cons"), col("sup").as("sb")), "cons")
