@@ -139,9 +139,17 @@ object CorpusExtras {
         // discipline): the per-position lambda would otherwise
         // re-split text per gram position — O(T²) char work per doc.
         .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        // gram identity is xxhash64 of the window's joined string, not
+        // the string itself: the gram text never reaches the output
+        // (only per-lang counts do), so an 8-byte long key replaces an
+        // ~15-25-byte string through BOTH corpus-scale aggregates and
+        // the df join — fewer shuffle bytes, cheaper hash/compare —
+        // exactly the SpanDedup.spanHashes trade (collision rate
+        // ~2^-64 per pair, oracle-checked at the verify SFs).
         .select(col("doc_id"), col("lang"), explode(expr(
           """transform(sequence(1, greatest(size(toks) - 2, 1)),
-            |  i -> concat_ws(' ', slice(toks, i, 3)))""".stripMargin))
+            |  i -> xxhash64(concat_ws(' ', slice(toks, i, 3))))"""
+            .stripMargin))
           .as("gram"))
       val dg = graft.Materialize.checkpoint(
         grams.groupBy("doc_id", "lang", "gram").agg(count(lit(1)).as("c")))
