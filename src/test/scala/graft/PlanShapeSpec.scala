@@ -103,4 +103,42 @@ class PlanShapeSpec extends AnyFunSuite {
       s"q_quality_lm plans ${joins.size} shuffled join(s) — the LM " +
         "model must broadcast")
   }
+
+  // r18: SpanDedup.spanHashes uses explode_outer precisely so
+  // InferFiltersFromGenerate cannot derive a `size(spans) > 0 AND
+  // isnotnull(spans)` predicate that re-evaluates the WHOLE span
+  // construction (transform + slice + concat_ws + xxhash64 per
+  // window) twice per doc inside a Filter. Pin: no Filter condition
+  // in either span query's plan contains an xxhash64 — the span hash
+  // may only ever be computed in the Project/Generate that emits it.
+  test("span queries never re-evaluate the span build inside a Filter") {
+    Seq("q_span_coverage", "q_span_removal").foreach { n =>
+      plan(n).collect {
+        case f: org.apache.spark.sql.execution.FilterExec => f
+      }.foreach { f =>
+        assert(f.condition.collectFirst {
+          case x: org.apache.spark.sql.catalyst.expressions.XxHash64 => x
+        }.isEmpty,
+          s"$n re-evaluates the span-hash build inside a Filter " +
+            s"(derived generate filter is back): ${f.condition}")
+      }
+    }
+  }
+
+  // r18: q_assoc_rules derives BOTH directed rules from ONE explode
+  // over the pair aggregate — the earlier unionAll of two selects
+  // duplicated the heavy in-basket pair Generate (flatten(transform(
+  // ...))) into two plan subtrees, doubling the map-side explode +
+  // partial-aggregate work (AQE reuses the shuffle read, not the map
+  // work). Pin: exactly one Generate in the plan carries the flatten
+  // pair builder.
+  test("q_assoc_rules explodes the in-basket pair stream exactly once") {
+    val gens = plan("q_assoc_rules").collect {
+      case g: org.apache.spark.sql.execution.GenerateExec
+          if g.generator.toString.contains("flatten") => g
+    }
+    assert(gens.size === 1,
+      s"q_assoc_rules plans ${gens.size} flatten-pair Generates — the " +
+        "union-branch duplication is back")
+  }
 }
