@@ -232,8 +232,20 @@ object StreamReplay {
       s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
         "false")
       val q = try {
+        // Unthrottled source (no maxFilesPerTrigger): the bounded
+        // replay drains in ONE micro-batch — the Trigger.AvailableNow
+        // catch-up shape. Update mode emits every window exactly once,
+        // so the single upsert round commits the identical final
+        // snapshot the two-batch replay converged to (oracle-checked),
+        // for one planning + state-commit + merge + marker round
+        // instead of two. The multi-batch upsert path (cross-batch
+        // state folds, newest-wins re-emissions, replay no-ops) stays
+        // exercised by StreamingSpec/UpsertFileSinkSpec, and
+        // q_stream_replay keeps maxFilesPerTrigger=1 — its contract IS
+        // state crossing micro-batch boundaries.
         StreamingWindows.windowedCounts(
-          StreamingWindows.eventsStream(s, dir, schemaFrom))
+          StreamingWindows.eventsStream(s, dir, schemaFrom,
+            maxFilesPerTrigger = None))
           .writeStream
           .outputMode("update")
           .option("checkpointLocation", ckpt)

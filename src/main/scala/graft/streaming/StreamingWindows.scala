@@ -77,19 +77,23 @@ object StreamingWindows {
 
   /** The streaming-shaped events source: a directory of event parquet
     * files read as a file stream (each arriving file = one micro-batch
-    * with `maxFilesPerTrigger=1`). `schemaFrom` points at any batch
-    * parquet with the same layout — file-stream sources require an
-    * explicit schema.
+    * with the default `maxFilesPerTrigger=1`). `schemaFrom` points at
+    * any batch parquet with the same layout — file-stream sources
+    * require an explicit schema. `maxFilesPerTrigger = None` leaves the
+    * source unthrottled — a bounded replay then drains in ONE
+    * micro-batch, the Trigger.AvailableNow-style catch-up shape (same
+    * result on bounded input; one planning + state-commit + sink round
+    * instead of one per file).
     */
   def eventsStream(spark: SparkSession, streamDir: String,
-      schemaFrom: String): DataFrame = {
+      schemaFrom: String,
+      maxFilesPerTrigger: Option[Int] = Some(1)): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(schemaFrom).schema
-    graft.sources.Tables.normalizeEventsTs(
-      spark.readStream
-        .schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(streamDir))
+    val reader = spark.readStream.schema(schema)
+    val withOpt = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n.toString))
+    graft.sources.Tables.normalizeEventsTs(withOpt.parquet(streamDir))
   }
 
   /** Windowed counts × event_type with a 1-hour watermark bounding

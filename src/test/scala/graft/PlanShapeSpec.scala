@@ -109,19 +109,46 @@ class PlanShapeSpec extends AnyFunSuite {
   // isnotnull(spans)` predicate that re-evaluates the WHOLE span
   // construction (transform + slice + concat_ws + xxhash64 per
   // window) twice per doc inside a Filter. Pin: no Filter condition
-  // in either span query's plan contains an xxhash64 — the span hash
-  // may only ever be computed in the Project/Generate that emits it.
+  // may contain an xxhash64 — the span hash may only ever be computed
+  // in the Project/Generate that emits it.
+  //
+  // r19 (ADVICE): the r18 version of this pin checked the two contract
+  // queries' plans, where spanHashes sits behind Materialize.checkpoint
+  // — the span build lives inside the InMemoryRelation's cachedPlan,
+  // which SparkPlan.collect does NOT traverse, so the pin passed even
+  // with the regression reintroduced (verified: explode → explode_outer
+  // revert still passed). Fixed two ways: (1) pin spanHashes' OWN plan,
+  // built without any checkpoint, and (2) re-check the contract plans
+  // recursing into every InMemoryTableScanExec's cachedPlan.
+  private def collectDeep[A](p: SparkPlan)(
+      pf: PartialFunction[SparkPlan, A]): Seq[A] = {
+    val cached = p.collect {
+      case s: org.apache.spark.sql.execution.columnar
+        .InMemoryTableScanExec => s.relation.cachedPlan
+    }
+    p.collect(pf) ++ cached.flatMap(collectDeep(_)(pf))
+  }
+
+  private def assertNoHashInFilters(p: SparkPlan, n: String): Unit =
+    collectDeep(p) {
+      case f: org.apache.spark.sql.execution.FilterExec => f
+    }.foreach { f =>
+      assert(f.condition.collectFirst {
+        case x: org.apache.spark.sql.catalyst.expressions.XxHash64 => x
+      }.isEmpty,
+        s"$n re-evaluates the span-hash build inside a Filter " +
+          s"(derived generate filter is back): ${f.condition}")
+    }
+
   test("span queries never re-evaluate the span build inside a Filter") {
+    // the direct pin: spanHashes' own physical plan, no cache around it
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    assertNoHashInFilters(
+      graft.operators.SpanDedup.spanHashes(docs, "doc_id", "text", 6)
+        .queryExecution.sparkPlan, "spanHashes")
+    // and the contract plans, traversing into cached relations
     Seq("q_span_coverage", "q_span_removal").foreach { n =>
-      plan(n).collect {
-        case f: org.apache.spark.sql.execution.FilterExec => f
-      }.foreach { f =>
-        assert(f.condition.collectFirst {
-          case x: org.apache.spark.sql.catalyst.expressions.XxHash64 => x
-        }.isEmpty,
-          s"$n re-evaluates the span-hash build inside a Filter " +
-            s"(derived generate filter is back): ${f.condition}")
-      }
+      assertNoHashInFilters(plan(n), n)
     }
   }
 
@@ -130,12 +157,20 @@ class PlanShapeSpec extends AnyFunSuite {
   // duplicated the heavy in-basket pair Generate (flatten(transform(
   // ...))) into two plan subtrees, doubling the map-side explode +
   // partial-aggregate work (AQE reuses the shuffle read, not the map
-  // work). Pin: exactly one Generate in the plan carries the flatten
-  // pair builder.
+  // work). Pin: exactly one Generate in the plan (cached subplans
+  // included) explodes an expression whose tree contains a Flatten —
+  // structural, per r18 ADVICE, so a refactor of the pair expression
+  // to another flatten-free spelling fails loudly rather than
+  // silently matching nothing.
   test("q_assoc_rules explodes the in-basket pair stream exactly once") {
-    val gens = plan("q_assoc_rules").collect {
+    import org.apache.spark.sql.catalyst.expressions.{Flatten, ExplodeBase}
+    val gens = collectDeep(plan("q_assoc_rules")) {
       case g: org.apache.spark.sql.execution.GenerateExec
-          if g.generator.toString.contains("flatten") => g
+          if (g.generator match {
+            case e: ExplodeBase => e.child.collectFirst {
+              case f: Flatten => f }.nonEmpty
+            case _ => false
+          }) => g
     }
     assert(gens.size === 1,
       s"q_assoc_rules plans ${gens.size} flatten-pair Generates — the " +

@@ -486,6 +486,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(hi0 < lo1, s"slice boundary overlap: $hi0 >= $lo1")
   }
 
+  // r18/r19 micro-batch accounting pin (VERDICT r18 #4): with
+  // noDataMicroBatches=false a bounded 2-slice replay runs exactly TWO
+  // micro-batches when throttled to one file per trigger (no trailing
+  // no-data batch — the r18 optimization), and exactly ONE when the
+  // source is unthrottled (the r19 q_stream_sink catch-up shape). Each
+  // extra batch is a full planning + per-partition state-commit + sink
+  // round, so a regression here is a silent ~25-50% streaming-cost
+  // increase the row-level oracle can never see.
+  test("bounded replay pays exactly one micro-batch per arriving file, none extra") {
+    import graft.streaming.StreamReplay
+    val dir = StreamReplay.replayDir(spark, sf0001)
+    val key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prev = spark.conf.get(key, "true")
+    def lastBatchId(throttle: Option[Int]): Long = {
+      spark.conf.set(key, "false")
+      val q = try {
+        StreamingWindows
+          .tumblingCounts(StreamingWindows.eventsStream(
+            spark, dir, s"$dir/000.parquet", maxFilesPerTrigger = throttle))
+          .writeStream.outputMode("complete").format("memory")
+          .queryName(s"stream_batch_count_${throttle.isDefined}").start()
+      } finally spark.conf.set(key, prev)
+      try { q.processAllAvailable(); q.lastProgress.batchId }
+      finally q.stop()
+    }
+    assert(lastBatchId(Some(1)) === 1L,
+      "throttled 2-slice replay must run exactly batches 0 and 1")
+    assert(lastBatchId(None) === 0L,
+      "unthrottled bounded replay must drain in the single batch 0")
+  }
+
   test("heavyHittersStream: bounded MG state covers every frequent token") {
     import spark.implicits._
     // two links to the same documents file = the token stream delivered
