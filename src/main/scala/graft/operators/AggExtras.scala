@@ -123,6 +123,12 @@ object AggExtras {
       // pass 1's whole selection DAG (broadcast exchanges are not
       // reused across separate jobs) — measured 1.7 s of pure rework
       // at sf0.1
+      // r19 re-confirmed this checkpoint earns its round-trip: the
+      // no-checkpoint variant (relying on AQE exchange/stage reuse
+      // within the final action) replicated the selection DAG per
+      // consumer — jobs 28 → 62, taskTime 4 → 14-23 s paired Profile.
+      // Stage reuse dedups identical canonical exchanges only; the
+      // three consumers wrap med in three different subtrees.
       val med = graft.Materialize.checkpoint(
         RankSelect.selectRanksGivenStats(o, "et", "c", "k",
             Seq("p50" -> 0.5), stats1, buckets)
@@ -133,10 +139,15 @@ object AggExtras {
             .as("__hi"),
           col("__n"))
       val dev = o.join(broadcast(med), "et")
-        .select(col("et"), abs(col("c") - col("med")).as("dv"), col("k"))
+        .select(col("et"), abs(col("c") - col("med")).as("dv"), col("k"),
+          col("med"))
+      // med rides the dev rows through the second selection (carry) —
+      // the selected row IS a dev fact row, so it already holds its
+      // group's med and the former re-attach broadcast join (one more
+      // broadcast build job + probe stage) disappears (r19: jobs
+      // 28 → 27).
       RankSelect.selectRanksGivenStats(dev, "et", "dv", "k",
-          Seq("p50m" -> 0.5), stats2, buckets)
-        .join(broadcast(med), "et")
+          Seq("p50m" -> 0.5), stats2, buckets, carry = Seq("med"))
         .select(col("et").as("event_type"), col("med").as("median_c"),
           col("__v").as("mad_c"))
         .orderBy("event_type")

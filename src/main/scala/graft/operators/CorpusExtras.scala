@@ -384,24 +384,54 @@ object CorpusExtras {
         .select(explode(col("toks")).as("token"))
         .groupBy("token").agg(count(lit(1)).as("df"))
         .filter(col("df") >= minDf)
-      val vocabArr = vocab.agg(sort_array(collect_list(col("token"))).as("v"))
+      // r19 (guide §2.3 — shuffle keys instead of payloads): pairs
+      // travel as ONE packed long of the two VOCAB INDICES, never as a
+      // (string, string) struct. The broadcast vocab row carries the
+      // lexicographically sorted token array `v` plus the POSITIONALLY
+      // ALIGNED df array, so index order == output order, the pair
+      // stream's struct build + string hashing/compare disappear
+      // (profiled: the pair stage was ~2.0 s cpu of the query's 3.3 s
+      // taskTime building ~253 string pairs per doc), and both former
+      // re-attach joins collapse into element_at lookups on the
+      // broadcast arrays. Indices are positions, not hashes — exact,
+      // no collision trade. |vocab| is bounded by the df threshold
+      // (df ≥ n/20 ⟹ |vocab| ≤ 20 · avg distinct tokens/doc), so the
+      // index walk per doc and the 2^32 packing hold at any corpus
+      // scale.
+      val vstats = vocab
+        .agg(sort_array(collect_list(struct(col("token"), col("df"))))
+          .as("tv"))
+        .select(expr("transform(tv, s -> s.token)").as("v"),
+          expr("transform(tv, s -> s.df)").as("dfs"))
       val pairs = docSets
-        .crossJoin(broadcast(vocabArr))
-        .select(expr("array_sort(array_intersect(toks, v))").as("t"))
-        .filter(size(col("t")) >= 2)
+        .crossJoin(broadcast(vstats))
+        // ascending vocab-index walk: sorted and distinct by
+        // construction (toks is array_distinct'd)
+        .select(expr(
+          "filter(sequence(0, size(v) - 1), i -> array_contains(toks, v[i]))")
+          .as("ids"))
+        .filter(size(col("ids")) >= 2)
         .select(explode(expr(
-          """flatten(transform(sequence(0, size(t) - 2),
-            |  i -> transform(sequence(i + 1, size(t) - 1),
-            |    j -> struct(t[i] AS x, t[j] AS y))))""".stripMargin)).as("p"))
-        .groupBy(col("p.x").as("x"), col("p.y").as("y"))
+          """flatten(transform(ids, (x, i) ->
+            |  transform(slice(ids, i + 2, size(ids)),
+            |    y -> x * 4294967296L + y)))""".stripMargin)).as("p"))
+        .groupBy(col("p"))
         .agg(count(lit(1)).as("c_xy"))
         .filter(col("c_xy") >= minPair)
       pairs
-        .join(broadcast(vocab.select(col("token").as("x"), col("df").as("dfx"))), "x")
-        .join(broadcast(vocab.select(col("token").as("y"), col("df").as("dfy"))), "y")
-        .select(col("x"), col("y"), col("c_xy"),
+        .crossJoin(broadcast(vstats))
+        // 1-based element_at; `div` (never `/`, which is double
+        // division on longs) recovers the 0-based indices exactly
+        .withColumn("__ix", expr("cast(p div 4294967296L as int) + 1"))
+        .withColumn("__iy", expr("cast(pmod(p, 4294967296L) as int) + 1"))
+        .select(
+          element_at(col("v"), col("__ix")).as("x"),
+          element_at(col("v"), col("__iy")).as("y"),
+          col("c_xy"),
           round((lit(nDocs) * col("c_xy")).cast("double") /
-            (col("dfx") * col("dfy")).cast("double"), 4).as("lift"))
+            (element_at(col("dfs"), col("__ix")) *
+              element_at(col("dfs"), col("__iy"))).cast("double"), 4)
+            .as("lift"))
         .orderBy("x", "y")
     }),
 

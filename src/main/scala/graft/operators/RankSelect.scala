@@ -119,13 +119,20 @@ object RankSelect {
     * values outside are clamped to the edge buckets) and __n is the
     * EXACT count of non-null values (rank targets are ceil(__n·p)).
     */
+  /** `carry` columns ride the fact rows through bucketing and the
+    * in-bucket rank and come out on the selected rows — for callers
+    * whose selection input already joined a per-group value they need
+    * again downstream (q_agg_mad's med), so the re-attach join (one
+    * more broadcast build + probe) disappears.
+    */
   def selectRanksGivenStats(df: DataFrame, grp: String, v: String,
       tie: String, targets: Seq[(String, Double)], statsDf: DataFrame,
-      buckets: Int = 1024): DataFrame = {
-    val base = df.select(col(grp), col(v).as("__v"), col(tie).as("__k"))
+      buckets: Int = 1024, carry: Seq[String] = Nil): DataFrame = {
+    val base = df.select(col(grp) +: col(v).as("__v") +: col(tie).as("__k")
+        +: carry.map(col): _*)
       .filter(col(grp).isNotNull && col("__v").isNotNull)
-    val h = buildFrom(base, grp, statsDf, buckets, Nil)
-    finishSelect(h, grp, targets)
+    val h = buildFrom(base, grp, statsDf, buckets, carry)
+    finishSelect(h, grp, targets, carry)
   }
 
   /** The exact value at rank ceil(n·p) per group under (v, tie) order,
@@ -141,7 +148,7 @@ object RankSelect {
     * — shared by [[selectRanks]] and [[selectRanksGivenStats]].
     */
   private def finishSelect(h: Hist, grp: String,
-      targets: Seq[(String, Double)]): DataFrame = {
+      targets: Seq[(String, Double)], carry: Seq[String] = Nil): DataFrame = {
     val pairs = targets.flatMap { case (t, p) => Seq(lit(t), lit(p)) }
     // ceil(n·p) in IEEE doubles — bit-identical to the oracle's
     // CEIL(n * p), so the selected rank agrees across engines
@@ -170,7 +177,7 @@ object RankSelect {
     h.bucketed.join(broadcast(pick), Seq(grp, "__b"))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === col("__rIn"))
-      .select(col(grp), col("__tag"), col("__v"))
+      .select(col(grp) +: col("__tag") +: col("__v") +: carry.map(col): _*)
   }
 
   /** Weighted-rank selection: the exact smallest value per group whose
