@@ -63,8 +63,17 @@ object DedupExtras {
     * projection of the bands and can release the signature blocks
     * early instead of holding them to query end.
     */
+  /** `materializeSig = false` skips the signature checkpoint — for
+    * callers that consume the bands exactly ONCE (q_dedup_cluster's
+    * membership build: no band self-join, no similarity re-join), where
+    * the blocking count and the corpus-scale cache of the 8-component
+    * array buy nothing. The signature expression still evaluates once
+    * per doc: it sits below the band explode, and the generate boundary
+    * keeps CollapseProject from inlining it into the per-band
+    * projection.
+    */
   private def minhashBandsWithSig(s: SparkSession,
-      d: String): (DataFrame, DataFrame) = {
+      d: String, materializeSig: Boolean = true): (DataFrame, DataFrame) = {
     // Native signature expression (graft.plans.MinHashSignature): one
     // JVM digest loop instead of 8×|shingles| interpreted HOF lambdas.
     // Bit-identical to the md5-min HOF formulation the oracle mirrors
@@ -81,7 +90,8 @@ object DedupExtras {
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), expr(shinglesSql).as("sh"))
       .select(col("doc_id"), expr("minhash_sig(sh)").as("sg"))
-      .transform(graft.Materialize.checkpoint)
+      .transform(df =>
+        if (materializeSig) graft.Materialize.checkpoint(df) else df)
     val bands = sig
       .select(col("doc_id"), col("sg"),
         explode(sequence(lit(0), lit(3))).as("band_id"))
@@ -195,7 +205,12 @@ object DedupExtras {
     // recursive-CTE transitive closure — tractable at oracle SF, while
     // the propagation form is the one that survives 100 TB.
     "q_dedup_cluster" -> ((s, d) => {
-      val (bands, sig) = minhashBandsWithSig(s, d)
+      // materializeSig = false (r19): this query consumes the bands
+      // exactly once (m's build) — the signature checkpoint's blocking
+      // count and corpus-scale cache served only the band self-join
+      // queries. One fewer driver round-trip; the signature pass now
+      // runs inside m's materializing window pass.
+      val (bands, sig) = minhashBandsWithSig(s, d, materializeSig = false)
       // bucket identity = the (band_id, bk) PAIR, grouped/joined as two
       // columns — no concat_ws string build, no hash-collision risk, and
       // the shuffle key stays the raw 4-byte int + binary digest.
@@ -216,8 +231,8 @@ object DedupExtras {
           .filter(col("__n") > 1)
           .drop("__n"))
       val bcols = Seq("band_id", "bk")
-      // the signature frame's only consumer here was m's build — drop
-      // its blocks now rather than carrying them through the fixpoint
+      // sig is unmaterialized here (release is identity-checked, so
+      // this is a no-op kept for shape parity with the banded callers)
       graft.Materialize.release(sig)
       // One doc→bucket→doc propagation hop: bucket takes the min label
       // of its members, doc takes the min over its buckets. A doc is a
