@@ -165,14 +165,22 @@ object StreamReplay {
       val dir = replayDir(s, d)
       val schemaFrom = s"$dir/000.parquet"
 
-      // tumbling hour × type counts (the §2.9 headline, folded across
-      // three micro-batches by the aggregate state store) and 30-min-gap
-      // sessionization (custom per-user state crossing the same
-      // micro-batch boundaries; only CLOSED sessions emit) — started
-      // together, drained together
+      // tumbling hour × type counts (the §2.9 headline) and 30-min-gap
+      // sessionization (custom per-user state crossing micro-batch
+      // boundaries; only CLOSED sessions emit) — started together,
+      // drained together. The SESSIONIZER keeps maxFilesPerTrigger=1:
+      // its whole point is per-user state surviving the batch boundary
+      // (a session spanning both replay slices), and StreamingSpec pins
+      // that. The tumbling aggregate drains unthrottled in ONE batch
+      // (r19): its cross-batch state fold is separately proven by
+      // StreamingSpec's RocksDB twin test, the complete-mode result on
+      // bounded input is batch-identical either way (oracle-checked),
+      // and the second trigger was a full planning + per-partition
+      // state-commit + sink round for zero semantic change.
       val Seq(tumRaw, sessRaw) = runToMemory(s, Seq(
         (StreamingWindows.tumblingCounts(
-          StreamingWindows.eventsStream(s, dir, schemaFrom)), "complete"),
+          StreamingWindows.eventsStream(s, dir, schemaFrom,
+            maxFilesPerTrigger = None)), "complete"),
         (StreamingWindows.sessionize(
           StreamingWindows.typedEventsStream(s, dir, schemaFrom,
             maxFilesPerTrigger = Some(1))).toDF(), "append")))
